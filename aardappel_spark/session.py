@@ -23,6 +23,8 @@ DEFAULT_CONFS = {
     # the driver's testdata parquet uses TIMESTAMP(NANOS); Spark 4 only
     # reads it as a nanos-since-epoch long behind this flag
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
