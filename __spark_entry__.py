@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: the full CDC apply kernel (wire JSON -> parse ->
+               compact -> cast -> merge) on sf0.001.
+queries()    — one entry per implemented operator (SURVEY.md §2 + the
+               pipeline operators from BASELINE.json's north star).
+oracle_sql() — DuckDB-equivalent ANSI SQL per query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prepare(spark: SparkSession) -> SparkSession:
+    from aardappel_spark.session import apply_required_confs
+
+    return apply_required_confs(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from aardappel_spark.cdc_queries import q_apply
+
+    return q_apply(_prepare(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from aardappel_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_prepare(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aardappel_spark.registry import ORACLES
+
+    return dict(ORACLES)

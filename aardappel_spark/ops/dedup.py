@@ -1,0 +1,154 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash.
+
+Scale design notes (the whole point of these at 100 TB):
+  * exact dedup = one hash-aggregate on the text hash — never groupBy the
+    full text at scale; md5 keys keep shuffle rows small;
+  * minhash signatures are computed in one explode + hash-agg pass
+    (per-token md5s, min per salt) — linear, no cross-doc work;
+  * candidate pairs come from LSH BAND self-joins (equi-join on a band
+    key), never an all-pairs cross join; band width trades recall vs
+    join fan-out;
+  * everything is built-in JVM functions — md5/min/concat — no UDFs.
+
+MinHash here uses deterministic "salted md5" hash families so results are
+reproducible across engines (and oracle-checkable in SQL): h_k(token) =
+md5(k || token); the signature component is the lexicographic MIN hex
+digest. This is a valid min-wise family for Jaccard estimation over the
+token set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize, tokens_col
+
+
+def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
+    """Word k-gram shingles. Shingling (vs raw tokens) is what keeps
+    MinHash discriminative on small vocabularies: the shingle space is
+    |V|^k, so unrelated docs share almost no shingles and LSH bands
+    don't collapse into quadratic candidate blowup. Texts shorter than
+    k words hash as one whole-text shingle."""
+    toks = tokens_col(text_col)
+    whole = F.array(F.array_join(toks, " "))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(F.size(toks) < k, whole).otherwise(sh)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical texts: representative id (min) + copy count.
+    Keyed on md5(text) so the shuffle carries 32-byte keys, not documents.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("h")
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative row per distinct text (lowest id wins)."""
+    reps = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("rep_doc_id").alias(id_col)
+    )
+    return docs.join(reps, id_col, "left_semi")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature over the shingle set: columns
+    mh0..mh{k-1} (lexicographic-min salted md5 hex digests). One explode
+    + one hash-aggregate — a single shuffle keyed on doc id."""
+    t = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col, shingle_size)).alias("token"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.col("token")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return t.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs sharing ALL components of any band are candidate
+    near-duplicates. Bands of ``band_size`` consecutive signature
+    components; each band is an equi-join key (no cross join anywhere).
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col)
+    bands = [
+        F.concat_ws("|", *[F.col(f"mh{k}") for k in range(b, b + band_size)]).alias(
+            "band_key"
+        )
+        for b in range(0, num_hashes, band_size)
+    ]
+    pairs = None
+    for i, band in enumerate(bands):
+        keyed = sig.select(F.col(id_col), band, F.lit(i).alias("band_id"))
+        p = (
+            keyed.alias("l")
+            .join(keyed.alias("r"), ["band_key", "band_id"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("doc_a"),
+                F.col(f"r.{id_col}").alias("doc_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash over the token multiset: for each bit b, sign of
+    sum(+1/-1 votes) where a token votes +1 iff bit b of its md5 is set.
+    Near-duplicates have small Hamming distance between simhash values.
+
+    Implemented as explode + conv(md5) + bit tests + one aggregation.
+    ``bits`` <= 32 keeps the bit-test math in exact integer range.
+    """
+    t = tokenize(docs, id_col, text_col)
+    # 60-bit integer from the first 15 hex chars — exact in a long
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("decimal(20,0)")
+    t = t.withColumn("h", h.cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  * brute_force_topk — exact cosine top-k for ONE query vector: a
+    broadcast of the query + one JVM-side pass over the corpus (zip_with
+    / aggregate), no shuffle until the final top-k (which is a
+    TakeOrdered, not a sort of the corpus).
+  * lsh_bucket_topk — random-hyperplane LSH: deterministic
+    pseudo-random hyperplanes derived from md5 bits give each vector a
+    signature; candidates share the query's bucket (equi-join), then
+    exact cosine re-ranks. The scale path: at 100 TB the bucket join
+    prunes ~(1 - 2^-bits) of the corpus before any arithmetic.
+
+All math in double precision with explicit casts so results are
+reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of the vector with ``query_id``.
+
+    Output: id, extra cols, sim (rounded to 4 — stable across engines).
+    """
+    v = vectors.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    q = v.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_q"))
+    out = (
+        v.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.round(cosine(F.col("_v"), F.col("_q")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+    return out
+
+
+def hyperplane_signature(
+    vec: Column, dims: int, bits: int = 8
+) -> Column:
+    """Deterministic random-hyperplane signature: hyperplane (b, d)
+    component = +1/-1 from a bit of md5(f"{b}:{d}"). Signature bit b =
+    1 iff dot(vec, plane_b) > 0. Pure expressions, reproducible anywhere.
+    """
+    sig = None
+    for b in range(bits):
+        comp = None
+        for d in range(dims):
+            # one deterministic pseudo-random sign per (plane, dim)
+            hexc = F.md5(F.lit(f"{b}:{d}"))
+            sign = F.when(
+                F.conv(F.substring(hexc, 1, 1), 16, 10).cast("int") % 2 == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            term = vec.getItem(d).cast("double") * sign
+            comp = term if comp is None else comp + term
+        bit = F.when(comp > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """ANN: restrict exact cosine to the query's LSH bucket.
+
+    Recall < 1 by design; at scale, bucket size ~ N / 2^bits makes the
+    re-rank cheap. Returns the same shape as brute_force_topk.
+    """
+    dims = len(vectors.select(vec_col).first()[0])
+    sig = vectors.withColumn("_sig", hyperplane_signature(F.col(vec_col), dims, bits))
+    q_sig = sig.filter(F.col(id_col) == query_id).select(
+        F.col("_sig").alias("_qsig"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    bucket = (
+        sig.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q_sig), sig["_sig"] == q_sig["_qsig"])
+    )
+    return (
+        bucket.select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), F.col("_q")), 4
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

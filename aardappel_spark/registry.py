@@ -1,0 +1,439 @@
+"""Query inventory: every implemented operator as (spark_fn, oracle_sql).
+
+The driver runs each Spark query at sf0.01 against its DuckDB oracle
+(row count + schema + order-insensitive value hash), so every pair here
+must agree on COLUMN NAMES and value rendering. Numeric outputs are
+bigint, or doubles produced by identical exact-decimal -> double -> round
+pipelines in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cdc_queries as cdc
+from .ops.dedup import exact_dedup_groups, minhash_candidate_pairs, minhash_signatures
+from .ops.similarity import brute_force_topk
+from .ops.text import STOPWORDS, fingerprint, quality_by_group, token_stats
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE prefix replicating cdc_queries' wire mapping
+# ---------------------------------------------------------------------------
+
+_CDC_CTE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS step, event_id AS txid,
+         CASE WHEN event_type = 'error' THEN 'erase' ELSE 'update' END AS op,
+         event_type, value, props,
+         row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_id % 10 <> 0
+),
+hb AS (
+  SELECT user_id % 8 AS p, epoch_us(ts) AS step, event_id AS txid
+  FROM events WHERE event_id % 10 = 0
+),
+pm AS (
+  SELECT p, step, txid,
+         row_number() OVER (PARTITION BY p ORDER BY step DESC, txid DESC) AS rrn
+  FROM hb
+),
+le AS (
+  SELECT user_id, max(rn) AS erase_rn FROM ev WHERE op = 'erase' GROUP BY user_id
+),
+fin AS (
+  SELECT user_id, arg_max(op, rn) AS final_op, arg_max(step, rn) AS last_step,
+         arg_max(txid, rn) AS last_tx
+  FROM ev GROUP BY user_id
+),
+cols AS (
+  SELECT user_id, 'value' AS col_name, CAST(value AS VARCHAR) AS col_value, rn
+  FROM ev WHERE op = 'update' AND event_type IN ('purchase', 'click', 'view')
+  UNION ALL
+  SELECT user_id, 'props' AS col_name, props AS col_value, rn
+  FROM ev WHERE op = 'update' AND event_type IN ('signup', 'click', 'view')
+),
+merged AS (
+  SELECT c.user_id, c.col_name, arg_max(c.col_value, c.rn) AS col_value
+  FROM cols c LEFT JOIN le ON c.user_id = le.user_id
+  WHERE le.erase_rn IS NULL OR c.rn > le.erase_rn
+  GROUP BY c.user_id, c.col_name
+)
+"""
+
+_CUTOFF = cdc.CUTOFF_US
+
+# ---------------------------------------------------------------------------
+# analytics / pipeline queries (documents, embeddings, events, tpch)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=4)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
+
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_by_group(_docs(spark, sf_dir), ["lang", "source"])
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, query_id=0, k=10, extra_cols=["label"])
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNotNull() & ((F.col("ts") - prev) > F.lit(1800 * 10**9)), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.sum("ns")).cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(12,2)")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax"))
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    agg = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("sq"),
+        F.sum(_dec("l_extendedprice")).alias("sbp"),
+        F.sum(disc_price).alias("sdp"),
+        F.sum(charge).alias("sc"),
+        F.sum(_dec("l_discount")).alias("sd"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sbp").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("sdp").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("sc").cast("double"), 2).alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("sbp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+        F.round(F.col("sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).alias("rev"))
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(disc_price).alias("rev"))
+        .select("n_name", F.round(F.col("rev").cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # CDC engine surface (SURVEY.md §2: S2-S4, F1, F4, F5, A1-A2, C1-C9, §4.3)
+    "cdc_parse_stats": cdc.q_parse_stats,
+    "cdc_stale_filter": cdc.q_stale_filter,
+    "cdc_quorum": cdc.q_quorum,
+    "cdc_compact": cdc.q_compact,
+    "cdc_compact_merge": cdc.q_compact_merge,
+    "cdc_apply": cdc.q_apply,
+    "cdc_out_of_order": cdc.q_out_of_order,
+    # pipeline operators (BASELINE.json north star)
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine": q_ann_cosine,
+    "events_sessions": q_events_sessions,
+    # relational analytics (free on Spark; bench headliners)
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_parse_stats": _CDC_CTE
+    + """
+SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(step) AS min_step, max(step) AS max_step
+FROM ev GROUP BY op
+""",
+    "cdc_stale_filter": _CDC_CTE
+    + f"""
+SELECT op, count(*) AS n, max(step) AS max_step
+FROM ev WHERE step >= {_CUTOFF} GROUP BY op
+""",
+    "cdc_quorum": _CDC_CTE
+    + """
+SELECT step AS quorum_step, txid AS quorum_tx,
+       (SELECT count(*) FROM pm WHERE rrn = 1) AS n_partitions
+FROM pm WHERE rrn = 1 ORDER BY step, txid LIMIT 1
+""",
+    "cdc_compact": _CDC_CTE
+    + """
+SELECT user_id, final_op, last_step, last_tx FROM fin
+""",
+    "cdc_compact_merge": _CDC_CTE
+    + """
+SELECT m.user_id, m.col_name, m.col_value
+FROM merged m JOIN fin f ON m.user_id = f.user_id
+WHERE f.final_op = 'update'
+""",
+    "cdc_apply": _CDC_CTE
+    + """
+SELECT f.user_id,
+       round(CAST(max(CASE WHEN m.col_name = 'value' THEN m.col_value END) AS DOUBLE), 2) AS value,
+       max(CASE WHEN m.col_name = 'props' THEN m.col_value END) AS props
+FROM fin f LEFT JOIN merged m ON f.user_id = m.user_id
+WHERE f.final_op = 'update'
+GROUP BY f.user_id
+""",
+    "cdc_out_of_order": _CDC_CTE
+    + """
+SELECT e.user_id % 8 AS p, count(*) AS n_late
+FROM ev e JOIN (SELECT p, step, txid FROM pm WHERE rrn = 1) h ON (e.user_id % 8) = h.p
+WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
+GROUP BY 1
+""",
+    "dedup_exact": """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_minhash": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+)
+SELECT doc_id,
+       min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+       min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+FROM t GROUP BY doc_id
+""",
+    "dedup_minhash_pairs": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+  FROM t GROUP BY doc_id
+),
+p0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
+),
+p1 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
+)
+SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+""",
+    "text_token_stats": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_uniq_tokens,
+       round(avg(length(token)), 4) AS avg_token_len
+FROM t WHERE token <> '' GROUP BY doc_id
+""",
+    "text_quality": f"""
+WITH t AS (
+  SELECT lang, source, doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT lang, source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4) AS avg_doc_tokens,
+       round(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS stopword_ratio
+FROM t WHERE token <> '' GROUP BY lang, source
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+FROM documents
+""",
+    "ann_cosine": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings WHERE vec_id <> 0
+),
+d AS (
+  SELECT v.vec_id, any_value(v.label) AS label,
+         sum(v.x * q.qv) AS dot, sum(v.x * v.x) AS n2
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
+SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
+FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    "events_sessions": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN pt IS NOT NULL AND t - pt > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+FROM s GROUP BY user_id
+""",
+    "tpch_q1": """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         l_quantity::DECIMAL(12,2) AS qty,
+         l_extendedprice::DECIMAL(12,2) AS price,
+         l_discount::DECIMAL(12,2) AS disc,
+         l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(12,2)) AS disc_price,
+         l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(3,2) - l_discount::DECIMAL(12,2))
+           * (1.00::DECIMAL(3,2) + l_tax::DECIMAL(12,2)) AS charge
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(qty) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(price) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(disc_price) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(charge) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3": """
+SELECT l.l_orderkey,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+             * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))) AS DOUBLE), 2) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""",
+    "tpch_q5": """
+SELECT n.n_name,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+             * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+}

@@ -201,3 +201,19 @@ def test_idempotent_replay(spark):
     a = sorted([tuple(r) for r in once.collect()])
     b = sorted([tuple(r) for r in twice.collect()])
     assert a == b
+
+
+def test_erase_cancelled_by_update_keeps_existing_columns(spark):
+    # Reference UPSERT semantics: [erase k, update k {c}] in ONE batch
+    # cancels the delete entirely (gen_query.go:407-410), so a
+    # pre-existing row keeps its other columns — the erase does NOT wipe
+    # them. (Batch-boundary-dependent by design; see apply.q_apply note.)
+    dst = _dst(spark, [BASE_ROW])
+    rows = [
+        ev("erase", [15, "MTU="], {}, 5, 1, 0),
+        ev("update", [15, "MTU="], {"value2": "9"}, 5, 2, 1),
+    ]
+    [r] = apply_batch(dst, events_df(spark, rows), META).collect()
+    assert r.value2 == Decimal(9)  # updated
+    assert bytes(r.value1) == b"old"  # survived the cancelled erase
+    assert r.value3 == 0.5

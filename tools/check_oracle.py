@@ -1,0 +1,110 @@
+"""Side-by-side correctness checker replicating the driver's comparison:
+run each queries() entry on Spark and its oracle_sql() on DuckDB over the
+same sf dir; compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from aardappel_spark.session import get_spark
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+    except ImportError:
+        pass
+    return str(v) if not isinstance(v, (int, str)) else v
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple("\x00none" if norm(r[i]) is None else str(norm(r[i])) for i in order)
+        for r in rows
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in os_:
+            print(f"SKIP {name}: no oracle (rows={len(s_rows)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(os_[name])
+            d_cols = [d[0].lower() for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={s_cols} duck={d_cols}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            a, b = rows_key(s_cols, s_rows), rows_key(d_cols, d_rows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"OK   {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
