@@ -1,0 +1,202 @@
+"""Streaming engine integration tests: file-source stream -> foreachBatch
+kernel -> versioned parquet destination, checked against the batch kernel
+and the reference's lifecycle semantics (SURVEY.md W1-W5)."""
+
+import json
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardappel_spark.apply import apply_batch
+from aardappel_spark.casting import TableMeta
+from aardappel_spark.parse import parse_messages, split_events
+from aardappel_spark.streaming import (
+    STAGE_RUN,
+    STATE_FATAL,
+    ReplicationEngine,
+    StateStore,
+    StreamConfig,
+)
+
+META = TableMeta(
+    "users",
+    primary_key=["user_id"],
+    columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+)
+DST_SCHEMA = "user_id bigint, value string"
+
+
+def msg_update(uid, value, step, txid):
+    return json.dumps(
+        {"update": {"value": str(value)}, "key": [uid], "ts": [step, txid]}
+    )
+
+
+def msg_erase(uid, step, txid):
+    return json.dumps({"erase": {}, "key": [uid], "ts": [step, txid]})
+
+
+def msg_hb(step, txid=0):
+    return json.dumps({"resolved": [step, txid]})
+
+
+def write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for partition, offset, value in rows:
+            f.write(json.dumps({"partition": partition, "offset": offset, "value": value}) + "\n")
+
+
+def make_engine(spark, tmp, n_partitions=2):
+    return ReplicationEngine(
+        spark=spark,
+        streams=[
+            StreamConfig(
+                table_id=0,
+                meta=META,
+                dst_path=os.path.join(tmp, "dst"),
+                dst_schema=DST_SCHEMA,
+            )
+        ],
+        expected_partitions=n_partitions,
+        work_dir=os.path.join(tmp, "work"),
+    )
+
+
+def read_source(spark, src_dir):
+    return (
+        spark.readStream.schema("partition int, offset long, value string")
+        .json(src_dir)
+    )
+
+
+def run_available(engine, spark, src_dir, ckpt):
+    q = engine.run_stream(read_source(spark, src_dir), ckpt, available_now=True)
+    q.awaitTermination(120)
+
+
+def test_stream_applies_below_quorum_only(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    write_jsonl(
+        os.path.join(src, "f1.jsonl"),
+        [
+            (0, 1, msg_update(1, "a", 10, 1)),
+            (0, 2, msg_update(2, "b", 20, 1)),
+            (0, 3, msg_hb(25)),
+            (1, 4, msg_update(3, "c", 30, 1)),
+            (1, 5, msg_hb(15)),
+        ],
+    )
+    eng = make_engine(spark, tmp)
+    run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
+
+    # quorum = min(25, 15) = 15 -> only user 1 (step 10) applied
+    rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    assert rows == {1: "a"}
+    st = eng.state.read()
+    assert (st["step_id"], st["tx_id"]) == (Decimal(15), Decimal(0))
+    assert st["stage"] == STAGE_RUN
+
+    # second file: heartbeats advance -> pending users flush
+    write_jsonl(
+        os.path.join(src, "f2.jsonl"),
+        [(0, 6, msg_hb(100)), (1, 7, msg_hb(100))],
+    )
+    run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
+    rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_stream_matches_batch_kernel(spark, tmp_path):
+    """Final streamed state == one-shot batch apply of everything below
+    the final quorum."""
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    msgs = []
+    off = 0
+    for step in range(1, 40):
+        uid = step % 5
+        if step % 7 == 0:
+            msgs.append((step % 2, off, msg_erase(uid, step, 1)))
+        else:
+            msgs.append((step % 2, off, msg_update(uid, f"v{step}", step, 1)))
+        off += 1
+    msgs.append((0, off, msg_hb(30)))
+    msgs.append((1, off + 1, msg_hb(30)))
+    # split across three files (three-ish micro-batches with availableNow)
+    third = len(msgs) // 3
+    write_jsonl(os.path.join(src, "f1.jsonl"), msgs[:third])
+    write_jsonl(os.path.join(src, "f2.jsonl"), msgs[third : 2 * third])
+    write_jsonl(os.path.join(src, "f3.jsonl"), msgs[2 * third :])
+
+    eng = make_engine(spark, tmp)
+    run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
+
+    streamed = {
+        r.user_id: r.value for r in eng.tables[0].current().collect()
+    }
+
+    # batch oracle: same messages, single batch, cut at quorum (30,0)
+    raw = spark.createDataFrame(
+        [(p, o, v) for p, o, v in msgs], "partition int, offset long, value string"
+    )
+    ev = split_events(parse_messages(raw, table_id_col=None))
+    ev = ev.filter(F.struct("step", "tx_id") < F.struct(F.lit(30).cast("decimal(20,0)").alias("step"), F.lit(0).cast("decimal(20,0)").alias("tx_id")))
+    dst0 = spark.createDataFrame([], DST_SCHEMA)
+    expected = {
+        r.user_id: r.value for r in apply_batch(dst0, ev, META).collect()
+    }
+    assert streamed == expected
+
+
+def test_problem_message_stops_with_fatal_state(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    write_jsonl(
+        os.path.join(src, "f1.jsonl"),
+        [(0, 1, "this is not json")],
+    )
+    eng = make_engine(spark, tmp)
+    with pytest.raises(Exception):
+        run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
+    st = eng.state.read()
+    assert st["state"] == STATE_FATAL
+    # restart refused until manual recovery (processor.go:308-310)
+    with pytest.raises(RuntimeError, match="manual recovery"):
+        eng.state.ensure_startable()
+
+
+def test_crashed_batch_replay_converges(spark, tmp_path):
+    """§4.3: simulate a crash AFTER table commit but BEFORE the state
+    write; replaying the same batch must converge to the same state."""
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    write_jsonl(
+        os.path.join(src, "f1.jsonl"),
+        [
+            (0, 1, msg_update(1, "a", 10, 1)),
+            (0, 2, msg_hb(50)),
+            (1, 3, msg_hb(50)),
+        ],
+    )
+    eng = make_engine(spark, tmp)
+
+    raw = spark.read.schema("partition int, offset long, value string").json(src)
+
+    # crash: run the kernel but skip the state write
+    orig_write = eng.state.write
+    eng.state.write = lambda *a, **k: None
+    eng.process_batch(raw, batch_id=0)
+    eng.state.write = orig_write
+
+    before = sorted(tuple(r) for r in eng.tables[0].current().collect())
+    # replay the same batch (fresh engine = post-restart driver state)
+    eng2 = make_engine(spark, tmp)
+    eng2.process_batch(raw, batch_id=0)
+    after = sorted(tuple(r) for r in eng2.tables[0].current().collect())
+    assert before == after == [(1, "a")]
+    st = eng2.state.read()
+    assert (st["step_id"], st["tx_id"]) == (Decimal(50), Decimal(0))
