@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 
 from .apply import apply_batch
 from .casting import TableMeta
+from .cmdqueue import parse_commands, resolve_problem_actions
+from .keyfilter import filter_blocked_keys
+from .metrics import MetricsRegistry
 from .parse import parse_messages, split_events, split_heartbeats, split_problems
 from .quorum import cut_below_quorum, get_quorum
 from .types import CDC_EVENT_SCHEMA, pos, pos_lit
@@ -179,6 +182,11 @@ class ReplicationEngine:
     expected_partitions: int
     work_dir: str
     instance_id: str = "aardappel"
+    topic_path: str = ""
+    blocked_keys: DataFrame | None = None  # BINARY serialized keys (S13)
+    commands: DataFrame | None = None  # raw command-topic messages (S12)
+    metrics: MetricsRegistry = field(default_factory=MetricsRegistry)
+    step_to_ms: float = 1e-3  # CDC step unit -> milliseconds (default: micros)
     hb_state: dict[tuple[int, int], tuple[Decimal, Decimal]] = field(default_factory=dict)
     batches_applied: int = 0
     modifications: int = 0
@@ -249,6 +257,9 @@ class ReplicationEngine:
     def process_batch(self, raw: DataFrame, batch_id: int) -> None:
         """foreachBatch body. `raw` columns: value (JSON string), and
         optionally partition/offset."""
+        import time as _time
+
+        t_start = _time.perf_counter()
         st = self.state.ensure_startable()
         checkpoint = (st["step_id"], st["tx_id"])
 
@@ -265,13 +276,26 @@ class ReplicationEngine:
             if n_problems:
                 self._route_problems(problems, st)
 
+            # snapshot BEFORE this batch's heartbeats: out-of-order means
+            # older than a heartbeat the stream had already emitted
+            # (verifyStream, reader.go:150-207)
+            hb_before = dict(self.hb_state)
             self._update_hb_state(split_heartbeats(parsed))
 
             events = split_events(parsed).select(
                 *[f.name for f in CDC_EVENT_SCHEMA.fields]
             )
+            # out-of-order routing first (read-path order: verifyStream runs
+            # before EnqueueTx's stale filter, reader.go:243); an 'apply'
+            # override below the checkpoint is still dropped by F1 next,
+            # exactly like EnqueueTx would drop it.
+            events = self._route_out_of_order(events, hb_before, st)
             # stale filter (F1): strictly-below-checkpoint replays dropped
             events = events.filter(pos() >= pos_lit(*checkpoint))
+            if self.blocked_keys is not None:
+                events = filter_blocked_keys(
+                    events, self.blocked_keys, table_path=self.topic_path
+                )
 
             pend = self._read_pending(before_batch_id=batch_id)
             if pend is not None:
@@ -283,23 +307,100 @@ class ReplicationEngine:
                 self._write_pending(events, batch_id)
                 return
 
+            import time as _time
+
+            quorum_wait = _time.perf_counter() - t_start
             batch = cut_below_quorum(events, q).persist()
             remainder = events.filter(pos() >= pos_lit(*q))
 
+            t_commit = _time.perf_counter()
+            per_table: dict[str, int] = {}
             for s in self.streams:
                 tbl = self.tables[s.table_id]
                 ev_t = batch.filter(F.col("table_id") == s.table_id)
                 merged = apply_batch(tbl.current(), ev_t, s.meta)
                 tbl.commit(merged, version=batch_id + 1)
-            self.modifications += batch.count()
+                per_table[s.meta.name] = ev_t.count()
+            n_mods = sum(per_table.values())
+            self.modifications += n_mods
 
             self._write_pending(remainder, batch_id)
             stage = STAGE_RUN  # first successful quorum apply flips stage
             self.state.write(q, stage)
             self.batches_applied += 1
+            self.metrics.on_batch_applied(
+                modifications=n_mods,
+                per_table=per_table,
+                commit_seconds=_time.perf_counter() - t_commit,
+                quorum_wait_seconds=quorum_wait,
+                quorum_step_ms=float(q[0]) * self.step_to_ms,
+            )
             batch.unpersist()
         finally:
             parsed.unpersist()
+
+    def _route_out_of_order(
+        self,
+        events: DataFrame,
+        hb_before: dict[tuple[int, int], tuple[Decimal, Decimal]],
+        st: dict,
+    ) -> DataFrame:
+        """F4/W3: events older than their partition's last-known heartbeat
+        are problem messages. Resolution order (README.md:577-610):
+        command-queue override ('apply' keeps, 'skip' drops+DLQ), else the
+        stream's problem strategy ('continue' = DLQ+drop, 'stop' = persist
+        FATAL_ERROR and die)."""
+        if not hb_before:
+            return events
+        hb_rows = [
+            (t, p, s, x) for (t, p), (s, x) in hb_before.items()
+        ]
+        hb_df = self.spark.createDataFrame(
+            hb_rows,
+            "table_id int, partition int, hb_step decimal(20,0), hb_tx decimal(20,0)",
+        )
+        marked = events.join(F.broadcast(hb_df), ["table_id", "partition"], "left")
+        late_cond = F.col("hb_step").isNotNull() & (
+            pos() < F.struct(F.col("hb_step").alias("step"), F.col("hb_tx").alias("tx_id"))
+        )
+        late = marked.filter(late_cond).drop("hb_step", "hb_tx")
+        if late.isEmpty():
+            return events
+        ok = marked.filter(~F.coalesce(late_cond, F.lit(False))).drop("hb_step", "hb_tx")
+
+        if self.commands is not None:
+            resolved = resolve_problem_actions(
+                late, parse_commands(self.commands), self.instance_id, self.topic_path
+            )
+        else:
+            resolved = late.withColumn("action", F.lit(None).cast("string"))
+        resolved = resolved.persist()
+        try:
+            applied = resolved.filter(F.col("action") == "apply").drop("action")
+            dropped = resolved.filter(
+                F.col("action").isNull() | (F.col("action") == "skip")
+            )
+            unresolved = resolved.filter(F.col("action").isNull())
+            os.makedirs(self.dlq_dir, exist_ok=True)
+            dropped.drop("action").withColumn(
+                "_reason", F.lit("out_of_order")
+            ).write.mode("append").parquet(self.dlq_dir)
+
+            if not unresolved.isEmpty() and any(
+                s.problem_strategy == "stop" for s in self.streams
+            ):
+                first = unresolved.first()
+                msg = (
+                    f"out-of-order change at ({first.step},{first.tx_id}) "
+                    f"partition {first.partition}"
+                )
+                self.state.write(
+                    (st["step_id"], st["tx_id"]), st["stage"], STATE_FATAL, msg
+                )
+                raise RuntimeError(msg)
+            return ok.unionByName(applied)
+        finally:
+            resolved.unpersist()
 
     def _route_problems(self, problems: DataFrame, st: dict) -> None:
         """W3: DLQ + (stop|continue). 'stop' persists FATAL_ERROR before

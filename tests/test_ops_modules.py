@@ -1,0 +1,192 @@
+"""Tests for keyfilter, cmdqueue, metrics, and the pipeline ops modules."""
+
+import json
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from aardappel_spark.cmdqueue import parse_commands, resolve_problem_actions
+from aardappel_spark.keyfilter import filter_blocked_keys, serialize_key_col
+from aardappel_spark.metrics import MetricsRegistry
+from aardappel_spark.ops.dedup import minhash_candidate_pairs, simhash
+from aardappel_spark.ops.multimodal import MEDIA_SCHEMA, extract_features, sample_frames
+from aardappel_spark.ops.similarity import brute_force_topk, lsh_bucket_topk
+from aardappel_spark.types import CDC_EVENT_SCHEMA
+
+
+# -- key filter (C2, F3, J1) -------------------------------------------------
+
+
+def test_serialize_key_byte_layout(spark):
+    # key_serializer_test.go:8-31: fmt byte + path + fragments
+    df = spark.createDataFrame([(["k1", "k2"],)], ["key"])
+    [r] = df.select(serialize_key_col("key", "t1").alias("b")).collect()
+    assert bytes(r.b) == b"\x01t1k1k2"
+    df2 = spark.createDataFrame([([],)], "key array<string>")
+    [r2] = df2.select(serialize_key_col("key", "t1").alias("b")).collect()
+    assert bytes(r2.b) == b"\x01t1"
+
+
+def ev(key, step, seq):
+    return (0, 0, seq, "update", [str(k) for k in key], {}, Decimal(step), Decimal(1), seq)
+
+
+def test_blocked_key_filter(spark):
+    events = spark.createDataFrame([ev([1], 1, 0), ev([2], 2, 1), ev([3], 3, 2)], CDC_EVENT_SCHEMA)
+    blocked = spark.createDataFrame(
+        [(bytearray(b"\x01users2"),), (bytearray(b"\x01users9"),)], "key binary"
+    )
+    out = filter_blocked_keys(events, blocked, table_path="users")
+    assert sorted(r.key[0] for r in out.collect()) == ["1", "3"]
+    assert "_filter_key" not in out.columns
+
+
+def test_blocked_key_filter_scales_without_shuffle(spark):
+    events = spark.createDataFrame([ev([1], 1, 0)], CDC_EVENT_SCHEMA)
+    blocked = spark.createDataFrame([(bytearray(b"\x01x1"),)], "key binary")
+    plan = (
+        filter_blocked_keys(events, blocked, table_path="x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+# -- command queue (S12, J2) -------------------------------------------------
+
+
+def cmd(uid, step, tx, action, inst="inst1", path="/topic/a"):
+    return json.dumps(
+        {
+            "aardapel_instance_id": inst,
+            "path": path,
+            "key": [uid],
+            "ts": [step, tx],
+            "action": action,
+        }
+    )
+
+
+def test_command_match_last_wins(spark):
+    problems = spark.createDataFrame([ev([42], 7, 0)], CDC_EVENT_SCHEMA)
+    raw = spark.createDataFrame(
+        [
+            (cmd(42, 7, 1, "skip"),),
+            (cmd(42, 7, 1, "apply"),),  # later command wins
+            (cmd(42, 7, 1, "bogus"),),  # invalid -> ignored
+            (cmd(42, 9, 9, "skip"),),  # different position
+            (cmd(42, 7, 1, "skip", inst="other"),),  # other instance
+        ],
+        ["value"],
+    )
+    cmds = parse_commands(raw)
+    out = resolve_problem_actions(problems, cmds, "inst1", "/topic/a").collect()
+    assert len(out) == 1
+    assert out[0].action == "apply"
+
+
+def test_command_no_match_gives_null(spark):
+    problems = spark.createDataFrame([ev([1], 1, 0)], CDC_EVENT_SCHEMA)
+    cmds = parse_commands(spark.createDataFrame([(cmd(2, 1, 1, "skip"),)], ["value"]))
+    [r] = resolve_problem_actions(problems, cmds, "inst1", "/topic/a").collect()
+    assert r.action is None
+
+
+# -- metrics (S14) -----------------------------------------------------------
+
+
+def test_metrics_vocabulary_renders():
+    reg = MetricsRegistry()
+    reg.on_batch_applied(
+        modifications=100,
+        per_table={"orders": 60, "users": 40},
+        commit_seconds=0.2,
+        quorum_wait_seconds=0.01,
+        quorum_step_ms=1_700_000_000_000,
+        request_bytes=1234,
+    )
+    reg.on_heartbeat_missing("orders", True)
+    text = reg.render_prometheus()
+    for needle in [
+        "modifications_count 100",
+        'modifications_count_per_table{stream_tag="orders"} 60',
+        "request_size_bytes 1234",
+        "commit_latency_count 1",
+        "quorum_waiting_latency_count 1",
+        "replication_lag_estimation",
+        'topic_without_hb{stream_tag="orders"} 1',
+    ]:
+        assert needle in text, needle
+    assert reg.last_batch_mps == 500.0
+
+
+# -- pipeline ops ------------------------------------------------------------
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different text with other words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_candidate_pairs(docs).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sql query engine with adaptive execution"),
+            (2, "spark sql query engine with adaptive optimization"),
+            (3, "completely unrelated banana apple orange fruit salad"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_lsh_topk_subset_of_bruteforce_ordering(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = brute_force_topk(emb, query_id=0, k=5)
+    lsh = lsh_bucket_topk(emb, query_id=0, k=5, bits=4)
+    bf_rows = bf.collect()
+    lsh_rows = lsh.collect()
+    assert len(bf_rows) == 5
+    # LSH returns candidates from the query's bucket only — every hit must
+    # also appear in the full ranking with the same similarity
+    sims = {r.vec_id: r.sim for r in brute_force_topk(emb, query_id=0, k=10**6).collect()}
+    for r in lsh_rows:
+        assert abs(sims[r.vec_id] - r.sim) < 1e-9
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+
+def _media(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"fakepngbytes")),
+        (2, "video", "video/mp4", bytearray(b"fakevideobytes")),
+        (3, "audio", "audio/wav", bytearray(b"fakewavbytes")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_feature_extraction(spark):
+    out = {r.media_id: r for r in extract_features(_media(spark)).collect()}
+    assert out[1].width is not None and out[1].height is not None
+    assert out[2].n_frames is not None and out[2].width is None
+    assert out[3].n_bytes == len(b"fakewavbytes")
+    import hashlib
+
+    assert out[1].digest == hashlib.md5(b"fakepngbytes").hexdigest()
+
+
+def test_multimodal_frame_sampling(spark):
+    frames = sample_frames(_media(spark), every_n=50).collect()
+    assert len(frames) >= 1
+    assert all(f.media_id == 2 for f in frames)
+    assert all(len(bytes(f.frame)) == 16 for f in frames)

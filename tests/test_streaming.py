@@ -200,3 +200,98 @@ def test_crashed_batch_replay_converges(spark, tmp_path):
     assert before == after == [(1, "a")]
     st = eng2.state.read()
     assert (st["step_id"], st["tx_id"]) == (Decimal(50), Decimal(0))
+
+
+def test_out_of_order_routed_by_command_and_strategy(spark, tmp_path):
+    """W3: late change (behind its partition's known heartbeat, above the
+    checkpoint) -> 'skip' command drops to DLQ, 'apply' keeps, driven as
+    deterministic batches through the kernel."""
+    import json as _json
+
+    tmp = str(tmp_path)
+
+    def cmd(uid, step, tx, action):
+        return _json.dumps(
+            {
+                "aardapel_instance_id": "aardappel",
+                "path": "/topic/a",
+                "key": [uid],
+                "ts": [step, tx],
+                "action": action,
+            }
+        )
+
+    eng = make_engine(spark, tmp)
+    eng.topic_path = "/topic/a"
+    eng.commands = spark.createDataFrame(
+        [(cmd(1, 50, 1, "skip"),), (cmd(2, 60, 1, "apply"),)], ["value"]
+    )
+    for s in eng.streams:
+        s.problem_strategy = "continue"
+
+    raw_schema = "partition int, offset long, value string"
+    # batch 0: heartbeat on partition 0 only -> no quorum, checkpoint stays 0
+    b0 = spark.createDataFrame([(0, 1, msg_hb(100))], raw_schema)
+    eng.process_batch(b0, 0)
+    assert eng.state.read()["step_id"] == Decimal(0)
+
+    # batch 1: two late events on partition 0 (behind its hb=100) + fresh;
+    # heartbeats complete the quorum at min(200, 140) = 140
+    b1 = spark.createDataFrame(
+        [
+            (0, 3, msg_update(1, "late-skip", 50, 1)),
+            (0, 4, msg_update(2, "late-apply", 60, 1)),
+            (0, 5, msg_update(3, "fresh", 150, 1)),
+            (0, 6, msg_hb(200)),
+            (1, 7, msg_hb(140)),
+        ],
+        raw_schema,
+    )
+    eng.process_batch(b1, 1)
+
+    rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    # late-apply (60 < quorum 140) applied; late-skip dropped; fresh (150)
+    # is above the quorum -> pending
+    assert rows == {2: "late-apply"}
+    dlq = spark.read.parquet(eng.dlq_dir)
+    assert dlq.filter(dlq["_reason"] == "out_of_order").count() == 1
+    assert eng.metrics.modifications_count == 1
+
+
+def test_out_of_order_stop_strategy_persists_fatal(spark, tmp_path):
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp)  # default strategy: stop
+    raw_schema = "partition int, offset long, value string"
+    eng.process_batch(
+        spark.createDataFrame([(0, 1, msg_hb(100))], raw_schema), 0
+    )
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        eng.process_batch(
+            spark.createDataFrame(
+                [(0, 2, msg_update(1, "late", 50, 1))], raw_schema
+            ),
+            1,
+        )
+    assert eng.state.read()["state"] == STATE_FATAL
+
+
+def test_blocked_keys_filtered_in_stream(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    write_jsonl(
+        os.path.join(src, "f1.jsonl"),
+        [
+            (0, 1, msg_update(1, "keep", 10, 1)),
+            (0, 2, msg_update(2, "blocked", 11, 1)),
+            (0, 3, msg_hb(99)),
+            (1, 4, msg_hb(99)),
+        ],
+    )
+    eng = make_engine(spark, tmp)
+    eng.topic_path = "users"
+    eng.blocked_keys = spark.createDataFrame(
+        [(bytearray(b"\x01users2"),)], "key binary"
+    )
+    run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
+    rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    assert rows == {1: "keep"}
