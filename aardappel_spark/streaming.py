@@ -85,6 +85,7 @@ class StateStore:
         state: str = STATE_OK,
         last_msg: str = "",
         version: int | None = None,
+        extra: dict | None = None,
     ) -> None:
         cur = 0
         if os.path.exists(self._ptr()):
@@ -97,6 +98,7 @@ class StateStore:
             "state": state,
             "stage": stage,
             "last_msg": last_msg,
+            **(extra or {}),
         }
         with open(os.path.join(self.path, f"v{version}.json"), "w") as f:
             f.write(json.dumps(row))
@@ -187,12 +189,21 @@ class ReplicationEngine:
     commands: DataFrame | None = None  # raw command-topic messages (S12)
     metrics: MetricsRegistry = field(default_factory=MetricsRegistry)
     step_to_ms: float = 1e-3  # CDC step unit -> milliseconds (default: micros)
+    # W4: start in INITIAL_SCAN (reference seeds it always, main.go:99-117).
+    # False seeds stage RUN for pure change-stream deployments with no
+    # snapshot backlog to sync past.
+    initial_scan: bool = False
     hb_state: dict[tuple[int, int], tuple[Decimal, Decimal]] = field(default_factory=dict)
     batches_applied: int = 0
     modifications: int = 0
 
     def __post_init__(self):
         self.state = StateStore(self.spark, os.path.join(self.work_dir, "_state"), self.instance_id)
+        if not self.initial_scan and self.state.read()["stage"] == STAGE_INITIAL_SCAN:
+            # seed straight to RUN when no initial-scan sync is wanted
+            st = self.state.read()
+            if not os.path.exists(self.state._ptr()):
+                self.state.write((st["step_id"], st["tx_id"]), STAGE_RUN)
         self.tables = {
             s.table_id: VersionedTable(self.spark, s.dst_path, s.meta, s.dst_schema)
             for s in self.streams
@@ -302,6 +313,34 @@ class ReplicationEngine:
                 events = pend.unionByName(events)
 
             q = self.quorum()
+
+            if st["stage"] == STAGE_INITIAL_SCAN:
+                # W4 (DoInitialScan, processor.go:621-726): remember the MAX
+                # of the first complete heartbeat set as the sync point;
+                # nothing applies until the quorum passes it (the snapshot
+                # backlog must have fully arrived). The apply below then
+                # writes position AND stage=RUN in one state commit — the
+                # reference's atomic final-batch flip (:679-698).
+                if (
+                    st.get("sync_step") is None
+                    and len(self.hb_state) >= self.expected_partitions
+                ):
+                    sync = max(self.hb_state.values())
+                    self.state.write(
+                        checkpoint,
+                        STAGE_INITIAL_SCAN,
+                        extra={"sync_step": str(sync[0]), "sync_tx": str(sync[1])},
+                    )
+                    st = self.state.read()
+                synced = (
+                    st.get("sync_step") is not None
+                    and q is not None
+                    and q > (Decimal(st["sync_step"]), Decimal(st["sync_tx"]))
+                )
+                if not synced:
+                    self._write_pending(events, batch_id)
+                    return
+
             if q is None or q <= checkpoint:
                 # no safe boundary yet — everything stays pending
                 self._write_pending(events, batch_id)

@@ -1,0 +1,63 @@
+"""Config model tests — field surface from reference config.go:15-61."""
+
+import pytest
+
+from aardappel_spark.config import EngineConfig, StreamSpec
+
+SAMPLE = """\
+## comment
+src_connection_string: "grpcs://src:2135/db"
+dst_connection_string: "grpcs://dst:2135/db"
+state_table: "aardappel_state"
+instance_id: "orders-replica"
+multiple_instances_mode: false
+
+streams:
+  - src_topic: "producer1/cf1"         # cdc topic
+    consumer: "c1"
+    dst_table: "/Root/test/table1_rep"
+    problem_strategy: "STOP"
+  - src_topic: "producer2/cf1"
+    consumer: "c1"
+    dst_table: "/Root/test/table2_rep"
+    problem_strategy: "continue"
+
+max_expected_heartbeat_interval: 10
+log_level: "debug"
+
+cmd_queue:
+  path: aardappel_command
+  consumer: c1
+
+dead_letter_queue:
+  path: aardappel_dlq
+
+key_filter:
+  table_path: aardappel_filter
+"""
+
+
+def test_load_reference_shaped_yaml(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text(SAMPLE)
+    cfg = EngineConfig.load(str(p))
+    assert cfg.instance_id == "orders-replica"
+    assert cfg.max_expected_heartbeat_interval == 10
+    assert len(cfg.streams) == 2
+    assert cfg.streams[0].problem_strategy == "stop"  # normalized (config.go:64-77)
+    assert cfg.streams[1].problem_strategy == "continue"
+    assert cfg.streams[0].dst_table == "/Root/test/table1_rep"
+    assert cfg.cmd_queue_path == "aardappel_command"
+    assert cfg.dead_letter_queue_path == "aardappel_dlq"
+    assert cfg.key_filter_table == "aardappel_filter"
+    assert cfg.streams[0].mon_tag == "/Root/test/table1_rep"  # default = dst
+
+
+def test_unknown_problem_strategy_rejected():
+    with pytest.raises(ValueError, match="unknown stream problem strategy"):
+        StreamSpec(src_topic="t", dst_table="d", problem_strategy="explode")
+
+
+def test_empty_path_rejected():
+    with pytest.raises(ValueError, match="path is empty"):
+        EngineConfig.load("")

@@ -49,7 +49,7 @@ def write_jsonl(path, rows):
             f.write(json.dumps({"partition": partition, "offset": offset, "value": value}) + "\n")
 
 
-def make_engine(spark, tmp, n_partitions=2):
+def make_engine(spark, tmp, n_partitions=2, **kw):
     return ReplicationEngine(
         spark=spark,
         streams=[
@@ -62,6 +62,7 @@ def make_engine(spark, tmp, n_partitions=2):
         ],
         expected_partitions=n_partitions,
         work_dir=os.path.join(tmp, "work"),
+        **kw,
     )
 
 
@@ -295,3 +296,38 @@ def test_blocked_keys_filtered_in_stream(spark, tmp_path):
     run_available(eng, spark, src, os.path.join(tmp, "ckpt"))
     rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
     assert rows == {1: "keep"}
+
+def test_initial_scan_stage_machine(spark, tmp_path):
+    """W4: sync point = max of first complete hb set; apply gated until
+    quorum passes it; position + stage=RUN flip in one state write."""
+    from aardappel_spark.streaming import STAGE_INITIAL_SCAN
+
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp, initial_scan=True)
+    raw_schema = "partition int, offset long, value string"
+
+    # first complete hb set: steps {10, 20} -> sync=(20,0), quorum=(10,0)
+    b0 = spark.createDataFrame(
+        [
+            (0, 1, msg_update(1, "snapshot", 5, 1)),
+            (0, 2, msg_hb(10)),
+            (1, 3, msg_hb(20)),
+        ],
+        raw_schema,
+    )
+    eng.process_batch(b0, 0)
+    st = eng.state.read()
+    assert st["stage"] == STAGE_INITIAL_SCAN
+    assert st.get("sync_step") == "20"
+    assert eng.tables[0].current().count() == 0  # nothing applied yet
+
+    # quorum (21,0) is NOT > handled... still <= sync? 21 > 20 -> applies
+    b1 = spark.createDataFrame(
+        [(0, 4, msg_hb(25)), (1, 5, msg_hb(21))], raw_schema
+    )
+    eng.process_batch(b1, 1)
+    st = eng.state.read()
+    assert st["stage"] == STAGE_RUN
+    assert st["step_id"] == Decimal(21)
+    rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    assert rows == {1: "snapshot"}
