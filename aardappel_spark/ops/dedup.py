@@ -123,6 +123,31 @@ def minhash_candidate_pairs(
     return pairs.distinct()
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verification stage after LSH: exact token-set Jaccard for each
+    candidate pair. The expensive set math runs only on candidates (the
+    LSH output), never all-pairs — this is what makes near-dup feasible
+    at corpus scale. Output: (doc_a, doc_b, jaccard)."""
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("_t")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("_t").alias("_ta"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("_t").alias("_tb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

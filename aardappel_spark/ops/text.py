@@ -62,6 +62,43 @@ def quality_by_group(
     )
 
 
+# Marker-word profiles for the language-ID heuristic. Deterministic and
+# replicated in the SQL oracle; tie-break order is the dict order below.
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "to", "and", "is", "in", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est", "dans"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1"],
+}
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """n-gram/marker-word language ID heuristic: score each language by
+    marker-token hits; highest score wins (ties resolve in profile
+    order); no hits -> 'und'. One explode + one aggregation."""
+    t = tokenize(docs, id_col, text_col)
+    aggs = [
+        F.sum(F.col("token").isin(words).cast("long")).alias(f"_s_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = t.groupBy(id_col).agg(*aggs)
+
+    langs = list(LANG_PROFILES)
+    pred = F.lit("und")
+    # build the when-chain backwards so earlier langs win ties
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        later = [F.col(f"_s_{l}") for l in langs[i + 1 :]]
+        cond = F.col(f"_s_{lang}") > 0
+        for lcol in later:
+            cond = cond & (F.col(f"_s_{lang}") >= lcol)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic content fingerprint: md5 over the sorted distinct token
     set — invariant to word order and duplication (bag-of-words identity).

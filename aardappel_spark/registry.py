@@ -15,9 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import cdc_queries as cdc
-from .ops.dedup import exact_dedup_groups, minhash_candidate_pairs, minhash_signatures
-from .ops.similarity import brute_force_topk
-from .ops.text import STOPWORDS, fingerprint, quality_by_group, token_stats
+from .ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from .ops.similarity import brute_force_topk, lsh_bucket_topk
+from .ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
 
 # ---------------------------------------------------------------------------
 # shared DuckDB CTE prefix replicating cdc_queries' wire mapping
@@ -101,6 +114,63 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_ann_cosine(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return brute_force_topk(emb, query_id=0, k=10, extra_cols=["label"])
+
+
+def q_ann_lsh(spark, sf_dir):
+    # rows-only check (no SQL oracle): approximate by design
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, query_id=0, k=10, bits=6, extra_cols=["label"])
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2)
+    return verify_pairs_jaccard(docs, pairs)
+
+
+def q_text_langid(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    return (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_part_topk_per_brand(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+def q_orders_rollup(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 2).alias("sum_price"),
+        )
+    )
 
 
 def q_events_sessions(spark, sf_dir):
@@ -230,7 +300,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "text_langid": q_text_langid,
     "events_sessions": q_events_sessions,
+    "events_tumbling": q_events_tumbling,
+    "part_topk_per_brand": q_part_topk_per_brand,
+    "orders_rollup": q_orders_rollup,
     # relational analytics (free on Spark; bench headliners)
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -373,6 +450,81 @@ d AS (
 qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    "dedup_simhash": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+  FROM t WHERE token <> ''
+)
+SELECT doc_id, CAST(0
++ CASE WHEN sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 64 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 128 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 256 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 512 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1024 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2048 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4096 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8192 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16384 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32768 ELSE 0 END
+ AS BIGINT) AS simhash
+FROM h GROUP BY doc_id
+""",
+    "dedup_jaccard": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+  FROM t GROUP BY doc_id
+),
+p0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
+),
+p1 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.ts, b.ts))
+             / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
+FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+""",
+    "text_langid": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+s AS (
+  SELECT doc_id,
+       sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and', 'is', 'in', 'it') THEN 1 ELSE 0 END) AS s_en,\n       sum(CASE WHEN token IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'es') THEN 1 ELSE 0 END) AS s_es,\n       sum(CASE WHEN token IN ('der', 'die', 'das', 'und', 'ist', 'von', 'ein', 'mit') THEN 1 ELSE 0 END) AS s_de,\n       sum(CASE WHEN token IN ('le', 'la', 'les', 'et', 'de', 'un', 'est', 'dans') THEN 1 ELSE 0 END) AS s_fr,\n       sum(CASE WHEN token IN ('de5', 'shi4', 'le5', 'zai4', 'you3', 'he2', 'wo3', 'ta1') THEN 1 ELSE 0 END) AS s_zh
+  FROM t WHERE token <> '' GROUP BY doc_id
+)
+SELECT doc_id, CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en' WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de' WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr' WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang FROM s
+""",
+    "events_tumbling": """
+SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n,
+       round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "part_topk_per_brand": """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+)
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM r WHERE rnk <= 2
+""",
+    "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(CAST(sum(o_totalprice::DECIMAL(14,2)) AS DOUBLE), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     "events_sessions": """
 WITH s AS (
