@@ -1,0 +1,111 @@
+"""Single-writer coordination (W7): the reference's lock-row pattern.
+
+Reference: a lock row (owner, deadline) in the state table; an instance
+acquires when the row is free or expired, renews at half-TTL, and
+standbys poll every 5 s (/root/reference/internal/util/ydb/ydb_locker/
+locker.go:9-44, locker_thread.go:12-116, request_builder.go:51-103;
+wiring cmd/aardappel/main.go:384-430; TTL = 2x heartbeat interval,
+main.go:389).
+
+Spark deployments usually don't need this — one driver per streaming
+checkpoint dir is the native single-writer guarantee. This exists for
+active/standby across drivers sharing storage (multiple_instances_mode,
+config.go:53). The conditional-update-on-a-row shape is the same one a
+Delta/JDBC implementation would use; here it is an atomic rename on the
+shared filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+
+
+class LockStorage:
+    """Lock row storage with compare-and-set semantics via atomic rename."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def read(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.loads(f.read())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def try_write(self, expected_owner: str | None, row: dict) -> bool:
+        """CAS: write ``row`` only if the current owner is ``expected_owner``
+        (None = row free/expired). Atomic-rename keeps the last writer
+        consistent; the owner check mirrors the reference's transactional
+        UPDATE ... WHERE lock_owner = $owner (request_builder.go:51-103)."""
+        cur = self.read()
+        cur_owner = cur.get("lock_owner") if cur else None
+        expired = cur is not None and cur.get("lock_deadline", 0) < time.time()
+        if cur_owner != expected_owner and not (expected_owner is None and expired):
+            return False
+        tmp = f"{self.path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(row))
+        os.replace(tmp, self.path)
+        return True
+
+
+class Locker:
+    """Acquire/renew/release a named lock with TTL.
+
+    Owner id format mirrors the reference: ``lock_<host>_<uuid>``
+    (main.go:384-385). TTL should be 2x the heartbeat interval.
+    """
+
+    def __init__(self, storage: LockStorage, ttl_seconds: float):
+        self.storage = storage
+        self.ttl = ttl_seconds
+        self.owner = f"lock_{socket.gethostname()}_{uuid.uuid4().hex}"
+
+    def _row(self) -> dict:
+        return {
+            "lock_owner": self.owner,
+            "lock_deadline": time.time() + self.ttl,
+        }
+
+    def try_acquire(self) -> bool:
+        cur = self.storage.read()
+        if cur is None:
+            return self.storage.try_write(None, self._row())
+        if cur.get("lock_owner") == self.owner:
+            return True
+        if cur.get("lock_deadline", 0) < time.time():
+            return self.storage.try_write(None, self._row())
+        return False
+
+    def renew(self) -> bool:
+        """Half-TTL renewal (locker_thread.go renews before expiry); fails
+        if the lock was stolen."""
+        cur = self.storage.read()
+        if not cur or cur.get("lock_owner") != self.owner:
+            return False
+        return self.storage.try_write(self.owner, self._row())
+
+    def release(self) -> bool:
+        cur = self.storage.read()
+        if not cur or cur.get("lock_owner") != self.owner:
+            return False
+        return self.storage.try_write(
+            self.owner, {"lock_owner": "", "lock_deadline": 0}
+        )
+
+    def wait_acquire(self, check_interval: float = 5.0, timeout: float | None = None) -> bool:
+        """Standby loop: poll until acquired (5 s default interval,
+        defaultLockCheckInterval main.go:38)."""
+        deadline = None if timeout is None else time.time() + timeout
+        while True:
+            if self.try_acquire():
+                return True
+            if deadline is not None and time.time() >= deadline:
+                return False
+            time.sleep(check_interval)
