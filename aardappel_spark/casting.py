@@ -90,6 +90,37 @@ class TableMeta:
     def value_columns(self) -> list[str]:
         return [c for c in self.columns if c not in self.primary_key]
 
+    @classmethod
+    def from_struct(cls, name: str, primary_key: list[str], schema: StructType) -> "TableMeta":
+        """S6 schema discovery: derive the YDB-typed meta from a live
+        Spark schema (the reference's DescribeTable-at-startup,
+        dst_table.go:49-83 — here the destination table's own schema is
+        the source of truth; PK order still comes from config)."""
+        inverse = {
+            "tinyint": "Int8",
+            "smallint": "Int16",
+            "int": "Int32",
+            "bigint": "Int64",
+            "float": "Float",
+            "double": "Double",
+            "boolean": "Bool",
+            "date": "Date",
+            "timestamp": "Timestamp",
+            "timestamp_ntz": "Timestamp",
+            "binary": "String",
+            "string": "Utf8",
+            "decimal(20,0)": "Uint64",
+        }
+        cols: dict[str, str] = {}
+        for f in schema.fields:
+            t = inverse.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"from_struct: unsupported destination type {f.dataType.simpleString()} for {f.name}"
+                )
+            cols[f.name] = t if (not f.nullable or f.name in primary_key) else f"Optional<{t}>"
+        return cls(name, primary_key, cols)
+
 
 def typed_mutations(compacted: DataFrame, meta: TableMeta) -> DataFrame:
     """Compacted mutations (compact.py output) -> typed wide rows.

@@ -69,24 +69,38 @@ def hyperplane_signature(
     vec: Column, dims: int, bits: int = 8
 ) -> Column:
     """Deterministic random-hyperplane signature: hyperplane (b, d)
-    component = +1/-1 from a bit of md5(f"{b}:{d}"). Signature bit b =
-    1 iff dot(vec, plane_b) > 0. Pure expressions, reproducible anywhere.
-    """
-    sig = None
-    for b in range(bits):
-        comp = None
-        for d in range(dims):
-            # one deterministic pseudo-random sign per (plane, dim)
-            hexc = F.md5(F.lit(f"{b}:{d}"))
-            sign = F.when(
-                F.conv(F.substring(hexc, 1, 1), 16, 10).cast("int") % 2 == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            term = vec.getItem(d).cast("double") * sign
-            comp = term if comp is None else comp + term
-        bit = F.when(comp > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+    component = +1/-1 from a bit of md5(f"{b}:{d}") computed AT PLAN
+    TIME into array literals. Signature bit b = 1 iff dot(vec, plane_b)
+    > 0. Higher-order functions keep the expression tree O(bits), not
+    O(bits*dims) — a bits*dims chain of column ops made analysis/codegen
+    the bottleneck (measured 7s at 6x64)."""
+    import hashlib
+
+    def sign(b: int, d: int) -> float:
+        h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 1 else -1.0
+
+    planes = F.array(
+        *[
+            F.array(*[F.lit(sign(b, d)) for d in range(dims)])
+            for b in range(bits)
+        ]
+    )
+    v = vec.cast("array<double>")
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    bitvals = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.when(
+            F.element_at(dots, (i + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def lsh_bucket_topk(

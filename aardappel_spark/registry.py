@@ -292,6 +292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_compact_merge": cdc.q_compact_merge,
     "cdc_apply": cdc.q_apply,
     "cdc_out_of_order": cdc.q_out_of_order,
+    "cdc_apply_orders": cdc.q_apply_orders,
     # pipeline operators (BASELINE.json north star)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -357,6 +358,35 @@ SELECT e.user_id % 8 AS p, count(*) AS n_late
 FROM ev e JOIN (SELECT p, step, txid FROM pm WHERE rrn = 1) h ON (e.user_id % 8) = h.p
 WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
 GROUP BY 1
+""",
+    "cdc_apply_orders": """
+WITH oe AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS step, o_orderkey AS txid,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'erase' ELSE 'update' END AS op,
+         o_orderstatus AS s, o_totalprice AS tp, o_orderdate AS od,
+         row_number() OVER (ORDER BY epoch_us(o_orderdate), o_orderkey) AS rn
+  FROM orders
+),
+le AS (SELECT k, max(rn) AS ern FROM oe WHERE op = 'erase' GROUP BY k),
+fin AS (SELECT k, arg_max(op, rn) AS fop FROM oe GROUP BY k),
+cols AS (
+  SELECT k, 'totalprice' AS c, CAST(tp AS VARCHAR) AS v, rn FROM oe
+  WHERE op = 'update' AND s IN ('O', 'F')
+  UNION ALL
+  SELECT k, 'orderdate' AS c, CAST(od AS VARCHAR) AS v, rn FROM oe
+  WHERE op = 'update' AND s IN ('P', 'F')
+),
+m AS (
+  SELECT c2.k, c2.c, arg_max(c2.v, c2.rn) AS v
+  FROM cols c2 LEFT JOIN le ON c2.k = le.k
+  WHERE le.ern IS NULL OR c2.rn > le.ern
+  GROUP BY c2.k, c2.c
+)
+SELECT f.k AS o_custkey,
+       round(CAST(max(CASE WHEN m.c = 'totalprice' THEN m.v END) AS DOUBLE), 2) AS totalprice,
+       CAST(max(CASE WHEN m.c = 'orderdate' THEN m.v END) AS TIMESTAMP) AS orderdate
+FROM fin f LEFT JOIN m ON f.k = m.k
+WHERE f.fop = 'update' GROUP BY f.k
 """,
     "dedup_exact": """
 SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies

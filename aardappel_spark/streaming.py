@@ -458,6 +458,54 @@ class ReplicationEngine:
 
     # -- entry points ----------------------------------------------------
 
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        cfg,
+        table_metas: dict[str, tuple[TableMeta, str]],
+        work_dir: str,
+        **overrides,
+    ) -> "ReplicationEngine":
+        """doMain parity (main.go:140-229): build the engine from an
+        EngineConfig. ``table_metas`` maps dst_table -> (TableMeta,
+        dst schema DDL); dst paths are the configured dst_table strings.
+        Command topic / key filter / DLQ attach when configured."""
+        from .sources import read_file_batch
+
+        streams = []
+        expected = 0
+        for i, s in enumerate(cfg.streams):
+            meta, ddl = table_metas[s.dst_table]
+            streams.append(
+                StreamConfig(
+                    table_id=i,
+                    meta=meta,
+                    dst_path=s.dst_table,
+                    dst_schema=ddl,
+                    problem_strategy=s.problem_strategy,
+                )
+            )
+        eng = cls(
+            spark=spark,
+            streams=streams,
+            expected_partitions=overrides.pop("expected_partitions", 1),
+            work_dir=work_dir,
+            instance_id=cfg.instance_id,
+            topic_path=cfg.streams[0].src_topic if cfg.streams else "",
+            **overrides,
+        )
+        if cfg.cmd_queue_path:
+            eng.commands = read_file_batch(spark, cfg.cmd_queue_path)
+        if cfg.key_filter_table:
+            blocked = spark.read.parquet(cfg.key_filter_table)
+            from .keyfilter import blocked_keys_from_table
+
+            eng.blocked_keys = blocked_keys_from_table(blocked, cfg.instance_id)
+        if cfg.dead_letter_queue_path:
+            eng.dlq_dir = cfg.dead_letter_queue_path
+        return eng
+
     def run_stream(
         self,
         source: DataFrame,
