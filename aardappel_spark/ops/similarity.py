@@ -65,6 +65,64 @@ def brute_force_topk(
     return out
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT tier: all pairs with
+    cosine >= threshold. Norms are precomputed per vector so the O(n^2)
+    stage does one dot product per pair. Use only when n^2 is feasible
+    (dedup of a candidate subset, or <= ~10^5 vectors); the scale path is
+    ``cosine_neardup_lsh``."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 3).alias("sim"))
+    )
+
+
+def cosine_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale tier: candidate pairs share an LSH bucket (equi-join on the
+    hyperplane signature — no cross join), then exact cosine filters.
+    Recall < 1 by design (controlled by ``bits``)."""
+    dims = len(vectors.select(vec_col).first()[0])
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_sig", hyperplane_signature(F.col("_v"), dims, bits)).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
+    a = v.select("_sig", F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select("_sig", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 3).alias("sim"))
+    )
+
+
 def hyperplane_signature(
     vec: Column, dims: int, bits: int = 8
 ) -> Column:

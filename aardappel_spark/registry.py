@@ -22,7 +22,12 @@ from .ops.dedup import (
     simhash,
     verify_pairs_jaccard,
 )
-from .ops.similarity import brute_force_topk, lsh_bucket_topk
+from .ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_bucket_topk,
+)
 from .ops.text import (
     LANG_PROFILES,
     STOPWORDS,
@@ -120,6 +125,17 @@ def q_ann_lsh(spark, sf_dir):
     # rows-only check (no SQL oracle): approximate by design
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_topk(emb, query_id=0, k=10, bits=6, extra_cols=["label"])
+
+
+def q_emb_neardup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, threshold=0.45)
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    # rows-only: recall < 1 by design
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -302,6 +318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "emb_neardup": q_emb_neardup,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
     "text_langid": q_text_langid,
@@ -480,6 +498,21 @@ d AS (
 qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    "emb_neardup": """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 3) AS sim
+FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.45
 """,
     "dedup_simhash": """
 WITH t AS (

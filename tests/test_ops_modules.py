@@ -190,3 +190,14 @@ def test_multimodal_frame_sampling(spark):
     assert len(frames) >= 1
     assert all(f.media_id == 2 for f in frames)
     assert all(len(bytes(f.frame)) == 16 for f in frames)
+
+
+def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
+    from aardappel_spark.ops.similarity import cosine_neardup_lsh, cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.sim for r in cosine_neardup_pairs(emb, 0.45).collect()}
+    lsh = {(r.id_a, r.id_b): r.sim for r in cosine_neardup_lsh(emb, 0.45, bits=2).collect()}
+    # LSH candidates are a subset of the exact result with identical sims
+    for k, v in lsh.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9
