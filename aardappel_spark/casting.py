@@ -173,7 +173,9 @@ def typed_mutations(compacted: DataFrame, meta: TableMeta) -> DataFrame:
         F.col("columns").alias("_columns"),
     ]
     for i, pk in enumerate(meta.primary_key):
-        cols.append(cast_fragment(F.element_at("key", i + 1), meta.columns[pk]).alias(pk))
+        # F.get: a short key[] yields NULL here so the arity raise_error in
+        # checked_op reports cleanly instead of an ANSI OOB crash
+        cols.append(cast_fragment(F.get("key", i), meta.columns[pk]).alias(pk))
     for c in meta.value_columns:
         cols.append(
             cast_fragment(F.col("columns").getItem(c), meta.columns[c]).alias(c)

@@ -43,8 +43,8 @@ def parse_commands(raw: DataFrame, value_col: str = "value") -> DataFrame:
         p["aardapel_instance_id"].alias("instance_id"),
         p["path"].alias("path"),
         F.to_json(p["key"]).alias("key_json"),
-        F.element_at(p["ts"], 1).alias("step"),
-        F.element_at(p["ts"], 2).alias("tx_id"),
+        F.get(p["ts"], 0).alias("step"),  # F.get: short ts -> NULL -> row
+        F.get(p["ts"], 1).alias("tx_id"),  # dropped below, not an OOB crash
         p["action"].alias("action"),
         F.monotonically_increasing_id().alias("cmd_seq"),
     )

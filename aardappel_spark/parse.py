@@ -109,8 +109,11 @@ def parse_messages(
     )
 
     ts = F.when(is_resolved, p["resolved"]).otherwise(p["ts"])
-    step = F.element_at(ts, 1).alias("step")
-    tx_id = F.element_at(ts, 2).alias("tx_id")
+    # F.get (not element_at): out-of-bounds yields NULL instead of an ANSI
+    # runtime error, so a short ts array flags ERR_TS_ARITY rather than
+    # crashing the job (found by the parse fuzz).
+    step = F.get(ts, 0).alias("step")
+    tx_id = F.get(ts, 1).alias("tx_id")
 
     # struct-typed from_json yields an ALL-NULL struct for corrupt input
     # (PERMISSIVE mode); checking every field avoids a second parse pass.
