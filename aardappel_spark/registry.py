@@ -129,7 +129,9 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_emb_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_neardup_pairs(emb, threshold=0.45)
+    from .ops.similarity import cosine_neardup_pairs_blas
+
+    return cosine_neardup_pairs_blas(emb, threshold=0.45)
 
 
 def q_emb_neardup_lsh(spark, sf_dir):

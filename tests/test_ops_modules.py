@@ -201,3 +201,15 @@ def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
     # LSH candidates are a subset of the exact result with identical sims
     for k, v in lsh.items():
         assert k in exact and abs(exact[k] - v) < 1e-9
+
+
+def test_cosine_neardup_blas_matches_expression_impl(spark, sf_dir):
+    from aardappel_spark.ops.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(tuple(r) for r in cosine_neardup_pairs(emb, 0.45).collect())
+    b = sorted(tuple(r) for r in cosine_neardup_pairs_blas(emb, 0.45).collect())
+    assert a == b
