@@ -100,44 +100,74 @@ def cosine_neardup_pairs_blas(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 65536,
 ) -> DataFrame:
-    """Exact near-dup pairs via vectorized block matmul: one side is
-    broadcast as a normalized numpy matrix; ``mapInPandas`` computes
-    A_block @ B.T per Arrow batch. ~20x faster than per-pair expression
-    arithmetic. At scale, the broadcast side becomes one block of a
-    block-partitioned corpus (outer loop over blocks); the per-executor
-    kernel is unchanged."""
+    """Exact near-dup pairs via BLOCK-PARTITIONED vectorized matmul.
+
+    The corpus is split into ``ceil(n / block_rows)`` deterministic blocks
+    (``pmod(xxhash64(id), n_blocks)``). The outer loop broadcasts ONE
+    normalized block at a time (driver memory is O(block_rows * dims),
+    never O(corpus)); ``mapInPandas`` streams the full corpus through a
+    ``A_batch @ block.T`` numpy kernel per Arrow batch. The
+    ``id_a < id_b`` mask emits each unordered pair exactly once — in the
+    iteration whose broadcast block owns the LARGER id — so the union of
+    the per-block results is the exact all-pairs answer with no dedup
+    stage. ~20x faster than per-pair expression arithmetic
+    (``cosine_neardup_pairs``), and unlike it, no cross join: total work
+    is n_blocks corpus passes = O(n^2 / block) FLOPs in BLAS, the
+    minimum for the exact tier.
+    """
+    import math
+    from functools import reduce
+
     import numpy as np
     import pandas as pd
 
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     spark = vectors.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def block(batches):
-        B_ids, B = b_ids.value, b_mat.value
-        for pdf in batches:
-            A = np.array(list(pdf[vec_col]), dtype=np.float64)
-            A = A / np.linalg.norm(A, axis=1, keepdims=True)
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = A @ B.T
-            ai, bi = np.nonzero(sims >= threshold)
-            mask = a_ids[ai] < B_ids[bi]
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai][mask],
-                    "id_b": B_ids[bi][mask],
-                    "sim": np.round(sims[ai, bi][mask], 3),
-                }
-            )
-
-    return vectors.select(id_col, vec_col).mapInPandas(
-        block, "id_a bigint, id_b bigint, sim double"
+    src = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    n = src.count()
+    schema = "id_a bigint, id_b bigint, sim double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    n_blocks = max(1, math.ceil(n / block_rows))
+    if n_blocks > 1:
+        # The loop re-reads src once per block for the block collect and
+        # once for the map side; cache the narrow (id, vec) projection.
+        src = src.persist()
+    part = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
+
+    def one_block(b: int) -> DataFrame:
+        rows = src.filter(part == b).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+
+        def kernel(batches):
+            B_ids, B = b_ids.value, b_mat.value
+            for pdf in batches:
+                if not len(pdf) or not len(B_ids):
+                    continue
+                A = np.array(list(pdf["_v"]), dtype=np.float64)
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                sims = A @ B.T
+                ai, bi = np.nonzero(sims >= threshold)
+                mask = a_ids[ai] < B_ids[bi]
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai][mask],
+                        "id_b": B_ids[bi][mask],
+                        "sim": np.round(sims[ai, bi][mask], 3),
+                    }
+                )
+
+        return src.mapInPandas(kernel, schema)
+
+    return reduce(DataFrame.union, (one_block(b) for b in range(n_blocks)))
 
 
 def cosine_neardup_lsh(

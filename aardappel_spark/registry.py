@@ -195,10 +195,14 @@ def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
+    # Gap test and tie-breaking both run on microseconds (ts div 1000) so the
+    # result is bit-identical to the DuckDB oracle, which sessions on
+    # epoch_us(ts); raw-nano ordering can break micro-level ties differently.
+    tmic = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(tmic, "event_id")
+    prev = F.lag(tmic).over(w)
     new_session = F.when(
-        prev.isNotNull() & ((F.col("ts") - prev) > F.lit(1800 * 10**9)), 1
+        prev.isNotNull() & ((tmic - prev) > F.lit(1800 * 10**6)), 1
     ).otherwise(0)
     return (
         ev.select("user_id", new_session.alias("ns"))
@@ -598,7 +602,7 @@ WITH s AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN pt IS NOT NULL AND t - pt > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN pt IS NOT NULL AND t - pt > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM s GROUP BY user_id
 """,
     "tpch_q1": """

@@ -213,3 +213,18 @@ def test_cosine_neardup_blas_matches_expression_impl(spark, sf_dir):
     a = sorted(tuple(r) for r in cosine_neardup_pairs(emb, 0.45).collect())
     b = sorted(tuple(r) for r in cosine_neardup_pairs_blas(emb, 0.45).collect())
     assert a == b
+
+
+def test_cosine_neardup_blas_block_partitioned(spark, sf_dir):
+    """Tiny block_rows forces the multi-block outer loop; every unordered
+    pair must appear exactly once and match the expression impl."""
+    from aardappel_spark.ops.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(tuple(r) for r in cosine_neardup_pairs(emb, 0.45).collect())
+    blocked = [tuple(r) for r in cosine_neardup_pairs_blas(emb, 0.45, block_rows=7).collect()]
+    assert len(blocked) == len(set(blocked)), "pair emitted more than once"
+    assert sorted(blocked) == a
