@@ -77,3 +77,35 @@ def blocked_keys_from_table(
     """Load this instance's blocked keys (readKeys,
     key_filter_ydb.go:51-85): table (instance_id, key binary)."""
     return blocked_table.filter(F.col("instance_id") == instance_id).select("key")
+
+
+STORE_BATCH_SIZE = 100  # storeBatchSz, key_filter_ydb.go:24
+
+
+def store_blocked_keys(
+    spark,
+    table_path: str,
+    instance_id: str,
+    keys: list[bytes],
+    batch_size: int = STORE_BATCH_SIZE,
+) -> int:
+    """S13 store path (AddKeysToBlock + storeKeys,
+    key_filter_ydb.go:87-131): persist newly blocked keys for this
+    instance in batches of at most ``batch_size`` rows — each batch one
+    append commit, the file-table parallel of the reference's <=100-row
+    UPSERT transactions. Returns the number of batches written.
+
+    Keys are driver-side ``bytes`` (they arrive via the operator command
+    path, not a data pipeline), so the per-batch DataFrames are tiny;
+    the reload side (``blocked_keys_from_table``) stays a distributed
+    scan + broadcast."""
+    n_batches = 0
+    for i in range(0, len(keys), batch_size):
+        chunk = keys[i : i + batch_size]
+        df = spark.createDataFrame(
+            [(instance_id, bytearray(k)) for k in chunk],
+            "instance_id string, key binary",
+        )
+        df.coalesce(1).write.mode("append").parquet(table_path)
+        n_batches += 1
+    return n_batches

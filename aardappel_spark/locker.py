@@ -25,10 +25,18 @@ import uuid
 
 
 class LockStorage:
-    """Lock row storage with compare-and-set semantics via atomic rename."""
+    """Lock row storage with compare-and-set semantics.
 
-    def __init__(self, path: str):
+    The read-check-write runs inside a filesystem mutex (atomic
+    ``os.mkdir`` — EEXIST loses), closing the window where two standbys
+    could both observe 'free' and both rename their row into place. A
+    holder that dies mid-CAS leaves a stale mutex dir; it is stolen after
+    ``mutex_ttl`` seconds (the critical section is microseconds long, so
+    a multi-second TTL is safely conservative)."""
+
+    def __init__(self, path: str, mutex_ttl: float = 10.0):
         self.path = path
+        self.mutex_ttl = mutex_ttl
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def read(self) -> dict | None:
@@ -38,21 +46,53 @@ class LockStorage:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
+    def _mutex(self) -> str:
+        return self.path + ".mutex"
+
+    def _enter(self) -> bool:
+        try:
+            os.mkdir(self._mutex())
+            return True
+        except FileExistsError:
+            try:
+                stale = time.time() - os.stat(self._mutex()).st_mtime > self.mutex_ttl
+            except FileNotFoundError:
+                stale = True  # holder just released; contend on next poll
+            if not stale:
+                return False
+            try:
+                os.rmdir(self._mutex())
+                os.mkdir(self._mutex())
+                return True
+            except OSError:
+                return False
+
+    def _exit(self) -> None:
+        try:
+            os.rmdir(self._mutex())
+        except FileNotFoundError:
+            pass
+
     def try_write(self, expected_owner: str | None, row: dict) -> bool:
         """CAS: write ``row`` only if the current owner is ``expected_owner``
-        (None = row free/expired). Atomic-rename keeps the last writer
-        consistent; the owner check mirrors the reference's transactional
-        UPDATE ... WHERE lock_owner = $owner (request_builder.go:51-103)."""
-        cur = self.read()
-        cur_owner = cur.get("lock_owner") if cur else None
-        expired = cur is not None and cur.get("lock_deadline", 0) < time.time()
-        if cur_owner != expected_owner and not (expected_owner is None and expired):
+        (None = row free/expired). The owner check mirrors the reference's
+        transactional UPDATE ... WHERE lock_owner = $owner
+        (request_builder.go:51-103); the mutex makes check+write atomic."""
+        if not self._enter():
             return False
-        tmp = f"{self.path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(row))
-        os.replace(tmp, self.path)
-        return True
+        try:
+            cur = self.read()
+            cur_owner = cur.get("lock_owner") if cur else None
+            expired = cur is not None and cur.get("lock_deadline", 0) < time.time()
+            if cur_owner != expected_owner and not (expected_owner is None and expired):
+                return False
+            tmp = f"{self.path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(row))
+            os.replace(tmp, self.path)
+            return True
+        finally:
+            self._exit()
 
 
 class Locker:

@@ -23,6 +23,7 @@ overwrites the same version deterministically).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -31,14 +32,15 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .apply import apply_batch
-from .casting import TableMeta
+from .apply import merge_mutations
+from .casting import TableMeta, typed_mutations
+from .compact import compact_changes
 from .cmdqueue import parse_commands, resolve_problem_actions
 from .keyfilter import filter_blocked_keys
 from .metrics import MetricsRegistry
 from .parse import parse_messages, split_events, split_heartbeats, split_problems
 from .quorum import cut_below_quorum, get_quorum
-from .types import CDC_EVENT_SCHEMA, pos, pos_lit
+from .types import CDC_EVENT_SCHEMA, OP_RESOLVED, pos, pos_lit
 
 STATE_OK = "OK"
 STATE_FATAL = "FATAL_ERROR"
@@ -121,14 +123,30 @@ class StateStore:
 
 class VersionedTable:
     """Destination table as versioned parquet snapshots with a CURRENT
-    pointer. Replaying a batch rewrites the same target version —
-    deterministic, so replays converge (§4.3)."""
+    pointer, PARTITIONED by a deterministic PK bucket (``pkb``).
 
-    def __init__(self, spark: SparkSession, path: str, meta: TableMeta, schema: str):
+    A commit rewrites ONLY the buckets whose keys appear in the batch;
+    untouched buckets carry over into the new version as hardlinks to the
+    previous version's files — byte-identical, no data copied. That is the
+    stand-in for Delta/Iceberg MERGE INTO file-level pruning: write
+    amplification is O(touched partitions), not O(table), so the same
+    commit protocol survives a 100 TB destination. Replaying a batch
+    rewrites the same target version deterministically, so replays
+    converge (§4.3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        meta: TableMeta,
+        schema: str,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.meta = meta
         self.schema = schema
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     def _ptr(self) -> str:
@@ -139,22 +157,75 @@ class VersionedTable:
             return 0
         return int(open(self._ptr()).read().strip())
 
-    def current(self) -> DataFrame:
+    def bucket_of(self):
+        """Deterministic PK bucket column — same expression at write and
+        prune time, so a key always lands in the same partition."""
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.meta.primary_key]),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    def _bucket_dirs(self, v: int) -> dict[int, str]:
+        d = self._version_dir(v)
+        if not os.path.isdir(d):
+            return {}
+        return {
+            int(name.split("=", 1)[1]): os.path.join(d, name)
+            for name in os.listdir(d)
+            if name.startswith("pkb=")
+        }
+
+    def read_buckets(self, buckets: list[int] | None) -> DataFrame:
+        """Current state of the given buckets (None = all). Reading the
+        leaf dirs directly IS the partition pruning: unselected buckets'
+        files never reach the scan."""
         v = self.current_version()
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        dirs = self._bucket_dirs(v)
+        want = None if buckets is None else set(buckets)
+        sel = [p for k, p in sorted(dirs.items()) if want is None or k in want]
+        if not sel:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*sel)
 
-    def commit(self, df: DataFrame, version: int) -> None:
-        target = os.path.join(self.path, f"v{version}")
+    def current(self) -> DataFrame:
+        return self.read_buckets(None)
+
+    def commit(
+        self, df: DataFrame, version: int, touched: list[int] | None = None
+    ) -> None:
+        """``df`` is the post-state of the TOUCHED buckets (or of the whole
+        table when ``touched`` is None = full rewrite)."""
+        target = self._version_dir(version)
         # Materialize into a staging dir FIRST: on a crashed-batch replay
-        # the incoming df lazily READS the existing v{version} (merge input),
-        # so deleting it before the write would pull files out from under
-        # the running plan.
+        # the incoming df lazily READS the existing current version (merge
+        # input), so deleting it before the write would pull files out from
+        # under the running plan.
         staging = target + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)
-        df.write.mode("overwrite").parquet(staging)
+        df.withColumn("pkb", self.bucket_of()).write.partitionBy("pkb").mode(
+            "overwrite"
+        ).parquet(staging)
+        prev = self.current_version()
+        if touched is not None and prev:
+            tset = set(touched)
+            for k, src in self._bucket_dirs(prev).items():
+                if k in tset:
+                    continue
+                dst = os.path.join(staging, f"pkb={k}")
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    if fn.startswith(("_", ".")):
+                        continue
+                    try:
+                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                    except OSError:
+                        shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
         if os.path.exists(target):
             shutil.rmtree(target)
         os.rename(staging, target)
@@ -162,6 +233,12 @@ class VersionedTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._ptr())
+        # hardlinked carry-over makes older versions redundant: data shared
+        # with the new version survives the unlink. Keep current + previous.
+        keep = {version, prev}
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
 
 @dataclass
@@ -193,12 +270,22 @@ class ReplicationEngine:
     # False seeds stage RUN for pure change-stream deployments with no
     # snapshot backlog to sync past.
     initial_scan: bool = False
+    # W4/O2: the initial-scan backlog is applied in sub-batches of at most
+    # this many messages (reference cap: processor.go:641, README.md:233).
+    catch_up_batch_size: int = 1000
+    # Optional per-stream layout (table_id -> partition count) for the
+    # heartbeat guard's census; expected_partitions stays the quorum gate.
+    stream_partitions: dict[int, int] | None = None
     hb_state: dict[tuple[int, int], tuple[Decimal, Decimal]] = field(default_factory=dict)
+    # W2: wall-clock of the last COMPLETE heartbeat set (lastFullHbTime,
+    # hb_tracker.go:33,113); the guard loop compares against it.
+    last_full_hb_time: float | None = None
     batches_applied: int = 0
     modifications: int = 0
 
     def __post_init__(self):
         self.state = StateStore(self.spark, os.path.join(self.work_dir, "_state"), self.instance_id)
+        self._restore_hb(before_batch_id=None)
         if not self.initial_scan and self.state.read()["stage"] == STAGE_INITIAL_SCAN:
             # seed straight to RUN when no initial-scan sync is wanted
             st = self.state.read()
@@ -248,6 +335,61 @@ class ReplicationEngine:
 
     # -- heartbeat tracking across batches ------------------------------
 
+    def _hb_dir(self) -> str:
+        return os.path.join(self.work_dir, "_hb")
+
+    def _hb_versions(self) -> list[int]:
+        if not os.path.isdir(self._hb_dir()):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._hb_dir())
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _persist_hb(self, batch_id: int) -> None:
+        """Durable per-partition heartbeat highs, versioned by batch.
+        Spark commits source offsets after EVERY successful foreachBatch
+        return — including pending-only early returns — so heartbeats
+        consumed in committed batches must survive a driver restart, or
+        quorum stalls and out-of-order detection silently misses
+        pre-restart lateness (the reference re-reads uncommitted
+        heartbeats instead). Versioning mirrors ``_write_pending``: a
+        replayed batch restores the snapshot written BEFORE it."""
+        os.makedirs(self._hb_dir(), exist_ok=True)
+        data = [
+            [t, p, str(s), str(x)] for (t, p), (s, x) in self.hb_state.items()
+        ]
+        path = os.path.join(self._hb_dir(), f"v{batch_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(data))
+        os.replace(tmp, path)
+        for v in self._hb_versions():
+            if v < batch_id - 1:
+                os.remove(os.path.join(self._hb_dir(), f"v{v}.json"))
+
+    def _restore_hb(self, before_batch_id: int | None) -> None:
+        """Reset hb_state to the newest snapshot from an EARLIER batch.
+        A replayed batch must not see its own crashed attempt's
+        heartbeats — they would flag the batch's own events as
+        out-of-order (the batch re-adds them via _update_hb_state)."""
+        versions = [
+            v
+            for v in self._hb_versions()
+            if before_batch_id is None or v < before_batch_id
+        ]
+        self.hb_state = {}
+        if not versions:
+            return
+        path = os.path.join(self._hb_dir(), f"v{versions[-1]}.json")
+        try:
+            data = json.loads(open(path).read())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        for t, p, s, x in data:
+            self.hb_state[(int(t), int(p))] = (Decimal(s), Decimal(x))
+
     def _update_hb_state(self, heartbeats: DataFrame) -> None:
         for r in heartbeats.groupBy("table_id", "partition").agg(
             F.max(pos()).alias("hb")
@@ -273,6 +415,9 @@ class ReplicationEngine:
         t_start = _time.perf_counter()
         st = self.state.ensure_startable()
         checkpoint = (st["step_id"], st["tx_id"])
+        # pre-batch heartbeat state (no-op in steady state; on a replay it
+        # rewinds past the crashed attempt's heartbeats)
+        self._restore_hb(before_batch_id=batch_id)
 
         cols = raw.columns
         parsed = parse_messages(
@@ -285,13 +430,15 @@ class ReplicationEngine:
             problems = split_problems(parsed)
             n_problems = problems.count()
             if n_problems:
-                self._route_problems(problems, st)
+                self._route_problems(problems, st, parsed=parsed)
 
             # snapshot BEFORE this batch's heartbeats: out-of-order means
             # older than a heartbeat the stream had already emitted
             # (verifyStream, reader.go:150-207)
             hb_before = dict(self.hb_state)
             self._update_hb_state(split_heartbeats(parsed))
+            if len(self.hb_state) >= self.expected_partitions:
+                self.last_full_hb_time = _time.time()
 
             events = split_events(parsed).select(
                 *[f.name for f in CDC_EVENT_SCHEMA.fields]
@@ -339,11 +486,13 @@ class ReplicationEngine:
                 )
                 if not synced:
                     self._write_pending(events, batch_id)
+                    self._persist_hb(batch_id)
                     return
 
             if q is None or q <= checkpoint:
                 # no safe boundary yet — everything stays pending
                 self._write_pending(events, batch_id)
+                self._persist_hb(batch_id)
                 return
 
             import time as _time
@@ -353,19 +502,17 @@ class ReplicationEngine:
             remainder = events.filter(pos() >= pos_lit(*q))
 
             t_commit = _time.perf_counter()
-            per_table: dict[str, int] = {}
-            for s in self.streams:
-                tbl = self.tables[s.table_id]
-                ev_t = batch.filter(F.col("table_id") == s.table_id)
-                merged = apply_batch(tbl.current(), ev_t, s.meta)
-                tbl.commit(merged, version=batch_id + 1)
-                per_table[s.meta.name] = ev_t.count()
+            if st["stage"] == STAGE_INITIAL_SCAN:
+                per_table = self._catch_up_apply(batch, batch_id)
+            else:
+                per_table = self._apply_to_tables(batch, version=batch_id + 1)
             n_mods = sum(per_table.values())
             self.modifications += n_mods
 
             self._write_pending(remainder, batch_id)
             stage = STAGE_RUN  # first successful quorum apply flips stage
             self.state.write(q, stage)
+            self._persist_hb(batch_id)
             self.batches_applied += 1
             self.metrics.on_batch_applied(
                 modifications=n_mods,
@@ -377,6 +524,68 @@ class ReplicationEngine:
             batch.unpersist()
         finally:
             parsed.unpersist()
+
+    def _apply_to_tables(self, batch: DataFrame, version: int) -> dict[str, int]:
+        """Apply one (sub-)batch to every destination with PARTITION-PRUNED
+        commits: compact + type the mutations, find which PK buckets they
+        touch, merge against ONLY those buckets, and commit with the rest
+        carried over by link. The merge join's destination side shrinks to
+        the touched partitions — at 100 TB that is the difference between
+        rewriting the table per micro-batch and rewriting a few files."""
+        per_table: dict[str, int] = {}
+        for s in self.streams:
+            tbl = self.tables[s.table_id]
+            ev_t = batch.filter(F.col("table_id") == s.table_id)
+            typed = typed_mutations(compact_changes(ev_t), s.meta).persist()
+            try:
+                touched = sorted(
+                    r[0]
+                    for r in typed.select(tbl.bucket_of().alias("b")).distinct().collect()
+                )
+                merged = merge_mutations(tbl.read_buckets(touched), typed, s.meta)
+                tbl.commit(merged, version=version, touched=touched)
+            finally:
+                typed.unpersist()
+            per_table[s.meta.name] = ev_t.count()
+        return per_table
+
+    # Catch-up table versions live far above normal batch versions so the
+    # two number spaces never collide (commit prunes old dirs anyway).
+    CATCHUP_VERSION_STRIDE = 1_000_000
+
+    def _catch_up_apply(self, batch: DataFrame, batch_id: int) -> dict[str, int]:
+        """W4/O2 batched catch-up (DoInitialScan, processor.go:621-726, cap
+        :641; README.md:226-239): the initial-scan backlog is applied in
+        <= catch_up_batch_size-message sub-batches in global position
+        order, each a separate destination commit, WITHOUT advancing the
+        `_state` checkpoint between them. The caller writes position +
+        stage=RUN once, after the last sub-batch — the reference's atomic
+        final-batch flip (:679-698). A crash mid-loop replays the whole
+        micro-batch (source offsets uncommitted, state still INITIAL_SCAN)
+        and the deterministic chunking re-commits the same sub-batches.
+
+        The global row_number sort is a one-time, catch-up-only operation;
+        steady-state batches never pass through it."""
+        from pyspark.sql.window import Window
+
+        n = batch.count()
+        cap = self.catch_up_batch_size
+        if n <= cap:
+            return self._apply_to_tables(batch, version=batch_id + 1)
+        chunked = batch.withColumn(
+            "_chunk",
+            ((F.row_number().over(Window.orderBy("step", "tx_id", "seq")) - 1) / F.lit(cap)).cast("int"),
+        ).persist()
+        totals: dict[str, int] = {}
+        base = (batch_id + 1) * self.CATCHUP_VERSION_STRIDE
+        try:
+            for k in range(math.ceil(n / cap)):
+                sub = chunked.filter(F.col("_chunk") == k).drop("_chunk")
+                for t, c in self._apply_to_tables(sub, version=base + k).items():
+                    totals[t] = totals.get(t, 0) + c
+        finally:
+            chunked.unpersist()
+        return totals
 
     def _route_out_of_order(
         self,
@@ -423,7 +632,9 @@ class ReplicationEngine:
             os.makedirs(self.dlq_dir, exist_ok=True)
             dropped.drop("action").withColumn(
                 "_reason", F.lit("out_of_order")
-            ).write.mode("append").parquet(self.dlq_dir)
+            ).withColumn("_ts", F.current_timestamp()).write.mode("append").parquet(
+                self.dlq_dir
+            )
 
             if not unresolved.isEmpty() and any(
                 s.problem_strategy == "stop" for s in self.streams
@@ -441,20 +652,52 @@ class ReplicationEngine:
         finally:
             resolved.unpersist()
 
-    def _route_problems(self, problems: DataFrame, st: dict) -> None:
+    def _route_problems(
+        self, problems: DataFrame, st: dict, parsed: DataFrame | None = None
+    ) -> None:
         """W3: DLQ + (stop|continue). 'stop' persists FATAL_ERROR before
-        failing, like reader.go:192-204."""
+        failing, like reader.go:192-204 — but first DRAINS the affected
+        partitions' subsequent messages to the DLQ up to their next
+        heartbeat (reader.go:86-143), so the diagnostics a human needs to
+        recover are on disk before the process dies."""
         os.makedirs(self.dlq_dir, exist_ok=True)
-        problems.withColumn("_ts", F.current_timestamp()).write.mode("append").parquet(
-            self.dlq_dir
-        )
+        problems.withColumn("_reason", F.lit("problem")).withColumn(
+            "_ts", F.current_timestamp()
+        ).write.mode("append").parquet(self.dlq_dir)
         if any(s.problem_strategy == "stop" for s in self.streams):
             first = problems.first()
+            if parsed is not None:
+                self._drain_to_dlq(parsed, problems)
             msg = f"problem message: {first.error}"
             self.state.write(
                 (st["step_id"], st["tx_id"]), st["stage"], STATE_FATAL, msg
             )
             raise RuntimeError(msg)
+
+    def _drain_to_dlq(self, parsed: DataFrame, problems: DataFrame) -> None:
+        """Messages AFTER the first problem of each partition, up to (not
+        including) that partition's next heartbeat, land in the DLQ with
+        reason 'drained_on_stop' — the batch shape of the reference
+        reader's drain-until-next-heartbeat loop (reader.go:86-143)."""
+        pw = problems.groupBy("table_id", "partition").agg(
+            F.min("offset").alias("_p_off")
+        )
+        after = parsed.join(F.broadcast(pw), ["table_id", "partition"]).filter(
+            F.col("offset") > F.col("_p_off")
+        )
+        hb_after = (
+            after.filter(F.col("op") == OP_RESOLVED)
+            .groupBy("table_id", "partition")
+            .agg(F.min("offset").alias("_hb_off"))
+        )
+        drained = (
+            after.join(F.broadcast(hb_after), ["table_id", "partition"], "left")
+            .filter(F.col("_hb_off").isNull() | (F.col("offset") < F.col("_hb_off")))
+            .drop("_p_off", "_hb_off")
+        )
+        drained.withColumn("_reason", F.lit("drained_on_stop")).withColumn(
+            "_ts", F.current_timestamp()
+        ).write.mode("append").parquet(self.dlq_dir)
 
     # -- entry points ----------------------------------------------------
 
@@ -473,8 +716,25 @@ class ReplicationEngine:
         Command topic / key filter / DLQ attach when configured."""
         from .sources import read_file_batch
 
+        # The quorum is a consistent cut across EVERY partition of EVERY
+        # stream; the reference derives the count at startup via
+        # doDescribeTopics (main.go:119-138). A file/Kafka source can't be
+        # described before the stream starts, so the count must be given —
+        # silently defaulting it would let a single partition's heartbeat
+        # unlock the cut and break cross-stream consistency.
+        expected = overrides.pop("expected_partitions", None)
+        stream_partitions = overrides.pop("stream_partitions", None)
+        if expected is None and stream_partitions:
+            expected = sum(stream_partitions.values())
+        if expected is None:
+            if len(cfg.streams) > 1:
+                raise ValueError(
+                    "expected_partitions is required for multi-stream "
+                    "configs (one count across all streams' partitions)"
+                )
+            expected = 1
+
         streams = []
-        expected = 0
         for i, s in enumerate(cfg.streams):
             meta, ddl = table_metas[s.dst_table]
             streams.append(
@@ -489,7 +749,8 @@ class ReplicationEngine:
         eng = cls(
             spark=spark,
             streams=streams,
-            expected_partitions=overrides.pop("expected_partitions", 1),
+            expected_partitions=expected,
+            stream_partitions=stream_partitions,
             work_dir=work_dir,
             instance_id=cfg.instance_id,
             topic_path=cfg.streams[0].src_topic if cfg.streams else "",
@@ -504,6 +765,14 @@ class ReplicationEngine:
             eng.blocked_keys = blocked_keys_from_table(blocked, cfg.instance_id)
         if cfg.dead_letter_queue_path:
             eng.dlq_dir = cfg.dead_letter_queue_path
+        if cfg.mon_server_listen:
+            from .pmon import start_monitoring
+
+            eng.monitoring = start_monitoring(
+                eng,
+                listen=cfg.mon_server_listen,
+                guard_timeout=cfg.max_expected_heartbeat_interval,
+            )
         return eng
 
     def run_stream(

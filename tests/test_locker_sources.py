@@ -59,3 +59,27 @@ def test_file_sources(spark, tmp_path):
     stream = read_file_stream(spark, str(src))
     assert stream.isStreaming
     assert [f.name for f in stream.schema.fields] == ["partition", "offset", "value"]
+
+
+def test_lock_concurrent_acquisition_single_winner(tmp_path):
+    """ADVICE r1: acquisition must be a real CAS — N threads racing on a
+    fresh lock must produce exactly one winner."""
+    import threading
+
+    from aardappel_spark.locker import Locker, LockStorage
+
+    path = str(tmp_path / "race.lock")
+    results = []
+    barrier = threading.Barrier(8)
+
+    def contend():
+        lk = Locker(LockStorage(path), ttl_seconds=30)
+        barrier.wait()
+        results.append(lk.try_acquire())
+
+    threads = [threading.Thread(target=contend) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count(True) == 1

@@ -331,3 +331,240 @@ def test_initial_scan_stage_machine(spark, tmp_path):
     assert st["step_id"] == Decimal(21)
     rows = {r.user_id: r.value for r in eng.tables[0].current().collect()}
     assert rows == {1: "snapshot"}
+
+def test_initial_scan_batched_catch_up(spark, tmp_path):
+    """W4/O2: a backlog larger than catch_up_batch_size is applied in
+    <=cap-message sub-batches, each its own destination commit, with NO
+    state write until the single final (position, stage=RUN) flip
+    (processor.go:621-726, cap :641)."""
+    from aardappel_spark.streaming import STAGE_INITIAL_SCAN
+
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp, initial_scan=True, catch_up_batch_size=5)
+    raw_schema = "partition int, offset long, value string"
+
+    backlog = [
+        (0, i, msg_update(i, f"v{i}", i + 1, 1)) for i in range(17)
+    ]
+    b0 = spark.createDataFrame(
+        backlog + [(0, 100, msg_hb(30)), (1, 101, msg_hb(40))], raw_schema
+    )
+    eng.process_batch(b0, 0)
+    st = eng.state.read()
+    assert st["stage"] == STAGE_INITIAL_SCAN
+    assert eng.tables[0].current().count() == 0  # gated: quorum <= sync
+
+    # instrument: count state writes and table commits during catch-up
+    state_writes = []
+    orig_write = eng.state.write
+    eng.state.write = lambda *a, **k: (state_writes.append(a), orig_write(*a, **k))
+    commits = []
+    tbl = eng.tables[0]
+    orig_commit = tbl.commit
+    tbl.commit = lambda df, version, touched=None: (
+        commits.append(version),
+        orig_commit(df, version, touched),
+    )
+
+    b1 = spark.createDataFrame(
+        [(0, 102, msg_hb(50)), (1, 103, msg_hb(45))], raw_schema
+    )
+    eng.process_batch(b1, 1)
+
+    # 17 events / cap 5 -> 4 sub-batch commits, ONE state write at the end
+    assert len(commits) == 4
+    assert len(state_writes) == 1
+    pos_written, stage_written = state_writes[0][0], state_writes[0][1]
+    assert pos_written == (Decimal(45), Decimal(0)) and stage_written == STAGE_RUN
+    rows = {r.user_id: r.value for r in tbl.current().collect()}
+    assert rows == {i: f"v{i}" for i in range(17)}
+
+
+def test_partition_pruned_commit_links_untouched_buckets(spark, tmp_path):
+    """A commit only rewrites PK buckets present in the batch; every other
+    bucket's files carry over hardlinked (same inode = byte-identical)."""
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp)
+    raw_schema = "partition int, offset long, value string"
+    seed = [(0, i, msg_update(i, f"v{i}", 10 + i, 1)) for i in range(40)]
+    b0 = spark.createDataFrame(
+        seed + [(0, 90, msg_hb(99)), (1, 91, msg_hb(99))], raw_schema
+    )
+    eng.process_batch(b0, 0)
+    tbl = eng.tables[0]
+    v1 = tbl.current_version()
+    inodes_v1 = {
+        k: {fn: os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if not fn.startswith(("_", "."))}
+        for k, p in tbl._bucket_dirs(v1).items()
+    }
+
+    b1 = spark.createDataFrame(
+        [
+            (0, 92, msg_update(7, "CHANGED", 120, 1)),
+            (0, 93, msg_hb(200)),
+            (1, 94, msg_hb(200)),
+        ],
+        raw_schema,
+    )
+    eng.process_batch(b1, 1)
+    v2 = tbl.current_version()
+    assert v2 != v1
+    inodes_v2 = {
+        k: {fn: os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if not fn.startswith(("_", "."))}
+        for k, p in tbl._bucket_dirs(v2).items()
+    }
+    changed = [k for k in inodes_v1 if inodes_v2.get(k) != inodes_v1[k]]
+    assert len(changed) == 1  # exactly the bucket holding user 7
+    untouched = [k for k in inodes_v1 if k not in changed]
+    assert untouched  # linked carry-over actually happened
+    for k in untouched:
+        assert inodes_v2[k] == inodes_v1[k]
+    rows = {r.user_id: r.value for r in tbl.current().collect()}
+    assert rows[7] == "CHANGED" and len(rows) == 40
+
+
+def test_problem_stop_drains_partition_to_dlq(spark, tmp_path):
+    """Drain-until-next-heartbeat on stop (reader.go:86-143): messages
+    after the problem, before the partition's next heartbeat, reach the
+    DLQ before the engine dies."""
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp)  # default problem_strategy: stop
+    raw_schema = "partition int, offset long, value string"
+    b = spark.createDataFrame(
+        [
+            (0, 1, "not json at all"),
+            (0, 2, msg_update(5, "drain-me", 10, 1)),
+            (0, 3, msg_hb(50)),
+            (0, 4, msg_update(6, "after-hb", 60, 1)),
+        ],
+        raw_schema,
+    )
+    with pytest.raises(RuntimeError, match="problem message"):
+        eng.process_batch(b, 0)
+    assert eng.state.read()["state"] == STATE_FATAL
+    dlq = spark.read.parquet(eng.dlq_dir)
+    reasons = {r.offset: r._reason for r in dlq.collect()}
+    assert reasons[1] == "problem"
+    assert reasons[2] == "drained_on_stop"
+    assert 4 not in reasons  # past the next heartbeat: not drained
+
+
+def test_heartbeats_survive_driver_restart(spark, tmp_path):
+    """ADVICE r1: per-partition heartbeat highs persist alongside _state.
+    A restarted driver keeps quorum progress from committed batches."""
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp)
+    raw_schema = "partition int, offset long, value string"
+    eng.process_batch(
+        spark.createDataFrame(
+            [
+                (0, 1, msg_update(1, "a", 10, 1)),
+                (0, 2, msg_hb(50)),
+                (1, 3, msg_hb(60)),
+            ],
+            raw_schema,
+        ),
+        0,
+    )
+    assert eng.quorum() == (Decimal(50), Decimal(0))
+
+    # driver restart: fresh engine over the same work_dir
+    eng2 = make_engine(spark, tmp)
+    assert eng2.quorum() == (Decimal(50), Decimal(0))
+    # partition 1's pre-restart heartbeat still counts: advancing only
+    # partition 0 unlocks a new quorum
+    eng2.process_batch(
+        spark.createDataFrame(
+            [(0, 4, msg_update(2, "b", 55, 1)), (0, 5, msg_hb(70))], raw_schema
+        ),
+        1,
+    )
+    rows = {r.user_id: r.value for r in eng2.tables[0].current().collect()}
+    assert rows == {1: "a", 2: "b"}
+    st = eng2.state.read()
+    assert st["step_id"] == Decimal(60)  # min(70, persisted 60)
+
+
+def test_multi_stream_routing_and_shared_quorum(spark, tmp_path):
+    """Two streams with distinct TableMetas through one engine: table_id
+    routes rows to the right destination and the quorum is the min across
+    BOTH streams' partitions (reference one-processor model,
+    main.go:204-210)."""
+    tmp = str(tmp_path)
+    orders_meta = TableMeta(
+        "orders",
+        primary_key=["order_id"],
+        columns={"order_id": "Int64", "amount": "Optional<Utf8>"},
+    )
+    eng = ReplicationEngine(
+        spark=spark,
+        streams=[
+            StreamConfig(0, META, os.path.join(tmp, "dst_users"), DST_SCHEMA),
+            StreamConfig(
+                1,
+                orders_meta,
+                os.path.join(tmp, "dst_orders"),
+                "order_id bigint, amount string",
+            ),
+        ],
+        expected_partitions=2,  # one partition per stream
+        work_dir=os.path.join(tmp, "work"),
+    )
+    def msg_order(oid, amount, step, txid):
+        return json.dumps(
+            {"update": {"amount": amount}, "key": [oid], "ts": [step, txid]}
+        )
+
+    raw_schema = "table_id int, partition int, offset long, value string"
+    b0 = spark.createDataFrame(
+        [
+            (0, 0, 1, msg_update(1, "u1", 10, 1)),
+            (0, 0, 2, msg_update(2, "u2", 40, 1)),
+            (1, 0, 3, msg_order(100, "9.99", 12, 1)),
+            (0, 0, 4, msg_hb(50)),
+            (1, 0, 5, msg_hb(30)),
+        ],
+        raw_schema,
+    )
+    eng.process_batch(b0, 0)
+    users = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    orders = {r.order_id: r.amount for r in eng.tables[1].current().collect()}
+    # quorum = min(50, 30) = 30: user 2 (step 40) stays pending
+    assert users == {1: "u1"}
+    assert orders == {100: "9.99"}
+    st = eng.state.read()
+    assert st["step_id"] == Decimal(30)
+
+    # advance only stream 1's heartbeat: shared cut moves, pending flushes
+    b1 = spark.createDataFrame(
+        [(1, 0, 6, msg_hb(99)), (0, 0, 7, msg_hb(99))], raw_schema
+    )
+    eng.process_batch(b1, 1)
+    users = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+    assert users == {1: "u1", 2: "u2"}
+
+
+def test_from_config_requires_expected_partitions_for_multi_stream(spark, tmp_path):
+    from aardappel_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_dict(
+        {
+            "instance_id": "i1",
+            "streams": [
+                {"src_topic": "/t/a", "dst_table": str(tmp_path / "a")},
+                {"src_topic": "/t/b", "dst_table": str(tmp_path / "b")},
+            ],
+        }
+    )
+    metas = {
+        str(tmp_path / "a"): (META, DST_SCHEMA),
+        str(tmp_path / "b"): (META, DST_SCHEMA),
+    }
+    with pytest.raises(ValueError, match="expected_partitions"):
+        ReplicationEngine.from_config(
+            spark, cfg, metas, work_dir=str(tmp_path / "w")
+        )
+    eng = ReplicationEngine.from_config(
+        spark, cfg, metas, work_dir=str(tmp_path / "w2"), expected_partitions=4
+    )
+    assert eng.expected_partitions == 4
