@@ -65,26 +65,60 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads.
+
+    Column-at-a-time inside the Arrow batch: one pass builds the payload
+    list, one md5 per payload (hashing is inherently per-payload), and
+    the output columns assemble as whole arrays — no ``iterrows`` Series
+    construction per row. Nullable ints use pandas ``Int32`` so absent
+    dimensions stay NULL, matching FEATURE_SCHEMA."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                meta = _decode_stub(payload, r["kind"])
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(payload),
-                        "digest": hashlib.md5(payload).hexdigest(),
-                        **meta,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            digests = [hashlib.md5(p) for p in payloads]
+            kinds = pdf["kind"].tolist()
+            raw = [d.digest() for d in digests]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "n_bytes": [len(p) for p in payloads],
+                    "digest": [d.hexdigest() for d in digests],
+                    "width": pd.array(
+                        [16 + b[0] if k == "image" else None for b, k in zip(raw, kinds)],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [16 + b[1] if k == "image" else None for b, k in zip(raw, kinds)],
+                        dtype="Int32",
+                    ),
+                    "n_frames": pd.array(
+                        [1 + b[2] if k == "video" else None for b, k in zip(raw, kinds)],
+                        dtype="Int32",
+                    ),
+                }
+            )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the UTF-8
+    text bytes stand in for an opaque payload (the container has no real
+    image/audio corpora), kind cycles by doc_id. Lets the multimodal
+    plumbing run oracle-gated on driver testdata — n_bytes and digest
+    are engine-independent facts about the payload bytes."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE pmod(doc_id, 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -100,19 +134,21 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            ids, frame_nos, frames = [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
                 n = _decode_stub(payload, "video")["n_frames"]
-                for f_no in range(0, n, every_n):
-                    # stub "frame": digest-derived bytes; real impl decodes
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_no": f_no,
-                            "frame": hashlib.md5(payload + f_no.to_bytes(4, "big")).digest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+                nos = range(0, n, every_n)
+                ids.extend([mid] * len(nos))
+                frame_nos.extend(nos)
+                # stub "frame": digest-derived bytes; real impl decodes
+                frames.extend(
+                    hashlib.md5(payload + f_no.to_bytes(4, "big")).digest()
+                    for f_no in nos
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame": frames},
+                columns=["media_id", "frame_no", "frame"],
+            )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, out_schema)

@@ -271,3 +271,131 @@ def lsh_bucket_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def _normalize_rows(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF index build (spherical k-means).
+
+    Seeding is reproducible with no RNG: the ``n_centroids`` rows with
+    the smallest ``md5(id)`` are a deterministic pseudo-random sample of
+    the corpus. Each Lloyd iteration assigns every vector to its
+    max-cosine centroid (one vectorized ``mapInPandas`` pass over the
+    corpus — the centroid matrix is a broadcast, never the corpus) and
+    recomputes centroids as normalized member means via a posexplode +
+    avg aggregation (one shuffle of n*dims scalars, linear in corpus
+    size). Empty clusters keep their previous centroid.
+
+    Returns ``(assigned, centroids)``: the corpus with a ``_c`` cluster
+    column, and the normalized centroid matrix (numpy, driver-side —
+    n_centroids x dims, tiny by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed_rows = (
+        v.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
+
+    def assign_with(Cn):
+        b_C = spark.sparkContext.broadcast(Cn)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = _normalize_rows(np.array(list(pdf["_v"]), dtype=np.float64))
+                pdf = pdf.copy()
+                pdf["_c"] = (A @ b_C.value.T).argmax(axis=1).astype(np.int32)
+                yield pdf
+
+        return v.mapInPandas(run, "_id bigint, _v array<double>, _c int")
+
+    for _ in range(refine_iters):
+        assigned = assign_with(C)
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_c", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        newC = C.copy()
+        dims = C.shape[1]
+        acc = {}
+        for r in means:
+            acc.setdefault(r["_c"], np.zeros(dims))[r["_pos"]] = r["_m"]
+        for c, vec in acc.items():
+            newC[c] = vec
+        C = _normalize_rows(newC)
+
+    return assign_with(C), C
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """ANN via IVF: probe the query's ``n_probe`` nearest clusters, exact
+    cosine re-rank inside them. Complements the hyperplane-LSH tier:
+    recall is tunable by n_probe (n_probe = n_centroids degrades to exact
+    brute force), and the inverted lists prune ~(1 - n_probe/n_centroids)
+    of the corpus before any pairwise arithmetic. Same output shape as
+    ``brute_force_topk`` so results are directly comparable."""
+    import numpy as np
+
+    assigned, C = ivf_build(
+        vectors, n_centroids=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qv = np.array(
+        vectors.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()[0],
+        dtype=np.float64,
+    )
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probes = [int(c) for c in (qn @ C.T).argsort()[::-1][:n_probe]]
+
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = assigned.filter(F.col("_c").isin(probes) & (F.col("_id") != query_id))
+    if extra_cols:
+        cand = cand.join(
+            vectors.select(F.col(id_col).alias("_id"), *extra_cols), "_id"
+        )
+    return (
+        cand.select(
+            F.col("_id").alias(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.round(cosine(F.col("_v"), q_lit), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

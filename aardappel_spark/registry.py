@@ -140,6 +140,25 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    # rows-only check (no SQL oracle): approximate by design (n_probe < n_centroids)
+    from .ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, query_id=0, k=10, n_centroids=16, n_probe=6, extra_cols=["label"]
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-gated: documents' UTF-8 bytes stand in
+    for opaque payloads; n_bytes + md5 digest are engine-independent."""
+    from .ops.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
@@ -324,6 +343,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_features": q_multimodal_features,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -504,6 +525,13 @@ d AS (
 qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest
+FROM documents
 """,
     "emb_neardup": """
 WITH v AS (

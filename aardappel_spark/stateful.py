@@ -54,11 +54,16 @@ def _lww_fn(
     else:
         value, step, tx_id, n = None, -1, -1, 0
     for pdf in pdfs:
-        pdf = pdf.sort_values(["step", "tx_id"])
-        for _, r in pdf.iterrows():
-            n += 1
-            if (int(r["step"]), int(r["tx_id"])) >= (step, tx_id):
-                value, step, tx_id = r["value"], int(r["step"]), int(r["tx_id"])
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        # winner of THIS batch = last row in (step, tx_id) order; it
+        # replaces the carried state iff its position is >= (LWW ties go
+        # to the newer arrival, matching the reference's arrival-order
+        # tie-break). One vectorized sort per Arrow batch, no row loop.
+        win = pdf.sort_values(["step", "tx_id"]).iloc[-1]
+        if (int(win["step"]), int(win["tx_id"])) >= (step, tx_id):
+            value, step, tx_id = win["value"], int(win["step"]), int(win["tx_id"])
     state.update((value, step, tx_id, n))
     yield pd.DataFrame(
         [{"key": key[0], "value": value, "step": step, "tx_id": tx_id, "n_changes": n}]

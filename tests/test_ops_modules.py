@@ -228,3 +228,43 @@ def test_cosine_neardup_blas_block_partitioned(spark, sf_dir):
     blocked = [tuple(r) for r in cosine_neardup_pairs_blas(emb, 0.45, block_rows=7).collect()]
     assert len(blocked) == len(set(blocked)), "pair emitted more than once"
     assert sorted(blocked) == a
+
+
+def test_ivf_topk_recall_and_sims(spark, sf_dir):
+    """IVF tier: returned sims are exact cosines (subset of the
+    brute-force ranking's values) and recall@10 is at least the LSH
+    bucket tier's on the same corpus/query."""
+    from aardappel_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 10
+    bf = brute_force_topk(emb, query_id=0, k=k).collect()
+    exact_sims = {r.vec_id: r.sim for r in brute_force_topk(emb, query_id=0, k=1000).collect()}
+    truth = {r.vec_id for r in bf}
+
+    ivf = ivf_topk(emb, query_id=0, k=k, n_centroids=16, n_probe=6).collect()
+    for r in ivf:
+        assert abs(exact_sims[r.vec_id] - r.sim) < 1e-9  # exact re-rank
+
+    lsh = lsh_bucket_topk(emb, query_id=0, k=k, bits=6).collect()
+    recall_ivf = len(truth & {r.vec_id for r in ivf}) / k
+    recall_lsh = len(truth & {r.vec_id for r in lsh}) / k
+    assert recall_ivf >= recall_lsh
+    assert recall_ivf >= 0.5
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """n_probe == n_centroids degrades IVF to exact brute force."""
+    from aardappel_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = [(r.vec_id, r.sim) for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    ivf = [
+        (r.vec_id, r.sim)
+        for r in ivf_topk(emb, query_id=0, k=10, n_centroids=8, n_probe=8).collect()
+    ]
+    assert ivf == bf

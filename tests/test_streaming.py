@@ -568,3 +568,94 @@ def test_from_config_requires_expected_partitions_for_multi_stream(spark, tmp_pa
         spark, cfg, metas, work_dir=str(tmp_path / "w2"), expected_partitions=4
     )
     assert eng.expected_partitions == 4
+
+
+def test_multi_stream_end_to_end_run_stream(spark, tmp_path):
+    """Same two-stream setup driven through run_stream (Structured
+    Streaming foreachBatch) across two availableNow passes — per-table
+    routing + quorum-gated applies + checkpointed offsets end to end."""
+    tmp = str(tmp_path)
+    orders_meta = TableMeta(
+        "orders",
+        primary_key=["order_id"],
+        columns={"order_id": "Int64", "amount": "Optional<Utf8>"},
+    )
+    eng = ReplicationEngine(
+        spark=spark,
+        streams=[
+            StreamConfig(0, META, os.path.join(tmp, "dst_users"), DST_SCHEMA),
+            StreamConfig(
+                1,
+                orders_meta,
+                os.path.join(tmp, "dst_orders"),
+                "order_id bigint, amount string",
+            ),
+        ],
+        expected_partitions=2,
+        work_dir=os.path.join(tmp, "work"),
+    )
+
+    def msg_order(oid, amount, step, txid):
+        return json.dumps(
+            {"update": {"amount": amount}, "key": [oid], "ts": [step, txid]}
+        )
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for table_id, partition, offset, value in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "table_id": table_id,
+                            "partition": partition,
+                            "offset": offset,
+                            "value": value,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_file(
+        "f1.jsonl",
+        [
+            (0, 0, 1, msg_update(1, "u1", 10, 1)),
+            (1, 0, 2, msg_order(100, "9.99", 12, 1)),
+            (0, 0, 3, msg_update(2, "u2", 40, 1)),
+            (0, 0, 4, msg_hb(50)),
+            (1, 0, 5, msg_hb(30)),
+        ],
+    )
+    source = spark.readStream.schema(
+        "table_id int, partition int, offset long, value string"
+    ).json(src)
+    q = eng.run_stream(source, os.path.join(tmp, "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    assert {r.user_id: r.value for r in eng.tables[0].current().collect()} == {1: "u1"}
+    assert {r.order_id: r.amount for r in eng.tables[1].current().collect()} == {
+        100: "9.99"
+    }
+
+    # second pass: a NEW engine over the same work_dir (driver restart) —
+    # persisted heartbeats + Spark's checkpoint resume the cut
+    write_file("f2.jsonl", [(1, 0, 6, msg_hb(99)), (0, 0, 7, msg_hb(99))])
+    eng2 = ReplicationEngine(
+        spark=spark,
+        streams=eng.streams,
+        expected_partitions=2,
+        work_dir=os.path.join(tmp, "work"),
+    )
+    source2 = spark.readStream.schema(
+        "table_id int, partition int, offset long, value string"
+    ).json(src)
+    q2 = eng2.run_stream(source2, os.path.join(tmp, "ckpt"), available_now=True)
+    q2.awaitTermination(120)
+    assert {r.user_id: r.value for r in eng2.tables[0].current().collect()} == {
+        1: "u1",
+        2: "u2",
+    }
+    st = eng2.state.read()
+    assert st["step_id"] == Decimal(99) and st["stage"] == STAGE_RUN
