@@ -133,7 +133,7 @@ def verify_pairs_jaccard(
     candidate pair. The expensive set math runs only on candidates (the
     LSH output), never all-pairs — this is what makes near-dup feasible
     at corpus scale. Output: (doc_a, doc_b, jaccard)."""
-    toks = docs.select(
+    toks = _candidate_docs(docs, pairs, id_col).select(
         F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("_t")
     )
     a = toks.select(F.col(id_col).alias("doc_a"), F.col("_t").alias("_ta"))
@@ -177,3 +177,59 @@ def simhash(
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def _candidate_docs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Restrict docs to ids appearing in candidate pairs (left-semi).
+    Verification set math then materializes token/gram arrays for the
+    candidate docs ONLY — at corpus scale that is the difference between
+    building n_grams for every document and for the ~2x|pairs| that LSH
+    surfaced. (Catalyst reuses the pairs subtree's shuffles across the
+    semi-join and the verify joins.)"""
+    cand = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    return docs.join(cand, id_col, "left_semi")
+
+
+def char_ngrams_col(text_col: str | F.Column = "text", n: int = 3) -> F.Column:
+    """Character n-gram set of a document (order-preserving transform on
+    the raw string — no explode). Texts shorter than n characters
+    contribute themselves as a single gram."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) < n, F.array(c)).otherwise(grams)
+
+
+def char_ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard verification: exact character-n-gram-set Jaccard
+    for each candidate pair. Robust to tokenization differences (word
+    Jaccard misses near-dups that differ by punctuation/spacing); like
+    ``verify_pairs_jaccard`` the set math runs on LSH candidates only.
+    Output: (doc_a, doc_b, ngram_jaccard)."""
+    g = _candidate_docs(docs, pairs, id_col).select(
+        F.col(id_col), F.array_distinct(char_ngrams_col(text_col, n)).alias("_g")
+    )
+    a = g.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga"))
+    b = g.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 4).alias("ngram_jaccard"),
+    )

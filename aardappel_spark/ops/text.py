@@ -108,3 +108,62 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fp"),
     )
+
+
+# GPT-2-style approximation: word | number | single punctuation rune.
+# Same RE2/Java-compatible pattern string is used verbatim in the SQL
+# oracle, so both engines tokenize identically.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_col(text_col: str | Column = "text") -> Column:
+    """BPE-ish pre-tokenization: contiguous letter runs, digit runs, and
+    individual punctuation — the coarse split BPE vocabularies refine.
+    Pure JVM regexp, order-preserving, no explode needed for counting."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc BPE-ish token counts split by class (alpha/number/punct).
+    All counts come from one regexp pass + array HOFs — no shuffle at
+    all until the caller aggregates."""
+    toks = bpe_tokens_col(text_col)
+
+    def n_matching(pat: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t.rlike(pat))).cast("bigint")
+
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        n_matching("^[A-Za-z]+$").alias("n_alpha"),
+        n_matching("^[0-9]+$").alias("n_num"),
+        n_matching("^[^A-Za-z0-9]$").alias("n_punct"),
+    )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    the BPE-ish token sequence, h = fold(h * 31 + md5_56(token) mod p).
+    Complements ``fingerprint`` (bag-of-words, order-invariant): two docs
+    with the same words in different order fingerprint equal there but
+    differ here. Token hash is the first 56 bits of md5 so the fold stays
+    within int64 (max acc*31 + h < 2^35 * 31 + 2^28 << 2^63)."""
+    toks = bpe_tokens_col(text_col)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    )
+    roll = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
+    )
+    return docs.select(F.col(id_col), roll.alias("roll_fp"))

@@ -140,6 +140,26 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .ops.dedup import char_ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2).persist()
+    return char_ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    from .ops.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_rolling_fp(spark, sf_dir):
+    from .ops.text import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
 def q_ann_ivf(spark, sf_dir):
     # rows-only check (no SQL oracle): approximate by design (n_probe < n_centroids)
     from .ops.similarity import ivf_topk
@@ -165,7 +185,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2)
+    # persist: the pairs subtree (LSH band joins) feeds both the verify
+    # joins and the candidate-doc semi-join; without it Catalyst
+    # re-executes the band joins per consumer
+    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2).persist()
     return verify_pairs_jaccard(docs, pairs)
 
 
@@ -345,6 +368,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "doc_rolling_fp": q_doc_rolling_fp,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -526,6 +552,28 @@ qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
 """,
+    "text_bpe_tokens": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_num,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[^A-Za-z0-9]$'))) AS BIGINT) AS n_punct
+FROM t
+""",
+    "doc_rolling_fp": r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+             t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS roll_fp
+FROM documents
+""",
     "multimodal_features": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -593,6 +641,45 @@ SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(a.ts, b.ts))
              / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
 FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+""",
+    "dedup_ngram_jaccard": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+  FROM t GROUP BY doc_id
+),
+p0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
+),
+p1 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+gs AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(text) < 3 THEN [text]
+           ELSE list_transform(generate_series(1, len(text) - 2),
+                               i -> substr(text, i, 3)) END) AS g
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.g, b.g))
+             / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) AS ngram_jaccard
+FROM pairs p JOIN gs a ON p.doc_a = a.doc_id JOIN gs b ON p.doc_b = b.doc_id
 """,
     "text_langid": """
 WITH t AS (

@@ -268,3 +268,52 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         for r in ivf_topk(emb, query_id=0, k=10, n_centroids=8, n_probe=8).collect()
     ]
     assert ivf == bf
+
+
+def test_bpe_token_stats_classes(spark):
+    from aardappel_spark.ops.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world 42 foo-bar!"), (2, ""), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    # Hello , world 42 foo - bar !
+    assert (out[1].n_bpe_tokens, out[1].n_alpha, out[1].n_num, out[1].n_punct) == (8, 4, 1, 3)
+    assert out[2].n_bpe_tokens == 0
+    assert (out[3].n_bpe_tokens, out[3].n_alpha) == (2, 2)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """Same bag of words, different order: bag fingerprint collides,
+    rolling fingerprint must not."""
+    from aardappel_spark.ops.text import fingerprint, rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    bag = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    roll = {r.doc_id: r.roll_fp for r in rolling_fingerprint(docs).collect()}
+    assert bag[1] == bag[2] == bag[3]
+    assert roll[1] == roll[3]
+    assert roll[1] != roll[2]
+
+
+def test_char_ngram_jaccard_pairs(spark):
+    from aardappel_spark.ops.dedup import char_ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "ab"), (4, "zzzz")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    out = {(r.doc_a, r.doc_b): r.ngram_jaccard for r in char_ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+    # 'abcd' -> {abc, bcd}; identical texts -> 1.0
+    assert out[(1, 2)] == 1.0
+    # 'ab' shorter than n -> gram set {'ab'}; disjoint from {abc,bcd}
+    assert out[(1, 3)] == 0.0
+    # 'zzzz' -> {zzz}; disjoint
+    assert out[(1, 4)] == 0.0
