@@ -49,6 +49,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "notes": {
+                    "cdc_parse_stats": (
+                        "includes the one-time wire-JSON parse materialization "
+                        "(localCheckpoint) shared by every cdc_* query in this run"
+                    ),
+                    "dedup_minhash_pairs": (
+                        "first materialization of the LSH band joins; "
+                        "dedup_jaccard/dedup_ngram_jaccard rebuild them on their "
+                        "own persisted copies"
+                    ),
+                },
             }
         )
     )
