@@ -108,6 +108,17 @@ class StateStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._ptr())
+        # one tiny file per batch accretes forever on a long-lived
+        # deployment; only the pointed-at version (and its predecessor,
+        # for post-mortem) ever gets read again
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("v")
+                and name.endswith(".json")
+                and name[1:-5].isdigit()
+                and int(name[1:-5]) < version - 1
+            ):
+                os.remove(os.path.join(self.path, name))
 
     def ensure_startable(self) -> dict:
         """Refuse to start unless state == OK (selectReplicationState,
@@ -250,6 +261,10 @@ class StreamConfig:
     dst_path: str
     dst_schema: str
     problem_strategy: str = "stop"  # 'stop' | 'continue'
+    # PK-bucket partition count of the destination. 16 suits tests; size
+    # it so one bucket's rows fit an executor at the deployment's scale
+    # (100 TB / n_buckets ~ a few GB => thousands of buckets).
+    n_buckets: int = 16
 
 
 @dataclass
@@ -292,7 +307,9 @@ class ReplicationEngine:
             if not os.path.exists(self.state._ptr()):
                 self.state.write((st["step_id"], st["tx_id"]), STAGE_RUN)
         self.tables = {
-            s.table_id: VersionedTable(self.spark, s.dst_path, s.meta, s.dst_schema)
+            s.table_id: VersionedTable(
+                self.spark, s.dst_path, s.meta, s.dst_schema, n_buckets=s.n_buckets
+            )
             for s in self.streams
         }
         self.pending_dir = os.path.join(self.work_dir, "_pending")
