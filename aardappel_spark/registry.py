@@ -131,7 +131,9 @@ def q_emb_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from .ops.similarity import cosine_neardup_pairs_blas
 
-    return cosine_neardup_pairs_blas(emb, threshold=0.45)
+    # block_rows small enough that driver-testdata scales already exercise
+    # the multi-block outer loop (no whole-corpus collect in any run)
+    return cosine_neardup_pairs_blas(emb, threshold=0.45, block_rows=4096)
 
 
 def q_emb_neardup_lsh(spark, sf_dir):
