@@ -51,9 +51,13 @@ class HeartbeatGuard:
         seen: dict[int, int] = {}
         for (t, _p) in self.engine.hb_state:
             seen[t] = seen.get(t, 0) + 1
+        # single-stream engines can fall back to the quorum gate's count;
+        # multi-stream ones need an explicit layout (default 1 per stream)
+        only = self.engine.streams[0].table_id if len(self.engine.streams) == 1 else None
         out = {}
         for s in self.engine.streams:
-            expected = layout.get(s.table_id, 1)
+            default = self.engine.expected_partitions if s.table_id == only else 1
+            expected = layout.get(s.table_id, default)
             out[s.meta.name] = seen.get(s.table_id, 0) < expected
         return out
 

@@ -151,3 +151,19 @@ def test_store_blocked_keys_round_trip(spark, tmp_path):
     many = [f"\x01users{i:04d}".encode() for i in range(250)]
     n = store_blocked_keys(spark, str(tmp_path / "kf2"), "i", many)
     assert n == 3
+
+
+def test_guard_single_stream_uses_expected_partitions(spark, tmp_path):
+    """No explicit layout on a single-stream engine: the census expects
+    the engine's expected_partitions, so one of two silent partitions
+    still reads as missing."""
+    eng = _engine(spark, str(tmp_path))  # expected_partitions=2, no layout
+    t0 = 1000.0
+    guard = HeartbeatGuard(eng, timeout_seconds=10, clock=lambda: t0)
+    eng.hb_state[(0, 0)] = (Decimal(5), Decimal(0))
+    assert guard.check_once(now=t0 + 60) == {"users": True}
+    eng.hb_state[(0, 1)] = (Decimal(6), Decimal(0))
+    eng.last_full_hb_time = None  # still stale by clock...
+    missing = guard.check_once(now=t0 + 60)
+    # ...but the full set is present, so the census finds nothing missing
+    assert missing == {"users": False}
