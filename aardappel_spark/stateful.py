@@ -98,3 +98,46 @@ def streaming_lww(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event-time stream — the
+    Spark-native late-data story (SURVEY §2.9/W6: the reference has no
+    user-data windowing; Structured Streaming provides it with state
+    eviction for free).
+
+    ``ts_col`` may be a timestamp column or epoch-nanos long (the
+    testdata shape); nanos are converted via ``timestamp_micros(div
+    1000)``. Events later than ``watermark_delay`` behind the max seen
+    event time are dropped and their window state evicted — bounded
+    state at any scale, the property a driver-side dict can never give.
+    """
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        if ts_field == "bigint"
+        else F.col(ts_col).cast("timestamp")
+    )
+    shaped = events.withColumn("_event_time", ts).withWatermark(
+        "_event_time", watermark_delay
+    )
+    return (
+        shaped.groupBy(
+            F.window("_event_time", window_duration).alias("win"),
+            *(group_cols or []),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *(group_cols or []),
+            F.col("n"),
+        )
+    )

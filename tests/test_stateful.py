@@ -51,3 +51,70 @@ def test_lww_state_persists_across_batches(spark, tmp_path):
     assert latest["a"].value == "v2"  # stale change lost
     assert latest["a"].n_changes == 3  # but was counted
     assert latest["b"].value == "y"
+
+
+def test_streaming_windowed_counts_drops_late_events(spark, tmp_path):
+    """Watermarked tumbling windows in append mode: a window's count is
+    emitted once its watermark passes, and events arriving later than
+    the delay never reach the sink."""
+    import json
+    import os
+
+    from aardappel_spark.stateful import streaming_windowed_counts
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    out_dir = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def hour(h):  # epoch micros at hour h
+        return h * 3600 * 1_000_000
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts_us, et in rows:
+                f.write(json.dumps({"ts": ts_us, "event_type": et}) + "\n")
+
+    stream = spark.readStream.schema("ts long, event_type string").json(src)
+    # ts given in micros here; convert to timestamp directly
+    from pyspark.sql import functions as F
+
+    shaped = stream.withColumn("ts", F.expr("ts * 1000"))  # micros -> nanos shape
+    win = streaming_windowed_counts(
+        shaped, ts_col="ts", window_duration="1 hour", watermark_delay="30 minutes",
+        group_cols=["event_type"],
+    )
+
+    collected = []
+
+    def sink(df, _bid):
+        collected.extend(df.collect())
+
+    # batch 1: two events in hour 1, advance max event time to hour 3
+    # (watermark = h3 - 30min > end of hour-1 window -> it finalizes)
+    write("f1.jsonl", [(hour(1) + 60, "a"), (hour(1) + 120, "a"), (hour(3), "b")])
+    q = (
+        win.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: a LATE hour-1 event (behind the watermark) + fresh hour-5
+    # event that finalizes hour 3
+    write("f2.jsonl", [(hour(1) + 180, "a"), (hour(5), "b")])
+    q = (
+        win.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.window_start.hour, r.event_type): r.n for r in collected}
+    # hour-1 'a' count is 2 — the late third event was dropped, not merged
+    assert got[(1, "a")] == 2
+    assert got[(3, "b")] == 1
