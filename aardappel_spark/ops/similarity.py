@@ -138,8 +138,12 @@ def cosine_neardup_pairs_blas(
         src = src.persist()
     part = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
 
-    def one_block(b: int) -> DataFrame:
+    def one_block(b: int) -> DataFrame | None:
         rows = src.filter(part == b).collect()
+        if not rows:
+            # hash-empty block (possible whenever n_blocks is close to n):
+            # nothing to broadcast, skip the corpus pass entirely
+            return None
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -167,7 +171,10 @@ def cosine_neardup_pairs_blas(
 
         return src.mapInPandas(kernel, schema)
 
-    return reduce(DataFrame.union, (one_block(b) for b in range(n_blocks)))
+    parts = [df for df in (one_block(b) for b in range(n_blocks)) if df is not None]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.union, parts)
 
 
 def cosine_neardup_lsh(

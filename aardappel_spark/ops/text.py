@@ -167,3 +167,44 @@ def rolling_fingerprint(
         lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
     )
     return docs.select(F.col(id_col), roll.alias("roll_fp"))
+
+
+def doc_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Per-document quality signals + keep flag — the row-level filter a
+    training-data pipeline runs before dedup (length, punctuation and
+    stopword ratios; heuristics in the C4/Gopher style). All ratios are
+    computed from one BPE-ish regexp pass per document (array HOFs, no
+    explode, no shuffle); the keep flag is a plain conjunction so
+    downstream `.filter("keep")` pushes to the scan."""
+    toks = bpe_tokens_col(text_col)
+    n = F.size(toks).cast("bigint")
+
+    def n_matching(pat: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t.rlike(pat))).cast("bigint")
+
+    n_punct = n_matching("^[^A-Za-z0-9]$")
+    stop_list = [s for s in STOPWORDS]
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(stop_list))
+    ).cast("bigint")
+    punct_ratio = F.round(n_punct / F.greatest(n, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n, F.lit(1)), 6)
+    keep = (
+        (n >= min_tokens)
+        & (punct_ratio <= max_punct_ratio)
+        & (stop_ratio >= min_stopword_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    )

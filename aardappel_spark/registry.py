@@ -142,6 +142,12 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
 
 
+def q_doc_quality(spark, sf_dir):
+    from .ops.text import doc_quality
+
+    return doc_quality(_docs(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from .ops.dedup import char_ngram_jaccard_pairs
 
@@ -373,6 +379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "doc_rolling_fp": q_doc_rolling_fp,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_quality": q_doc_quality,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -644,6 +651,28 @@ SELECT p.doc_a, p.doc_b,
              / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
 FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
 """,
+    "doc_quality": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> lower(x) IN (STOPS_PLACEHOLDER))) AS BIGINT) AS n_stop
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 6) AS punct_ratio,
+         round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM m
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+       (n_tokens >= 5 AND punct_ratio <= 0.3 AND stopword_ratio >= 0.01) AS keep
+FROM r
+""".replace("STOPS_PLACEHOLDER", _STOP_SQL),
     "dedup_ngram_jaccard": """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -317,3 +317,50 @@ def test_char_ngram_jaccard_pairs(spark):
     assert out[(1, 3)] == 0.0
     # 'zzzz' -> {zzz}; disjoint
     assert out[(1, 4)] == 0.0
+
+
+def test_cosine_neardup_blas_any_block_size(spark):
+    """Exactly-once pair emission must hold for every blocking: sweep
+    block sizes from degenerate (1 row/block) past corpus size on a
+    synthetic corpus with planted duplicates."""
+    import math
+    import random
+
+    from aardappel_spark.ops.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    for i in range(30):
+        v = list(base[i % 6])
+        v[0] += rng.uniform(-0.05, 0.05)  # near-dup clusters
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    expected = sorted(tuple(r) for r in cosine_neardup_pairs(emb, 0.9).collect())
+    assert expected  # planted clusters must produce pairs
+    for block_rows in (1, 4, 13, 64):
+        got = [tuple(r) for r in cosine_neardup_pairs_blas(emb, 0.9, block_rows=block_rows).collect()]
+        assert len(got) == len(set(got)), f"dup pair at block_rows={block_rows}"
+        assert sorted(got) == expected, f"mismatch at block_rows={block_rows}"
+
+
+def test_doc_quality_flags(spark):
+    from aardappel_spark.ops.text import doc_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is fine"),   # prose: keep
+            (2, "!!! ??? ... !!! ??? ..."),                  # punct spam
+            (3, "hi"),                                      # too short
+            (4, "foo bar baz qux quux corge"),              # no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in doc_quality(docs).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].punct_ratio == 1.0
+    assert out[3].keep is False and out[3].n_tokens == 1
+    assert out[4].keep is False and out[4].stopword_ratio == 0.0
