@@ -659,3 +659,70 @@ def test_multi_stream_end_to_end_run_stream(spark, tmp_path):
     }
     st = eng2.state.read()
     assert st["step_id"] == Decimal(99) and st["stage"] == STAGE_RUN
+
+
+def test_catch_up_crash_at_every_subbatch_converges(spark, tmp_path):
+    """W4/W5: kill the engine after each k-th sub-batch commit of the
+    initial-scan catch-up; a fresh engine replaying the micro-batch must
+    converge to the no-crash result with the same final state row."""
+
+    class Boom(Exception):
+        pass
+
+    raw_schema = "partition int, offset long, value string"
+
+    def backlog_batches(spark):
+        backlog = [(0, i, msg_update(i % 7, f"v{i}", i + 1, 1)) for i in range(12)]
+        b0 = spark.createDataFrame(
+            backlog + [(0, 50, msg_hb(30)), (1, 51, msg_hb(40))], raw_schema
+        )
+        b1 = spark.createDataFrame(
+            [(0, 52, msg_hb(50)), (1, 53, msg_hb(45))], raw_schema
+        )
+        return b0, b1
+
+    def reference_result(tag):
+        tmp = str(tmp_path / tag)
+        eng = make_engine(spark, tmp, initial_scan=True, catch_up_batch_size=4)
+        b0, b1 = backlog_batches(spark)
+        eng.process_batch(b0, 0)
+        eng.process_batch(b1, 1)
+        return (
+            sorted(tuple(r) for r in eng.tables[0].current().collect()),
+            eng.state.read()["step_id"],
+        )
+
+    want_rows, want_step = reference_result("ref")
+
+    # 12 events / cap 4 = 3 sub-batches; crash after commit 1, 2, 3
+    for crash_after in (1, 2, 3):
+        tmp = str(tmp_path / f"crash{crash_after}")
+        eng = make_engine(spark, tmp, initial_scan=True, catch_up_batch_size=4)
+        b0, b1 = backlog_batches(spark)
+        eng.process_batch(b0, 0)
+
+        tbl = eng.tables[0]
+        orig_commit = tbl.commit
+        n_commits = 0
+
+        def crashing_commit(df, version, touched=None):
+            nonlocal n_commits
+            orig_commit(df, version, touched)
+            n_commits += 1
+            if n_commits >= crash_after:
+                raise Boom()
+
+        tbl.commit = crashing_commit
+        with pytest.raises(Boom):
+            eng.process_batch(b1, 1)
+        # state must NOT have advanced past INITIAL_SCAN
+        st = eng.state.read()
+        assert st["stage"] != STAGE_RUN or st["step_id"] == Decimal(0)
+
+        # restart: fresh engine, replay the same micro-batch
+        eng2 = make_engine(spark, tmp, initial_scan=True, catch_up_batch_size=4)
+        eng2.process_batch(b1, 1)
+        got_rows = sorted(tuple(r) for r in eng2.tables[0].current().collect())
+        assert got_rows == want_rows, f"crash_after={crash_after}"
+        st = eng2.state.read()
+        assert st["stage"] == STAGE_RUN and st["step_id"] == want_step
