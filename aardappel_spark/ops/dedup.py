@@ -233,3 +233,38 @@ def char_ngram_jaccard_pairs(
         "doc_b",
         F.round(inter.cast("double") / union, 4).alias("ngram_jaccard"),
     )
+
+
+def simhash_wide(
+    docs: DataFrame,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash for wide fingerprints (up to 60 bits — one exact md5-derived
+    long per token). The 16-bit ``simhash`` chains one aggregate column
+    per bit, which stops scaling past ~32 bits (expression-tree width);
+    this variant goes long-format instead: posexplode the per-token ±1
+    vote vector, sum votes per (doc, bit), rebuild the fingerprint with a
+    second sum of shifted bits. Two hash-agg shuffles of n_tokens x bits
+    scalar rows — linear for any bit width."""
+    t = tokenize(docs, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    # SQL-side transform: shiftright with a COLUMN bit index (the Python
+    # F.shiftright only takes an int literal)
+    votes = F.expr(
+        f"transform(sequence(0, {bits - 1}),"
+        " b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    long_votes = t.withColumn("h", h).select(
+        F.col(id_col), F.posexplode(votes).alias("pos", "vote")
+    )
+    per_bit = long_votes.groupBy(id_col, "pos").agg(F.sum("vote").alias("v"))
+    bitval = F.when(
+        F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        per_bit.select(F.col(id_col), bitval.alias("bv"))
+        .groupBy(id_col)
+        .agg(F.sum("bv").cast("long").alias("simhash"))
+    )

@@ -190,6 +190,12 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_dedup_simhash64(spark, sf_dir):
+    from .ops.dedup import simhash_wide
+
+    return simhash_wide(_docs(spark, sf_dir), bits=60)
+
+
 # One LSH candidate-pair build feeds three consumers (pair listing, word
 # Jaccard, n-gram Jaccard) — same memoize-and-persist pattern as
 # cdc_queries.parsed_messages, and the same pipeline reality: candidates
@@ -395,6 +401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup": q_emb_neardup,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash64": q_dedup_simhash64,
     "dedup_jaccard": q_dedup_jaccard,
     "text_langid": q_text_langid,
     "events_sessions": q_events_sessions,
@@ -662,6 +669,24 @@ SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(a.ts, b.ts))
              / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
 FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+""",
+    "dedup_simhash64": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM t WHERE token <> ''
+),
+v AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, generate_series(0, 59) AS g(b)
+),
+s AS (SELECT doc_id, b, sum(vote) AS v FROM v GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
 """,
     "doc_quality": r"""
 WITH t AS (

@@ -364,3 +364,23 @@ def test_doc_quality_flags(spark):
     assert out[2].keep is False and out[2].punct_ratio == 1.0
     assert out[3].keep is False and out[3].n_tokens == 1
     assert out[4].keep is False and out[4].stopword_ratio == 0.0
+
+
+def test_simhash_wide_low_bits_match_column_chain(spark):
+    """simhash_wide is the scale path for >32-bit fingerprints; its low 16
+    bits must equal the column-chain impl (identical votes per bit)."""
+    from aardappel_spark.ops.dedup import simhash, simhash_wide
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sql query engine with adaptive execution"),
+            (2, "spark sql query engine with adaptive optimization"),
+            (3, "completely unrelated banana apple orange fruit salad"),
+        ],
+        ["doc_id", "text"],
+    )
+    wide = {r.doc_id: r.simhash for r in simhash_wide(docs, bits=60).collect()}
+    narrow = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    assert all((wide[d] & 0xFFFF) == narrow[d] for d in narrow)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(wide[1], wide[2]) < ham(wide[1], wide[3])

@@ -167,3 +167,31 @@ def test_guard_single_stream_uses_expected_partitions(spark, tmp_path):
     missing = guard.check_once(now=t0 + 60)
     # ...but the full set is present, so the census finds nothing missing
     assert missing == {"users": False}
+
+
+def test_from_config_wires_monitoring(spark, tmp_path):
+    """mon_server.listen in the config starts /metrics + /readyz and the
+    guard, like doMain (main.go:231-254)."""
+    from aardappel_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_dict(
+        {
+            "instance_id": "i1",
+            "mon_server": {"listen": "127.0.0.1:0"},
+            "streams": [{"src_topic": "/t/a", "dst_table": str(tmp_path / "a")}],
+        }
+    )
+    eng = ReplicationEngine.from_config(
+        spark,
+        cfg,
+        {str(tmp_path / "a"): (META, "user_id bigint, value string")},
+        work_dir=str(tmp_path / "w"),
+    )
+    srv, guard = eng.monitoring
+    try:
+        assert _get(srv.port, "/readyz")[0] == 200
+        assert "modifications_count" in _get(srv.port, "/metrics")[1]
+        assert guard.timeout == cfg.max_expected_heartbeat_interval
+    finally:
+        guard.stop()
+        srv.stop()
