@@ -268,3 +268,51 @@ def simhash_wide(
         .groupBy(id_col)
         .agg(F.sum("bv").cast("long").alias("simhash"))
     )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs via Hamming-ball banding.
+
+    Pigeonhole: two fingerprints within Hamming distance ``n_bands - 1``
+    agree exactly on at least one of ``n_bands`` disjoint bit bands, so
+    equi-joins on band values find every such pair with NO cross join —
+    the same scale shape as MinHash LSH. Candidates are then filtered by
+    exact distance ``bit_count(a ^ b) <= max_hamming``. For guaranteed
+    recall keep ``max_hamming < n_bands``; larger values trade recall
+    for reach. Output: (doc_a, doc_b, hamming)."""
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash_wide(docs, bits=bits, id_col=id_col, text_col=text_col)
+    keyed = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> shiftright(simhash, b * {width}) & {mask})"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    l = keyed.select(
+        "band_id", "band_val", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa")
+    )
+    r = keyed.select(
+        "band_id", "band_val", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb")
+    )
+    pairs = (
+        l.join(r, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(_sa ^ _sb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

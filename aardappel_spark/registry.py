@@ -196,6 +196,14 @@ def q_dedup_simhash64(spark, sf_dir):
     return simhash_wide(_docs(spark, sf_dir), bits=60)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from .ops.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        _docs(spark, sf_dir), bits=60, n_bands=4, max_hamming=8
+    )
+
+
 # One LSH candidate-pair build feeds three consumers (pair listing, word
 # Jaccard, n-gram Jaccard) — same memoize-and-persist pattern as
 # cdc_queries.parsed_messages, and the same pipeline reality: candidates
@@ -402,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_jaccard": q_dedup_jaccard,
     "text_langid": q_text_langid,
     "events_sessions": q_events_sessions,
@@ -687,6 +696,38 @@ s AS (SELECT doc_id, b, sum(vote) AS v FROM v GROUP BY doc_id, b)
 SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
+""",
+    "dedup_simhash_pairs": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM t WHERE token <> ''
+),
+v AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, generate_series(0, 59) AS g(b)
+),
+s AS (SELECT doc_id, b, sum(vote) AS v FROM v GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+),
+k AS (
+  SELECT doc_id, simhash, g.b AS band_id,
+         (simhash >> (g.b * 15)) & 32767 AS band_val
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+p AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+  FROM k l JOIN k r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8
 """,
     "doc_quality": r"""
 WITH t AS (

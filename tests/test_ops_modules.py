@@ -384,3 +384,25 @@ def test_simhash_wide_low_bits_match_column_chain(spark):
     assert all((wide[d] & 0xFFFF) == narrow[d] for d in narrow)
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(wide[1], wide[2]) < ham(wide[1], wide[3])
+
+
+def test_simhash_candidate_pairs_banding(spark):
+    """Banded Hamming join: identical docs pair at distance 0; every
+    reported distance equals the true xor popcount of the fingerprints;
+    distant docs (no shared band at the threshold) don't pair."""
+    from aardappel_spark.ops.dedup import simhash_candidate_pairs, simhash_wide
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "totally different payload about columnar query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_wide(docs, bits=60).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_candidate_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    for (a, b), ham in pairs.items():
+        assert ham == bin(sigs[a] ^ sigs[b]).count("1")
+    assert (1, 3) not in pairs and (2, 3) not in pairs
