@@ -277,6 +277,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via Hamming-ball banding.
 
@@ -291,7 +292,8 @@ def simhash_candidate_pairs(
         raise ValueError("bits must divide evenly into n_bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sig = simhash_wide(docs, bits=bits, id_col=id_col, text_col=text_col)
+    if sig is None:
+        sig = simhash_wide(docs, bits=bits, id_col=id_col, text_col=text_col)
     keyed = sig.select(
         F.col(id_col),
         F.col("simhash"),

