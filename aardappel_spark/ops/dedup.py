@@ -93,6 +93,7 @@ def minhash_candidate_pairs(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ALL components of any band are candidate
     near-duplicates. Bands of ``band_size`` consecutive signature
@@ -100,7 +101,8 @@ def minhash_candidate_pairs(
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
-    sig = minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col)
+    if sig is None:
+        sig = minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col)
     bands = [
         F.concat_ws("|", *[F.col(f"mh{k}") for k in range(b, b + band_size)]).alias(
             "band_key"

