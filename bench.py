@@ -29,8 +29,10 @@ def main() -> None:
     spark = get_spark("aardappel-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so the first query doesn't pay startup cost
+    # warm the JVM/session and the Python worker pool so the first query
+    # (and the first mapInPandas query) doesn't pay startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
