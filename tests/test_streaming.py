@@ -726,3 +726,61 @@ def test_catch_up_crash_at_every_subbatch_converges(spark, tmp_path):
         assert got_rows == want_rows, f"crash_after={crash_after}"
         st = eng2.state.read()
         assert st["stage"] == STAGE_RUN and st["step_id"] == want_step
+
+
+@pytest.mark.parametrize("seed", [11, 42, 77])
+def test_stream_random_sequences_match_batch_kernel(spark, tmp_path, seed):
+    """Randomized W1/W5 equivalence: arbitrary update/erase/heartbeat
+    interleavings over 2 partitions, split at random batch boundaries,
+    must converge to the single-shot batch apply of everything below the
+    final quorum. (Single-column updates keep multi-batch semantics
+    identical to single-batch; column-set boundary dependence is pinned
+    separately in test_casting_apply.)"""
+    import random
+
+    rng = random.Random(seed)
+    tmp = str(tmp_path)
+
+    msgs = []
+    hb_high = [0, 0]
+    step = 0
+    for off in range(60):
+        step += rng.randint(1, 3)
+        p = rng.randint(0, 1)
+        roll = rng.random()
+        if roll < 0.2:
+            # heartbeats only move forward per partition
+            hb_high[p] = max(hb_high[p], step)
+            msgs.append((p, off, msg_hb(hb_high[p])))
+        elif roll < 0.35:
+            msgs.append((p, off, msg_erase(rng.randint(0, 9), step, 1)))
+        else:
+            msgs.append((p, off, msg_update(rng.randint(0, 9), f"v{off}", step, 1)))
+    # close with a complete heartbeat set so something applies
+    final_hb = max(hb_high) + 1
+    msgs.append((0, 60, msg_hb(final_hb)))
+    msgs.append((1, 61, msg_hb(final_hb)))
+
+    # random batch boundaries
+    cuts = sorted(rng.sample(range(1, len(msgs)), 3))
+    batches = [
+        msgs[a:b] for a, b in zip([0] + cuts, cuts + [len(msgs)]) if msgs[a:b]
+    ]
+
+    eng = make_engine(spark, tmp)
+    raw_schema = "partition int, offset long, value string"
+    for i, b in enumerate(batches):
+        eng.process_batch(spark.createDataFrame(b, raw_schema), i)
+
+    streamed = {r.user_id: r.value for r in eng.tables[0].current().collect()}
+
+    raw = spark.createDataFrame(msgs, raw_schema)
+    ev = split_events(parse_messages(raw, table_id_col=None))
+    from aardappel_spark.types import pos, pos_lit
+
+    ev = ev.filter(pos() < pos_lit(final_hb, 0))
+    dst0 = spark.createDataFrame([], DST_SCHEMA)
+    expected = {r.user_id: r.value for r in apply_batch(dst0, ev, META).collect()}
+    assert streamed == expected
+    st = eng.state.read()
+    assert st["step_id"] == Decimal(final_hb)
