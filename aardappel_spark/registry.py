@@ -407,6 +407,118 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = _dec("l_discount")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (disc >= F.lit("0.05").cast("decimal(3,2)"))
+        & (disc <= F.lit("0.07").cast("decimal(3,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(_dec("l_extendedprice") * disc).cast("double"), 2).alias("revenue")
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority checking via EXISTS — adapted predicate
+    (l_shipdate > o_orderdate; testdata has no commit/receipt dates).
+    Left-semi join: each order emitted once regardless of line matches."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sj = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution: left outer join (customers with
+    zero matching orders count as c_count=0), two cascaded aggregations."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    cnt = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return cnt.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume orders: HAVING subquery folded into a pre-aggregation
+    (sum l_quantity per order > 180), then order + broadcast customer."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sumq"))
+        .filter(F.col("sumq") > F.lit("180").cast("decimal(12,2)"))
+    )
+    j = o.join(big, o["o_orderkey"] == big["l_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.round(_dec("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        F.round(F.col("sumq").cast("double"), 2).alias("sum_qty"),
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promo revenue share: fact-to-dim broadcast join + conditional agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-12-01").cast("timestamp"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(14,4)"))
+    )
+    total = F.sum(disc_price)
+    return j.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 4
+        ).alias("promo_revenue")
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Dormant rich customers (q22-adapted): above-average balance AND no
+    order since 2000 — anti join + scalar subquery. The average test is
+    cross-multiplied in exact decimals (bal * n > tot) so both engines
+    compare exactly, with no float-summation-order boundary risk."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bal = _dec("c_acctbal")
+    s = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(20,2)").alias("tot"), F.count("*").alias("n")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    dormant = c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (
+        dormant.crossJoin(F.broadcast(s))
+        .filter(bal * F.col("n") > F.col("tot"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(bal).cast("double"), 2).alias("sum_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -453,6 +565,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
 }
 
 ORACLES: dict[str, str] = {
@@ -912,5 +1030,65 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
+""",
+    "tpch_q6": """
+SELECT round(CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount::DECIMAL(12,2) BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    "tpch_q4": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "tpch_q13": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS sumq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(12,2)) > 180
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       round(CAST(o.o_totalprice::DECIMAL(12,2) AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(b.sumq AS DOUBLE), 2) AS sum_qty
+FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "tpch_q14": """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN l.l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))
+             ELSE 0 END) AS DOUBLE)
+       / CAST(sum(l.l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))) AS DOUBLE), 4)
+       AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-12-01'
+""",
+    "tpch_q22": """
+WITH s AS (
+  SELECT CAST(sum(c_acctbal::DECIMAL(12,2)) AS DECIMAL(20,2)) AS tot, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(c.c_acctbal::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_bal
+FROM customer c, s
+WHERE c.c_acctbal::DECIMAL(12,2) * s.n > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
 """,
 }
