@@ -407,6 +407,38 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_events_asof_order(spark, sf_dir):
+    """Temporal enrichment: each event joined to the user's most recent
+    order at-or-before the event time. Uses the union+window as-of join
+    (ops/asof.py) — one shuffle, no range-join explosion. The right side
+    is deduped to one row per (user, time): highest orderkey wins."""
+    from .ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ev_us")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    o2 = o.groupBy("user_id", "ord_us").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("tp"),
+    )
+    j = asof_join(
+        ev, o2, ["user_id"], "ev_us", "ord_us", payload_cols=["o_orderkey", "tp"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round(F.col("tp").cast("decimal(12,2)").cast("double"), 2).alias("o_totalprice"),
+        F.col("asof_ts").cast("long").alias("asof_ts"),
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc = _dec("l_discount")
@@ -565,6 +597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "events_asof_order": q_events_asof_order,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
@@ -1030,6 +1063,19 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
+""",
+    "events_asof_order": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ev_us FROM events),
+o AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+         CAST(max(o_orderkey) AS BIGINT) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS tp
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey,
+       round(CAST(o.tp::DECIMAL(12,2) AS DOUBLE), 2) AS o_totalprice,
+       CAST(o.t AS BIGINT) AS asof_ts
+FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ev_us >= o.t
 """,
     "tpch_q6": """
 SELECT round(CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS DOUBLE), 2) AS revenue

@@ -406,3 +406,57 @@ def test_simhash_candidate_pairs_banding(spark):
     for (a, b), ham in pairs.items():
         assert ham == bin(sigs[a] ^ sigs[b]).count("1")
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# -- as-of join (ops/asof.py) ------------------------------------------------
+
+
+def _asof_fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 200, "e2"), (1, 50, "e0"), (2, 100, "e3"), (3, 100, "e4")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r@100"), (1, 150, "r@150"), (2, 90, "r@90")],
+        "k long, t long, payload string",
+    )
+    return left, right
+
+
+def test_asof_join_backward_with_ties_and_nulls(spark):
+    from aardappel_spark.ops.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["payload"])
+    got = {r.ev: (r.payload, r.asof_ts) for r in out.collect()}
+    assert got == {
+        "e0": (None, None),        # nothing at or before t=50
+        "e1": ("r@100", 100),      # tie: right row at the same ts matches
+        "e2": ("r@150", 150),      # most recent of the two preceding
+        "e3": ("r@90", 90),
+        "e4": (None, None),        # key with no right rows at all
+    }
+    assert out.count() == left.count()  # every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    from aardappel_spark.ops.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["payload"], tolerance=10)
+    got = {r.ev: r.payload for r in out.collect()}
+    # e2 (t=200) last match is at 150 -> 50 out of tolerance; e3 exactly at 10
+    assert got == {"e0": None, "e1": "r@100", "e2": None, "e3": "r@90", "e4": None}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from aardappel_spark.ops.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    plan = (
+        asof_join(left, right, ["k"], "t", "t", ["payload"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scalable shape: one Exchange for the window, no join operator at all
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
