@@ -320,3 +320,54 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate pairs: every document gets a
+    cluster_id = the smallest doc id reachable through the near-dup
+    graph (singletons cluster as themselves). This is the final step of
+    corpus dedup — pick min(doc_id) per cluster as the survivor.
+
+    Algorithm: iterative min-label propagation (the Pregel/GraphX
+    formulation, driver-coordinated like all iterative algorithms on
+    Spark). Per iteration: one equi-join (labels into edges) + one
+    hash-agg — linear in |E|, shuffles keyed on node id. Converges in
+    O(diameter) rounds; near-dup components are shallow (pairs come from
+    LSH bands), so the loop exits after 2-3 rounds in practice. Lineage
+    is truncated with localCheckpoint per round so plans don't nest.
+    The convergence probe joins new-vs-old labels with a limit(1) so it
+    short-circuits on the first changed row.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "lbl")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "node")
+            .filter(F.col("lbl") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

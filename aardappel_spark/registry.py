@@ -83,6 +83,39 @@ merged AS (
 
 _CUTOFF = cdc.CUTOFF_US
 
+# shared oracle prefix: MinHash LSH candidate pairs over `documents`
+# (word-3-gram shingles, 4 salted-md5 minhashes, 2 bands of 2) — the SQL
+# mirror of ops.dedup.minhash_candidate_pairs. Ends at `pairs`, so
+# consumers append further CTEs with a leading comma.
+_PAIRS_CTE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+  FROM t GROUP BY doc_id
+),
+p0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
+),
+p1 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1))
+"""
+
 # ---------------------------------------------------------------------------
 # analytics / pipeline queries (documents, embeddings, events, tpch)
 # ---------------------------------------------------------------------------
@@ -250,6 +283,17 @@ def _minhash_pairs_cached(spark, sf_dir):
             sig=_minhash_sig_cached(spark, sf_dir),
         ).persist()
     return _PAIRS_CACHE[key]
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the LSH
+    candidate pairs (min-label propagation); reuses the shared persisted
+    pairs frame like the other pair consumers."""
+    from .ops.dedup import neardup_clusters
+
+    return neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -588,6 +632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "text_langid": q_text_langid,
     "events_sessions": q_events_sessions,
     "events_tumbling": q_events_tumbling,
@@ -700,33 +745,8 @@ SELECT doc_id,
        min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
 FROM t GROUP BY doc_id
 """,
-    "dedup_minhash_pairs": """
-WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-t AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END) AS token
-  FROM d
-),
-sig AS (
-  SELECT doc_id,
-         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
-         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
-  FROM t GROUP BY doc_id
-),
-p0 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
-),
-p1 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
-)
-SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+    "dedup_minhash_pairs": _PAIRS_CTE + """
+SELECT doc_a, doc_b FROM pairs
 """,
     "text_token_stats": """
 WITH t AS (
@@ -829,33 +849,7 @@ SELECT doc_id, CAST(0
  AS BIGINT) AS simhash
 FROM h GROUP BY doc_id
 """,
-    "dedup_jaccard": """
-WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-t AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END) AS token
-  FROM d
-),
-sig AS (
-  SELECT doc_id,
-         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
-         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
-  FROM t GROUP BY doc_id
-),
-p0 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
-),
-p1 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
-),
-pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+    "dedup_jaccard": _PAIRS_CTE + """,
 ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d)
 SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(a.ts, b.ts))
@@ -934,33 +928,7 @@ SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
        (n_tokens >= 5 AND punct_ratio <= 0.3 AND stopword_ratio >= 0.01) AS keep
 FROM r
 """.replace("STOPS_PLACEHOLDER", _STOP_SQL),
-    "dedup_ngram_jaccard": """
-WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-t AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END) AS token
-  FROM d
-),
-sig AS (
-  SELECT doc_id,
-         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
-         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
-  FROM t GROUP BY doc_id
-),
-p0 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
-),
-p1 AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
-),
-pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+    "dedup_ngram_jaccard": _PAIRS_CTE + """,
 gs AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(text) < 3 THEN [text]
@@ -972,6 +940,19 @@ SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(a.g, b.g))
              / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) AS ngram_jaccard
 FROM pairs p JOIN gs a ON p.doc_a = a.doc_id JOIN gs b ON p.doc_b = b.doc_id
+""",
+    "dedup_clusters": _PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM r GROUP BY node
 """,
     "text_langid": """
 WITH t AS (

@@ -460,3 +460,40 @@ def test_asof_join_single_shuffle_plan(spark):
     # the scalable shape: one Exchange for the window, no join operator at all
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_neardup_clusters_match_union_find(spark):
+    from aardappel_spark.ops.dedup import neardup_clusters
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    out = neardup_clusters(docs, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+
+    # reference: plain union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            want[i] = m
+    assert got == want
