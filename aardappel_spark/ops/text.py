@@ -208,3 +208,29 @@ def doc_quality(
         stop_ratio.alias("stopword_ratio"),
         keep.alias("keep"),
     )
+
+
+def unigram_nll(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model score: per-document mean negative
+    log-likelihood under the corpus's own unigram distribution,
+    avg(-ln(count(token)/N)). The LM-perplexity-style quality filter a
+    training pipeline runs after heuristics: gibberish and boilerplate
+    sit far from the corpus distribution (high NLL = rare-token soup,
+    very low NLL = repeated-token spam).
+
+    Shape: one explode, one token-count agg, one join of tokens against
+    that frequency table (shuffle keyed on token — the Zipf head is
+    skewed, which AQE's skew-join splitting absorbs), one per-doc agg.
+    The corpus total rides along as a broadcast 1-row frame, not a
+    driver collect.
+    """
+    t = tokenize(docs, id_col, text_col)
+    freq = t.groupBy("token").agg(F.count("*").alias("_c"))
+    total = t.agg(F.count("*").alias("_n"))
+    scored = t.join(freq, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("_n")) - F.log(F.col("_c"))), 4).alias("nll"),
+    )

@@ -302,8 +302,47 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_text_lm_score(spark, sf_dir):
+    from .ops.text import unigram_nll
+
+    return unigram_nll(_docs(spark, sf_dir))
+
+
 def q_text_langid(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
+
+
+def q_emb_centroids(spark, sf_dir):
+    """Per-label centroid statistics (class prototype vectors): component
+    means via posexplode + (label, i) agg — never assembles whole vectors
+    on one node; the final per-label reduce carries one row per (label,
+    component), linear and skew-free."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    comp = v.groupBy("label", "i").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    cent = comp.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+    )
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return cent.join(counts, "label").select(
+        "label", "n_vecs", "dim", "centroid_norm"
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact continuous percentiles per event type (the distribution
+    profile a pipeline checks before thresholding). Spark's percentile()
+    matches DuckDB quantile_cont bit-for-bit (verified): same sort +
+    linear interpolation. At 100 TB swap for approx_percentile and a
+    wider tolerance; the exact tier is the oracle-checkable baseline."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
 
 
 def q_events_tumbling(spark, sf_dir):
@@ -634,8 +673,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "text_langid": q_text_langid,
+    "text_lm_score": q_text_lm_score,
     "events_sessions": q_events_sessions,
     "events_tumbling": q_events_tumbling,
+    "events_quantiles": q_events_quantiles,
+    "emb_centroids": q_emb_centroids,
     "part_topk_per_brand": q_part_topk_per_brand,
     "orders_rollup": q_orders_rollup,
     # relational analytics (free on Spark; bench headliners)
@@ -965,10 +1007,45 @@ s AS (
 )
 SELECT doc_id, CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en' WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de' WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr' WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang FROM s
 """,
+    "text_lm_score": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+f AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+n AS (SELECT count(*) AS nn FROM tk)
+SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(n.nn) - ln(f.c)), 4) AS nll
+FROM tk JOIN f USING (token), n
+GROUP BY tk.doc_id
+""",
     "events_tumbling": """
 SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n,
        round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "emb_centroids": """
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+c AS (SELECT label, i, avg(x) AS m FROM v GROUP BY label, i),
+cent AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS dim,
+         round(sqrt(sum(m * m)), 4) AS centroid_norm
+  FROM c GROUP BY label
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
+SELECT cent.label, n.n_vecs, cent.dim, cent.centroid_norm
+FROM cent JOIN n ON cent.label = n.label
+""",
+    "events_quantiles": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
 """,
     "part_topk_per_brand": """
 WITH r AS (
