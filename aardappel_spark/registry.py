@@ -345,6 +345,31 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_events_pair_window(spark, sf_dir):
+    """Bounded-gap self join: pairs of events by the same user within
+    600 s of each other. Uses the banded range join (ops/rangejoin.py)
+    — 3x explode + equi-join, not a per-key nested loop."""
+    from .ops.rangejoin import range_join_within
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.select(
+        "user_id", F.col("event_id").alias("event_a"), F.expr("ts div 1000").alias("ta")
+    )
+    b = ev.select(
+        "user_id", F.col("event_id").alias("event_b"), F.expr("ts div 1000").alias("tb")
+    )
+    j = range_join_within(a, b, ["user_id"], "ta", "tb", 600 * 10**6)
+    return (
+        j.filter(F.col("event_a") < F.col("event_b"))
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.col("tb") - F.col("ta")).alias("dt_us"),
+        )
+    )
+
+
 def q_events_tumbling(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
@@ -677,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "events_tumbling": q_events_tumbling,
     "events_quantiles": q_events_quantiles,
+    "events_pair_window": q_events_pair_window,
     "emb_centroids": q_emb_centroids,
     "part_topk_per_brand": q_part_topk_per_brand,
     "orders_rollup": q_orders_rollup,
@@ -1039,6 +1065,13 @@ cent AS (
 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
 SELECT cent.label, n.n_vecs, cent.dim, cent.centroid_norm
 FROM cent JOIN n ON cent.label = n.label
+""",
+    "events_pair_window": """
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
 """,
     "events_quantiles": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -497,3 +497,39 @@ def test_neardup_clusters_match_union_find(spark):
         for i in members:
             want[i] = m
     assert got == want
+
+
+# -- banded range join (ops/rangejoin.py) ------------------------------------
+
+
+def test_range_join_matches_brute_force(spark):
+    from aardappel_spark.ops.rangejoin import range_join_within
+    import random
+
+    rng = random.Random(11)
+    lrows = [(rng.randrange(3), i, rng.randrange(1000)) for i in range(80)]
+    rrows = [(rng.randrange(3), 1000 + i, rng.randrange(1000)) for i in range(80)]
+    left = spark.createDataFrame(lrows, "k long, lid long, lt long")
+    right = spark.createDataFrame(rrows, "k long, rid long, rt long")
+    out = range_join_within(left, right, ["k"], "lt", "rt", 50)
+    got = {(r.lid, r.rid) for r in out.collect()}
+    want = {
+        (lid, rid)
+        for (lk, lid, lt) in lrows
+        for (rk, rid, rt) in rrows
+        if lk == rk and abs(lt - rt) <= 50
+    }
+    assert got == want
+
+
+def test_range_join_no_nested_loop(spark):
+    from aardappel_spark.ops.rangejoin import range_join_within
+
+    left = spark.createDataFrame([(1, 1, 10)], "k long, lid long, lt long")
+    right = spark.createDataFrame([(1, 2, 20)], "k long, rid long, rt long")
+    plan = (
+        range_join_within(left, right, ["k"], "lt", "rt", 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
