@@ -1,0 +1,62 @@
+"""Deterministic, content-stable sampling and splitting.
+
+Training pipelines need splits that are (a) reproducible run-to-run,
+(b) stable under repartitioning and insertion order, and (c) consistent
+across engines. ``rand()``-based sampling violates all three. These
+operators key every decision on a salted md5 of the row id: the first 8
+hex digits as an integer in [0, 2^32) give a uniform u32 ``ticket``;
+thresholding the ticket yields exact, deterministic Bernoulli behavior.
+No shuffle at all — pure row-local expressions that pipeline into
+whatever reads them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TICKET_SPACE = 1 << 32
+
+
+def sample_ticket(id_col: str | Column, salt: str = "") -> Column:
+    """Uniform u32 from the salted md5 of the id (same formula is
+    expressible in any SQL engine: first 8 md5 hex digits as int)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label. ``weights`` maps
+    label -> fraction (must sum to <= 1; remainder goes to the last
+    label). Default 80/10/10 train/val/test."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    t = sample_ticket(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label]
+        cut = int(acc * TICKET_SPACE)
+        cond = t < F.lit(cut)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ~``frac`` Bernoulli sample keyed on the id —
+    rerunning, repartitioning, or porting engines keeps the same rows."""
+    return df.filter(sample_ticket(id_col, salt) < F.lit(int(frac * TICKET_SPACE)))

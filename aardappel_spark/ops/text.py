@@ -234,3 +234,33 @@ def unigram_nll(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg(F.log(F.col("_n")) - F.log(F.col("_c"))), 4).alias("nll"),
     )
+
+
+# PII patterns: RE2/Java-common syntax so Spark and SQL oracles agree.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and phone numbers, reporting per-document counts —
+    the safety pass a training pipeline runs before publishing a corpus.
+    Row-local regexp expressions only (count via regexp_extract_all,
+    redact via regexp_replace): no shuffle, pipelines into the scan."""
+    t = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0))
+    ).cast("bigint")
+    n_phones = F.size(
+        F.regexp_extract_all(t, F.lit(PHONE_PATTERN), F.lit(0))
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

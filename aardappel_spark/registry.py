@@ -308,6 +308,72 @@ def q_text_lm_score(spark, sf_dir):
     return unigram_nll(_docs(spark, sf_dir))
 
 
+def q_doc_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split (salted-md5 ticket),
+    profiled per language — content-stable across runs and engines."""
+    from .ops.sampling import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample of the corpus by doc id."""
+    from .ops.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_vocab_top_bigrams(spark, sf_dir):
+    """Vocabulary construction: global top-20 word bigrams by count.
+    Partial (map-side) aggregation shrinks the shuffle to distinct
+    bigrams; the top-k is a TakeOrdered, never a full sort."""
+    from .ops.dedup import shingles_col
+
+    g = _docs(spark, sf_dir).select(
+        F.explode(shingles_col("text", k=2)).alias("ngram")
+    )
+    return (
+        g.groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(20)
+    )
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction check: deterministic synthetic emails/phones are
+    injected into every 5th document (the corpus has none), then
+    scrubbed; output is counts + a digest of the scrubbed text so the
+    oracle verifies the exact redacted bytes."""
+    from .ops.text import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s = pii_scrub(injected)
+    return s.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("digest")
+    )
+
+
 def q_text_langid(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
@@ -699,6 +765,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
+    "doc_split_counts": q_doc_split_counts,
+    "doc_sample": q_doc_sample,
+    "vocab_top_bigrams": q_vocab_top_bigrams,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "events_sessions": q_events_sessions,
     "events_tumbling": q_events_tumbling,
     "events_quantiles": q_events_quantiles,
@@ -1044,6 +1114,54 @@ SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln(n.nn) - ln(f.c)), 4) AS nll
 FROM tk JOIN f USING (token), n
 GROUP BY tk.doc_id
+""",
+    "doc_split_counts": f"""
+WITH s AS (
+  SELECT lang,
+         ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS t
+  FROM documents
+)
+SELECT CASE WHEN t < {int(0.8 * 2**32)} THEN 'train'
+            WHEN t < {int(0.9 * 2**32)} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2
+""",
+    "doc_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < {int(0.1 * 2**32)}
+""",
+    "vocab_top_bigrams": """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(list_slice(t, i, i + 1), ' '))
+         END) AS ngram
+  FROM d
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+""",
+    "doc_pii_scrub": r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS digest
+FROM inj
 """,
     "events_tumbling": """
 SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n,

@@ -533,3 +533,24 @@ def test_range_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from collections import Counter
+
+    from aardappel_spark.ops.sampling import deterministic_sample, hash_split
+
+    df = spark.range(10000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(df).collect()}
+    # stable under physical layout changes (the whole point vs rand())
+    s2 = {r.doc_id: r.split for r in hash_split(df.repartition(13)).collect()}
+    assert s1 == s2
+    c = Counter(s1.values())
+    assert 0.77 < c["train"] / 10000 < 0.83
+    assert 0.07 < c["val"] / 10000 < 0.13
+    assert 0.07 < c["test"] / 10000 < 0.13
+
+    n = deterministic_sample(df, 0.1).count()
+    assert 800 < n < 1200
+    # sample is a subset relation, not a fresh draw
+    assert deterministic_sample(df, 0.1).intersect(df).count() == n
