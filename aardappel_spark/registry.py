@@ -473,6 +473,34 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE over (event_type, day): all four grouping combinations in one
+    pass (Spark expands grouping sets before the single shuffle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-corpus dedup: drop documents of the incoming batch whose
+    bag-of-words fingerprint already exists in the reference corpus
+    (here: doc_id >= 250 arriving, < 250 reference; 34 real matches at
+    sf0.01). Anti join on the 32-byte fingerprint — shuffle keys stay
+    tiny; a small reference hash set broadcasts."""
+    docs = _docs(spark, sf_dir)
+    fp = fingerprint(docs)
+    ref = fp.filter(F.col("doc_id") < 250).select(F.col("fp").alias("h"))
+    new = fp.filter(F.col("doc_id") >= 250).select("doc_id", F.col("fp").alias("h"))
+    return new.join(ref, "h", "left_anti").select("doc_id")
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -773,6 +801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_quantiles": q_events_quantiles,
     "events_pair_window": q_events_pair_window,
+    "events_cube": q_events_cube,
+    "dedup_incremental": q_dedup_incremental,
     "emb_centroids": q_emb_centroids,
     "part_topk_per_brand": q_part_topk_per_brand,
     "orders_rollup": q_orders_rollup,
@@ -1183,6 +1213,22 @@ cent AS (
 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
 SELECT cent.label, n.n_vecs, cent.dim, cent.centroid_norm
 FROM cent JOIN n ON cent.label = n.label
+""",
+    "events_cube": """
+SELECT event_type, date_trunc('day', ts)::DATE AS day, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, day)
+""",
+    "dedup_incremental": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS h
+  FROM documents
+)
+SELECT n.doc_id FROM fp n
+WHERE n.doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM fp r WHERE r.doc_id < 250 AND r.h = n.h)
 """,
     "events_pair_window": """
 SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
