@@ -501,6 +501,56 @@ def q_dedup_incremental(spark, sf_dir):
     return new.join(ref, "h", "left_anti").select("doc_id")
 
 
+def q_events_type_stats_salted(spark, sf_dir):
+    """Heavy-hitter-safe aggregation: 5 event types over the whole table
+    is exactly the skewed-key shape; the salted two-phase agg spreads
+    each key over 32 reducers and still matches the direct GROUP BY."""
+    from .ops.skew import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "v"),
+            "sum_value": ("sum", "v"),
+            "min_value": ("min", "v"),
+            "max_value": ("max", "v"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("min_value").cast("double"), 2).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 2).alias("max_value"),
+    )
+
+
+def q_events_running_sum(spark, sf_dir):
+    """Ordered analytics: per-user cumulative value (ROWS unbounded
+    preceding frame, deterministic (ts, event_id) order; exact decimal
+    accumulation so both engines agree bit-for-bit)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmic = F.expr("ts div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tmic, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double"), 2
+        ).alias("run_sum"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -802,6 +852,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_pair_window": q_events_pair_window,
     "events_cube": q_events_cube,
+    "events_type_stats_salted": q_events_type_stats_salted,
+    "events_running_sum": q_events_running_sum,
     "dedup_incremental": q_dedup_incremental,
     "emb_centroids": q_emb_centroids,
     "part_topk_per_brand": q_part_topk_per_brand,
@@ -1213,6 +1265,20 @@ cent AS (
 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
 SELECT cent.label, n.n_vecs, cent.dim, cent.centroid_norm
 FROM cent JOIN n ON cent.label = n.label
+""",
+    "events_type_stats_salted": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value,
+       round(CAST(min(value::DECIMAL(12,2)) AS DOUBLE), 2) AS min_value,
+       round(CAST(max(value::DECIMAL(12,2)) AS DOUBLE), 2) AS max_value
+FROM events GROUP BY event_type
+""",
+    "events_running_sum": """
+SELECT event_id, user_id,
+       round(CAST(sum(value::DECIMAL(12,2)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_sum
+FROM events
 """,
     "events_cube": """
 SELECT event_type, date_trunc('day', ts)::DATE AS day, CAST(count(*) AS BIGINT) AS n,

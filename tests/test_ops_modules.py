@@ -554,3 +554,32 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 800 < n < 1200
     # sample is a subset relation, not a fresh draw
     assert deterministic_sample(df, 0.1).intersect(df).count() == n
+
+
+def test_salted_agg_matches_direct(spark):
+    from aardappel_spark.ops.skew import salted_agg
+
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 3).alias("k"),  # 3 hot keys
+            (F.col("id") * 7 % 101).cast("double").alias("v"),
+        )
+    )
+    got = salted_agg(
+        df, ["k"],
+        {"n": ("count", "v"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+        n_salts=8,
+    )
+    want = df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    g = {r.k: (r.n, r.s, r.lo, r.hi) for r in got.collect()}
+    w = {r.k: (r.n, r.s, r.lo, r.hi) for r in want.collect()}
+    assert g == w
+
+    # the first aggregate must group on (k, salt), not k alone
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(hash(" in plan
+    assert plan.count("Aggregate [") == 2
