@@ -141,3 +141,44 @@ def streaming_windowed_counts(
             F.col("n"),
         )
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming sessionization: event-time session windows that close
+    after ``gap`` of per-key inactivity (the streaming complement of the
+    batch ``events_sessions`` query).
+
+    Spark-first: ``F.session_window`` + a watermark — the state store
+    merges/extends sessions and evicts closed ones; no custom stateful
+    UDF needed. In append mode a session row is emitted exactly once,
+    when the watermark passes its close. Same nanos-long/timestamp
+    input handling as ``streaming_windowed_counts``.
+    """
+    from pyspark.sql import functions as F
+
+    key_cols = key_cols or ["user_id"]
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        if ts_field == "bigint"
+        else F.col(ts_col).cast("timestamp")
+    )
+    shaped = events.withColumn("_event_time", ts).withWatermark(
+        "_event_time", watermark_delay
+    )
+    return (
+        shaped.groupBy(F.session_window("_event_time", gap).alias("sess"), *key_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -118,3 +118,66 @@ def test_streaming_windowed_counts_drops_late_events(spark, tmp_path):
     # hour-1 'a' count is 2 — the late third event was dropped, not merged
     assert got[(1, "a")] == 2
     assert got[(3, "b")] == 1
+
+
+def test_streaming_sessions_merge_close_and_drop_late(spark, tmp_path):
+    """session_window streaming: in-gap events merge into one session,
+    the session is emitted once the watermark passes its close, and
+    late events behind the watermark are dropped."""
+    import json
+    import os
+
+    from aardappel_spark.stateful import streaming_sessions
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def mins(m):  # epoch micros at minute m
+        return m * 60 * 1_000_000
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts_us, uid in rows:
+                f.write(json.dumps({"ts": ts_us, "user_id": uid}) + "\n")
+
+    stream = spark.readStream.schema("ts long, user_id long").json(src)
+    from pyspark.sql import functions as F
+
+    shaped = stream.withColumn("ts", F.expr("ts * 1000"))  # micros -> nanos shape
+    sess = streaming_sessions(
+        shaped, ts_col="ts", gap="10 minutes", watermark_delay="10 minutes"
+    )
+
+    collected = []
+
+    def sink(df, _bid):
+        collected.extend(df.collect())
+
+    def run():
+        q = (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # one session (0 + 5min within gap), then a t=60min event pushes the
+    # watermark to 50min -> the [0, 15min) session closes and is emitted
+    write("f1.jsonl", [(mins(0), 1), (mins(5), 1), (mins(60), 1)])
+    run()
+    # late event inside the closed session (dropped), fresh t=120min
+    # event closes the session around t=60
+    write("f2.jsonl", [(mins(7), 1), (mins(120), 1)])
+    run()
+
+    sessions = sorted(
+        (r.user_id, r.session_start.hour * 60 + r.session_start.minute,
+         r.session_end.hour * 60 + r.session_end.minute, r.n_events)
+        for r in collected
+    )
+    # [0, 15min) with the merged pair (late third event NOT added), and
+    # [60, 70min) closed by the t=120min event
+    assert sessions == [(1, 0, 15, 2), (1, 60, 70, 1)]
