@@ -583,3 +583,17 @@ def test_salted_agg_matches_direct(spark):
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert "pmod(hash(" in plan
     assert plan.count("Aggregate [") == 2
+
+
+def test_registry_contract():
+    """Driver-contract invariants: every oracle belongs to a registered
+    query; every query lacking an oracle is on the documented rows-only
+    list (approximate recall by design); names are unique and stable."""
+    from aardappel_spark.registry import ORACLES, QUERIES
+
+    rows_only = {"ann_lsh", "ann_ivf", "emb_neardup_lsh"}
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == rows_only
+    # oracle SQL must alias columns the way the driver compares them
+    for name, sql in ORACLES.items():
+        assert sql.strip(), name
