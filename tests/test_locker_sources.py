@@ -83,3 +83,40 @@ def test_lock_concurrent_acquisition_single_winner(tmp_path):
     for t in threads:
         t.join()
     assert results.count(True) == 1
+
+
+# -- small-file compaction (maintenance.py) ----------------------------------
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.maintenance import compact_small_files, parquet_file_stats
+
+    path = os.path.join(str(tmp_path), "t")
+    # 20 tiny files
+    spark.range(2000).withColumn("v", F.col("id") * 3).repartition(20).write.parquet(path)
+    n_before, total = parquet_file_stats(path)
+    assert n_before == 20
+
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    n_after = compact_small_files(spark, path, target_bytes=total)  # -> 1 file
+    assert n_after == 1
+    assert {(r.id, r.v) for r in spark.read.parquet(path).collect()} == before
+    # idempotent / already-compact: no rewrite
+    assert compact_small_files(spark, path, target_bytes=total) == 1
+
+
+def test_compact_small_files_clears_stale_temp(spark, tmp_path):
+    import os
+
+    from aardappel_spark.maintenance import compact_small_files
+
+    path = os.path.join(str(tmp_path), "t")
+    spark.range(100).repartition(4).write.parquet(path)
+    os.makedirs(path + ".compact_tmp")  # crash leftover
+    n = compact_small_files(spark, path, target_bytes=1)  # target tiny -> no-op (already >= files)
+    assert not os.path.exists(path + ".compact_tmp")
+    assert n == 4
