@@ -248,17 +248,29 @@ def simhash_wide(
     per bit, which stops scaling past ~32 bits (expression-tree width);
     this variant goes long-format instead: posexplode the per-token ±1
     vote vector, sum votes per (doc, bit), rebuild the fingerprint with a
-    second sum of shifted bits. Two hash-agg shuffles of n_tokens x bits
-    scalar rows — linear for any bit width."""
+    second sum of shifted bits — linear for any bit width.
+
+    Token occurrences are pre-aggregated to (doc, token_hash, count)
+    BEFORE the bits explode, so the explode fans out per DISTINCT token
+    (weighting each vote by the count — identical result, since SimHash
+    votes are additive in term frequency). Natural text repeats tokens
+    heavily, so this cuts the bits x occurrences row blowup to
+    bits x distinct."""
     t = tokenize(docs, id_col, text_col)
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    per_tok = (
+        t.select(F.col(id_col), h.alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count("*").alias("c"))
+    )
     # SQL-side transform: shiftright with a COLUMN bit index (the Python
-    # F.shiftright only takes an int literal)
+    # F.shiftright only takes an int literal); vote weighted by the
+    # token's occurrence count
     votes = F.expr(
         f"transform(sequence(0, {bits - 1}),"
-        " b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
+        " b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN c ELSE -c END)"
     )
-    long_votes = t.withColumn("h", h).select(
+    long_votes = per_tok.select(
         F.col(id_col), F.posexplode(votes).alias("pos", "vote")
     )
     per_bit = long_votes.groupBy(id_col, "pos").agg(F.sum("vote").alias("v"))
