@@ -779,6 +779,27 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive-predicate join (q19-adapted to available columns):
+    OR-of-AND branches over the joined fact+dim. The brand/size legs
+    prune the broadcast dim; the quantity legs filter the fact scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 15) & s.between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 25) & s.between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 35) & s.between(1, 30))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    return j.filter(branch).agg(
+        F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_tpch_q22(spark, sf_dir):
     """Dormant rich customers (q22-adapted): above-average balance AND no
     order since 2000 — anti join + scalar subquery. The average test is
@@ -868,6 +889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
 }
 
@@ -1443,6 +1465,15 @@ SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
        AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-12-01'
+""",
+    "tpch_q19": """
+SELECT round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+             * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25 AND p.p_size BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35 AND p.p_size BETWEEN 1 AND 30)
 """,
     "tpch_q22": """
 WITH s AS (
