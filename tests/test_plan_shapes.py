@@ -1,0 +1,66 @@
+"""Plan-shape guards: the physical plans the 100 TB story depends on.
+
+These tests pin the properties that make each query scale — broadcast
+of dimension tables, filter pushdown into parquet scans, absence of
+nested-loop joins — so a regression in query construction (or a Spark
+upgrade changing defaults) fails loudly rather than silently shipping
+a plan that melts at scale.
+"""
+
+import os
+
+import pytest
+
+from aardappel_spark import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, qname: str) -> str:
+    df = registry.QUERIES[qname](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "qname", ["tpch_q3", "tpch_q5", "tpch_q14", "tpch_q18", "tpch_q19"]
+)
+def test_dimension_joins_broadcast(spark, qname):
+    plan = _plan(spark, qname)
+    assert "BroadcastHashJoin" in plan, f"{qname}: no broadcast join in plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_and_anti_joins_stay_semi_anti(spark):
+    assert "LeftSemi" in _plan(spark, "tpch_q4")
+    assert "LeftAnti" in _plan(spark, "tpch_q22")
+
+
+def test_q6_filters_reach_the_scan(spark):
+    plan = _plan(spark, "tpch_q6")
+    assert "PushedFilters: [" in plan
+    # the shipdate range must be pushed into the parquet scan, not
+    # evaluated after a full read
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_pair_window_has_no_nested_loop(spark):
+    plan = _plan(spark, "events_pair_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_query_is_window_not_join(spark):
+    plan = _plan(spark, "events_asof_order")
+    # the as-of itself is a window; the only join-free shape would be
+    # wrong only if Catalyst rewrote it into a range join
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    plan = _plan(spark, "dedup_exact")
+    # the shuffle must partition on the md5 hash, not the raw text
+    exchange_line = plan.split("Exchange")[1].splitlines()[0]
+    assert "md5" in plan
+    assert "text#" not in exchange_line
