@@ -182,3 +182,35 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose text hash was already
+    seen within the watermark horizon — the ingest-time counterpart of
+    the batch ``dedup_exact`` operator.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the 32-byte md5, so
+    state is hash-sized regardless of document size, and the watermark
+    bounds it in time — the two properties that make streaming dedup
+    feasible at corpus scale (an unbounded driver-side seen-set is
+    neither).
+    """
+    from pyspark.sql import functions as F
+
+    ts_field = docs.schema[ts_col].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        if ts_field == "bigint"
+        else F.col(ts_col).cast("timestamp")
+    )
+    shaped = (
+        docs.withColumn("_event_time", ts)
+        .withColumn("_text_hash", F.md5(F.col(text_col)))
+        .withWatermark("_event_time", watermark_delay)
+    )
+    return shaped.dropDuplicatesWithinWatermark(["_text_hash"]).drop("_text_hash")

@@ -181,3 +181,55 @@ def test_streaming_sessions_merge_close_and_drop_late(spark, tmp_path):
     # [0, 15min) with the merged pair (late third event NOT added), and
     # [60, 70min) closed by the t=120min event
     assert sessions == [(1, 0, 15, 2), (1, 60, 70, 1)]
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """A duplicate text arriving in a later micro-batch (within the
+    watermark) is suppressed; distinct texts pass through."""
+    import json
+    import os
+
+    from aardappel_spark.stateful import streaming_dedup_exact
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def mins(m):
+        # offset well past epoch 0: an event at exactly the initial
+        # watermark (epoch 0) would be dropped as late on arrival
+        return (1_000_000 + m) * 60 * 1_000_000
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts_us, did, text in rows:
+                f.write(json.dumps({"ts": ts_us, "doc_id": did, "text": text}) + "\n")
+
+    stream = spark.readStream.schema("ts long, doc_id long, text string").json(src)
+    from pyspark.sql import functions as F
+
+    shaped = stream.withColumn("ts", F.expr("ts * 1000"))
+    dd = streaming_dedup_exact(shaped, watermark_delay="1 hour")
+
+    collected = []
+
+    def sink(df, _bid):
+        collected.extend(df.collect())
+
+    def run():
+        q = (
+            dd.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("f1.jsonl", [(mins(0), 1, "alpha text"), (mins(1), 2, "beta text")])
+    run()
+    write("f2.jsonl", [(mins(2), 3, "alpha text"), (mins(3), 4, "gamma text")])
+    run()
+
+    ids = sorted(r.doc_id for r in collected)
+    assert ids == [1, 2, 4]  # doc 3's text was already seen
