@@ -187,7 +187,14 @@ def cosine_neardup_lsh(
     """Scale tier: candidate pairs share an LSH bucket (equi-join on the
     hyperplane signature — no cross join), then exact cosine filters.
     Recall < 1 by design (controlled by ``bits``)."""
-    dims = len(vectors.select(vec_col).first()[0])
+    probe = vectors.select(vec_col).first()
+    if probe is None:  # empty corpus -> empty pair set, same schema
+        return vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    dims = len(probe[0])
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -257,7 +264,14 @@ def lsh_bucket_topk(
     Recall < 1 by design; at scale, bucket size ~ N / 2^bits makes the
     re-rank cheap. Returns the same shape as brute_force_topk.
     """
-    dims = len(vectors.select(vec_col).first()[0])
+    probe = vectors.select(vec_col).first()
+    if probe is None:  # empty corpus (hence no query row) -> empty top-k
+        return vectors.select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    dims = len(probe[0])
     sig = vectors.withColumn("_sig", hyperplane_signature(F.col(vec_col), dims, bits))
     q_sig = sig.filter(F.col(id_col) == query_id).select(
         F.col("_sig").alias("_qsig"),
@@ -378,16 +392,23 @@ def ivf_topk(
     ``brute_force_topk`` so results are directly comparable."""
     import numpy as np
 
+    qrow = (
+        vectors.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()
+    )
+    if qrow is None:  # no query vector (e.g. empty corpus) -> empty top-k
+        return vectors.select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+
     assigned, C = ivf_build(
         vectors, n_centroids=n_centroids, refine_iters=refine_iters,
         id_col=id_col, vec_col=vec_col,
     )
-    qv = np.array(
-        vectors.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).cast("array<double>"))
-        .first()[0],
-        dtype=np.float64,
-    )
+    qv = np.array(qrow[0], dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     probes = [int(c) for c in (qn @ C.T).argsort()[::-1][:n_probe]]
 
