@@ -374,6 +374,23 @@ def q_doc_pii_scrub(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token chunking (16 tokens, overlap 4) — the window
+    split before tokenizer/packing in a training pipeline."""
+    from .ops.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
+
+
+def q_chunk_packing(spark, sf_dir):
+    """Context-window packing of the chunk stream: hash-bucket shards,
+    running-token-count bins of 64 tokens within each bucket."""
+    from .ops.chunking import chunk_documents, pack_chunks
+
+    ch = chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
+    return pack_chunks(ch, context_tokens=64, n_buckets=8)
+
+
 def q_text_langid(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
@@ -864,6 +881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
+    "doc_chunks": q_doc_chunks,
+    "chunk_packing": q_chunk_packing,
     "doc_split_counts": q_doc_split_counts,
     "doc_sample": q_doc_sample,
     "vocab_top_bigrams": q_vocab_top_bigrams,
@@ -1218,6 +1237,42 @@ SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln(n.nn) - ln(f.c)), 4) AS nll
 FROM tk JOIN f USING (token), n
 GROUP BY tk.doc_id
+""",
+    "doc_chunks": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 12)) AS s FROM d
+)
+SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(t, s, s + 15), ' ') AS chunk_text,
+       CAST(len(list_slice(t, s, s + 15)) AS BIGINT) AS n_tokens
+FROM c
+""",
+    "chunk_packing": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 12)) AS s FROM d
+),
+ch AS (
+  SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(t, s, s + 15)) AS BIGINT) AS n_tokens
+  FROM c
+),
+b AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket
+  FROM ch
+)
+SELECT doc_id, chunk_id, n_tokens, bucket,
+       CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 64 AS BIGINT) AS bin
+FROM b
 """,
     "doc_split_counts": f"""
 WITH s AS (

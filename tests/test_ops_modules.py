@@ -597,3 +597,55 @@ def test_registry_contract():
     # oracle SQL must alias columns the way the driver compares them
     for name, sql in ORACLES.items():
         assert sql.strip(), name
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from aardappel_spark.ops.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x"),                     # shorter than one chunk
+            (3, ""),                      # empty -> no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    # stride 3: starts 1,4,7,10 -> chunks abcd, def g? no: d e f g, g h i j, j
+    assert by_doc[1] == [
+        (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i j", 4), (3, "j", 1)
+    ]
+    assert by_doc[2] == [(0, "x", 1)]
+    assert 3 not in by_doc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_chunks_respects_capacity_boundaries(spark):
+    from aardappel_spark.ops.chunking import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 20)) for i in range(40)], ["doc_id", "text"]
+    )
+    ch = chunk_documents(docs, chunk_tokens=8, overlap=0)
+    packed = pack_chunks(ch, context_tokens=16, n_buckets=4).collect()
+    # within each bucket, bins are contiguous from 0 and no bin starts
+    # at an exclusive-cumsum not divisible into capacity
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in packed:
+        per_bucket[r.bucket].append(r)
+    assert set(per_bucket) <= {0, 1, 2, 3}
+    for rows in per_bucket.values():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        cum = 0
+        for r in rows:
+            assert r.bin == cum // 16
+            cum += r.n_tokens
