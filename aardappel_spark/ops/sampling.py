@@ -60,3 +60,25 @@ def deterministic_sample(
     """Keep a deterministic ~``frac`` Bernoulli sample keyed on the id —
     rerunning, repartitioning, or porting engines keeps the same rows."""
     return df.filter(sample_ticket(id_col, salt) < F.lit(int(frac * TICKET_SPACE)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixing: keep a per-stratum fraction of rows
+    (e.g. up-weight books, down-weight web) — the mixture step that
+    turns cleaned corpora into a training distribution. Same md5-ticket
+    machinery as ``deterministic_sample``, with the threshold chosen per
+    stratum; strata absent from ``weights`` get ``default_frac``."""
+    t = sample_ticket(id_col, salt)
+    cut = F.lit(int(default_frac * TICKET_SPACE))
+    for stratum, frac in weights.items():
+        cut = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * TICKET_SPACE))
+        ).otherwise(cut)
+    return df.filter(t < cut)

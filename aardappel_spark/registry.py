@@ -329,6 +329,20 @@ def q_doc_sample(spark, sf_dir):
     )
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Weighted corpus mixing: per-source keep fractions (src0 full,
+    src1 half, src2 tenth, everything else 25%), then the resulting
+    mixture profile per source."""
+    from .ops.sampling import mixture_sample
+
+    mixed = mixture_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_frac=0.25,
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n"))
+
+
 def q_vocab_top_bigrams(spark, sf_dir):
     """Vocabulary construction: global top-20 word bigrams by count.
     Partial (map-side) aggregation shrinks the shuffle to distinct
@@ -886,6 +900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_counts": q_doc_split_counts,
     "doc_sample": q_doc_sample,
     "vocab_top_bigrams": q_vocab_top_bigrams,
+    "corpus_mixture": q_corpus_mixture,
     "doc_pii_scrub": q_doc_pii_scrub,
     "events_sessions": q_events_sessions,
     "events_tumbling": q_events_tumbling,
@@ -1290,6 +1305,21 @@ FROM s GROUP BY 1, 2
 SELECT doc_id, lang, source FROM documents
 WHERE ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
       < {int(0.1 * 2**32)}
+""",
+    "corpus_mixture": f"""
+WITH s AS (
+  SELECT source,
+         ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS t
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n
+FROM s
+WHERE t < CASE source
+            WHEN 'src0' THEN {int(1.0 * 2**32)}
+            WHEN 'src1' THEN {int(0.5 * 2**32)}
+            WHEN 'src2' THEN {int(0.1 * 2**32)}
+            ELSE {int(0.25 * 2**32)} END
+GROUP BY source
 """,
     "vocab_top_bigrams": """
 WITH d AS (
