@@ -316,9 +316,12 @@ def ivf_build(
     the corpus. Each Lloyd iteration assigns every vector to its
     max-cosine centroid (one vectorized ``mapInPandas`` pass over the
     corpus — the centroid matrix is a broadcast, never the corpus) and
-    recomputes centroids as normalized member means via a posexplode +
-    avg aggregation (one shuffle of n*dims scalars, linear in corpus
-    size). Empty clusters keep their previous centroid.
+    recomputes centroids treeAggregate-style: the SAME pass emits one
+    (cluster, count, sum-vector) partial per Arrow batch, and only
+    those partials — O(partitions x centroids) rows of dims doubles,
+    KBs at any corpus size — reach the driver for the final mean. No
+    per-iteration shuffle of the corpus at all. Empty clusters keep
+    their previous centroid.
 
     Returns ``(assigned, centroids)``: the corpus with a ``_c`` cluster
     column, and the normalized centroid matrix (numpy, driver-side —
@@ -353,21 +356,41 @@ def ivf_build(
 
         return v.mapInPandas(run, "_id bigint, _v array<double>, _c int")
 
+    def partial_sums_with(Cn):
+        b_C = spark.sparkContext.broadcast(Cn)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf["_v"]), dtype=np.float64)
+                A = _normalize_rows(V)
+                c = (A @ b_C.value.T).argmax(axis=1)
+                out = []
+                for ci in np.unique(c):
+                    sel = V[c == ci]
+                    out.append(
+                        {
+                            "_c": int(ci),
+                            "_n": int(sel.shape[0]),
+                            "_s": sel.sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        return v.mapInPandas(run, "_c int, _n bigint, _s array<double>")
+
     for _ in range(refine_iters):
-        assigned = assign_with(C)
-        means = (
-            assigned.select("_c", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_c", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
+        partials = partial_sums_with(C).collect()
         newC = C.copy()
         dims = C.shape[1]
-        acc = {}
-        for r in means:
-            acc.setdefault(r["_c"], np.zeros(dims))[r["_pos"]] = r["_m"]
-        for c, vec in acc.items():
-            newC[c] = vec
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for r in partials:
+            sums[r["_c"]] = sums.get(r["_c"], np.zeros(dims)) + np.array(r["_s"])
+            counts[r["_c"]] = counts.get(r["_c"], 0) + r["_n"]
+        for c, total in sums.items():
+            newC[c] = total / counts[c]
         C = _normalize_rows(newC)
 
     return assign_with(C), C
