@@ -649,3 +649,20 @@ def test_pack_chunks_respects_capacity_boundaries(spark):
         for r in rows:
             assert r.bin == cum // 16
             cum += r.n_tokens
+
+
+def test_mixture_sample_per_stratum_fracs(spark):
+    from aardappel_spark.ops.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, {"a": 1.0, "b": 0.1}, default_frac=0.0)
+    counts = {r.source: r.cnt for r in out.groupBy("source").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert counts["a"] == 2000          # frac 1.0 keeps everything
+    assert 120 < counts["b"] < 280      # ~10% of 2000
+    # unknown stratum with default 0.0 keeps nothing
+    df2 = df.withColumn("source", F.lit("zzz"))
+    assert mixture_sample(df2, {"a": 1.0}, default_frac=0.0).count() == 0
