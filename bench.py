@@ -58,8 +58,12 @@ def main() -> None:
                     ),
                     "dedup_minhash_pairs": (
                         "first materialization of the LSH band joins, reused "
-                        "by dedup_jaccard/dedup_ngram_jaccard via a shared "
-                        "persisted pairs frame"
+                        "by dedup_jaccard/dedup_ngram_jaccard/dedup_clusters "
+                        "via a shared persisted pairs frame"
+                    ),
+                    "dedup_clusters": (
+                        "iterative connected-components loop: 2-4 join+agg "
+                        "rounds until the labels converge"
                     ),
                 },
             }
