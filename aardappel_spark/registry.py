@@ -427,6 +427,43 @@ def q_emb_centroids(spark, sf_dir):
     )
 
 
+def q_emb_outliers(spark, sf_dir):
+    """Embedding quality scoring: each vector's cosine to its label
+    centroid (low similarity = mislabeled/corrupt candidate — the
+    filter step before training on embeddings). Centroid built via the
+    same posexplode component-mean path as emb_centroids, then joined
+    back on (label, component) — never a whole-vector collect."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = v.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    j = v.join(cent, ["label", "i"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("m")).alias("dot"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nc"),
+    )
+    return per_vec.select(
+        "vec_id",
+        "label",
+        F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 4).alias("centroid_sim"),
+    )
+
+
+def q_events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (bin width 25) — the
+    distribution profile behind threshold choices; single hash-agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact continuous percentiles per event type (the distribution
     profile a pipeline checks before thresholding). Spark's percentile()
@@ -911,6 +948,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running_sum": q_events_running_sum,
     "dedup_incremental": q_dedup_incremental,
     "emb_centroids": q_emb_centroids,
+    "emb_outliers": q_emb_outliers,
+    "events_value_histogram": q_events_value_histogram,
     "part_topk_per_brand": q_part_topk_per_brand,
     "orders_rollup": q_orders_rollup,
     # relational analytics (free on Spark; bench headliners)
@@ -1409,6 +1448,28 @@ SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
 FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+""",
+    "emb_outliers": """
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+c AS (SELECT label, i, avg(x) AS m FROM v GROUP BY label, i),
+p AS (
+  SELECT v.vec_id, v.label,
+         sum(v.x * c.m) AS dot,
+         sqrt(sum(v.x * v.x)) AS nv,
+         sqrt(sum(c.m * c.m)) AS nc
+  FROM v JOIN c ON v.label = c.label AND v.i = c.i
+  GROUP BY v.vec_id, v.label
+)
+SELECT vec_id, label, round(dot / (nv * nc), 4) AS centroid_sim FROM p
+""",
+    "events_value_histogram": """
+SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """,
     "events_quantiles": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
