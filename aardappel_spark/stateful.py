@@ -214,3 +214,53 @@ def streaming_dedup_exact(
         .withWatermark("_event_time", watermark_delay)
     )
     return shaped.dropDuplicatesWithinWatermark(["_text_hash"]).drop("_text_hash")
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    gap: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair left and right events with equal
+    keys whose event times lie within ``gap`` of each other.
+
+    Spark-first: with watermarks on BOTH sides and a time-bounded join
+    condition, Structured Streaming runs this as a symmetric state-store
+    join and uses the bound to evict state — bounded memory at any
+    rate (the batch analogue is ops/rangejoin.py; the streaming planner
+    does the equivalent internally). Left columns keep their names;
+    right columns get a ``r_`` prefix.
+    """
+    from pyspark.sql import functions as F
+
+    def shape(df, ts_col, time_name):
+        ts_field = df.schema[ts_col].dataType.simpleString()
+        ts = (
+            F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            if ts_field == "bigint"
+            else F.col(ts_col).cast("timestamp")
+        )
+        return df.withColumn(time_name, ts).withWatermark(time_name, watermark_delay)
+
+    l = shape(left, left_ts, "_lt")
+    r = shape(right, right_ts, "_rt")
+    for c in r.columns:
+        if c != "_rt" and c not in key_cols:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in key_cols]
+            + [
+                f"r._rt >= l._lt - interval '{gap}'",
+                f"r._rt <= l._lt + interval '{gap}'",
+            ]
+        )
+    )
+    out = l.alias("l").join(r.alias("r"), cond)
+    for k in key_cols:
+        out = out.drop(F.col(f"r.{k}"))
+    return out.drop("_lt", "_rt")

@@ -233,3 +233,65 @@ def test_streaming_dedup_exact_across_batches(spark, tmp_path):
 
     ids = sorted(r.doc_id for r in collected)
     assert ids == [1, 2, 4]  # doc 3's text was already seen
+
+
+def test_streaming_interval_join_across_batches(spark, tmp_path):
+    """Symmetric state-store join: a right event arriving in a LATER
+    micro-batch still pairs with an in-window left event kept in state;
+    out-of-window pairs never appear."""
+    import json
+    import os
+
+    from aardappel_spark.stateful import streaming_interval_join
+
+    ldir = os.path.join(str(tmp_path), "l")
+    rdir = os.path.join(str(tmp_path), "r")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(ldir), os.makedirs(rdir)
+
+    def mins(m):
+        return (1_000_000 + m) * 60 * 1_000_000
+
+    def write(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for ts_us, k, tag in rows:
+                f.write(json.dumps({"ts": ts_us, "k": k, "tag": tag}) + "\n")
+
+    from pyspark.sql import functions as F
+
+    def stream(d):
+        s = spark.readStream.schema("ts long, k long, tag string").json(d)
+        return s.withColumn("ts", F.expr("ts * 1000"))
+
+    j = streaming_interval_join(
+        stream(ldir), stream(rdir), ["k"], gap="5 minutes",
+        watermark_delay="5 minutes",
+    )
+
+    collected = []
+
+    def sink(df, _bid):
+        collected.extend(df.collect())
+
+    def run():
+        q = (
+            j.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(ldir, "l1.jsonl", [(mins(0), 1, "L0"), (mins(20), 1, "L20")])
+    write(rdir, "r1.jsonl", [(mins(2), 1, "R2")])
+    run()
+    # R21 arrives a batch later but is within 5min of L20 (kept in state)
+    write(rdir, "r2.jsonl", [(mins(21), 1, "R21"), (mins(40), 1, "R40")])
+    run()
+
+    pairs = sorted((r.tag, r.r_tag) for r in collected)
+    assert ("L0", "R2") in pairs
+    assert ("L20", "R21") in pairs
+    assert all(not (a == "L0" and b in ("R21", "R40")) for a, b in pairs)
+    assert ("L20", "R40") not in pairs  # 20 vs 40: outside the 5-minute gap
