@@ -296,6 +296,21 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: keep one representative per near-dup
+    cluster (the min doc id — its own cluster label), with the member
+    count it speaks for."""
+    from .ops.dedup import neardup_clusters
+
+    clusters = neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return sizes.select(
+        F.col("cluster_id").alias("doc_id"), "n_members"
+    )
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return verify_pairs_jaccard(
         _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
@@ -930,6 +945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
     "doc_chunks": q_doc_chunks,
@@ -1268,6 +1284,22 @@ r AS (
 )
 SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
 FROM r GROUP BY node
+""",
+    "dedup_survivors": _PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (
+  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node
+)
+SELECT CAST(cluster_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+FROM lab GROUP BY cluster_id
 """,
     "text_langid": """
 WITH t AS (
