@@ -862,6 +862,49 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue by customer: 3-way join, conditional fact
+    filter, top-20 by aggregated revenue (TakeOrdered, no global sort)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(disc_price).alias("rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_doc_search(spark, sf_dir):
+    """Retrieval join: ANN top-k against the embedding corpus, enriched
+    with the matching documents' metadata (vec_id aligns with doc_id in
+    the testdata). The top-k side is tiny, so it broadcasts into the
+    documents join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = brute_force_topk(emb, query_id=0, k=10)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"])
+        .select("doc_id", "lang", "source", "sim")
+    )
+
+
 def q_tpch_q19(spark, sf_dir):
     """Disjunctive-predicate join (q19-adapted to available columns):
     OR-of-AND branches over the joined fact+dim. The brand/size legs
@@ -979,6 +1022,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q10": q_tpch_q10,
+    "doc_search": q_doc_search,
     "tpch_q22": q_tpch_q22,
 }
 
@@ -1652,6 +1697,40 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15 AND p.p_size BETWEEN 1 AND 10)
    OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25 AND p.p_size BETWEEN 1 AND 20)
    OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35 AND p.p_size BETWEEN 1 AND 30)
+""",
+    "tpch_q10": """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+             * (1.00::DECIMAL(3,2) - l.l_discount::DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "doc_search": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings WHERE vec_id <> 0
+),
+d AS (
+  SELECT v.vec_id, sum(v.x * q.qv) AS dot, sum(v.x * v.x) AS n2
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q),
+topk AS (
+  SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
+  FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+)
+SELECT doc.doc_id, doc.lang, doc.source, t.sim
+FROM documents doc JOIN topk t ON doc.doc_id = t.vec_id
 """,
     "tpch_q22": """
 WITH s AS (
