@@ -29,6 +29,48 @@ def read_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int 
     return reader.json(path)
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str | list[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option set the Kafka reader is configured with —
+    factored out so it is testable without a broker. ``failOnDataLoss``
+    is deliberately true: the reference refuses to silently skip
+    truncated topic ranges (its resume-offset guard), and so do we."""
+    if isinstance(topics, list):
+        topics = ",".join(topics)
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def project_kafka_records(
+    df: DataFrame, table_id_by_topic: dict[str, int] | None = None
+) -> DataFrame:
+    """Kafka record frame (topic, partition, offset, binary value) ->
+    the engine's raw shape (table_id?, partition, offset, string value).
+    Pure column logic, tested on static frames with the Kafka schema."""
+    cols = [
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("value").cast("string").alias("value"),
+    ]
+    if table_id_by_topic is not None:
+        mapping = F.create_map(
+            *[x for t, i in table_id_by_topic.items() for x in (F.lit(t), F.lit(i))]
+        )
+        cols.insert(0, mapping.getItem(F.col("topic")).alias("table_id"))
+    return df.select(*cols)
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -45,29 +87,12 @@ def read_kafka_stream(
     process model (O1): a single streaming DataFrame carries every
     stream, discriminated into table ids via ``table_id_by_topic``.
     """
-    if isinstance(topics, list):
-        topics = ",".join(topics)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "true")
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    df = reader.load()
-    cols = [
-        F.col("partition").cast("int").alias("partition"),
-        F.col("offset").cast("long").alias("offset"),
-        F.col("value").cast("string").alias("value"),
-    ]
-    if table_id_by_topic is not None:
-        mapping = F.create_map(
-            *[x for t, i in table_id_by_topic.items() for x in (F.lit(t), F.lit(i))]
-        )
-        cols.insert(0, mapping.getItem(F.col("topic")).alias("table_id"))
-    return df.select(*cols)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topics, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return project_kafka_records(reader.load(), table_id_by_topic)
 
 
 def read_file_batch(spark: SparkSession, path: str) -> DataFrame:

@@ -120,3 +120,46 @@ def test_compact_small_files_clears_stale_temp(spark, tmp_path):
     n = compact_small_files(spark, path, target_bytes=1)  # target tiny -> no-op (already >= files)
     assert not os.path.exists(path + ".compact_tmp")
     assert n == 4
+
+
+# -- Kafka source logic, broker-free (S1) ------------------------------------
+
+
+def test_kafka_reader_options():
+    from aardappel_spark.sources import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", ["t1", "t2"], max_offsets_per_trigger=1000
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "1000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("b", "t")
+
+
+def test_kafka_projection_on_record_schema(spark):
+    """The column logic applied to Kafka's record shape (binary values,
+    topic discrimination) — everything but the broker connection."""
+    from aardappel_spark.sources import project_kafka_records
+
+    rows = [
+        ("orders_topic", 0, 7, bytearray(b'{"update":{}}')),
+        ("users_topic", 1, 9, bytearray(b'{"erase":{}}')),
+        ("stray_topic", 2, 1, bytearray(b"x")),
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, value binary"
+    )
+    out = project_kafka_records(df, {"orders_topic": 0, "users_topic": 1}).collect()
+    got = {(r.table_id, r.partition, r.offset, r.value) for r in out}
+    assert got == {
+        (0, 0, 7, '{"update":{}}'),
+        (1, 1, 9, '{"erase":{}}'),
+        (None, 2, 1, "x"),  # unmapped topic -> null table id
+    }
+    # without a mapping, no table_id column at all
+    assert "table_id" not in project_kafka_records(df).columns
