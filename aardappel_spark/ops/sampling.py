@@ -37,6 +37,10 @@ def hash_split(
     label -> fraction (must sum to <= 1; remainder goes to the last
     label). Default 80/10/10 train/val/test."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if any(f < 0 for f in weights.values()):
+        raise ValueError("split fractions must be non-negative")
+    if sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions must sum to at most 1")
     t = sample_ticket(id_col, salt)
     expr: Column | None = None
     acc = 0.0

@@ -666,3 +666,44 @@ def test_mixture_sample_per_stratum_fracs(spark):
     # unknown stratum with default 0.0 keeps nothing
     df2 = df.withColumn("source", F.lit("zzz"))
     assert mixture_sample(df2, {"a": 1.0}, default_frac=0.0).count() == 0
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Invariant: dropping each chunk's first `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the original token stream —
+    for any (chunk_tokens, overlap) combination."""
+    import random
+
+    rng = random.Random(3)
+    from aardappel_spark.ops.chunking import chunk_documents
+
+    cases = [(4, 0), (4, 1), (7, 3), (16, 4), (5, 4)]
+    texts = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    for chunk_tokens, overlap in cases:
+        out = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+        for doc_id, text in texts:
+            want = text.split()
+            got = []
+            for cid, ctext in sorted(by_doc.get(doc_id, [])):
+                toks = ctext.split()
+                got.extend(toks if cid == 0 else toks[overlap:])
+            assert got == want, (chunk_tokens, overlap, doc_id)
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from aardappel_spark.ops.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        hash_split(df, weights={"a": 0.8, "b": 0.4})
+    with _pytest.raises(ValueError):
+        hash_split(df, weights={"a": -0.1, "b": 0.5})
