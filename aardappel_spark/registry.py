@@ -556,6 +556,26 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_events_user_setops(spark, sf_dir):
+    """Set-operation surface (SURVEY §2.7): users who both purchased
+    and clicked in the first three days but had no error on day one —
+    INTERSECT + EXCEPT with distinct semantics, each a hash-aggregated
+    semi/anti shuffle in Spark. (Time slices keep the sets from
+    saturating: every user has every event type over the full month.)"""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmic = F.expr("ts div 1000")
+
+    def users(et, before_us):
+        return ev.filter(
+            (F.col("event_type") == et) & (tmic < before_us)
+        ).select("user_id")
+
+    day1, day3 = 1704153600000000, 1704240000000000
+    return users("purchase", day3).intersect(users("click", day3)).exceptAll(
+        users("error", day1).distinct()
+    )
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE over (event_type, day): all four grouping combinations in one
     pass (Spark expands grouping sets before the single shuffle)."""
@@ -1003,6 +1023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_pair_window": q_events_pair_window,
     "events_cube": q_events_cube,
+    "events_user_setops": q_events_user_setops,
     "events_type_stats_salted": q_events_type_stats_salted,
     "events_running_sum": q_events_running_sum,
     "dedup_incremental": q_dedup_incremental,
@@ -1502,6 +1523,13 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_sum
 FROM events
+""",
+    "events_user_setops": """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND epoch_us(ts) < 1704240000000000
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click' AND epoch_us(ts) < 1704240000000000
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND epoch_us(ts) < 1704153600000000
 """,
     "events_cube": """
 SELECT event_type, date_trunc('day', ts)::DATE AS day, CAST(count(*) AS BIGINT) AS n,
