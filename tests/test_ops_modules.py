@@ -707,3 +707,47 @@ def test_hash_split_rejects_bad_weights(spark):
         hash_split(df, weights={"a": 0.8, "b": 0.4})
     with _pytest.raises(ValueError):
         hash_split(df, weights={"a": -0.1, "b": 0.5})
+
+
+def test_asof_join_random_multikey_with_tolerance(spark):
+    """Randomized brute-force equivalence on a COMPOSITE key with a
+    tolerance bound — the full contract in one sweep."""
+    import random
+
+    from aardappel_spark.ops.asof import asof_join
+
+    rng = random.Random(23)
+    lrows = [
+        (rng.randrange(2), rng.randrange(2), i, rng.randrange(200))
+        for i in range(120)
+    ]
+    rrows = [
+        (rng.randrange(2), rng.randrange(2), 1000 + i, rng.randrange(200))
+        for i in range(60)
+    ]
+    # dedup right per (key, ts): keep max rid (the asof contract)
+    best = {}
+    for k1, k2, rid, rt in rrows:
+        key = (k1, k2, rt)
+        if key not in best or rid > best[key]:
+            best[key] = rid
+    rrows = [(k1, k2, rid, rt) for (k1, k2, rt), rid in best.items()]
+
+    left = spark.createDataFrame(lrows, "k1 long, k2 long, lid long, lt long")
+    right = spark.createDataFrame(rrows, "k1 long, k2 long, rid long, rt long")
+    out = asof_join(left, right, ["k1", "k2"], "lt", "rt", ["rid"], tolerance=30)
+    got = {r.lid: r.rid for r in out.collect()}
+
+    want = {}
+    for k1, k2, lid, lt in lrows:
+        cands = [
+            (rt, rid)
+            for (rk1, rk2, rid, rt) in rrows
+            if (rk1, rk2) == (k1, k2) and rt <= lt
+        ]
+        if cands:
+            rt, rid = max(cands)
+            want[lid] = rid if lt - rt <= 30 else None
+        else:
+            want[lid] = None
+    assert got == want
