@@ -556,6 +556,20 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns. Pivot values are
+    pinned explicitly so the plan is a single agg (no extra distinct
+    pass to discover them) and the schema is deterministic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot leaves null where a (user, type) cell had no rows
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
 def q_events_user_setops(spark, sf_dir):
     """Set-operation surface (SURVEY §2.7): users who both purchased
     and clicked in the first three days but had no error on day one —
@@ -1024,6 +1038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pair_window": q_events_pair_window,
     "events_cube": q_events_cube,
     "events_user_setops": q_events_user_setops,
+    "events_pivot": q_events_pivot,
     "events_type_stats_salted": q_events_type_stats_salted,
     "events_running_sum": q_events_running_sum,
     "dedup_incremental": q_dedup_incremental,
@@ -1523,6 +1538,15 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_sum
 FROM events
+""",
+    "events_pivot": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
 """,
     "events_user_setops": """
 SELECT user_id FROM events WHERE event_type = 'purchase' AND epoch_us(ts) < 1704240000000000
