@@ -18,7 +18,11 @@ left.ts) match, because side=0 sorts before side=1 at equal ts.
 
 The right side must be unique per (key, ts); callers dedup first (see
 ``events_asof_order`` in registry.py) — otherwise "the" as-of row is
-ambiguous and engines disagree arbitrarily.
+ambiguous and engines disagree arbitrarily. Payload columns must be
+non-null on the right side: the ignore-nulls carry cannot distinguish
+"matched a null value" from "no match", so a null payload would show
+the previous row's value (wrap nullable payloads in a struct if this
+matters).
 """
 
 from __future__ import annotations
