@@ -556,6 +556,32 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_events_moving_avg(spark, sf_dir):
+    """RANGE-frame window (value-based, peer-inclusive — distinct from
+    the ROWS frames elsewhere): each event's trailing-hour value sum and
+    event count per user. The sum stays an exact 2-decimal quantity so
+    no rounding boundary exists; emitting an average would hit the
+    engines' half-cent disagreement (Spark rounds the double's shortest
+    decimal string, DuckDB rounds the binary value) on tiny windows."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmic = F.expr("ts div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tmic)
+        .rangeBetween(-3600 * 10**6, Window.currentRow)
+    )
+    s = F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+    n = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(s.cast("double"), 2).alias("hour_sum"),
+        n.cast("bigint").alias("hour_n"),
+    )
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type counts as columns. Pivot values are
     pinned explicitly so the plan is a single agg (no extra distinct
@@ -1039,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": q_events_cube,
     "events_user_setops": q_events_user_setops,
     "events_pivot": q_events_pivot,
+    "events_moving_avg": q_events_moving_avg,
     "events_type_stats_salted": q_events_type_stats_salted,
     "events_running_sum": q_events_running_sum,
     "dedup_incremental": q_dedup_incremental,
@@ -1538,6 +1565,14 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_sum
 FROM events
+""",
+    "events_moving_avg": """
+SELECT event_id, user_id,
+       round(CAST(sum(value::DECIMAL(12,2)) OVER w AS DOUBLE), 2) AS hour_sum,
+       CAST(count(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     "events_pivot": """
 SELECT user_id,
