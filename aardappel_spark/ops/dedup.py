@@ -383,3 +383,30 @@ def neardup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    ngram_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set — the overlap check run
+    before training so test data doesn't leak into the train split.
+
+    Both sides explode to word n-grams (whole-text for shorter docs);
+    the benchmark gram set is distinct-ed and joined back — with a
+    benchmark of normal size Catalyst broadcasts it, so the corpus
+    never shuffles. Output: (id, n_contaminated_grams) for flagged
+    documents only.
+    """
+    grams = F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
+    block = benchmark.select(grams).distinct()
+    corpus = docs.select(F.col(id_col), grams)
+    return (
+        corpus.join(block, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_contaminated_grams"))
+    )

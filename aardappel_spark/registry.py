@@ -311,6 +311,20 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
+    word 4-gram with the 'eval set' (doc_id < 5) — the leak check run
+    before a train split ships."""
+    from .ops.dedup import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        ngram_words=4,
+    )
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return verify_pairs_jaccard(
         _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
@@ -1049,6 +1063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "decontamination": q_decontamination,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
     "doc_chunks": q_doc_chunks,
@@ -1408,6 +1423,23 @@ lab AS (
 )
 SELECT CAST(cluster_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
 FROM lab GROUP BY cluster_id
+""",
+    "decontamination": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END) AS gram
+  FROM d
+),
+block AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM g JOIN block USING (gram)
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
 """,
     "text_langid": """
 WITH t AS (
