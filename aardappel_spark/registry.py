@@ -311,6 +311,25 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Self-repetition quality signal (Gopher-style): fraction of a
+    document's word 3-grams that are duplicates of earlier ones. Pure
+    array expressions — no explode, no shuffle at all."""
+    from .ops.dedup import shingles_col
+
+    g = shingles_col("text", k=3)
+    total = F.size(g).cast("bigint")
+    uniq = F.size(F.array_distinct(g)).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        total.alias("n_grams"),
+        uniq.alias("n_uniq_grams"),
+        F.round(
+            (total - uniq) / F.greatest(total, F.lit(1)).cast("double"), 4
+        ).alias("repetition_ratio"),
+    )
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
     word 4-gram with the 'eval set' (doc_id < 5) — the leak check run
@@ -1064,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "decontamination": q_decontamination,
+    "doc_repetition": q_doc_repetition,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
     "doc_chunks": q_doc_chunks,
@@ -1423,6 +1443,24 @@ lab AS (
 )
 SELECT CAST(cluster_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
 FROM lab GROUP BY cluster_id
+""",
+    "doc_repetition": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END AS grams
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_grams,
+       round((len(grams) - len(list_distinct(grams)))
+             / CAST(greatest(len(grams), 1) AS DOUBLE), 4) AS repetition_ratio
+FROM g
 """,
     "decontamination": """
 WITH d AS (

@@ -64,3 +64,9 @@ def test_exact_dedup_shuffles_hashes_not_text(spark):
     exchange_line = plan.split("Exchange")[1].splitlines()[0]
     assert "md5" in plan
     assert "text#" not in exchange_line
+
+
+def test_decontamination_broadcasts_blocklist(spark):
+    plan = _plan(spark, "decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
