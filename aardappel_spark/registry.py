@@ -330,6 +330,42 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
+def q_doc_score(spark, sf_dir):
+    """Composite keep decision: heuristics (doc_quality) + repetition +
+    decontamination joined into one verdict per document — the actual
+    filter a pipeline applies before the train split. Signals compose
+    as three doc_id-keyed frames; the contamination side is an outer
+    join (absent = clean)."""
+    from .ops.dedup import contamination_check, shingles_col
+    from .ops.text import doc_quality
+
+    docs = _docs(spark, sf_dir)
+    q = doc_quality(docs).select("doc_id", "n_tokens", "keep")
+    g = shingles_col("text", k=3)
+    rep = docs.select(
+        "doc_id",
+        F.round(
+            (F.size(g) - F.size(F.array_distinct(g)))
+            / F.greatest(F.size(g), F.lit(1)).cast("double"),
+            4,
+        ).alias("rep_ratio"),
+    )
+    cont = contamination_check(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        ngram_words=4,
+    )
+    j = (
+        q.join(rep, "doc_id")
+        .join(cont, "doc_id", "left")
+        .withColumn("contaminated", F.col("n_contaminated_grams").isNotNull())
+    )
+    verdict = F.col("keep") & (F.col("rep_ratio") <= 0.2) & ~F.col("contaminated")
+    return j.select(
+        "doc_id", "n_tokens", "rep_ratio", "contaminated", verdict.alias("train_ok")
+    )
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
     word 4-gram with the 'eval set' (doc_id < 5) — the leak check run
@@ -1084,6 +1120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "decontamination": q_decontamination,
     "doc_repetition": q_doc_repetition,
+    "doc_score": q_doc_score,
     "text_langid": q_text_langid,
     "text_lm_score": q_text_lm_score,
     "doc_chunks": q_doc_chunks,
@@ -1444,6 +1481,56 @@ lab AS (
 SELECT CAST(cluster_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
 FROM lab GROUP BY cluster_id
 """,
+    "doc_score": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> lower(x) IN (STOPS_PLACEHOLDER))) AS BIGINT) AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         (n_tokens >= 5
+          AND round(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 6) <= 0.3
+          AND round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) >= 0.01) AS keep
+  FROM m
+),
+d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+rep AS (
+  SELECT doc_id,
+         round((len(g) - len(list_distinct(g))) / CAST(greatest(len(g), 1) AS DOUBLE), 4) AS rep_ratio
+  FROM (
+    SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(list_slice(t, i, i + 2), ' '))
+           END AS g
+    FROM d
+  )
+),
+g4 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END) AS gram
+  FROM d
+),
+block AS (SELECT DISTINCT gram FROM g4 WHERE doc_id < 5),
+cont AS (
+  SELECT DISTINCT g4.doc_id FROM g4 JOIN block USING (gram) WHERE g4.doc_id >= 5
+)
+SELECT q.doc_id, q.n_tokens, rep.rep_ratio,
+       (cont.doc_id IS NOT NULL) AS contaminated,
+       (q.keep AND rep.rep_ratio <= 0.2 AND cont.doc_id IS NULL) AS train_ok
+FROM q JOIN rep ON q.doc_id = rep.doc_id
+LEFT JOIN cont ON q.doc_id = cont.doc_id
+""".replace("STOPS_PLACEHOLDER", _STOP_SQL),
     "doc_repetition": """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
