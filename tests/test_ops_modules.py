@@ -751,3 +751,29 @@ def test_asof_join_random_multikey_with_tolerance(spark):
         else:
             want[lid] = None
     assert got == want
+
+
+def test_range_join_gap_parameter_sweep(spark):
+    """Brute-force equivalence across gap sizes, including gap=1 (only
+    adjacent/equal ts) and a gap wider than the whole time domain."""
+    import random
+
+    from aardappel_spark.ops.rangejoin import range_join_within
+
+    rng = random.Random(31)
+    lrows = [(rng.randrange(2), i, rng.randrange(100)) for i in range(50)]
+    rrows = [(rng.randrange(2), 1000 + i, rng.randrange(100)) for i in range(50)]
+    left = spark.createDataFrame(lrows, "k long, lid long, lt long")
+    right = spark.createDataFrame(rrows, "k long, rid long, rt long")
+    for gap in (1, 7, 33, 1000):
+        got = {
+            (r.lid, r.rid)
+            for r in range_join_within(left, right, ["k"], "lt", "rt", gap).collect()
+        }
+        want = {
+            (lid, rid)
+            for (lk, lid, lt) in lrows
+            for (rk, rid, rt) in rrows
+            if lk == rk and abs(lt - rt) <= gap
+        }
+        assert got == want, gap
