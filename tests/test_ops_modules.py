@@ -777,3 +777,14 @@ def test_range_join_gap_parameter_sweep(spark):
             if lk == rk and abs(lt - rt) <= gap
         }
         assert got == want, gap
+
+
+def test_dedup_exact_keeps_lowest_id_rows(spark):
+    from aardappel_spark.ops.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other"), (5, "same text")],
+        ["doc_id", "text"],
+    )
+    kept = sorted((r.doc_id, r.text) for r in dedup_exact(docs).collect())
+    assert kept == [(1, "same text"), (2, "other")]
