@@ -788,3 +788,48 @@ def test_dedup_exact_keeps_lowest_id_rows(spark):
     )
     kept = sorted((r.doc_id, r.text) for r in dedup_exact(docs).collect())
     assert kept == [(1, "same text"), (2, "other")]
+
+
+def test_full_pos_total_order(spark):
+    """(step, tx_id, seq) struct ordering: equal positions keep arrival
+    order via seq — reference priority_queue.go:11-15 semantics."""
+    from aardappel_spark.types import full_pos
+
+    rows = [(2, 1, 0, "c"), (1, 1, 1, "b"), (1, 1, 0, "a"), (1, 0, 2, "z")]
+    df = spark.createDataFrame(rows, "step long, tx_id long, seq long, tag string")
+    got = [r.tag for r in df.orderBy(full_pos()).collect()]
+    assert got == ["z", "a", "b", "c"]
+
+
+def test_streaming_listener_feeds_registry(spark, tmp_path):
+    import json
+    import os
+    import time
+
+    from aardappel_spark.metrics import MetricsRegistry, make_streaming_listener
+
+    reg = MetricsRegistry()
+    listener = make_streaming_listener(reg)
+    spark.streams.addListener(listener)
+    try:
+        src = os.path.join(str(tmp_path), "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            for i in range(100):
+                f.write(json.dumps({"x": i}) + "\n")
+        stream = spark.readStream.schema("x long").json(src)
+        q = (
+            stream.groupBy().count().writeStream.format("memory")
+            .queryName("lst").outputMode("complete")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        for _ in range(50):
+            if reg.last_batch_mps > 0:
+                break
+            time.sleep(0.2)
+        assert reg.last_batch_mps > 0
+    finally:
+        spark.streams.removeListener(listener)
