@@ -60,8 +60,20 @@ class LockStorage:
                 stale = True  # holder just released; contend on next poll
             if not stale:
                 return False
+            # Single-winner steal: rename the stale mutex aside under a
+            # unique name first — exactly one contender's rename succeeds,
+            # so a loser can never rmdir a mutex the winner just re-created
+            # (the rmdir+mkdir steal reopened the double-acquire window).
+            grave = f"{self._mutex()}.stale.{uuid.uuid4().hex}"
             try:
-                os.rmdir(self._mutex())
+                os.rename(self._mutex(), grave)
+            except OSError:
+                return False  # another contender won the steal
+            try:
+                os.rmdir(grave)
+            except OSError:
+                pass  # leftover empty dir is inert; never blocks the lock
+            try:
                 os.mkdir(self._mutex())
                 return True
             except OSError:

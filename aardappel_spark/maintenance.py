@@ -52,17 +52,25 @@ def compact_small_files(
     concerns. On a real deployment run this per partition directory so
     the unit of work stays bounded.
     """
-    for leftover in (path + _TMP_SUFFIX, path + _OLD_SUFFIX):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    tmp = path + _TMP_SUFFIX
+    old = path + _OLD_SUFFIX
+    # Leftover recovery. A crash in the two-rename swap window (after
+    # `path` -> `.compact_old`, before `.compact_tmp` -> `path`) leaves
+    # `path` missing and the ONLY original data in `.compact_old`; restore
+    # it, never delete it. Staging dirs are dead copies (safe to clear)
+    # only while `path` itself exists.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(path):
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
 
     n_files, total = parquet_file_stats(path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files < min_files or n_files <= n_out:
         return n_files
 
-    tmp = path + _TMP_SUFFIX
-    old = path + _OLD_SUFFIX
     df = spark.read.parquet(path)
     # coalesce avoids a shuffle: it merges input splits driver-side
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)

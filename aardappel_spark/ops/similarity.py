@@ -70,12 +70,22 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT tier: all pairs with
     cosine >= threshold. Norms are precomputed per vector so the O(n^2)
-    stage does one dot product per pair. Use only when n^2 is feasible
-    (dedup of a candidate subset, or <= ~10^5 vectors); the scale path is
-    ``cosine_neardup_lsh``."""
+    stage does one dot product per pair. This is the ONLY cartesian
+    product in the codebase — it refuses inputs above ``max_rows``
+    (n^2 pair arithmetic is never the 100 TB path) so it can't silently
+    ship at scale; use ``cosine_neardup_pairs_blas`` for the exact tier
+    or ``cosine_neardup_lsh`` for the approximate scale tier instead."""
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs is the all-pairs small tier ({n} rows > "
+            f"max_rows={max_rows}): use cosine_neardup_pairs_blas (exact, "
+            "block-partitioned) or cosine_neardup_lsh (approximate) at scale"
+        )
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -152,11 +152,11 @@ def rolling_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Order-SENSITIVE document fingerprint: polynomial rolling hash over
-    the BPE-ish token sequence, h = fold(h * 31 + md5_56(token) mod p).
+    the BPE-ish token sequence, h = fold(h * 31 + md5_28(token) mod p).
     Complements ``fingerprint`` (bag-of-words, order-invariant): two docs
     with the same words in different order fingerprint equal there but
-    differ here. Token hash is the first 56 bits of md5 so the fold stays
-    within int64 (max acc*31 + h < 2^35 * 31 + 2^28 << 2^63)."""
+    differ here. Token hash is the first 28 bits (7 hex digits) of md5 so
+    the fold stays within int64 (max acc*31 + h < 2^35 * 31 + 2^28 << 2^63)."""
     toks = bpe_tokens_col(text_col)
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")

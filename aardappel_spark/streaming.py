@@ -292,9 +292,16 @@ class ReplicationEngine:
     # heartbeat guard's census; expected_partitions stays the quorum gate.
     stream_partitions: dict[int, int] | None = None
     hb_state: dict[tuple[int, int], tuple[Decimal, Decimal]] = field(default_factory=dict)
-    # W2: wall-clock of the last COMPLETE heartbeat set (lastFullHbTime,
-    # hb_tracker.go:33,113); the guard loop compares against it.
+    # W2: wall-clock of the last COMPLETE set of FRESH heartbeats
+    # (lastFullHbTime, hb_tracker.go:33,113); the guard loop compares
+    # against it. `hb_fresh` tracks which partitions heartbeated since the
+    # last quorum consumption — the reference deletes consumed tracker
+    # entries on Commit, so its full-set test only passes again once every
+    # partition has produced a genuinely new heartbeat. Testing the
+    # cumulative `hb_state` size instead would restamp on every batch
+    # forever after the first full set and the guard would never fire.
     last_full_hb_time: float | None = None
+    hb_fresh: set[tuple[int, int]] = field(default_factory=set)
     batches_applied: int = 0
     modifications: int = 0
 
@@ -407,15 +414,36 @@ class ReplicationEngine:
         for t, p, s, x in data:
             self.hb_state[(int(t), int(p))] = (Decimal(s), Decimal(x))
 
-    def _update_hb_state(self, heartbeats: DataFrame) -> None:
+    def _update_hb_state(self, heartbeats: DataFrame) -> set[tuple[int, int]]:
+        """Fold a batch's heartbeats into ``hb_state``; returns the set of
+        (table_id, partition) keys that heartbeated in THIS batch (fresh
+        keys for the W2 guard, whether or not they advanced the high)."""
+        seen: set[tuple[int, int]] = set()
         for r in heartbeats.groupBy("table_id", "partition").agg(
             F.max(pos()).alias("hb")
         ).collect():
             k = (r.table_id, r.partition)
+            seen.add(k)
             cur = self.hb_state.get(k)
             cand = (r.hb.step, r.hb.tx_id)
             if cur is None or cand > cur:
                 self.hb_state[k] = cand
+        return seen
+
+    def _note_fresh_heartbeats(self, seen: set[tuple[int, int]], now: float) -> None:
+        """W2 stamp: ``last_full_hb_time`` advances only when every expected
+        partition has heartbeated since the last quorum consumption."""
+        self.hb_fresh.update(seen)
+        if len(self.hb_fresh) >= self.expected_partitions:
+            self.last_full_hb_time = now
+
+    def _consume_fresh_heartbeats(self, q: tuple[Decimal, Decimal]) -> None:
+        """Mirror of the reference's tracker Commit (hb_tracker.go): a
+        quorum apply consumes heartbeats at-or-below the cut — partitions
+        whose high is still above ``q`` stay fresh."""
+        self.hb_fresh = {
+            k for k in self.hb_fresh if k in self.hb_state and self.hb_state[k] > q
+        }
 
     def quorum(self) -> tuple[Decimal, Decimal] | None:
         if len(self.hb_state) < self.expected_partitions:
@@ -453,9 +481,8 @@ class ReplicationEngine:
             # older than a heartbeat the stream had already emitted
             # (verifyStream, reader.go:150-207)
             hb_before = dict(self.hb_state)
-            self._update_hb_state(split_heartbeats(parsed))
-            if len(self.hb_state) >= self.expected_partitions:
-                self.last_full_hb_time = _time.time()
+            seen_hb = self._update_hb_state(split_heartbeats(parsed))
+            self._note_fresh_heartbeats(seen_hb, _time.time())
 
             events = split_events(parsed).select(
                 *[f.name for f in CDC_EVENT_SCHEMA.fields]
@@ -529,6 +556,7 @@ class ReplicationEngine:
             self._write_pending(remainder, batch_id)
             stage = STAGE_RUN  # first successful quorum apply flips stage
             self.state.write(q, stage)
+            self._consume_fresh_heartbeats(q)
             self._persist_hb(batch_id)
             self.batches_applied += 1
             self.metrics.on_batch_applied(

@@ -85,6 +85,38 @@ def test_lock_concurrent_acquisition_single_winner(tmp_path):
     assert results.count(True) == 1
 
 
+def test_lock_stale_mutex_steal_single_winner(tmp_path):
+    """ADVICE r2: the stale-mutex steal must be single-winner — N threads
+    all observing the same stale mutex dir race the steal, and exactly one
+    may end up inside the critical section (the rmdir+mkdir steal let a
+    loser rmdir the winner's freshly created mutex)."""
+    import threading
+
+    from aardappel_spark.locker import LockStorage
+
+    path = str(tmp_path / "race.lock")
+    store = LockStorage(path, mutex_ttl=0.5)
+    os.mkdir(store._mutex())
+    stale = time.time() - 60
+    os.utime(store._mutex(), (stale, stale))
+
+    results = []
+    barrier = threading.Barrier(8)
+
+    def contend():
+        s = LockStorage(path, mutex_ttl=0.5)
+        barrier.wait()
+        results.append(s._enter())
+
+    threads = [threading.Thread(target=contend) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count(True) == 1
+    assert os.path.isdir(store._mutex())  # the winner holds a fresh mutex
+
+
 # -- small-file compaction (maintenance.py) ----------------------------------
 
 
@@ -118,6 +150,30 @@ def test_compact_small_files_clears_stale_temp(spark, tmp_path):
     spark.range(100).repartition(4).write.parquet(path)
     os.makedirs(path + ".compact_tmp")  # crash leftover
     n = compact_small_files(spark, path, target_bytes=1)  # target tiny -> no-op (already >= files)
+    assert not os.path.exists(path + ".compact_tmp")
+    assert n == 4
+
+
+def test_compact_crash_between_renames_recovers_original(spark, tmp_path):
+    """ADVICE r2: a crash between `path -> .compact_old` and
+    `.compact_tmp -> path` leaves the only data copies in the staging
+    dirs; the next run must RESTORE .compact_old, not rmtree it."""
+    import shutil
+
+    from aardappel_spark.maintenance import compact_small_files
+
+    path = os.path.join(str(tmp_path), "t")
+    spark.range(200).repartition(4).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # simulate the mid-swap crash window
+    shutil.copytree(path, path + ".compact_tmp")
+    os.rename(path, path + ".compact_old")
+    assert not os.path.exists(path)
+
+    n = compact_small_files(spark, path, target_bytes=1)  # tiny target -> no rewrite
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + ".compact_old")
     assert not os.path.exists(path + ".compact_tmp")
     assert n == 4
 

@@ -203,6 +203,18 @@ def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
         assert k in exact and abs(exact[k] - v) < 1e-9
 
 
+def test_cosine_neardup_pairs_refuses_large_input(spark, sf_dir):
+    """VERDICT r2: the only cartesian in the codebase must refuse inputs
+    above its size guard instead of silently shipping O(n^2) at scale."""
+    import pytest
+
+    from aardappel_spark.ops.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="cosine_neardup_pairs_blas"):
+        cosine_neardup_pairs(emb, 0.45, max_rows=10)
+
+
 def test_cosine_neardup_blas_matches_expression_impl(spark, sf_dir):
     from aardappel_spark.ops.similarity import (
         cosine_neardup_pairs,

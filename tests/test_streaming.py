@@ -203,6 +203,47 @@ def test_crashed_batch_replay_converges(spark, tmp_path):
     assert (st["step_id"], st["tx_id"]) == (Decimal(50), Decimal(0))
 
 
+def test_full_hb_stamp_requires_fresh_set_after_consumption(spark, tmp_path):
+    """ADVICE r2 (W2): `last_full_hb_time` must only advance on a full set
+    of heartbeats that are NEW since the last quorum consumption — the
+    reference deletes consumed tracker entries (hb_tracker.go Commit), so
+    one partition going silent mid-run stalls the stamp and the guard
+    fires. Testing cumulative hb_state size restamps forever."""
+    tmp = str(tmp_path)
+    eng = make_engine(spark, tmp)
+
+    def batch(name, rows):
+        src = os.path.join(tmp, name)
+        write_jsonl(os.path.join(src, "f.jsonl"), rows)
+        return spark.read.schema("partition int, offset long, value string").json(src)
+
+    # batch 0: full hb set at the same position -> stamp, then the quorum
+    # apply consumes BOTH entries (neither is above the cut)
+    eng.process_batch(
+        batch("b0", [(0, 1, msg_update(1, "a", 10, 1)), (0, 2, msg_hb(50)), (1, 3, msg_hb(50))]),
+        batch_id=0,
+    )
+    t0 = eng.last_full_hb_time
+    assert t0 is not None
+    assert eng.hb_fresh == set()
+
+    # partition 1 goes silent; partition 0 keeps heartbeating alone —
+    # the stamp must NOT advance even though hb_state stays full-size
+    eng.process_batch(batch("b1", [(0, 4, msg_hb(60))]), batch_id=1)
+    eng.process_batch(batch("b2", [(0, 5, msg_hb(70))]), batch_id=2)
+    assert eng.last_full_hb_time == t0
+    assert len(eng.hb_state) == 2  # cumulative state IS still full-size
+
+    # partition 1 comes back -> genuinely fresh full set -> stamp advances
+    eng.process_batch(batch("b3", [(1, 6, msg_hb(80))]), batch_id=3)
+    assert eng.last_full_hb_time is not None and eng.last_full_hb_time > t0
+
+    # consumption mirror: the quorum cut q=(70,0) consumed partition 0's
+    # heartbeat exactly at the cut, while partition 1's (80,0) is above it
+    # and therefore stays fresh (hb_tracker keeps entries above the cut)
+    assert eng.hb_fresh == {(0, 1)}
+
+
 def test_out_of_order_routed_by_command_and_strategy(spark, tmp_path):
     """W3: late change (behind its partition's known heartbeat, above the
     checkpoint) -> 'skip' command drops to DLQ, 'apply' keeps, driven as
