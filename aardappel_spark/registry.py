@@ -116,6 +116,46 @@ p1 AS (
 pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1))
 """
 
+def _hyperplane_values_sql(bits: int, dims: int = 64) -> str:
+    """SQL VALUES rows ``(b, i, s)`` replicating ops.similarity.
+    hyperplane_signature's plan-time md5 hyperplane signs (component
+    (b, d) = +1 iff the first hex digit of md5(f"{b}:{d}") is odd) so
+    DuckDB computes the IDENTICAL LSH signature — the same trick
+    _PAIRS_CTE uses to oracle-gate the MinHash bands. ``i`` is 1-based
+    to join directly against generate_subscripts."""
+    import hashlib
+
+    rows = []
+    for b in range(bits):
+        for d in range(dims):
+            h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
+            s = "1.0" if int(h[0], 16) % 2 == 1 else "-1.0"
+            rows.append(f"({b},{d + 1},{s})")
+    return ",".join(rows)
+
+
+# shared oracle prefix: per-component view of the embeddings table plus
+# the hyperplane LSH signature (sg) per vector. Parameterized by the
+# Spark query's `bits`; ends at `sig`, consumers append with a comma.
+def _emb_sig_cte(bits: int) -> str:
+    return f"""
+WITH pl(b, i, s) AS (VALUES {_hyperplane_values_sql(bits)}),
+v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sg
+  FROM (
+    SELECT v.vec_id, pl.b, sum(v.x * pl.s) AS dp
+    FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.b
+  ) GROUP BY vec_id
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # analytics / pipeline queries (documents, embeddings, events, tpch)
 # ---------------------------------------------------------------------------
@@ -168,7 +208,8 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # rows-only check (no SQL oracle): approximate by design
+    # approximate by design, but DETERMINISTIC: the md5 hyperplane signs
+    # are replicated in the DuckDB oracle, so this is fully hash-gated
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_topk(emb, query_id=0, k=10, bits=6, extra_cols=["label"])
 
@@ -183,7 +224,8 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def q_emb_neardup_lsh(spark, sf_dir):
-    # rows-only: recall < 1 by design
+    # recall < 1 by design, but the bucket assignment is deterministic —
+    # the oracle replicates the hyperplane signs and hash-gates the result
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
 
@@ -214,7 +256,9 @@ def q_doc_rolling_fp(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # rows-only check (no SQL oracle): approximate by design (n_probe < n_centroids)
+    # approximate (n_probe < n_centroids) but fully deterministic: md5
+    # seeding + one Lloyd iteration are replicated step-for-step in the
+    # DuckDB oracle, so the probed candidate set and sims are hash-gated
     from .ops.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1302,6 +1346,127 @@ d AS (
 qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    # ANN-LSH is approximate but DETERMINISTIC: the oracle recomputes the
+    # identical md5 hyperplane signature (bits=6), restricts exact cosine
+    # to the query's bucket, and must match rows+schema+hash exactly.
+    "ann_lsh": _emb_sig_cte(6) + """,
+q AS (SELECT sg FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sig s, q WHERE s.sg = q.sg AND s.vec_id <> 0),
+qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qx
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT v.vec_id, any_value(v.label) AS label,
+         sum(v.x * qv.qx) AS dot, sum(v.x * v.x) AS n2
+  FROM v JOIN qv USING (i) JOIN cand ON v.vec_id = cand.vec_id
+  GROUP BY v.vec_id
+),
+qn AS (SELECT sum(qx * qx) AS qn2 FROM qv)
+SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
+FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    # Same-bucket pairs (bits=4) + exact cosine filter, mirroring
+    # cosine_neardup_lsh — emb_neardup's oracle restricted to the bands.
+    "emb_neardup_lsh": _emb_sig_cte(4) + """,
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+),
+d AS (
+  SELECT p.id_a, p.id_b, sum(va.x * vb.x) AS dot
+  FROM p JOIN v va ON va.vec_id = p.id_a
+         JOIN v vb ON vb.vec_id = p.id_b AND va.i = vb.i
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 3) AS sim
+FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.45
+""",
+    # Full step-for-step replica of ops.similarity.ivf_topk's
+    # deterministic pipeline (n_centroids=16, refine_iters=1, n_probe=6):
+    # md5-smallest seeding -> normalize -> assign (argmax cosine, lowest
+    # cluster wins ties like numpy argmax) -> raw-mean + renormalize (empty
+    # clusters keep their seed centroid) -> reassign -> probe the query's
+    # top-6 clusters (argsort()[::-1] tie order = higher cluster first) ->
+    # exact cosine re-rank. Approximate vs brute force, exact vs Spark.
+    "ann_ivf": """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 16
+),
+s0 AS (SELECT seeds.cid, v.i, v.x FROM seeds JOIN v USING (vec_id)),
+s0n AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM s0 GROUP BY cid),
+c0 AS (
+  SELECT s0.cid, s0.i,
+         s0.x / (CASE WHEN s0n.nrm = 0 THEN 1 ELSE s0n.nrm END) AS cx
+  FROM s0 JOIN s0n USING (cid)
+),
+a0d AS (
+  SELECT v.vec_id, c0.cid, sum(v.x * c0.cx) AS dp
+  FROM v JOIN c0 USING (i) GROUP BY v.vec_id, c0.cid
+),
+asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a0d
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT asg0.cid, v.i, avg(v.x) AS mx
+  FROM asg0 JOIN v USING (vec_id) GROUP BY asg0.cid, v.i
+),
+mn AS (SELECT cid, sqrt(sum(mx * mx)) AS nrm FROM m GROUP BY cid),
+c1 AS (
+  SELECT m.cid, m.i,
+         m.mx / (CASE WHEN mn.nrm = 0 THEN 1 ELSE mn.nrm END) AS cx
+  FROM m JOIN mn USING (cid)
+  UNION ALL
+  SELECT c0.cid, c0.i, c0.cx FROM c0
+  WHERE c0.cid NOT IN (SELECT DISTINCT cid FROM asg0)
+),
+a1d AS (
+  SELECT v.vec_id, c1.cid, sum(v.x * c1.cx) AS dp
+  FROM v JOIN c1 USING (i) GROUP BY v.vec_id, c1.cid
+),
+asg1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a1d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dp DESC, cid DESC) AS rn
+    FROM a1d WHERE vec_id = 0
+  ) WHERE rn <= 6
+),
+cand AS (
+  SELECT asg1.vec_id FROM asg1 JOIN probes USING (cid)
+  WHERE asg1.vec_id <> 0
+),
+qv AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+d AS (
+  SELECT v.vec_id, sum(v.x * qv.qx) AS dot, sum(v.x * v.x) AS n2
+  FROM v JOIN qv USING (i) JOIN cand ON v.vec_id = cand.vec_id
+  GROUP BY v.vec_id
+),
+qn AS (SELECT sum(qx * qx) AS qn2 FROM qv)
+SELECT d.vec_id, e.label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
+FROM d JOIN embeddings e ON d.vec_id = e.vec_id, qn
+ORDER BY sim DESC, d.vec_id LIMIT 10
 """,
     "text_bpe_tokens": r"""
 WITH t AS (
