@@ -112,11 +112,28 @@ def wire_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator consumes the materialized result (foreachBatch semantics).
 # Memoized per (session, sf_dir); also prevents Catalyst from substituting
 # the from_json chain into pushed-down predicates (see parse.py note).
-_PARSED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_parsed_cache(spark: SparkSession | None = None) -> int:
+    """Evict the memoized parse barriers (and unpersist their blocks when
+    a live session is given); see registry.clear_query_caches."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    evicted = 0
+    for key in list(_PARSED_CACHE):
+        if app is None or key[0] == app:
+            df = _PARSED_CACHE.pop(key)
+            evicted += 1
+            if app is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped
+    return evicted
 
 
 def parsed_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PARSED_CACHE:
         df = parse_messages(wire_messages(spark, sf_dir), table_id_col=None)
         # localCheckpoint over persist(): ~4x cheaper materialization (no

@@ -173,12 +173,44 @@ def q_dedup_minhash(spark, sf_dir):
     return _minhash_sig_cached(spark, sf_dir)
 
 
-# signatures feed the listing query AND the band joins — build once
-_MINHASH_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+# signatures feed the listing query AND the band joins — build once.
+# Cache keys are (applicationId, sf_dir): stable across the session's
+# lifetime (unlike id(), which can be reused after GC) and shared by
+# sibling sessions on one context, whose JVM blocks are shared anyway.
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark, sf_dir) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_query_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist and evict the memoized shared frames (minhash
+    signatures, LSH pairs, simhash64, cdc parse barrier). With a live
+    session: unpersists that session's frames JVM-side and evicts them.
+    With None: evicts every entry without touching the JVM (for teardown
+    paths where the owning sessions are already stopped). Returns the
+    number of evicted entries. Long-lived processes that cycle sessions
+    should call this on session stop so dead persisted frames don't
+    accumulate in the driver."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    evicted = 0
+    for cache in (_MINHASH_SIG_CACHE, _PAIRS_CACHE, _SIMHASH64_CACHE):
+        for key in list(cache):
+            if app is None or key[0] == app:
+                df = cache.pop(key)
+                evicted += 1
+                if app is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session already stopped; blocks died with it
+    evicted += cdc.clear_parsed_cache(spark)
+    return evicted
 
 
 def _minhash_sig_cached(spark, sf_dir):
-    key = (id(spark._jsparkSession), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _MINHASH_SIG_CACHE:
         _MINHASH_SIG_CACHE[key] = minhash_signatures(
             _docs(spark, sf_dir), num_hashes=4
@@ -282,13 +314,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 # the wide fingerprint build (two n_tokens*bits shuffles) feeds both the
 # fingerprint listing and the Hamming-band pair join — one materialization
-_SIMHASH64_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH64_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _simhash64_cached(spark, sf_dir):
     from .ops.dedup import simhash_wide
 
-    key = (id(spark._jsparkSession), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _SIMHASH64_CACHE:
         _SIMHASH64_CACHE[key] = simhash_wide(_docs(spark, sf_dir), bits=60).persist()
     return _SIMHASH64_CACHE[key]
@@ -314,11 +346,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 # Jaccard, n-gram Jaccard) — same memoize-and-persist pattern as
 # cdc_queries.parsed_messages, and the same pipeline reality: candidates
 # are computed once, verification stages fan out from them.
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_pairs_cached(spark, sf_dir):
-    key = (id(spark._jsparkSession), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = minhash_candidate_pairs(
             _docs(spark, sf_dir),

@@ -50,9 +50,17 @@ def apply_required_confs(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "aardappel-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local mode runs every "executor" thread inside the driver JVM, whose
+    # default heap is 1g — far too small for 32 threads plus persisted
+    # shared frames, and the resulting GC pressure taxes EVERY query
+    # (measured ~1.4-1.9x uniform inflation on a 71-query run). Static
+    # conf: only effective for the process that launches the JVM; on a
+    # cluster, executor sizing comes from the deployment instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
     )
     for k, v in {**REQUIRED_CONFS, **DEFAULT_CONFS}.items():
         builder = builder.config(k, v)

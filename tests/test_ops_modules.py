@@ -203,6 +203,28 @@ def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
         assert k in exact and abs(exact[k] - v) < 1e-9
 
 
+def test_clear_query_caches_unpersists(spark, sf_dir):
+    """ADVICE r2: the memoized shared frames must be evictable — after
+    clear_query_caches the dict entries are gone and the persisted blocks
+    released, so cycling sessions in one process can't accumulate dead
+    frames. Keys are applicationId-based (stable, unlike id())."""
+    from aardappel_spark import registry
+
+    sig = registry._minhash_sig_cached(spark, sf_dir)
+    registry._minhash_pairs_cached(spark, sf_dir)
+    sig.count()  # materialize the persist
+    assert sig.storageLevel.useMemory or sig.storageLevel.useDisk
+
+    n = registry.clear_query_caches(spark)
+    assert n >= 2
+    assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
+    assert not registry._MINHASH_SIG_CACHE and not registry._PAIRS_CACHE
+
+    # rebuild works after eviction (fresh frame, not the stale one)
+    assert registry._minhash_sig_cached(spark, sf_dir) is not sig
+    registry.clear_query_caches(spark)
+
+
 def test_cosine_neardup_pairs_refuses_large_input(spark, sf_dir):
     """VERDICT r2: the only cartesian in the codebase must refuse inputs
     above its size guard instead of silently shipping O(n^2) at scale."""
@@ -599,13 +621,13 @@ def test_salted_agg_matches_direct(spark):
 
 def test_registry_contract():
     """Driver-contract invariants: every oracle belongs to a registered
-    query; every query lacking an oracle is on the documented rows-only
-    list (approximate recall by design); names are unique and stable."""
+    query, and EVERY query now has an oracle — the three approximate ANN
+    queries were the last rows-only entries, hash-gated in r3 via
+    plan-time md5 replication (see _emb_sig_cte / the ann_ivf oracle)."""
     from aardappel_spark.registry import ORACLES, QUERIES
 
-    rows_only = {"ann_lsh", "ann_ivf", "emb_neardup_lsh"}
     assert set(ORACLES) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLES) == rows_only
+    assert set(QUERIES) - set(ORACLES) == set()
     # oracle SQL must alias columns the way the driver compares them
     for name, sql in ORACLES.items():
         assert sql.strip(), name
