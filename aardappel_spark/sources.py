@@ -95,6 +95,77 @@ def read_kafka_stream(
     return project_kafka_records(reader.load(), table_id_by_topic)
 
 
+# the record shape Spark's kafka source emits from load() (its fixed
+# output schema), minus headers — what read_kafka_stream projects from
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+# on-disk shape of a recorded Kafka batch: binary fields as base64 text
+RECORDED_KAFKA_SCHEMA = (
+    "topic string, partition int, offset long, key string, value string, "
+    "timestamp_ms long"
+)
+
+
+def record_kafka_fixture(path: str, records) -> None:
+    """Write ``(topic, partition, offset, key bytes|None, value bytes,
+    ts_ms)`` tuples as one recorded JSONL batch file for
+    ``read_recorded_kafka_stream`` (base64 for the binary fields)."""
+    import base64
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for topic, partition, offset, key, value, ts_ms in records:
+            f.write(
+                json.dumps(
+                    {
+                        "topic": topic,
+                        "partition": partition,
+                        "offset": offset,
+                        "key": base64.b64encode(key).decode() if key is not None else None,
+                        "value": base64.b64encode(value).decode(),
+                        "timestamp_ms": ts_ms,
+                    }
+                )
+                + "\n"
+            )
+
+
+def read_recorded_kafka_stream(
+    spark: SparkSession,
+    path: str,
+    table_id_by_topic: dict[str, int] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay recorded Kafka record batches through the live reader's
+    EXACT post-``load()`` path (S1 without a broker, which the sandbox
+    lacks): each recorded row is reconstructed into the kafka source's
+    record shape (``KAFKA_RECORD_SCHEMA`` — binary key/value, topic,
+    partition, offset, event timestamp) and fed to the same
+    ``project_kafka_records`` projection ``read_kafka_stream`` uses, so
+    everything downstream of the broker connection — binary decode,
+    topic->table_id discrimination, per-partition offset order — is the
+    production code path. Reference semantics: ordered per-partition
+    topic read (internal/reader/reader.go:145-292)."""
+    reader = spark.readStream.schema(RECORDED_KAFKA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    records = reader.json(path).select(
+        F.unbase64(F.col("key")).alias("key"),
+        F.unbase64(F.col("value")).alias("value"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    return project_kafka_records(records, table_id_by_topic)
+
+
 def read_file_batch(spark: SparkSession, path: str) -> DataFrame:
     """Batch flavor of the file source (for the pure-batch kernel and the
     command-topic drain, S12)."""

@@ -702,6 +702,97 @@ def test_multi_stream_end_to_end_run_stream(spark, tmp_path):
     assert st["step_id"] == Decimal(99) and st["stage"] == STAGE_RUN
 
 
+def test_kafka_replay_end_to_end_run_stream(spark, tmp_path):
+    """S1 closure (VERDICT r2 #5): recorded Kafka record batches — the
+    exact record shape the kafka data source emits, binary payloads and
+    all — replayed through read_recorded_kafka_stream (which shares the
+    live reader's full post-load() path) and driven end-to-end through
+    run_stream: multi-topic table discrimination, quorum gating,
+    checkpointed restart/resume. Mirrors internal/reader/reader.go:145-292
+    minus only the broker socket."""
+    from aardappel_spark.sources import (
+        read_recorded_kafka_stream,
+        record_kafka_fixture,
+    )
+
+    tmp = str(tmp_path)
+    orders_meta = TableMeta(
+        "orders",
+        primary_key=["order_id"],
+        columns={"order_id": "Int64", "amount": "Optional<Utf8>"},
+    )
+    streams = [
+        StreamConfig(0, META, os.path.join(tmp, "dst_users"), DST_SCHEMA),
+        StreamConfig(
+            1, orders_meta, os.path.join(tmp, "dst_orders"),
+            "order_id bigint, amount string",
+        ),
+    ]
+    topics = {"users_cdc": 0, "orders_cdc": 1}
+
+    def msg_order(oid, amount, step, txid):
+        return json.dumps(
+            {"update": {"amount": amount}, "key": [oid], "ts": [step, txid]}
+        )
+
+    rec_dir = os.path.join(tmp, "recorded")
+    record_kafka_fixture(
+        os.path.join(rec_dir, "batch1.jsonl"),
+        [
+            ("users_cdc", 0, 1, b"[1]", msg_update(1, "u1", 10, 1).encode(), 1000),
+            ("orders_cdc", 0, 1, b"[100]", msg_order(100, "9.99", 12, 1).encode(), 1001),
+            ("users_cdc", 0, 2, None, msg_update(2, "u2", 40, 1).encode(), 1002),
+            ("users_cdc", 0, 3, None, msg_hb(50).encode(), 1003),
+            ("orders_cdc", 0, 2, None, msg_hb(30).encode(), 1004),
+        ],
+    )
+    eng = ReplicationEngine(
+        spark=spark,
+        streams=streams,
+        expected_partitions=2,
+        work_dir=os.path.join(tmp, "work"),
+    )
+    source = read_recorded_kafka_stream(spark, rec_dir, table_id_by_topic=topics)
+    assert source.isStreaming
+    q = eng.run_stream(source, os.path.join(tmp, "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    # quorum = min(50, 30): users step-10 and order step-12 apply;
+    # users step-40 stays pending above the cut
+    assert {r.user_id: r.value for r in eng.tables[0].current().collect()} == {1: "u1"}
+    assert {r.order_id: r.amount for r in eng.tables[1].current().collect()} == {
+        100: "9.99"
+    }
+
+    # a later recorded batch + a fresh engine (driver restart): Spark's
+    # checkpoint must resume past batch1's offsets, not re-read them
+    record_kafka_fixture(
+        os.path.join(rec_dir, "batch2.jsonl"),
+        [
+            ("users_cdc", 0, 4, None, msg_hb(99).encode(), 2000),
+            ("orders_cdc", 0, 3, None, msg_hb(99).encode(), 2001),
+        ],
+    )
+    eng2 = ReplicationEngine(
+        spark=spark,
+        streams=streams,
+        expected_partitions=2,
+        work_dir=os.path.join(tmp, "work"),
+    )
+    source2 = read_recorded_kafka_stream(spark, rec_dir, table_id_by_topic=topics)
+    q2 = eng2.run_stream(source2, os.path.join(tmp, "ckpt"), available_now=True)
+    q2.awaitTermination(120)
+    assert {r.user_id: r.value for r in eng2.tables[0].current().collect()} == {
+        1: "u1",
+        2: "u2",
+    }
+    assert {r.order_id: r.amount for r in eng2.tables[1].current().collect()} == {
+        100: "9.99"
+    }
+    st = eng2.state.read()
+    assert st["step_id"] == Decimal(99) and st["stage"] == STAGE_RUN
+
+
 def test_catch_up_crash_at_every_subbatch_converges(spark, tmp_path):
     """W4/W5: kill the engine after each k-th sub-batch commit of the
     initial-scan catch-up; a fresh engine replaying the micro-batch must
@@ -767,6 +858,98 @@ def test_catch_up_crash_at_every_subbatch_converges(spark, tmp_path):
         assert got_rows == want_rows, f"crash_after={crash_after}"
         st = eng2.state.read()
         assert st["stage"] == STAGE_RUN and st["step_id"] == want_step
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_wide_multi_stream_crash_replay_fuzz(spark, tmp_path, seed):
+    """W1/W5 at realistic width (VERDICT r2 #8): 4 streams x 8 partitions
+    — the quorum is a min over 32 (table, partition) heartbeat highs —
+    with a randomly placed driver crash (commit done, state write lost)
+    and restart replaying the same micro-batch. Final per-table state
+    must equal the single-shot batch apply of everything below the final
+    quorum, exactly once."""
+    import random
+
+    rng = random.Random(seed)
+    tmp = str(tmp_path)
+    n_streams, n_parts = 4, 8
+    metas = [
+        TableMeta(
+            f"t{t}",
+            primary_key=["user_id"],
+            columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+        )
+        for t in range(n_streams)
+    ]
+    streams = [
+        StreamConfig(t, metas[t], os.path.join(tmp, f"dst{t}"), DST_SCHEMA)
+        for t in range(n_streams)
+    ]
+
+    msgs = []
+    step, off = 0, 0
+    for _ in range(150):
+        step += rng.randint(1, 3)
+        t, p = rng.randrange(n_streams), rng.randrange(n_parts)
+        roll = rng.random()
+        if roll < 0.25:
+            msgs.append((t, p, off, msg_hb(step)))
+        elif roll < 0.4:
+            msgs.append((t, p, off, msg_erase(rng.randint(0, 9), step, 1)))
+        else:
+            msgs.append((t, p, off, msg_update(rng.randint(0, 9), f"t{t}v{off}", step, 1)))
+        off += 1
+    # close with a COMPLETE 32-key heartbeat set so the quorum advances
+    final_hb = step + 1
+    for t in range(n_streams):
+        for p in range(n_parts):
+            msgs.append((t, p, off, msg_hb(final_hb)))
+            off += 1
+
+    cuts = sorted(rng.sample(range(1, len(msgs)), 3))
+    batches = [
+        msgs[a:b] for a, b in zip([0] + cuts, cuts + [len(msgs)]) if msgs[a:b]
+    ]
+    kill_at = rng.randrange(len(batches))
+    raw_schema = "table_id int, partition int, offset long, value string"
+
+    def fresh_engine():
+        return ReplicationEngine(
+            spark=spark,
+            streams=streams,
+            expected_partitions=n_streams * n_parts,
+            work_dir=os.path.join(tmp, "work"),
+        )
+
+    eng = fresh_engine()
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, raw_schema)
+        if i == kill_at:
+            # crash AFTER destination commits, BEFORE the state write; the
+            # restarted driver replays the same micro-batch id
+            eng.state.write = lambda *a, **k: None
+            eng.process_batch(df, i)
+            eng = fresh_engine()
+        eng.process_batch(df, i)
+
+    raw = spark.createDataFrame(msgs, raw_schema)
+    from aardappel_spark.types import pos, pos_lit
+
+    ev = split_events(parse_messages(raw, table_id_col="table_id")).filter(
+        pos() < pos_lit(final_hb, 0)
+    )
+    for t in range(n_streams):
+        dst0 = spark.createDataFrame([], DST_SCHEMA)
+        expected = {
+            r.user_id: r.value
+            for r in apply_batch(
+                dst0, ev.filter(F.col("table_id") == t), metas[t]
+            ).collect()
+        }
+        got = {r.user_id: r.value for r in eng.tables[t].current().collect()}
+        assert got == expected, f"table {t} (kill_at={kill_at})"
+    st = eng.state.read()
+    assert st["step_id"] == Decimal(final_hb) and st["stage"] == STAGE_RUN
 
 
 @pytest.mark.parametrize("seed", [11, 42, 77])
