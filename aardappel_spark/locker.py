@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import socket
 import time
 import uuid
@@ -57,33 +58,29 @@ class LockStorage:
             try:
                 stale = time.time() - os.stat(self._mutex()).st_mtime > self.mutex_ttl
             except FileNotFoundError:
-                stale = True  # holder just released; contend on next poll
+                return False  # holder just released; contend on next poll
             if not stale:
                 return False
-            # Single-winner steal: rename the stale mutex aside under a
-            # unique name first — exactly one contender's rename succeeds,
-            # so a loser can never rmdir a mutex the winner just re-created
-            # (the rmdir+mkdir steal reopened the double-acquire window).
-            grave = f"{self._mutex()}.stale.{uuid.uuid4().hex}"
+            # Single-winner steal WITHOUT removing the mutex: stealers race
+            # an atomic inner mkdir inside the stale dir. The mutex path
+            # never goes absent mid-steal, so a bare-mkdir contender can't
+            # slip in as a second winner, and a steal loser can't clobber
+            # the winner's mutex (the rmdir/rename-based steals both had
+            # that window — N racing contenders produced multiple winners).
             try:
-                os.rename(self._mutex(), grave)
+                os.mkdir(os.path.join(self._mutex(), ".steal"))
             except OSError:
-                return False  # another contender won the steal
+                return False  # lost the steal race (or mutex was released)
             try:
-                os.rmdir(grave)
+                # refresh ownership so non-stealers see a live mutex again
+                os.utime(self._mutex())
             except OSError:
-                pass  # leftover empty dir is inert; never blocks the lock
-            try:
-                os.mkdir(self._mutex())
-                return True
-            except OSError:
-                return False
+                pass
+            return True
 
     def _exit(self) -> None:
-        try:
-            os.rmdir(self._mutex())
-        except FileNotFoundError:
-            pass
+        # the mutex may contain a .steal marker from a takeover
+        shutil.rmtree(self._mutex(), ignore_errors=True)
 
     def try_write(self, expected_owner: str | None, row: dict) -> bool:
         """CAS: write ``row`` only if the current owner is ``expected_owner``
