@@ -36,6 +36,42 @@ def test_semi_and_anti_joins_stay_semi_anti(spark):
     assert "LeftAnti" in _plan(spark, "tpch_q22")
 
 
+@pytest.mark.parametrize(
+    "qname", ["tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q16"]
+)
+def test_new_tpch_dims_broadcast_no_cartesian(spark, qname):
+    plan = _plan(spark, qname)
+    assert "BroadcastHashJoin" in plan, f"{qname}: no broadcast join in plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("qname", ["tpch_q11", "tpch_q15", "tpch_q17"])
+def test_scalar_subqueries_broadcast_single_rows(spark, qname):
+    """The global-scalar comparisons (total value, max revenue, per-part
+    stats) must join as broadcasts; the only tolerated nested-loop is a
+    1-row scalar broadcast (the standard scalar-subquery shape)."""
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_self_joins_reuse_orderkey_partitioning(spark):
+    """q21's lineitem self-joins all key on l_orderkey: sort-merge joins
+    are expected, but never a nested loop, and the semi/anti structure
+    must survive planning."""
+    plan = _plan(spark, "tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q20_semi_join_chain(spark):
+    plan = _plan(spark, "tpch_q20")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q6_filters_reach_the_scan(spark):
     plan = _plan(spark, "tpch_q6")
     assert "PushedFilters: [" in plan
