@@ -237,6 +237,36 @@ def char_ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    prefix_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance verification: classic Levenshtein between the two
+    documents' text prefixes for each candidate pair — the string-level
+    complement to the set-based Jaccard verifiers (catches near-dups
+    whose edits preserve the token multiset, e.g. reorderings fail here
+    but pass Jaccard, and vice versa). Levenshtein is O(len^2), which is
+    exactly why it only ever runs on LSH candidates and on a bounded
+    prefix, never corpus x corpus. Output: (doc_a, doc_b, edit_dist)."""
+    p = _candidate_docs(docs, pairs, id_col).select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix_len).alias("_p")
+    )
+    a = p.select(F.col(id_col).alias("doc_a"), F.col("_p").alias("_pa"))
+    b = p.select(F.col(id_col).alias("doc_b"), F.col("_p").alias("_pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_pa", "_pb").cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
 def simhash_wide(
     docs: DataFrame,
     bits: int = 60,

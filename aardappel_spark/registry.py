@@ -1155,6 +1155,71 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """String-level near-dup verification: Levenshtein over the shared
+    LSH candidate pairs (bounded prefix — O(len^2) per pair never runs
+    corpus-wide)."""
+    from .ops.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir), prefix_len=40
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase with strictly
+    increasing times): each stage is a min-timestamp aggregation joined
+    to the previous stage — no window over the whole event stream, so
+    each stage shuffles only the surviving users. Micros everywhere
+    (ts div 1000 == epoch_us) for engine-identical boundaries."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("mic")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("mic").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("mic") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("mic").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("mic") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("mic").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-active epoch
+    week, distinct-user counts per (cohort week, week offset). Pure
+    integer arithmetic on micros — no calendar/timezone functions, so
+    the buckets are bit-identical across engines."""
+    week_us = 7 * 86400 * 1_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr(f"(ts div 1000) div {week_us}").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def q_tpch_q2(spark, sf_dir):
     """Min-cost supplier (q2-adapted: testdata has no partsupp, so the
     part-supplier 'supply cost' is each supplier's MIN lineitem
@@ -1174,15 +1239,16 @@ def q_tpch_q2(spark, sf_dir):
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(_dec("l_extendedprice")).alias("cost"))
     )
-    min_cost = supply.groupBy(F.col("p_partkey").alias("mp")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    # correlated min as a window over the already-aggregated supply frame:
+    # ONE pass over the fact side (a groupBy-then-self-join recomputed the
+    # whole 5-table join twice — 10 parquet scans, no exchange reuse)
+    from pyspark.sql.window import Window
+
     return (
-        supply.join(
-            min_cost,
-            (supply["p_partkey"] == min_cost["mp"])
-            & (supply["cost"] == min_cost["min_cost"]),
+        supply.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
         )
+        .filter(F.col("cost") == F.col("min_cost"))
         .select(
             F.round(_dec("s_acctbal").cast("double"), 2).alias("s_acctbal"),
             "s_name",
@@ -1306,14 +1372,17 @@ def q_tpch_q11(spark, sf_dir):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     value = af.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("val"))
-    total = af.agg(F.sum(_dec("l_extendedprice")).cast("decimal(24,2)").alias("tot"))
-    n_parts = value.agg(F.count("*").alias("n"))
     # scale-free fraction (the original scales its 0.0001 by 1/SF): keep
     # parts worth more than 2x the average per-part value, compared by
-    # exact-decimal cross-multiplication
+    # exact-decimal cross-multiplication. Both scalars come from a window
+    # over the per-part frame (catalog cardinality), so the fact-side
+    # join+agg runs ONCE instead of thrice.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
     return (
-        value.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(n_parts))
+        value.withColumn("tot", F.sum("val").over(w).cast("decimal(24,2)"))
+        .withColumn("n", F.count("*").over(w))
         .filter(F.col("val") * F.col("n") > F.col("tot") * 2)
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -1350,9 +1419,14 @@ def q_tpch_q15(spark, sf_dir):
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
     rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total"))
-    mx = rev.agg(F.max("total").alias("mx"))
+    # global max via a window on the aggregated frame (one row per
+    # supplier — catalog cardinality, so the single-partition window is
+    # bounded; the scalar-subquery crossJoin recomputed the quarter's
+    # lineitem aggregation twice)
+    from pyspark.sql.window import Window
+
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total").over(Window.partitionBy()))
         .filter(F.col("total") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select(
@@ -1563,6 +1637,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "doc_search": q_doc_search,
     "tpch_q22": q_tpch_q22,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2524,6 +2601,34 @@ WHERE c.c_acctbal::DECIMAL(12,2) * s.n > s.tot
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c.c_mktsegment
+""",
+    "dedup_edit_distance": _PAIRS_CTE + """,
+pref AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+SELECT pr.doc_a, pr.doc_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM pairs pr JOIN pref a ON pr.doc_a = a.doc_id JOIN pref b ON pr.doc_b = b.doc_id
+""",
+    "events_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS mic FROM events),
+v AS (SELECT user_id, min(mic) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.mic) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.mic > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.mic) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.mic > c.t2 GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+""",
+    "events_retention": """
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)
+SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+       CAST(e.wk - c.cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
 """,
     "tpch_q2": """
 WITH supply AS (
