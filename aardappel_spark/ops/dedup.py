@@ -281,11 +281,15 @@ def simhash_wide(
     second sum of shifted bits — linear for any bit width.
 
     Token occurrences are pre-aggregated to (doc, token_hash, count)
-    BEFORE the bits explode, so the explode fans out per DISTINCT token
-    (weighting each vote by the count — identical result, since SimHash
-    votes are additive in term frequency). Natural text repeats tokens
-    heavily, so this cuts the bits x occurrences row blowup to
-    bits x distinct."""
+    first, weighting each vote by the count — identical result, since
+    SimHash votes are additive in term frequency — so the bit votes run
+    per DISTINCT token. The per-bit sums are ``bits`` conditional
+    aggregate columns in ONE groupBy(doc): two shuffles total and no
+    intermediate row blowup (an earlier posexplode form shuffled a
+    bits x distinct-tokens long format — 3 shuffles, 60x the rows, and
+    measured 2x slower at sf0.1). Spark's hash aggregate handles 60 sum
+    columns fine; the width ceiling is the fingerprint's own 64-bit
+    budget, not the expression tree."""
     t = tokenize(docs, id_col, text_col)
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
     per_tok = (
@@ -293,25 +297,21 @@ def simhash_wide(
         .groupBy(id_col, "h")
         .agg(F.count("*").alias("c"))
     )
-    # SQL-side transform: shiftright with a COLUMN bit index (the Python
-    # F.shiftright only takes an int literal); vote weighted by the
-    # token's occurrence count
-    votes = F.expr(
-        f"transform(sequence(0, {bits - 1}),"
-        " b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN c ELSE -c END)"
-    )
-    long_votes = per_tok.select(
-        F.col(id_col), F.posexplode(votes).alias("pos", "vote")
-    )
-    per_bit = long_votes.groupBy(id_col, "pos").agg(F.sum("vote").alias("v"))
-    bitval = F.when(
-        F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        per_bit.select(F.col(id_col), bitval.alias("bv"))
-        .groupBy(id_col)
-        .agg(F.sum("bv").cast("long").alias("simhash"))
-    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = per_tok.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_candidate_pairs(
