@@ -318,6 +318,31 @@ def create_auth_provider(config: AuthConfig, http_post=None):
     return Oauth2TokenExchangeProvider(creds, http_post=http_post)
 
 
+class CachingTokenProvider:
+    """Caches the wrapped provider's token for ``ttl_seconds`` — a
+    deployment exchanges once per token lifetime, not once per request
+    (the reference's SDK caches inside its credentials object). The
+    clock is injectable for tests; ``invalidate()`` forces a refresh on
+    the next call (e.g. after a 401 from the broker)."""
+
+    def __init__(self, provider, ttl_seconds: float = 300.0, clock=time.time):
+        self.provider = provider
+        self.ttl = ttl_seconds
+        self._clock = clock
+        self._cached: str | None = None
+        self._expires = 0.0
+
+    def invalidate(self) -> None:
+        self._cached = None
+
+    def token(self) -> str:
+        now = self._clock()
+        if self._cached is None or now >= self._expires:
+            self._cached = self.provider.token()
+            self._expires = now + self.ttl
+        return self._cached
+
+
 # -- Spark-side consumption -------------------------------------------------
 
 

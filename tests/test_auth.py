@@ -295,6 +295,28 @@ def test_file_token_source_reads_per_call(tmp_path):
     assert src.token() == ("second", "tt")
 
 
+def test_caching_provider_exchanges_once_per_ttl():
+    from aardappel_spark.auth import CachingTokenProvider
+
+    calls = []
+
+    class Counting:
+        def token(self):
+            calls.append(1)
+            return f"tok-{len(calls)}"
+
+    clock = [1000.0]
+    p = CachingTokenProvider(Counting(), ttl_seconds=60, clock=lambda: clock[0])
+    assert p.token() == "tok-1"
+    clock[0] += 30
+    assert p.token() == "tok-1"  # within ttl: cached, no second exchange
+    clock[0] += 31
+    assert p.token() == "tok-2"  # expired: refreshed
+    p.invalidate()
+    assert p.token() == "tok-3"  # forced refresh (e.g. broker 401)
+    assert len(calls) == 3
+
+
 def test_kafka_sasl_options_compose_with_reader():
     from aardappel_spark.sources import kafka_reader_options
 

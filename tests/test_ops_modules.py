@@ -203,6 +203,135 @@ def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
         assert k in exact and abs(exact[k] - v) < 1e-9
 
 
+def test_funnel_matches_python_model(spark):
+    """Randomized funnel equivalence: the stage-wise min-timestamp joins
+    must agree with a straightforward per-user Python scan (strictly
+    increasing view < click < purchase chain, earliest-first greedy)."""
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(600):
+        rows.append(
+            (
+                i,
+                rng.randrange(40),  # user
+                rng.choice(["view", "click", "purchase", "error"]),
+                rng.randrange(10**6) * 1000,  # nanos, micro-aligned
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = df.select("user_id", "event_type", F.expr("ts div 1000").alias("mic"))
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("mic").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("mic") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("mic").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("mic") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("mic").alias("t3"))
+    )
+    got = (v.count(), c.count(), p.count())
+
+    # python model
+    by_user = {}
+    for _eid, u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts // 1000, t))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((m for m, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((m for m, t in evs if t == "click" and m > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(t == "purchase" and m > t2 for m, t in evs):
+            n3 += 1
+    assert got == (n1, n2, n3)
+
+
+def test_retention_matches_python_model(spark):
+    """Cohort-triangle equivalence against a dict-based model, including
+    users active in non-contiguous weeks."""
+    import random
+
+    rng = random.Random(17)
+    week_us = 7 * 86400 * 1_000_000
+    rows = [
+        (i, rng.randrange(25), rng.randrange(8 * week_us) * 1000)  # nanos
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+
+    from pyspark.sql import functions as F
+
+    ev = df.select("user_id", F.expr(f"(ts div 1000) div {week_us}").alias("wk"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .collect()
+    }
+
+    weeks_by_user = {}
+    for _eid, u, ts in rows:
+        weeks_by_user.setdefault(u, set()).add((ts // 1000) // week_us)
+    expected = {}
+    for wks in weeks_by_user.values():
+        cw = min(wks)
+        for w in wks:
+            expected[(cw, w - cw)] = expected.get((cw, w - cw), 0) + 1
+    assert got == expected
+
+
+def test_edit_distance_pairs_exact_values(spark):
+    """Levenshtein verify on a hand-built pair set with known distances
+    (insert, substitute, identical, and beyond-prefix edits ignored)."""
+    from aardappel_spark.ops.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten sat on the mat"),
+            (2, "sitting sat on the mat"),
+            (3, "kitten sat on the mat"),
+            (4, "a" * 40 + "x" * 100),
+            (5, "a" * 40 + "y" * 100),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in edit_distance_pairs(docs, pairs, prefix_len=40).collect()
+    }
+    # kitten->sitting is the classic distance-3 pair; identical texts 0;
+    # docs 4/5 differ only past the 40-char prefix -> distance 0
+    assert got == {(1, 2): 3, (1, 3): 0, (4, 5): 0}
+
+
 def test_clear_query_caches_unpersists(spark, sf_dir):
     """ADVICE r2: the memoized shared frames must be evictable — after
     clear_query_caches the dict entries are gone and the persisted blocks
