@@ -100,6 +100,105 @@ def streaming_lww(
     )
 
 
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),
+        StructField("t1", LongType(), True),
+        StructField("t2", LongType(), True),
+        StructField("t3", LongType(), True),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1", LongType(), False),
+        StructField("t2", LongType(), False),
+        StructField("t3", LongType(), False),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # event-time order within the batch; with per-user in-order
+        # arrival this reproduces the batch chain exactly (first view,
+        # first click strictly after it, first purchase strictly after
+        # that). Stages only ever advance — a late pre-stage event can't
+        # regress completed stages.
+        for mic, et in pdf.sort_values("mic")[["mic", "event_type"]].itertuples(
+            index=False
+        ):
+            mic = int(mic)
+            if t1 < 0:
+                if et == "view":
+                    t1 = mic
+            elif t2 < 0:
+                if et == "click" and mic > t1:
+                    t2 = mic
+            elif t3 < 0:
+                if et == "purchase" and mic > t2:
+                    t3 = mic
+    state.update((t1, t2, t3))
+    stage = (t1 >= 0) + (t2 >= 0) + (t3 >= 0)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "stage": stage,
+                "t1": None if t1 < 0 else t1,
+                "t2": None if t2 < 0 else t2,
+                "t3": None if t3 < 0 else t3,
+            }
+        ]
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Continuously-maintained funnel progress per user (the streaming
+    complement of the batch ``events_funnel`` query): stage 0-3 for the
+    view -> click -> purchase chain with strictly increasing event
+    times. State is three longs per user — O(users), independent of
+    event volume — and survives restarts via the checkpoint. Emits each
+    batch's touched users with their post-batch stage (update mode).
+
+    The per-batch scan is a tiny per-user loop over an Arrow batch
+    (bounded by that user's events in the trigger); stage transitions
+    are inherently sequential, which is exactly the case
+    applyInPandasWithState exists for.
+    """
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    mic = (
+        F.expr(f"{ts_col} div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).cast("string").alias("event_type"),
+        mic.alias("mic"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -295,3 +295,51 @@ def test_streaming_interval_join_across_batches(spark, tmp_path):
     assert ("L20", "R21") in pairs
     assert all(not (a == "L0" and b in ("R21", "R40")) for a, b in pairs)
     assert ("L20", "R40") not in pairs  # 20 vs 40: outside the 5-minute gap
+
+
+def test_streaming_funnel_advances_across_batches(spark, tmp_path):
+    """Funnel state persists and only advances: a user's chain completes
+    across THREE micro-batches, out-of-chain events are ignored, and a
+    late pre-stage event cannot regress a completed stage."""
+    from aardappel_spark.stateful import streaming_funnel
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for uid, et, mic in rows:
+                f.write(json.dumps({"user_id": uid, "event_type": et, "ts": mic * 1000}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("user_id long, event_type string, ts long").json(src)
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 views (stage 1); a click BEFORE the view must not count
+    write("b1.jsonl", [(1, "click", 50), (1, "view", 100), (2, "purchase", 10)])
+    run()
+    latest = {r.user_id: r for r in collected}
+    assert (latest[1].stage, latest[1].t1, latest[1].t2) == (1, 100, None)
+    assert latest[2].stage == 0  # purchase without view/click: no progress
+
+    # batch 2: click after the view -> stage 2
+    write("b2.jsonl", [(1, "click", 200)])
+    run()
+    latest = {r.user_id: r for r in collected if r.user_id == 1}
+    assert (latest[1].stage, latest[1].t2) == (2, 200)
+
+    # batch 3: purchase completes; an extra EARLIER view can't regress t1
+    write("b3.jsonl", [(1, "view", 20), (1, "purchase", 300)])
+    run()
+    latest = {r.user_id: r for r in collected if r.user_id == 1}
+    assert (latest[1].stage, latest[1].t1, latest[1].t3) == (3, 100, 300)
