@@ -53,6 +53,31 @@ class EngineConfig:
     cmd_queue_consumer: str = ""
     key_filter_table: str = ""
     dead_letter_queue_path: str = ""
+    # per-side auth (config.go:43-50): exactly one of oauth2_file /
+    # static_token per side when set; side endpoint overrides the file's
+    src_oauth2_file: str = ""
+    src_oauth2_endpoint: str = ""
+    src_static_token: str = ""
+    dst_oauth2_file: str = ""
+    dst_oauth2_endpoint: str = ""
+    dst_static_token: str = ""
+
+    def auth_config(self, side: str):
+        """The side's AuthConfig ('src' or 'dst'), or None when that side
+        configures no credentials (anonymous / cluster-level auth).
+        Mirrors main.go's per-side CreateYdbDriverAuthOptions calls."""
+        from .auth import AuthConfig
+
+        if side not in ("src", "dst"):
+            raise ValueError(f"auth side must be 'src' or 'dst', got {side!r}")
+        file = getattr(self, f"{side}_oauth2_file")
+        token = getattr(self, f"{side}_static_token")
+        endpoint = getattr(self, f"{side}_oauth2_endpoint")
+        if not file and not token:
+            return None
+        return AuthConfig(
+            credentials_file=file, static_token=token, exchanger_endpoint=endpoint
+        )
 
     @classmethod
     def from_dict(cls, d: dict) -> "EngineConfig":
@@ -77,6 +102,12 @@ class EngineConfig:
             cmd_queue_consumer=cmd.get("consumer", ""),
             key_filter_table=kf.get("table_path", ""),
             dead_letter_queue_path=dlq.get("path", ""),
+            src_oauth2_file=d.get("src_oauth2_file", ""),
+            src_oauth2_endpoint=d.get("src_oauth2_endpoint", ""),
+            src_static_token=d.get("src_static_token", ""),
+            dst_oauth2_file=d.get("dst_oauth2_file", ""),
+            dst_oauth2_endpoint=d.get("dst_oauth2_endpoint", ""),
+            dst_static_token=d.get("dst_static_token", ""),
         )
 
     @classmethod

@@ -61,3 +61,57 @@ def test_unknown_problem_strategy_rejected():
 def test_empty_path_rejected():
     with pytest.raises(ValueError, match="path is empty"):
         EngineConfig.load("")
+
+
+def test_per_side_auth_config(tmp_path):
+    """config.go:43-50 auth fields: per-side extraction, endpoint
+    override plumbed through, None for an unconfigured side, and the
+    exactly-one-of rule enforced at provider construction."""
+    import json
+
+    import pytest
+
+    from aardappel_spark.auth import (
+        AuthConfigError,
+        Oauth2TokenExchangeProvider,
+        StaticTokenProvider,
+        create_auth_provider,
+    )
+    from aardappel_spark.config import EngineConfig
+
+    creds = tmp_path / "creds.json"
+    creds.write_text(
+        json.dumps(
+            {
+                "token-endpoint": "http://file-endpoint",
+                "subject-credentials": {
+                    "type": "FIXED",
+                    "token": "t",
+                    "token-type": "urn:ietf:params:oauth:token-type:jwt",
+                },
+            }
+        )
+    )
+    cfg = EngineConfig.from_dict(
+        {
+            "src_static_token": "src-token",
+            "dst_oauth2_file": str(creds),
+            "dst_oauth2_endpoint": "http://override",
+        }
+    )
+    src = create_auth_provider(cfg.auth_config("src"))
+    assert isinstance(src, StaticTokenProvider) and src.token() == "src-token"
+
+    dst = create_auth_provider(cfg.auth_config("dst"))
+    assert isinstance(dst, Oauth2TokenExchangeProvider)
+    assert dst.creds.endpoint == "http://override"  # side endpoint wins
+
+    assert EngineConfig.from_dict({}).auth_config("src") is None
+    with pytest.raises(ValueError, match="side must be"):
+        cfg.auth_config("both")
+    with pytest.raises(AuthConfigError, match="either oauth2_file or static_token"):
+        create_auth_provider(
+            EngineConfig.from_dict(
+                {"src_static_token": "x", "src_oauth2_file": "y"}
+            ).auth_config("src")
+        )
