@@ -1220,6 +1220,55 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_doc_shards(spark, sf_dir):
+    """Deterministic training-output sharding: every doc gets a stable
+    (shard, within-shard index) from content-independent md5 hashing —
+    the write-side step of a training pipeline (N shard files, stable
+    order inside each, reproducible across runs/engines/partitionings).
+    One window shuffle keyed on the shard."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    ticket = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(ticket, 1, 7), 16, 10).cast("long") % 8
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(ticket, "doc_id")
+    return (
+        docs.select("doc_id", shard)
+        .withColumn("idx", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Token-budgeted corpus selection: per source, take documents in
+    deterministic salted-md5 ticket order until a token budget fills —
+    how a mixture recipe caps each source's contribution by TOKENS, not
+    documents. Running sum via an explicit ROWS window (RANGE shares
+    peers); ticket ordering is unique per doc, so the cut is exact and
+    reproducible. One shuffle keyed on source."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    ticket = F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ticket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        docs.select(
+            "doc_id", "source", n_tokens.alias("n_tokens"), ticket.alias("ticket")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 600)
+    )
+    return sel.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_tpch_q2(spark, sf_dir):
     """Min-cost supplier (q2-adapted: testdata has no partsupp, so the
     part-supplier 'supply cost' is each supplier's MIN lineitem
@@ -1640,6 +1689,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "doc_shards": q_doc_shards,
+    "corpus_token_budget": q_corpus_token_budget,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2629,6 +2680,32 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN cohort c ON e.user_id = c.user_id
 GROUP BY 1, 2
+""",
+    "doc_shards": """
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ticket,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ticket, doc_id) AS BIGINT) AS idx
+FROM t
+""",
+    "corpus_token_budget": """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS ticket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY ticket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM s WHERE cum_tokens <= 600
 """,
     "tpch_q2": """
 WITH supply AS (
