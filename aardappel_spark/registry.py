@@ -1220,6 +1220,41 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_events_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond CUBE/ROLLUP): per-type, per-user,
+    and grand-total aggregates in one pass, discriminated by
+    grouping_id — the §2.7-class relational surface Spark gives for
+    free (one Expand + one hash-agg, no union of scans)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupingSets([["event_type"], ["user_id"], []], "event_type", "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+def q_events_rank_profile(spark, sf_dir):
+    """Rank-function profile per event type: quartile (ntile), percent
+    rank, and cumulative distribution over a UNIQUE ordering (value,
+    event_id) — unique keys make every rank function engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
 def q_doc_shards(spark, sf_dir):
     """Deterministic training-output sharding: every doc gets a stable
     (shard, within-shard index) from content-independent md5 hashing —
@@ -1691,6 +1726,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "doc_shards": q_doc_shards,
     "corpus_token_budget": q_corpus_token_budget,
+    "events_grouping_sets": q_events_grouping_sets,
+    "events_rank_profile": q_events_rank_profile,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2680,6 +2717,20 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN cohort c ON e.user_id = c.user_id
 GROUP BY 1, 2
+""",
+    "events_grouping_sets": """
+SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value,
+       CAST(GROUPING(event_type, user_id) AS BIGINT) AS gid
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+""",
+    "events_rank_profile": """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """,
     "doc_shards": """
 WITH t AS (
