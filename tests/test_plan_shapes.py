@@ -72,6 +72,28 @@ def test_q20_semi_join_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_grouping_sets_is_one_expand_not_a_union(spark):
+    """GROUPING SETS must plan as one Expand + hash aggregation over a
+    single scan — not a union of per-set scans."""
+    plan = _plan(spark, "events_grouping_sets")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+@pytest.mark.parametrize(
+    "qname,max_exchanges",
+    [("doc_shards", 1), ("corpus_token_budget", 1), ("events_rank_profile", 1)],
+)
+def test_windowed_pipeline_queries_single_shuffle(spark, qname, max_exchanges):
+    """The sharding / budget / rank queries are one windowed pass: a
+    single Exchange keyed on the partition column, no extra shuffles."""
+    plan = _plan(spark, qname)
+    n = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n <= max_exchanges, f"{qname}: {n} exchanges"
+    assert "CartesianProduct" not in plan
+
+
 def test_q6_filters_reach_the_scan(spark):
     plan = _plan(spark, "tpch_q6")
     assert "PushedFilters: [" in plan
