@@ -1220,6 +1220,46 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_vocab_countmin(spark, sf_dir):
+    """Count-min sketch of corpus token frequencies: 4 hash rows x 256
+    columns, salted-md5 column assignment — deterministic, so the whole
+    sketch table is oracle-exact (sketches are usually unverifiable
+    across engines; plan-time hashing makes this one checkable). Build
+    order: aggregate to (token, count) FIRST, then fan out 4 sketch rows
+    per DISTINCT token — the explode runs on vocabulary size, not corpus
+    token count, and the final agg is at most 1024 rows."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    cells = counts.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{r}:"), F.col("token"))), 1, 7
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 256
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("row", "col"),
+        F.col("c"),
+    )
+    return cells.groupBy(
+        F.col("row").cast("bigint").alias("row"), "col"
+    ).agg(F.sum("c").alias("total"))
+
+
 def q_events_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS (beyond CUBE/ROLLUP): per-type, per-user,
     and grand-total aggregates in one pass, discriminated by
@@ -1728,6 +1768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_budget": q_corpus_token_budget,
     "events_grouping_sets": q_events_grouping_sets,
     "events_rank_profile": q_events_rank_profile,
+    "vocab_countmin": q_vocab_countmin,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2717,6 +2758,22 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN cohort c ON e.user_id = c.user_id
 GROUP BY 1, 2
+""",
+    "vocab_countmin": """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+rows_(r) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT r AS row,
+         ('0x' || substr(md5(r || ':' || token), 1, 7))::BIGINT % 256 AS col,
+         c
+  FROM counts CROSS JOIN rows_
+)
+SELECT CAST(row AS BIGINT) AS row, col, CAST(sum(c) AS BIGINT) AS total
+FROM cells GROUP BY 1, 2
 """,
     "events_grouping_sets": """
 SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,

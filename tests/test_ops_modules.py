@@ -332,6 +332,37 @@ def test_edit_distance_pairs_exact_values(spark):
     assert got == {(1, 2): 3, (1, 3): 0, (4, 5): 0}
 
 
+def test_countmin_estimate_dominates_true_count(spark, sf_dir):
+    """Count-min invariant: for every token, the sketch estimate
+    (min over the 4 hash rows of its cell totals) is >= the true count,
+    and equals it when the token's cells have no collisions."""
+    from aardappel_spark import registry
+    from pyspark.sql import functions as F
+
+    sketch = {
+        (r.row, r.col): r.total
+        for r in registry.q_vocab_countmin(spark, sf_dir).collect()
+    }
+    docs = registry._docs(spark, sf_dir)
+    true = {
+        r.token: r.c
+        for r in docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    import hashlib
+
+    for token, c in true.items():
+        est = min(
+            sketch[(r, int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:7], 16) % 256)]
+            for r in range(4)
+        )
+        assert est >= c, token
+
+
 def test_clear_query_caches_unpersists(spark, sf_dir):
     """ADVICE r2: the memoized shared frames must be evictable — after
     clear_query_caches the dict entries are gone and the persisted blocks
