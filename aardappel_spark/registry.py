@@ -1260,6 +1260,34 @@ def q_vocab_countmin(spark, sf_dir):
     ).agg(F.sum("c").alias("total"))
 
 
+def q_events_user_hll(spark, sf_dir):
+    """HyperLogLog register table for distinct users — like the
+    count-min sketch, deterministic md5 hashing makes the sketch itself
+    oracle-exact: 64 registers, rho = leading-zero rank of the hash
+    suffix via integer/bin-string arithmetic only (no log2 floats).
+    Duplicates never shuffle: max(rho) per register combines map-side,
+    so the shuffle is at most 64 rows per partition regardless of event
+    volume — the sketch property that matters at 100 TB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = (h % 64).alias("register")
+    # shiftright, NOT division: h has 60 bits and / goes through double,
+    # which is only exact to 2^53
+    v = F.shiftright(h, 6)  # remaining 54 bits
+    rho = (
+        F.when(v == 0, F.lit(55))
+        .otherwise(F.lit(54) - F.length(F.bin(v)) + 1)
+        .cast("bigint")
+    )
+    return (
+        ev.select(reg, rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def q_events_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS (beyond CUBE/ROLLUP): per-type, per-user,
     and grand-total aggregates in one pass, discriminated by
@@ -1769,6 +1797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_grouping_sets": q_events_grouping_sets,
     "events_rank_profile": q_events_rank_profile,
     "vocab_countmin": q_vocab_countmin,
+    "events_user_hll": q_events_user_hll,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2758,6 +2787,18 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN cohort c ON e.user_id = c.user_id
 GROUP BY 1, 2
+""",
+    "events_user_hll": """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+r AS (
+  SELECT hv % 64 AS register, hv >> 6 AS v FROM h
+)
+SELECT register,
+       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 54 - length(bin(v)) + 1 END) AS BIGINT) AS max_rho
+FROM r GROUP BY register
 """,
     "vocab_countmin": """
 WITH t AS (

@@ -363,6 +363,34 @@ def test_countmin_estimate_dominates_true_count(spark, sf_dir):
         assert est >= c, token
 
 
+def test_hll_registers_match_python_model(spark, sf_dir):
+    """HLL register table must equal an exact hashlib model (register =
+    low 6 bits of the 60-bit md5 prefix, rho = leading-zero rank of the
+    54-bit remainder)."""
+    import hashlib
+
+    from aardappel_spark import registry
+
+    got = {
+        (r.register, r.max_rho)
+        for r in registry.q_events_user_hll(spark, sf_dir).collect()
+    }
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    model: dict[int, int] = {}
+    for u in users:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        reg, v = h % 64, h >> 6
+        rho = 55 if v == 0 else 54 - v.bit_length() + 1
+        model[reg] = max(model.get(reg, 0), rho)
+    assert got == set(model.items())
+
+
 def test_clear_query_caches_unpersists(spark, sf_dir):
     """ADVICE r2: the memoized shared frames must be evictable — after
     clear_query_caches the dict entries are gone and the persisted blocks
