@@ -440,3 +440,59 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_contaminated_grams"))
     )
+
+
+BLOOM_M = 2048  # bits in the filter
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bit(j: int, gram: F.Column) -> F.Column:
+    """Bit index for hash j of a gram: first 28 bits of md5(j ':' gram)
+    mod BLOOM_M — deterministic and replicable in any SQL engine."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), gram))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % BLOOM_M
+
+
+def bloom_contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    ngram_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter instead of the exact
+    distinct-gram join (`contamination_check`): the benchmark's gram set
+    is folded into a BLOOM_M-bit / BLOOM_K-hash filter, and a corpus gram
+    is flagged when all K bits are set. At 100 TB this is the shape that
+    survives: the broadcast is a fixed-size bitmap (KBs) no matter how
+    many benchmark grams exist, where the exact join's broadcast grows
+    with the eval suite. False positives are possible but DETERMINISTIC
+    (md5 bit positions), so the output is still engine-exact and
+    oracle-gated.
+
+    Output: (id, n_flagged_grams) for documents with >= 1 flagged gram
+    occurrence — a superset of the exact check's rows.
+    """
+    gram = F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
+
+    bench_grams = benchmark.select(gram).distinct()
+    bits = None
+    for j in range(BLOOM_K):
+        b = bench_grams.select(_bloom_bit(j, F.col("gram")).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct().withColumn("_set", F.lit(1))
+
+    probe = docs.select(F.col(id_col), F.posexplode(shingles_col(text_col, k=ngram_words)).alias("pos", "gram"))
+    probe_bits = None
+    for j in range(BLOOM_K):
+        pb = probe.select(id_col, "pos", _bloom_bit(j, F.col("gram")).alias("bit"))
+        probe_bits = pb if probe_bits is None else probe_bits.unionByName(pb)
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy(id_col, "pos")
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_nset"))
+        .filter(F.col("_nset") == BLOOM_K)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_flagged_grams")
+    )

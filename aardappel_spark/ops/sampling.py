@@ -86,3 +86,30 @@ def mixture_sample(
             F.col(stratum_col) == stratum, F.lit(int(frac * TICKET_SPACE))
         ).otherwise(cut)
     return df.filter(t < cut)
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-allocation stratified sampling: take exactly n rows per
+    stratum (fewer if the stratum is smaller), chosen deterministically
+    by md5 ticket order. Complements ``mixture_sample`` (Bernoulli, so
+    per-stratum counts fluctuate): equal allocation is what eval-set
+    construction and per-language probes need. One window partitioned by
+    stratum — a single shuffle keyed on the stratum; with few strata and
+    many rows the window itself is the skew point, so at extreme scale
+    pre-filter with a ticket threshold before ranking (the ticket is
+    uniform, so thresholding at ~4x the target fraction keeps the window
+    input tiny without changing the selected set)."""
+    from pyspark.sql.window import Window
+
+    t = sample_ticket(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(t.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("pick_order", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_order") <= n_per_stratum)
+    )

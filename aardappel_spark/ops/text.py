@@ -236,6 +236,128 @@ def unigram_nll(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword-extraction pass a
+    training pipeline uses for topic tagging and retrieval indexing.
+    score = tf * ln(N/df); ranking is on the ROUNDED score (6 dp) with a
+    token tie-break, so the cut is deterministic and engine-portable.
+
+    Shape: one explode, a (doc, token) hash-agg for tf, a token-keyed agg
+    for df (over the already-distinct tf frame, so df is one count, not a
+    countDistinct), a 1-row broadcast for N, and one per-doc window for
+    the top-k. The window partitions by doc id — even partition spread,
+    no global sort.
+    """
+    t = tokenize(docs, id_col, text_col)
+    tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(n))
+    score = F.round(
+        F.col("tf") * (F.log(F.col("n_docs")) - F.log(F.col("df"))), 6
+    ).alias("score")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.select(F.col(id_col), "token", F.col("tf").cast("bigint").alias("tf"), score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# Fixed retrieval query for the BM25 demo query; replicated in the oracle.
+BM25_QUERY_TERMS = ["table", "join", "window"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval of the top-k documents for a bag-of-words
+    query — the classic lexical scorer behind search/retrieval joins.
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones),
+    tf norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+
+    Shape: the corpus explodes ONCE; doc lengths and per-(doc, term) tfs
+    come from that one long frame; df and avgdl are tiny aggregates that
+    broadcast. Only docs containing >= 1 query term reach the scorer
+    (inner join on the term list), so the final ranking operates on a
+    small candidate set — a TakeOrdered, not a full sort.
+    """
+    terms = list(query_terms or BM25_QUERY_TERMS)
+    t = tokenize(docs, id_col, text_col)
+    dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = t.filter(F.col("token").isin(terms))
+    tf = qt.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum(idf * tfn), 6).alias("bm25"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    ngram_words: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-span detection: the fraction of each document's word
+    n-grams that are 'common' (appear in >= min_docs distinct documents)
+    — headers, footers, and licence blocks repeat verbatim across a
+    corpus, and a high ratio marks a template-heavy page (the
+    RefinedWeb/CCNet-style line-dedup signal re-expressed over grams).
+
+    Shape: one explode to grams, a distinct (doc, gram) projection into a
+    gram-keyed df count, a left join of the gram stream against the
+    common-gram set (semi-join shape — Catalyst broadcasts it when
+    small), one per-doc agg. Integer counts + one division: engine-exact.
+    """
+    from .dedup import shingles_col
+
+    g = docs.select(F.col(id_col), F.explode(shingles_col(text_col, k=ngram_words)).alias("gram"))
+    docs_per_gram = g.distinct().groupBy("gram").agg(F.count("*").alias("gdf"))
+    common = docs_per_gram.filter(F.col("gdf") >= min_docs).select(
+        "gram", F.lit(1).alias("_common")
+    )
+    flagged = g.join(common, "gram", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_common"), F.lit(0))).cast("bigint").alias("n_common"),
+        F.round(
+            F.sum(F.coalesce(F.col("_common"), F.lit(0))) / F.count("*"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
 # PII patterns: RE2/Java-common syntax so Spark and SQL oracles agree.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"

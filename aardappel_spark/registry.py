@@ -1708,6 +1708,85 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (rounded-score ranking with a
+    token tie-break — deterministic across engines)."""
+    from .ops.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_retrieval_bm25(spark, sf_dir):
+    """BM25 top-20 documents for the fixed query {table, join, window}."""
+    from .ops.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), k=20)
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """Per-doc fraction of word 5-grams shared with >= 3 documents — the
+    template/boilerplate signal."""
+    from .ops.text import boilerplate_stats
+
+    return boilerplate_stats(_docs(spark, sf_dir), ngram_words=5, min_docs=3)
+
+
+def q_decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (2048-bit / 4-hash) of the corpus
+    (doc_id >= 5) against the eval set (doc_id < 5): fixed-size bitmap
+    broadcast instead of the exact gram-set join; deterministic false
+    positives, so still oracle-exact."""
+    from .ops.dedup import bloom_contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return bloom_contamination_check(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        ngram_words=4,
+    )
+
+
+def q_ann_sq8(spark, sf_dir):
+    """Int8 scalar-quantized top-10 neighbors of vec 0 — ranking by the
+    exact integer dot product of the quantized codes."""
+    from .ops.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb, query_id=0, k=10, extra_cols=["label"])
+
+
+def q_doc_stratified(spark, sf_dir):
+    """Exact-allocation stratified sample: 10 docs per language in
+    deterministic md5-ticket order."""
+    from .ops.sampling import stratified_take
+
+    return stratified_take(_docs(spark, sf_dir), 10, stratum_col="lang").select(
+        "doc_id", "lang", "pick_order"
+    )
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """Near-duplicate leakage matrix between sources: the MinHash-LSH
+    candidate pairs (shared cached frame) joined to each side's source,
+    counted per unordered source pair — the contamination census a
+    multi-source corpus runs before mixing."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    # broadcast the PAIRS side (LSH candidates are sparse); the corpus
+    # projection stays distributed — the scale-correct direction
+    joined = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1809,6 +1888,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    # round-3 session-2 additions: retrieval, boilerplate, bloom
+    # decontamination, quantized ANN, stratified sampling, cross-source dup
+    "text_tfidf": q_text_tfidf,
+    "retrieval_bm25": q_retrieval_bm25,
+    "doc_boilerplate": q_doc_boilerplate,
+    "decontam_bloom": q_decontam_bloom,
+    "ann_sq8": q_ann_sq8,
+    "doc_stratified": q_doc_stratified,
+    "dedup_cross_source": q_dedup_cross_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -3010,5 +3098,157 @@ WHERE EXISTS (SELECT 1 FROM l1 WHERE l1.l_orderkey = t.l_orderkey
                   AND x.l_suppkey <> t.l_suppkey)
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    "text_tfidf": """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS d FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.c,
+         round(tf.c * (ln(n.nd) - ln(df.d)), 6) AS score
+  FROM tf JOIN df USING (token), n
+),
+r AS (
+  SELECT doc_id, token, c, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM s
+)
+SELECT doc_id, token, CAST(c AS BIGINT) AS tf, score, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 3
+""",
+    # literals are ::DOUBLE so DuckDB doesn't run them as DECIMAL; the
+    # exact values (2.2 = k1+1, 0.25 = 1-b) are float-equal to the Spark
+    # side's Python-computed constants (verified: 1.2+1.0 == 2.2 etc.)
+    "retrieval_bm25": """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM t
+  WHERE token IN ('table', 'join', 'window') GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1.0::DOUBLE + (st.nd - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+         * (tf.tf * 2.2::DOUBLE)
+         / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl.dl) / st.avgdl)) AS contrib
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25, CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+    "doc_boilerplate": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(list_slice(t, i, i + 4), ' '))
+         END) AS gram
+  FROM d
+),
+dfg AS (
+  SELECT gram, count(*) AS gdf FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1
+),
+common AS (SELECT gram FROM dfg WHERE gdf >= 3)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
+FROM g LEFT JOIN common c ON g.gram = c.gram
+GROUP BY g.doc_id
+""",
+    # Bloom probe: a gram is flagged when all 4 md5 bit positions are in
+    # the benchmark's 2048-bit set — false positives included, which is
+    # the point: they're deterministic, so the filter is hash-gated.
+    "decontam_bloom": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+gl AS (
+  SELECT doc_id, CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END AS grams
+  FROM d
+),
+ks(j) AS (VALUES (0), (1), (2), (3)),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM gl WHERE doc_id < 5
+),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(j || ':' || gram), 1, 7))::BIGINT % 2048 AS bit
+  FROM bench CROSS JOIN ks
+),
+p AS (
+  SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram
+  FROM gl WHERE doc_id >= 5
+),
+pb AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(j || ':' || gram), 1, 7))::BIGINT % 2048 AS bit
+  FROM p CROSS JOIN ks
+),
+hits AS (
+  SELECT doc_id, pos, sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS ns
+  FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+FROM hits WHERE ns = 4 GROUP BY doc_id
+""",
+    # int8 scalar quantization: scale = max|x| per vector, code =
+    # floor(x*127/s + 0.5); ranking is the INTEGER dot product — no float
+    # anywhere in the ordering, so the cut is engine-exact.
+    "ann_sq8": """
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+s AS (SELECT vec_id, greatest(max(abs(x)), 1e-30) AS sc FROM v GROUP BY vec_id),
+q AS (
+  SELECT v.vec_id, v.label, v.i,
+         CAST(floor(v.x * 127.0::DOUBLE / s.sc + 0.5::DOUBLE) AS BIGINT) AS qx
+  FROM v JOIN s USING (vec_id)
+),
+qq AS (SELECT i, qx AS qqx FROM q WHERE vec_id = 0),
+dd AS (
+  SELECT q.vec_id, any_value(q.label) AS label, sum(q.qx * qq.qqx) AS qdot
+  FROM q JOIN qq USING (i) WHERE q.vec_id <> 0 GROUP BY q.vec_id
+)
+SELECT vec_id, label, CAST(qdot AS BIGINT) AS qdot
+FROM dd ORDER BY qdot DESC, vec_id LIMIT 10
+""",
+    "doc_stratified": """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick_order FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+    "dedup_cross_source": _PAIRS_CTE + """,
+ds AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs JOIN ds a ON pairs.doc_a = a.doc_id
+           JOIN ds b ON pairs.doc_b = b.doc_id
+GROUP BY 1, 2
 """,
 }

@@ -1055,3 +1055,131 @@ def test_streaming_listener_feeds_registry(spark, tmp_path):
         assert reg.last_batch_mps > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    from aardappel_spark.ops.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "cherry common banana"),
+            (3, "common common date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.rank): (r.token, r.tf) for r in tfidf_topk(docs, k=2).collect()}
+    # doc 1: apple appears twice and only here -> tf=2, df=1 beats banana (df=2)
+    assert out[(1, 1)] == ("apple", 2)
+    # doc 3: date (df=1) must outrank common (df=3) despite lower tf
+    assert out[(3, 1)] == ("date", 1)
+    # ranks within a doc are 1..k and unique (window cut, not a global sort)
+    assert all(rank in (1, 2) for (_, rank) in out)
+
+
+def test_bm25_prefers_matching_short_docs(spark):
+    from aardappel_spark.ops.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table join"),  # both terms, short doc
+            (2, "table table table filler filler filler filler filler"),
+            (3, "filler filler filler"),  # no terms: absent from output
+            (4, "window"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids
+    # doc 1 hits two terms with minimal length normalization: ranked first
+    assert ids[0] == 1
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_terms_hit == 2
+    assert by_id[2].n_terms_hit == 1
+    assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(len(rows) - 1))
+
+
+def test_boilerplate_ratio_flags_shared_spans(spark):
+    from aardappel_spark.ops.text import boilerplate_stats
+
+    header = "all rights reserved by example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " unique one body text here"),
+            (2, header + " second unique body text differs"),
+            (3, header + " third body entirely other words"),
+            (4, "totally unrelated document with fresh words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in boilerplate_stats(docs, ngram_words=5, min_docs=3).collect()}
+    # the 6-word header contributes two shared 5-grams to each carrier
+    assert out[1].n_common == 2 and out[2].n_common == 2 and out[3].n_common == 2
+    assert out[4].n_common == 0 and out[4].boiler_ratio == 0.0
+    assert 0 < out[1].boiler_ratio < 1
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    from aardappel_spark.ops.dedup import (
+        bloom_contamination_check,
+        contamination_check,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta tail{i}") for i in range(20)]
+        + [(100, "alpha beta gamma delta leaked from eval")],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") < 3)
+    corpus = docs.filter(F.col("doc_id") >= 3)
+    exact = {r.doc_id for r in contamination_check(corpus, bench, ngram_words=4).collect()}
+    bloom = {r.doc_id for r in bloom_contamination_check(corpus, bench, ngram_words=4).collect()}
+    # Bloom filters have no false negatives: every exact hit is flagged
+    assert exact <= bloom
+    assert 100 in bloom
+
+
+def test_sq8_topk_matches_numpy_model(spark, sf_dir):
+    import numpy as np
+
+    from aardappel_spark.ops.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r.vec_id, r.qdot) for r in sq8_topk(emb, query_id=0, k=5).collect()]
+
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def quant(v):
+        s = max(np.abs(v).max(), 1e-30)
+        return np.floor(v * 127.0 / s + 0.5).astype(np.int64)
+
+    qq = quant(rows[0])
+    scores = sorted(
+        ((int(quant(v) @ qq), vid) for vid, v in rows.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [(vid, s) for s, vid in scores[:5]]
+    assert got == want
+
+
+def test_stratified_take_exact_allocation(spark):
+    from aardappel_spark.ops.sampling import stratified_take
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(30)], ["doc_id", "lang"]
+    )
+    out = stratified_take(docs, 5, stratum_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.pick_order)
+    assert sorted(by_lang["en"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_lang["fr"]) == [1, 2, 3, 4, 5]
+    # deterministic: same picks on a rerun with shuffled partitioning
+    again = stratified_take(docs.repartition(7), 5, stratum_col="lang").collect()
+    assert {(r.doc_id, r.pick_order) for r in again} == {
+        (r.doc_id, r.pick_order) for r in out
+    }
+    # undersized stratum: returns all rows, never pads
+    small = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
+    assert stratified_take(small, 5, stratum_col="lang").count() == 2

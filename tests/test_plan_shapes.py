@@ -128,3 +128,43 @@ def test_decontamination_broadcasts_blocklist(spark):
     plan = _plan(spark, "decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_bits_broadcast_corpus_stays_distributed(spark):
+    """The Bloom probe's bit set must broadcast (it's <= 2048 rows by
+    construction); the corpus gram stream must never shuffle into it."""
+    plan = _plan(spark, "decontam_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_broadcasts_pairs_not_corpus(spark):
+    """dedup_cross_source must broadcast the sparse LSH pair list into
+    the (at scale, huge) documents projection — both joins broadcast."""
+    plan = _plan(spark, "dedup_cross_source")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_query_vector_broadcasts(spark):
+    """ann_sq8: the 1-row quantized query must reach every scan
+    partition as a broadcast; ranking is a TakeOrdered, not a sort."""
+    plan = _plan(spark, "ann_sq8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_candidates_only_reach_ranking(spark):
+    """retrieval_bm25: df/avgdl are broadcast 1-to-few-row aggregates;
+    the final top-k is a TakeOrdered over the candidate docs."""
+    plan = _plan(spark, "retrieval_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("qname", ["text_tfidf", "doc_boilerplate", "doc_stratified"])
+def test_new_doc_queries_no_cartesian(spark, qname):
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or qname == "text_tfidf"
