@@ -113,3 +113,31 @@ def stratified_take(
         df.withColumn("pick_order", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pick_order") <= n_per_stratum)
     )
+
+
+WEIGHTED_SALT = "wsample"
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = WEIGHTED_SALT,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u in (0, 1] from its md5 ticket and
+    scores key = ln(u)/w; the k largest keys are exactly a weighted
+    sample without replacement. Ordering is on the ROUNDED key (6 dp)
+    with an id tie-break, so the cut is engine-portable. One TakeOrdered
+    over row-local arithmetic — no shuffle beyond the top-k, which is
+    how a 100 TB corpus selects a training subset by quality weight in
+    a single pass."""
+    t = sample_ticket(id_col, salt)
+    u = (t + F.lit(1)) / F.lit(float(TICKET_SPACE))
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.withColumn("wkey", key)
+        .orderBy(F.desc("wkey"), F.col(id_col))
+        .limit(k)
+    )

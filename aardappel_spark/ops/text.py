@@ -340,21 +340,34 @@ def boilerplate_stats(
     gram-keyed df count, a left join of the gram stream against the
     common-gram set (semi-join shape — Catalyst broadcasts it when
     small), one per-doc agg. Integer counts + one division: engine-exact.
+
+    Grams are hashed to their first 60 md5 bits BEFORE any shuffle: the
+    repeated-shuffle keys become 8 bytes instead of ~n_words*avg_word
+    strings (the dedup_exact trick). Hash-gram semantics (collisions
+    deterministically merge) are replicated in the oracle, so the output
+    stays engine-exact.
     """
     from .dedup import shingles_col
 
-    g = docs.select(F.col(id_col), F.explode(shingles_col(text_col, k=ngram_words)).alias("gram"))
-    docs_per_gram = g.distinct().groupBy("gram").agg(F.count("*").alias("gdf"))
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    g = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
+    ).select(F.col(id_col), gh.alias("gh"))
+    # single (doc, gh) aggregation feeds BOTH the df count and the
+    # per-doc totals: identical subplans let ReuseExchange run the
+    # explode + md5 pass once instead of once per consumer
+    occ = g.groupBy(id_col, "gh").agg(F.count("*").alias("occ"))
+    docs_per_gram = occ.groupBy("gh").agg(F.count("*").alias("gdf"))
     common = docs_per_gram.filter(F.col("gdf") >= min_docs).select(
-        "gram", F.lit(1).alias("_common")
+        "gh", F.lit(1).alias("_common")
     )
-    flagged = g.join(common, "gram", "left")
+    flagged = occ.join(common, "gh", "left").withColumn(
+        "_nc", F.col("occ") * F.coalesce(F.col("_common"), F.lit(0))
+    )
     return flagged.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_grams"),
-        F.sum(F.coalesce(F.col("_common"), F.lit(0))).cast("bigint").alias("n_common"),
-        F.round(
-            F.sum(F.coalesce(F.col("_common"), F.lit(0))) / F.count("*"), 6
-        ).alias("boiler_ratio"),
+        F.sum("occ").cast("bigint").alias("n_grams"),
+        F.sum("_nc").cast("bigint").alias("n_common"),
+        F.round(F.sum("_nc") / F.sum("occ"), 6).alias("boiler_ratio"),
     )
 
 
@@ -385,4 +398,40 @@ def pii_scrub(
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
         scrubbed.alias("scrubbed"),
+    )
+
+
+def postings(
+    docs: DataFrame,
+    top_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index summary: for the ``top_tokens`` highest-df tokens,
+    the posting-list profile (document frequency, total term frequency,
+    and the top-scoring document). The index-build step of lexical
+    retrieval, shaped for scale: one explode, one (doc, token) hash-agg
+    — posting lists are never materialized as arrays, the top document
+    comes from a token-partitioned window (rank-1 row), and the top-N
+    token cut is a TakeOrdered. Ties are total-ordered everywhere
+    (df desc then token; tf desc then doc id)."""
+    from pyspark.sql.window import Window
+
+    t = tokenize(docs, id_col, text_col)
+    tf = t.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc(id_col))
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    top = ranked.filter(F.col("_rn") == 1).select(
+        "token",
+        F.col(id_col).alias("top_doc_id"),
+        F.col("tf").cast("bigint").alias("top_tf"),
+    )
+    return (
+        stats.join(top, "token")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(top_tokens)
     )

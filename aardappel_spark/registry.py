@@ -1787,6 +1787,96 @@ def q_dedup_cross_source(spark, sf_dir):
     )
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES keys on
+    md5 tickets), weight = n_chars: top-25 one-pass selection."""
+    from .ops.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), 25, weight_col="n_chars").select(
+        "doc_id", "n_chars", "wkey"
+    )
+
+
+def q_vocab_postings(spark, sf_dir):
+    """Inverted-index summary for the 50 highest-df tokens: df, total
+    tf, and the top-scoring document per token."""
+    from .ops.text import postings
+
+    return postings(_docs(spark, sf_dir), top_tokens=50)
+
+
+def q_events_user_hll_daily(spark, sf_dir):
+    """Per-day HyperLogLog register table for distinct users — the
+    windowed form of events_user_hll. The register layout is identical,
+    so sketches MERGE across windows (elementwise max): the property
+    that lets a 100 TB pipeline pre-aggregate daily and answer any date
+    range without re-reading events. Mergeability is pinned by a test
+    (max over days == the global sketch); this query oracle-gates the
+    per-day registers themselves."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = (h % 64).alias("register")
+    v = F.shiftright(h, 6)
+    rho = (
+        F.when(v == 0, F.lit(55))
+        .otherwise(F.lit(54) - F.length(F.bin(v)) + 1)
+        .cast("bigint")
+    )
+    return (
+        ev.select(day.alias("day"), reg, rho.alias("rho"))
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def q_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language with
+    per-cell counts — the evaluation join a pipeline runs to calibrate
+    its classifier before filtering by it."""
+    from .ops.text import language_id
+
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_events_znorm(spark, sf_dir):
+    """Per-type z-score normalization of event values — the feature
+    scaling step before thresholding/training. Mean and variance come
+    from EXACT decimal sums (cast to double only at the end), with the
+    variance formula written out explicitly so both engines run the
+    identical IEEE expression — never the builtin stddev, whose
+    accumulation order is engine-specific. Stats frame is 5 rows ->
+    broadcast back onto the events scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vdec = F.col("value").cast("decimal(12,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum(vdec).cast("double").alias("_s1"),
+        F.sum(vdec * vdec).cast("double").alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
+        F.col("_n") - F.lit(1)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1897,6 +1987,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8": q_ann_sq8,
     "doc_stratified": q_doc_stratified,
     "dedup_cross_source": q_dedup_cross_source,
+    "doc_weighted_sample": q_doc_weighted_sample,
+    "vocab_postings": q_vocab_postings,
+    "events_user_hll_daily": q_events_user_hll_daily,
+    "langid_eval": q_langid_eval,
+    "events_znorm": q_events_znorm,
 }
 
 ORACLES: dict[str, str] = {
@@ -3146,26 +3241,29 @@ SELECT doc_id, round(sum(contrib), 6) AS bm25, CAST(count(*) AS BIGINT) AS n_ter
 FROM sc GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
+    # grams hash to their first 60 md5 bits before grouping, mirroring
+    # the Spark side's 8-byte shuffle keys (collisions merge identically)
     "doc_boilerplate": """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
 g AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
          ELSE list_transform(generate_series(1, len(t) - 4),
                              i -> array_to_string(list_slice(t, i, i + 4), ' '))
-         END) AS gram
+         END)), 1, 15))::BIGINT AS gh
   FROM d
 ),
 dfg AS (
-  SELECT gram, count(*) AS gdf FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY 1
+  SELECT gh, count(*) AS gdf FROM (SELECT DISTINCT doc_id, gh FROM g) GROUP BY 1
 ),
-common AS (SELECT gram FROM dfg WHERE gdf >= 3)
+common AS (SELECT gh FROM dfg WHERE gdf >= 3)
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-       round(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
-FROM g LEFT JOIN common c ON g.gram = c.gram
+       CAST(sum(CASE WHEN c.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN c.gh IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
+FROM g LEFT JOIN common c ON g.gh = c.gh
 GROUP BY g.doc_id
 """,
     # Bloom probe: a gram is flagged when all 4 md5 bit positions are in
@@ -3250,5 +3348,88 @@ SELECT least(a.source, b.source) AS source_a,
 FROM pairs JOIN ds a ON pairs.doc_a = a.doc_id
            JOIN ds b ON pairs.doc_b = b.doc_id
 GROUP BY 1, 2
+""",
+    # A-ES weighted sampling: key = ln(u)/w on the md5 ticket; the cut
+    # is on the rounded key with an id tie-break (engine-portable).
+    "doc_weighted_sample": """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         round(ln((('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0::DOUBLE) / n_chars, 6) AS wkey
+  FROM documents
+)
+SELECT doc_id, n_chars, wkey FROM t ORDER BY wkey DESC, doc_id LIMIT 25
+""",
+    "vocab_postings": """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1
+),
+rk AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+top AS (SELECT token, doc_id AS top_doc_id, CAST(tf AS BIGINT) AS top_tf FROM rk WHERE rn = 1)
+SELECT s.token, s.df, s.total_tf, top.top_doc_id, top.top_tf
+FROM stats s JOIN top USING (token)
+ORDER BY s.df DESC, s.token LIMIT 50
+""",
+    "events_user_hll_daily": """
+WITH h AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+r AS (SELECT day, hv % 64 AS register, hv >> 6 AS v FROM h)
+SELECT day, register,
+       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 54 - length(bin(v)) + 1 END) AS BIGINT) AS max_rho
+FROM r GROUP BY 1, 2
+""",
+    "langid_eval": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+s AS (
+  SELECT doc_id,
+       sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and', 'is', 'in', 'it') THEN 1 ELSE 0 END) AS s_en,
+       sum(CASE WHEN token IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'es') THEN 1 ELSE 0 END) AS s_es,
+       sum(CASE WHEN token IN ('der', 'die', 'das', 'und', 'ist', 'von', 'ein', 'mit') THEN 1 ELSE 0 END) AS s_de,
+       sum(CASE WHEN token IN ('le', 'la', 'les', 'et', 'de', 'un', 'est', 'dans') THEN 1 ELSE 0 END) AS s_fr,
+       sum(CASE WHEN token IN ('de5', 'shi4', 'le5', 'zai4', 'you3', 'he2', 'wo3', 'ta1') THEN 1 ELSE 0 END) AS s_zh
+  FROM t WHERE token <> '' GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+              WHEN s_zh > 0 THEN 'zh'
+              ELSE 'und' END AS pred_lang
+  FROM s
+)
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2
+""",
+    # variance from exact decimal sums, formula written out so both
+    # engines execute the identical IEEE expression (never builtin stddev)
+    "events_znorm": """
+WITH st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS s1,
+         CAST(sum(value::DECIMAL(12,2) * value::DECIMAL(12,2)) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - st.s1 / st.n)
+             / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)), 4) AS z
+FROM events e JOIN st USING (event_type)
 """,
 }

@@ -1183,3 +1183,76 @@ def test_stratified_take_exact_allocation(spark):
     # undersized stratum: returns all rows, never pads
     small = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
     assert stratified_take(small, 5, stratum_col="lang").count() == 2
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from aardappel_spark.ops.sampling import weighted_sample
+
+    # 20 heavy rows (w=1000) vs 180 light rows (w=1): the A-ES top-20
+    # must be dominated by heavy rows
+    rows = [(i, 1000 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = {r.doc_id for r in weighted_sample(df, 20, weight_col="w").collect()}
+    assert len(picked) == 20
+    assert len([i for i in picked if i < 20]) >= 15
+    # deterministic under repartitioning
+    again = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(13), 20, weight_col="w").collect()
+    }
+    assert picked == again
+
+
+def test_postings_top_doc_and_totals(spark):
+    from aardappel_spark.ops.text import postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta"),
+            (2, "alpha beta beta"),
+            (3, "beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.token: r for r in postings(docs, top_tokens=10).collect()}
+    assert out["beta"].df == 3 and out["beta"].total_tf == 4
+    assert out["beta"].top_doc_id == 2 and out["beta"].top_tf == 2
+    assert out["alpha"].df == 2 and out["alpha"].top_doc_id == 1
+    # tf tie in gamma: single doc
+    assert out["gamma"].df == 1 and out["gamma"].top_doc_id == 3
+
+
+def test_hll_daily_merges_to_global(spark, sf_dir):
+    """Sketch mergeability: elementwise max of the per-day registers
+    must equal the global register table — the property that lets daily
+    sketches answer any date range without re-reading events."""
+    from aardappel_spark.registry import q_events_user_hll, q_events_user_hll_daily
+
+    daily = q_events_user_hll_daily(spark, sf_dir)
+    merged = {
+        (r.register, r.mr)
+        for r in daily.groupBy("register")
+        .agg(F.max("max_rho").alias("mr"))
+        .collect()
+    }
+    global_ = {
+        (r.register, r.max_rho) for r in q_events_user_hll(spark, sf_dir).collect()
+    }
+    assert merged == global_
+
+
+def test_znorm_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from aardappel_spark.registry import q_events_znorm
+
+    got = {r.event_id: r.z for r in q_events_znorm(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.event_id, r.value))
+    for rows in by_type.values():
+        vals = np.array([v for _, v in rows])
+        mean, var = vals.mean(), vals.var(ddof=1)
+        for eid, v in rows:
+            assert abs(got[eid] - (v - mean) / np.sqrt(var)) < 1e-3

@@ -168,3 +168,26 @@ def test_new_doc_queries_no_cartesian(spark, qname):
     plan = _plan(spark, qname)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or qname == "text_tfidf"
+
+
+def test_znorm_stats_broadcast(spark):
+    """events_znorm: the 5-row per-type stats frame must broadcast back
+    onto the events scan, never shuffle the fact side."""
+    plan = _plan(spark, "events_znorm")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["vocab_postings", "langid_eval", "events_user_hll_daily", "doc_weighted_sample"]
+)
+def test_batch2_queries_no_cartesian(spark, qname):
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """doc_weighted_sample must plan as TakeOrdered (top-k over
+    row-local keys), not a global Sort."""
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
