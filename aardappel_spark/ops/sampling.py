@@ -135,7 +135,9 @@ def weighted_sample(
     a single pass."""
     t = sample_ticket(id_col, salt)
     u = (t + F.lit(1)) / F.lit(float(TICKET_SPACE))
-    key = F.round(F.log(u) / F.col(weight_col), 6)
+    # + 0.0 canonicalizes -0.0 (u == 1 gives ln(u) == -0.0, which
+    # engines render differently); every other value is unchanged
+    key = F.round(F.log(u) / F.col(weight_col), 6) + F.lit(0.0)
     return (
         df.withColumn("wkey", key)
         .orderBy(F.desc("wkey"), F.col(id_col))

@@ -3355,7 +3355,7 @@ GROUP BY 1, 2
 WITH t AS (
   SELECT doc_id, n_chars,
          round(ln((('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-                  / 4294967296.0::DOUBLE) / n_chars, 6) AS wkey
+                  / 4294967296.0::DOUBLE) / n_chars, 6) + 0.0::DOUBLE AS wkey
   FROM documents
 )
 SELECT doc_id, n_chars, wkey FROM t ORDER BY wkey DESC, doc_id LIMIT 25

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DecimalType,
     LongType,
     StringType,
@@ -363,3 +364,150 @@ def streaming_interval_join(
     for k in key_cols:
         out = out.drop(F.col(f"r.{k}"))
     return out.drop("_lt", "_rt")
+
+
+def streaming_countmin(
+    events: DataFrame,
+    key_col: str = "user_id",
+    n_rows: int = 4,
+    n_cols: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: an UNBOUNDED key domain compressed
+    into a BOUNDED aggregation state (n_rows x n_cols cells) — the
+    streaming frequency story that survives 100 TB/day: state never
+    grows past 1024 rows no matter how many distinct keys flow through,
+    and the md5 cell assignment matches the batch ``vocab_countmin``
+    kernel, so a batch-built sketch and a stream-built sketch over the
+    same data are cell-for-cell identical (pinned by test).
+
+    Plain streaming aggregation in update mode — no custom state code,
+    no watermark needed (the sketch is cumulative); partial aggregation
+    combines map-side so the shuffle per batch is at most
+    partitions x cells rows.
+    """
+    from pyspark.sql import functions as F
+
+    cells = events.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{r}:"), F.col(key_col).cast("string")
+                                    )
+                                ),
+                                1,
+                                7,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % n_cols
+                    )
+                    for r in range(n_rows)
+                ]
+            )
+        ).alias("row", "col")
+    )
+    return (
+        cells.groupBy(F.col("row").cast("bigint").alias("row"), "col")
+        .agg(F.count("*").alias("total"))
+    )
+
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("item", StringType(), False),
+        StructField("est_count", LongType(), False),
+        StructField("max_err", LongType(), False),
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("errs", ArrayType(LongType()), True),
+    ]
+)
+
+HH_CAPACITY = 8
+
+
+def _hh_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """SpaceSaving summary for one shard. Deterministic: batch items
+    merge in (-count, item) order; eviction removes the (count, err,
+    item)-smallest entry."""
+    shard = key[0]
+    if state.exists:
+        items, counts, errs = state.get
+        summary = {it: [c, e] for it, c, e in zip(items, counts, errs)}
+    else:
+        summary = {}
+
+    batch_counts: dict[str, int] = {}
+    for pdf in pdf_iter:
+        for it, n in pdf.groupby("item").size().items():
+            batch_counts[it] = batch_counts.get(it, 0) + int(n)
+
+    for it in sorted(batch_counts, key=lambda i: (-batch_counts[i], i)):
+        c = batch_counts[it]
+        if it in summary:
+            summary[it][0] += c
+        elif len(summary) < HH_CAPACITY:
+            summary[it] = [c, 0]
+        else:
+            evict = min(summary, key=lambda i: (summary[i][0], summary[i][1], i))
+            floor = summary[evict][0]
+            del summary[evict]
+            summary[it] = [floor + c, floor]
+
+    its = sorted(summary)
+    state.update((its, [summary[i][0] for i in its], [summary[i][1] for i in its]))
+    yield pd.DataFrame(
+        {
+            "shard": [shard] * len(its),
+            "item": its,
+            "est_count": [summary[i][0] for i in its],
+            "max_err": [summary[i][1] for i in its],
+        }
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Distributed streaming heavy hitters: items hash to a fixed shard
+    (md5 % n_shards — an item ALWAYS lands on its shard, so its count is
+    never split), and each shard maintains a SpaceSaving summary of
+    HH_CAPACITY entries in managed state. Total state is
+    n_shards x capacity entries — bounded for any key cardinality — and
+    the SpaceSaving guarantees hold per shard: est_count >= true count,
+    est_count - max_err <= true count, and any item with true count
+    above the shard's eviction floor is present. Emits each touched
+    shard's full summary per batch (update mode)."""
+    from pyspark.sql import functions as F
+
+    shaped = events.select(
+        (
+            F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 7), 16, 10)
+            .cast("long")
+            % n_shards
+        ).alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return shaped.groupBy("shard").applyInPandasWithState(
+        _hh_fn,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

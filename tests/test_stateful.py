@@ -343,3 +343,113 @@ def test_streaming_funnel_advances_across_batches(spark, tmp_path):
     run()
     latest = {r.user_id: r for r in collected if r.user_id == 1}
     assert (latest[1].stage, latest[1].t1, latest[1].t3) == (3, 100, 300)
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """The stream-built count-min sketch must be cell-for-cell identical
+    to the batch kernel over the same data — the merge/replay property
+    that lets a sketch survive restarts and backfills."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.stateful import streaming_countmin
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    batches = [
+        [f"user{i % 7}" for i in range(50)],
+        [f"user{i % 13}" for i in range(80)],
+    ]
+
+    latest = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            latest[(r.row, r.col)] = r.total
+
+    for bi, keys in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for k in keys:
+                f.write(json.dumps({"user_id": k}) + "\n")
+        stream = spark.readStream.schema("user_id string").json(src)
+        q = (
+            streaming_countmin(stream, key_col="user_id")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    all_keys = [k for b in batches for k in b]
+    batch_df = spark.createDataFrame([(k,) for k in all_keys], ["user_id"])
+    from aardappel_spark.stateful import streaming_countmin as _  # same kernel
+
+    model = {
+        (r.row, r.col): r.total
+        for r in streaming_countmin(batch_df, key_col="user_id").collect()
+    }
+    assert latest == model
+    # bounded state: never more cells than rows x cols
+    assert len(latest) <= 4 * 256
+
+
+def test_streaming_heavy_hitters_invariants_and_restart(spark, tmp_path):
+    import json
+    import os
+    from collections import Counter
+
+    from aardappel_spark.stateful import HH_CAPACITY, streaming_heavy_hitters
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    batches = [
+        ["hot"] * 40 + [f"cold{i}" for i in range(30)] + ["warm"] * 10,
+        ["hot"] * 25 + [f"cold{i}" for i in range(30, 60)] + ["warm"] * 15,
+    ]
+
+    # each batch emits a touched shard's FULL summary: replace the whole
+    # shard on every emission (an evicted item must not linger)
+    shards = {}
+
+    def sink(df, _bid):
+        rows = df.collect()
+        for shard in {r.shard for r in rows}:
+            shards[shard] = {
+                r.item: (r.est_count, r.max_err) for r in rows if r.shard == shard
+            }
+
+    for bi, items in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for it in items:
+                f.write(json.dumps({"event_type": it}) + "\n")
+        stream = spark.readStream.schema("event_type string").json(src)
+        q = (
+            streaming_heavy_hitters(stream, item_col="event_type")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    true = Counter(it for b in batches for it in b)
+    summary = {item: v for s in shards.values() for item, v in s.items()}
+    # SpaceSaving guarantees: est >= true, est - err <= true
+    for item, (est, err) in summary.items():
+        assert est >= true[item], item
+        assert est - err <= true[item], item
+    # the heavy items survived every eviction and their counts are exact
+    # across the restart boundary (they were always present, so no error)
+    assert summary["hot"] == (65, 0)
+    assert summary["warm"] == (25, 0)
+    # bounded state: per-shard summaries never exceed capacity
+    assert all(len(s) <= HH_CAPACITY for s in shards.values())
