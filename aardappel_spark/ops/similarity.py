@@ -515,3 +515,151 @@ def sq8_topk(
         .orderBy(F.desc("qdot"), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """ANN via product quantization: the vector splits into ``m_sub``
+    subspaces, each trained to a ``k_sub``-centroid codebook (same
+    deterministic md5-seeded + one-Lloyd-iteration recipe as
+    ``ivf_build``, but Euclidean per subspace, which is PQ's metric);
+    every vector compresses to ``m_sub`` codes (3 bits each here — at
+    scale this is the 64x memory story: 8 bytes of codes standing in
+    for 512 bytes of float64s), and the query ranks candidates by the
+    ADC lookup-table sum instead of touching raw vectors.
+
+    Shapes for 100 TB: training partials and codes come from
+    ``mapInPandas`` passes with the codebook as a broadcast (the corpus
+    never collects, never re-shuffles); the ADC scoring is a pure
+    column expression over the code arrays (zip_with against a literal
+    lookup table) ending in a TakeOrdered. Everything is deterministic
+    — seeding, argmin tie order (smallest code), empty-cluster carry —
+    so the full pipeline is replicated in the DuckDB oracle and the
+    result is hash-gated like the other ANN tiers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qrow = v.filter(F.col("_id") == query_id).select("_v").first()
+    if qrow is None:
+        return vectors.select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.lit(0.0).alias("adc"),
+        ).limit(0)
+
+    seed_rows = (
+        v.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k_sub).collect()
+    )
+    S = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
+    dims = S.shape[1]
+    d_sub = dims // m_sub
+    # C[m] = k_sub centroids of subspace m, initialized from the seeds
+    C = S.reshape(k_sub, m_sub, d_sub).transpose(1, 0, 2).copy()
+
+    def partials_with(Cn):
+        b_C = spark.sparkContext.broadcast(Cn)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf["_v"]), dtype=np.float64)
+                Vs = V.reshape(len(V), m_sub, d_sub)
+                out = []
+                for m in range(m_sub):
+                    D = ((Vs[:, m, None, :] - b_C.value[m][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    a = D.argmin(axis=1)
+                    for c in np.unique(a):
+                        sel = Vs[a == c, m, :]
+                        out.append(
+                            {
+                                "_m": int(m),
+                                "_c": int(c),
+                                "_n": int(sel.shape[0]),
+                                "_s": sel.sum(axis=0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(out)
+
+        return v.mapInPandas(run, "_m int, _c int, _n bigint, _s array<double>")
+
+    # one Lloyd iteration: O(partitions x m_sub x k_sub) partial rows
+    # reach the driver; empty clusters keep their seed centroid
+    agg: dict[tuple[int, int], tuple] = {}
+    for r in partials_with(C).collect():
+        key = (r["_m"], r["_c"])
+        s, n = agg.get(key, (np.zeros(d_sub), 0))
+        agg[key] = (s + np.array(r["_s"]), n + r["_n"])
+    newC = C.copy()
+    for (m, c), (s, n) in agg.items():
+        newC[m, c] = s / n
+    C = newC
+
+    b_C = spark.sparkContext.broadcast(C)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            Vs = V.reshape(len(V), m_sub, d_sub)
+            codes = np.stack(
+                [
+                    ((Vs[:, m, None, :] - b_C.value[m][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for m in range(m_sub)
+                ],
+                axis=1,
+            ).astype(np.int64)
+            out = pdf[["_id"]].copy()
+            out["_code"] = [row.tolist() for row in codes]
+            yield out
+
+    codes = v.mapInPandas(encode, "_id bigint, _code array<bigint>")
+
+    qv = np.array(qrow[0], dtype=np.float64)
+    Qs = qv.reshape(m_sub, d_sub)
+    lut = ((Qs[:, None, :] - C) ** 2).sum(axis=2)  # (m_sub, k_sub)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    picked = F.zip_with(
+        F.col("_code"),
+        lut_lit,
+        lambda c, row: F.element_at(row, (c + F.lit(1)).cast("int")),
+    )
+    score = F.aggregate(picked, F.lit(0.0), lambda a, x: a + x)
+
+    out = codes.filter(F.col("_id") != query_id).withColumn(
+        "adc", F.round(score, 6)
+    )
+    if extra_cols:
+        out = out.join(
+            vectors.select(F.col(id_col).alias("_id"), *extra_cols), "_id"
+        )
+    return (
+        out.select(
+            F.col("_id").alias(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            "adc",
+        )
+        .orderBy(F.asc("adc"), F.col(id_col))
+        .limit(k)
+    )

@@ -1877,6 +1877,17 @@ def q_events_znorm(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: 8 subspaces x 8 centroids (md5-seeded,
+    one Lloyd iteration, Euclidean), ranked by the ADC lookup-table
+    distance over the 8-code compression of each vector. Every training
+    and encoding step is deterministic and replicated in the oracle."""
+    from .ops.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, query_id=0, k=10, extra_cols=["label"])
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1992,6 +2003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_hll_daily": q_events_user_hll_daily,
     "langid_eval": q_langid_eval,
     "events_znorm": q_events_znorm,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLES: dict[str, str] = {
@@ -3431,5 +3443,76 @@ SELECT e.event_id, e.event_type,
        round((e.value - st.s1 / st.n)
              / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)), 4) AS z
 FROM events e JOIN st USING (event_type)
+""",
+    # full PQ pipeline replicated: md5-smallest seeds -> per-subspace
+    # Euclidean assignment (tie: smallest code) -> raw means with
+    # empty-cluster carry -> re-encode -> ADC lookup-table ranking
+    "ann_pq": """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+vs AS (SELECT vec_id, (i - 1) // 8 AS m, i, x FROM v),
+seeds AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 8
+),
+c0 AS (
+  SELECT vs.m, seeds.cid, vs.i, vs.x AS cx
+  FROM seeds JOIN vs ON seeds.vec_id = vs.vec_id
+),
+a0 AS (
+  SELECT vs.vec_id, vs.m, c0.cid, sum((vs.x - c0.cx) * (vs.x - c0.cx)) AS d2
+  FROM vs JOIN c0 ON vs.m = c0.m AND vs.i = c0.i
+  GROUP BY 1, 2, 3
+),
+asg0 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM a0
+  ) WHERE rn = 1
+),
+mm AS (
+  SELECT asg0.m, asg0.cid, vs.i, avg(vs.x) AS cx
+  FROM asg0 JOIN vs ON asg0.vec_id = vs.vec_id AND asg0.m = vs.m
+  GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT m, cid, i, cx FROM mm
+  UNION ALL
+  SELECT c0.m, c0.cid, c0.i, c0.cx FROM c0
+  WHERE NOT EXISTS (SELECT 1 FROM asg0 WHERE asg0.m = c0.m AND asg0.cid = c0.cid)
+),
+a1 AS (
+  SELECT vs.vec_id, vs.m, c1.cid, sum((vs.x - c1.cx) * (vs.x - c1.cx)) AS d2
+  FROM vs JOIN c1 ON vs.m = c1.m AND vs.i = c1.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM a1
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT c1.m, c1.cid, sum((q.x - c1.cx) * (q.x - c1.cx)) AS d2
+  FROM c1 JOIN vs q ON q.vec_id = 0 AND q.m = c1.m AND q.i = c1.i
+  GROUP BY 1, 2
+),
+score AS (
+  SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+  WHERE codes.vec_id <> 0
+  GROUP BY 1
+)
+SELECT s.vec_id, e.label, s.adc
+FROM score s JOIN embeddings e USING (vec_id)
+ORDER BY adc, s.vec_id LIMIT 10
 """,
 }

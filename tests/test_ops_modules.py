@@ -1256,3 +1256,53 @@ def test_znorm_matches_numpy(spark, sf_dir):
         mean, var = vals.mean(), vals.var(ddof=1)
         for eid, v in rows:
             assert abs(got[eid] - (v - mean) / np.sqrt(var)) < 1e-3
+
+
+def test_pq_topk_matches_numpy_model(spark, sf_dir):
+    """Full PQ pipeline (seed -> one Lloyd iteration -> encode -> ADC)
+    against a straight numpy replication on the collected corpus."""
+    import hashlib
+
+    import numpy as np
+
+    from aardappel_spark.ops.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r.vec_id, r.adc) for r in pq_topk(emb, query_id=0, k=5).collect()]
+
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+    )
+    m_sub, k_sub = 8, 8
+    S = np.array([v for _, v in rows[:k_sub]])
+    d_sub = S.shape[1] // m_sub
+    C = S.reshape(k_sub, m_sub, d_sub).transpose(1, 0, 2).copy()
+    allv = {i: v for i, v in rows}
+    V = np.array([allv[i] for i in sorted(allv)])
+    vids = np.array(sorted(allv))
+    Vs = V.reshape(len(V), m_sub, d_sub)
+    newC = C.copy()
+    for m in range(m_sub):
+        D = ((Vs[:, m, None, :] - C[m][None]) ** 2).sum(axis=2)
+        a = D.argmin(axis=1)
+        for c in range(k_sub):
+            sel = Vs[a == c, m, :]
+            if len(sel):
+                newC[m, c] = sel.sum(axis=0) / len(sel)
+    C = newC
+    codes = np.stack(
+        [
+            ((Vs[:, m, None, :] - C[m][None]) ** 2).sum(axis=2).argmin(axis=1)
+            for m in range(m_sub)
+        ],
+        axis=1,
+    )
+    q = allv[0].reshape(m_sub, d_sub)
+    lut = ((q[:, None, :] - C) ** 2).sum(axis=2)
+    adc = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+    scored = sorted(
+        (round(float(s), 6), int(i)) for i, s in zip(vids, adc) if i != 0
+    )
+    want = [(i, s) for s, i in scored[:5]]
+    assert got == want
