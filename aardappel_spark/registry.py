@@ -1888,6 +1888,64 @@ def q_ann_pq(spark, sf_dir):
     return pq_topk(emb, query_id=0, k=10, extra_cols=["label"])
 
 
+def q_events_sliding(spark, sf_dir):
+    """Hopping (sliding) window counts: 2-day windows advancing by 1
+    day — each event lands in exactly 2 windows via a generated window-
+    start explode (the batch equivalent of F.window's slideDuration;
+    §2.9 windowed-agg surface). The explode is a row-local sequence —
+    no shuffle until the final window aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day_us = 86_400_000_000
+    day0 = F.expr(f"((ts div 1000) div {day_us}) * {day_us}")
+    starts = F.sequence(day0 - F.lit(day_us), day0, F.lit(day_us))
+    return (
+        ev.select(
+            F.explode(starts).alias("win_start_us"),
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy(
+            F.timestamp_micros(F.col("win_start_us")).cast("date").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_v").cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: |value - median| > 3 * 1.4826 * MAD
+    per event type (median absolute deviation — the robust z-score a
+    pipeline uses when the mean/stddev are themselves polluted by the
+    outliers it hunts). Two exact-percentile passes over the same
+    5-group frame; the tiny per-type stats broadcast back onto the
+    scan. Spark percentile() matches DuckDB quantile_cont bit-for-bit
+    (the events_quantiles precedent)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("_med").alias("_med"),
+            F.expr("percentile(abs(value - _med), 0.5)").alias("_mad"),
+        )
+    )
+    scored = ev.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.round(
+            (F.col("value") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")), 4
+        ),
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > 3).select(
+        "event_id", "event_type", "robust_z"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2004,6 +2062,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_eval": q_langid_eval,
     "events_znorm": q_events_znorm,
     "ann_pq": q_ann_pq,
+    "events_sliding": q_events_sliding,
+    "events_mad_outliers": q_events_mad_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3514,5 +3574,34 @@ score AS (
 SELECT s.vec_id, e.label, s.adc
 FROM score s JOIN embeddings e USING (vec_id)
 ORDER BY adc, s.vec_id LIMIT 10
+""",
+    "events_sliding": """
+WITH e AS (
+  SELECT epoch_us(ts) AS mic, event_type, value FROM events
+),
+w AS (
+  SELECT unnest([(mic // 86400000000 - 1) * 86400000000,
+                 (mic // 86400000000) * 86400000000]) AS win_start_us,
+         event_type, value
+  FROM e
+)
+SELECT make_timestamp(win_start_us)::DATE AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value::DECIMAL(12,2)) AS DOUBLE), 2) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+    "events_mad_outliers": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, min(med.med) AS med,
+         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - mad.med) / (1.4826::DOUBLE * mad.mad), 4) AS robust_z
+FROM events e JOIN mad USING (event_type)
+WHERE abs(round((e.value - mad.med) / (1.4826::DOUBLE * mad.mad), 4)) > 3
 """,
 }

@@ -191,3 +191,52 @@ def test_weighted_sample_is_takeordered(spark):
     row-local keys), not a global Sort."""
     plan = _plan(spark, "doc_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketed writes are the co-located-join story at 100 TB: two
+    tables bucketed by the join key on the same bucket count must
+    sort-merge join with ZERO Exchange operators — the scan itself is
+    the partitioning. (This is what turns a nightly fact-fact join from
+    a full-corpus shuffle into a local merge.)"""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 1000, 3).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("vb")
+        )
+        a.write.bucketBy(8, "k").sortBy("k").option(
+            "path", f"{tmp_path}/bt_a"
+        ).saveAsTable("bt_a")
+        b.write.bucketBy(8, "k").sortBy("k").option(
+            "path", f"{tmp_path}/bt_b"
+        ).saveAsTable("bt_b")
+        joined = spark.table("bt_a").hint("merge").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 334
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_mad_stats_broadcast(spark):
+    """events_mad_outliers: both percentile-stats frames are 5 rows and
+    must broadcast back onto the events scan."""
+    plan = _plan(spark, "events_mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_windows_single_aggregation(spark):
+    """events_sliding: the hop explode is row-local — exactly one
+    aggregation Exchange in the plan, no join at all."""
+    plan = _plan(spark, "events_sliding")
+    assert plan.count("Exchange") <= 2  # partial+final agg exchange pair
+    assert "Join" not in plan
