@@ -1946,6 +1946,59 @@ def q_events_mad_outliers(spark, sf_dir):
     )
 
 
+def q_corpus_temperature(spark, sf_dir):
+    """Temperature-based language rebalancing (alpha = 0.5): keep rate
+    per language = sqrt(n_smallest / n_lang), so the language
+    distribution moves toward sqrt-proportional (the multilingual
+    up/down-sampling step). alpha = 0.5 keeps every arithmetic op
+    IEEE-exact (sqrt is correctly rounded, unlike pow/ln), so the
+    md5-ticket cut is engine-portable. Counts frame is 5 rows ->
+    broadcast; the filter is row-local. Output: the kept-count profile
+    per language."""
+    from .ops.sampling import sample_ticket
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+    from pyspark.sql.window import Window
+
+    counts = counts.withColumn(
+        "_nmin", F.min("_n").over(Window.partitionBy())
+    ).withColumn(
+        "_cut",
+        F.floor(
+            F.sqrt(F.col("_nmin").cast("double") / F.col("_n"))
+            * F.lit(4294967296.0)
+        ).cast("long"),
+    )
+    t = sample_ticket("doc_id", "temp")
+    kept = docs.join(F.broadcast(counts), "lang").filter(t < F.col("_cut"))
+    return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept"))
+
+
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: docs split into head/middle/
+    tail terciles of the corpus-unigram NLL (rounded, doc-id
+    tie-broken ordering — engine-exact), with per-bucket stats. The
+    quality-stratification step before mixture sampling."""
+    from pyspark.sql.window import Window
+
+    from .ops.text import unigram_nll
+
+    nll = unigram_nll(_docs(spark, sf_dir))
+    w = Window.partitionBy().orderBy("nll", "doc_id")
+    bucketed = nll.withColumn(
+        "bucket",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2064,6 +2117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "events_sliding": q_events_sliding,
     "events_mad_outliers": q_events_mad_outliers,
+    "corpus_temperature": q_corpus_temperature,
+    "doc_ppl_buckets": q_doc_ppl_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -3603,5 +3658,43 @@ SELECT e.event_id, e.event_type,
        round((e.value - mad.med) / (1.4826::DOUBLE * mad.mad), 4) AS robust_z
 FROM events e JOIN mad USING (event_type)
 WHERE abs(round((e.value - mad.med) / (1.4826::DOUBLE * mad.mad), 4)) > 3
+""",
+    # alpha = 0.5 keeps the whole rate computation IEEE-exact (sqrt is
+    # correctly rounded; pow/ln are not), so the ticket cut is portable
+    "corpus_temperature": """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (
+  SELECT c.lang,
+         CAST(floor(sqrt(m.nmin::DOUBLE / c.n) * 4294967296.0::DOUBLE) AS BIGINT) AS cut
+  FROM c, m
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < r.cut
+GROUP BY 1
+""",
+    "doc_ppl_buckets": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+f AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+n AS (SELECT count(*) AS nn FROM tk),
+nll AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(n.nn) - ln(f.c)), 4) AS nll
+  FROM tk JOIN f USING (token), n
+  GROUP BY tk.doc_id
+),
+b AS (
+  SELECT doc_id, n_tokens, nll, ntile(3) OVER (ORDER BY nll, doc_id) AS q
+  FROM nll
+)
+SELECT CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
 """,
 }

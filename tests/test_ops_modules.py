@@ -1306,3 +1306,38 @@ def test_pq_topk_matches_numpy_model(spark, sf_dir):
     )
     want = [(i, s) for s, i in scored[:5]]
     assert got == want
+
+
+def test_temperature_rebalance_direction(spark, sf_dir):
+    """alpha = 0.5 rebalancing: the smallest language keeps (nearly)
+    everything, the largest keeps ~sqrt(n_min*n_max)/n_max, and the kept
+    distribution is flatter than the original."""
+    from aardappel_spark.registry import q_corpus_temperature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orig = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n_kept for r in q_corpus_temperature(spark, sf_dir).collect()}
+    n_min = min(orig.values())
+    lang_min = min(orig, key=orig.get)
+    lang_max = max(orig, key=orig.get)
+    # smallest language: cut = 2^32 -> keeps everything
+    assert kept[lang_min] == orig[lang_min]
+    # keep RATios flatten: largest language's ratio < smallest's
+    assert kept[lang_max] / orig[lang_max] < kept[lang_min] / orig[lang_min]
+    # expected keep ~ n * sqrt(n_min/n): within 30% (Bernoulli noise)
+    import math
+
+    for lang, n in orig.items():
+        expect = n * math.sqrt(n_min / n)
+        assert abs(kept[lang] - expect) <= max(8.0, 0.3 * expect), lang
+
+
+def test_ppl_buckets_are_terciles(spark, sf_dir):
+    from aardappel_spark.registry import q_doc_ppl_buckets
+
+    rows = {r.bucket: r for r in q_doc_ppl_buckets(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    sizes = [rows[b].n_docs for b in ("head", "middle", "tail")]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    # head = lowest NLL (most in-distribution)
+    assert rows["head"].avg_nll <= rows["middle"].avg_nll <= rows["tail"].avg_nll
