@@ -433,10 +433,26 @@ def contamination_check(
     documents only.
     """
     grams = F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
-    block = benchmark.select(grams).distinct()
-    corpus = docs.select(F.col(id_col), grams)
+    return contamination_check_grams(
+        docs.select(F.col(id_col), grams),
+        benchmark.select(grams),
+        id_col=id_col,
+    )
+
+
+def contamination_check_grams(
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Core of ``contamination_check`` over pre-exploded (id, gram)
+    frames — callers that already materialize a shared gram frame (the
+    bench's cached 4-gram explode feeds three queries) skip the
+    re-explode entirely."""
+    block = bench_grams.select("gram").distinct()
     return (
-        corpus.join(block, "gram")
+        corpus_grams.select(F.col(id_col), "gram")
+        .join(block, "gram")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_contaminated_grams"))
     )
@@ -474,15 +490,31 @@ def bloom_contamination_check(
     occurrence — a superset of the exact check's rows.
     """
     gram = F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
+    probe = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles_col(text_col, k=ngram_words)).alias("pos", "gram"),
+    )
+    return bloom_contamination_check_grams(
+        probe, benchmark.select(gram), id_col=id_col
+    )
 
-    bench_grams = benchmark.select(gram).distinct()
+
+def bloom_contamination_check_grams(
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Core of ``bloom_contamination_check`` over pre-exploded gram
+    frames: corpus side needs (id, pos, gram) — pos gives each gram
+    occurrence an identity so the all-K-bits test groups correctly."""
+    uniq = bench_grams.select("gram").distinct()
     bits = None
     for j in range(BLOOM_K):
-        b = bench_grams.select(_bloom_bit(j, F.col("gram")).alias("bit"))
+        b = uniq.select(_bloom_bit(j, F.col("gram")).alias("bit"))
         bits = b if bits is None else bits.unionByName(b)
     bits = bits.distinct().withColumn("_set", F.lit(1))
 
-    probe = docs.select(F.col(id_col), F.posexplode(shingles_col(text_col, k=ngram_words)).alias("pos", "gram"))
+    probe = corpus_grams.select(F.col(id_col), "pos", "gram")
     probe_bits = None
     for j in range(BLOOM_K):
         pb = probe.select(id_col, "pos", _bloom_bit(j, F.col("gram")).alias("bit"))

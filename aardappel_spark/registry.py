@@ -195,7 +195,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
     accumulate in the driver."""
     app = spark.sparkContext.applicationId if spark is not None else None
     evicted = 0
-    for cache in (_MINHASH_SIG_CACHE, _PAIRS_CACHE, _SIMHASH64_CACHE):
+    for cache in (_MINHASH_SIG_CACHE, _PAIRS_CACHE, _SIMHASH64_CACHE, _GRAMS4_CACHE):
         for key in list(cache):
             if app is None or key[0] == app:
                 df = cache.pop(key)
@@ -216,6 +216,27 @@ def _minhash_sig_cached(spark, sf_dir):
             _docs(spark, sf_dir), num_hashes=4
         ).persist()
     return _MINHASH_SIG_CACHE[key]
+
+
+_GRAMS4_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _grams4_cached(spark, sf_dir):
+    """Shared (doc_id, pos, gram) word-4-gram explode of the whole
+    corpus — consumed by decontamination, decontam_bloom, and
+    doc_score's contamination leg, so it's built and persisted once."""
+    from .ops.dedup import shingles_col
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _GRAMS4_CACHE:
+        _GRAMS4_CACHE[key] = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id", F.posexplode(shingles_col("text", k=4)).alias("pos", "gram")
+            )
+            .persist()
+        )
+    return _GRAMS4_CACHE[key]
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -412,7 +433,7 @@ def q_doc_score(spark, sf_dir):
     filter a pipeline applies before the train split. Signals compose
     as three doc_id-keyed frames; the contamination side is an outer
     join (absent = clean)."""
-    from .ops.dedup import contamination_check, shingles_col
+    from .ops.dedup import contamination_check_grams, shingles_col
     from .ops.text import doc_quality
 
     docs = _docs(spark, sf_dir)
@@ -426,10 +447,9 @@ def q_doc_score(spark, sf_dir):
             4,
         ).alias("rep_ratio"),
     )
-    cont = contamination_check(
-        docs.filter(F.col("doc_id") >= 5),
-        docs.filter(F.col("doc_id") < 5),
-        ngram_words=4,
+    g4 = _grams4_cached(spark, sf_dir)
+    cont = contamination_check_grams(
+        g4.filter(F.col("doc_id") >= 5), g4.filter(F.col("doc_id") < 5)
     )
     j = (
         q.join(rep, "doc_id")
@@ -446,13 +466,11 @@ def q_decontamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
     word 4-gram with the 'eval set' (doc_id < 5) — the leak check run
     before a train split ships."""
-    from .ops.dedup import contamination_check
+    from .ops.dedup import contamination_check_grams
 
-    docs = _docs(spark, sf_dir)
-    return contamination_check(
-        docs.filter(F.col("doc_id") >= 5),
-        docs.filter(F.col("doc_id") < 5),
-        ngram_words=4,
+    g = _grams4_cached(spark, sf_dir)
+    return contamination_check_grams(
+        g.filter(F.col("doc_id") >= 5), g.filter(F.col("doc_id") < 5)
     )
 
 
@@ -1736,13 +1754,11 @@ def q_decontam_bloom(spark, sf_dir):
     (doc_id >= 5) against the eval set (doc_id < 5): fixed-size bitmap
     broadcast instead of the exact gram-set join; deterministic false
     positives, so still oracle-exact."""
-    from .ops.dedup import bloom_contamination_check
+    from .ops.dedup import bloom_contamination_check_grams
 
-    docs = _docs(spark, sf_dir)
-    return bloom_contamination_check(
-        docs.filter(F.col("doc_id") >= 5),
-        docs.filter(F.col("doc_id") < 5),
-        ngram_words=4,
+    g = _grams4_cached(spark, sf_dir)
+    return bloom_contamination_check_grams(
+        g.filter(F.col("doc_id") >= 5), g.filter(F.col("doc_id") < 5)
     )
 
 

@@ -49,6 +49,7 @@ def main() -> None:
         "minhash_signatures": lambda: registry._minhash_sig_cached(spark, sf_dir),
         "minhash_pairs": lambda: registry._minhash_pairs_cached(spark, sf_dir),
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
+        "grams4": lambda: registry._grams4_cached(spark, sf_dir),
     }
     warmup: dict[str, float] = {}
     for name, build in warmup_builds.items():
