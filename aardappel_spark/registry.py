@@ -2015,6 +2015,27 @@ def q_doc_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    a typed ``from_json`` schema (JVM-side, codegen — never a Python
+    json.loads) and profile the extracted field per event type. The
+    schema-on-read path every event pipeline needs for property bags;
+    all outputs integer-exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2135,6 +2156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_outliers": q_events_mad_outliers,
     "corpus_temperature": q_corpus_temperature,
     "doc_ppl_buckets": q_doc_ppl_buckets,
+    "events_json_stats": q_events_json_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3712,5 +3734,16 @@ SELECT CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
        round(avg(nll), 4) AS avg_nll,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1
+""",
+    "events_json_stats": """
+WITH e AS (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY 1
 """,
 }

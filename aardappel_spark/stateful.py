@@ -511,3 +511,53 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_batch(
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sink=None,
+):
+    """foreachBatch factory for streaming ingest dedup against the FULL
+    historical corpus: each micro-batch md5-fingerprints its documents,
+    drops rows whose fingerprint exists in the persistent store (or
+    earlier in the same batch — first id wins), appends the survivors'
+    fingerprints, and hands survivors to ``sink``.
+
+    The store is a parquet table of 32-byte fingerprints — the
+    batch-side ``dedup_incremental`` anti-join shape, made continuous.
+    Replays are idempotent: a re-appended fingerprint is a duplicate row
+    in the store, which changes nothing about anti-join semantics, so
+    at-least-once delivery composes to exactly-once OUTPUT as long as
+    the sink itself is idempotent per batch id (the standard
+    foreachBatch contract). At scale the anti-join shuffles 32-byte
+    keys only, and the store can be bucketed by fingerprint so the join
+    co-locates.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def fn(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("_fp", F.md5(F.col(text_col)))
+        w = Window.partitionBy("_fp").orderBy(id_col)
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            store = spark.read.parquet(store_path).select("fp")
+        except Exception:
+            store = spark.createDataFrame([], "fp string")
+        fresh = batch.join(
+            store, batch["_fp"] == store["fp"], "left_anti"
+        ).localCheckpoint()  # pin survivors BEFORE the store grows
+        if sink is not None:
+            sink(fresh.drop("_fp"), batch_id)
+        fresh.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
+            store_path
+        )
+
+    return fn

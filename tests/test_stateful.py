@@ -453,3 +453,47 @@ def test_streaming_heavy_hitters_invariants_and_restart(spark, tmp_path):
     assert summary["warm"] == (25, 0)
     # bounded state: per-shard summaries never exceed capacity
     assert all(len(s) <= HH_CAPACITY for s in shards.values())
+
+
+def test_incremental_dedup_across_batches_and_restart(spark, tmp_path):
+    """Streaming ingest dedup against the persistent fingerprint store:
+    duplicates are dropped within a batch, across batches, and across a
+    query restart (the store, not the checkpoint, carries the corpus
+    memory)."""
+    import json
+    import os
+
+    from aardappel_spark.stateful import incremental_dedup_batch
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    store = os.path.join(str(tmp_path), "fps")
+
+    survivors = []
+    fn = incremental_dedup_batch(
+        store, sink=lambda df, bid: survivors.extend(df.collect())
+    )
+
+    def run_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b1.jsonl", [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")])
+    # batch 2 (fresh query run = restart): doc 4 repeats batch 1's text,
+    # doc 5 is new, docs 6+7 duplicate each other within the batch
+    run_batch("b2.jsonl", [(4, "gamma"), (5, "delta"), (6, "eps"), (7, "eps")])
+
+    assert sorted(r.doc_id for r in survivors) == [1, 3, 5, 6]
+    # the store holds exactly the distinct fingerprints
+    fps = spark.read.parquet(store)
+    assert fps.distinct().count() == 4
