@@ -287,3 +287,75 @@ def q_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", F.round("totalprice", 2).alias("totalprice"), F.col("orderdate")
     )
+
+
+def q_keyfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/C2 driver-gated: drop events whose SERIALIZED key (fmt byte +
+    table path + raw fragments; key_serializer.go layout) is in the
+    blocked set (users with id % 25 == 0), then profile the kept stream
+    per op — including the summed byte length of every kept serialized
+    key, which pins the binary layout itself in the oracle comparison."""
+    from .keyfilter import filter_blocked_keys, serialize_key_col
+
+    ev = split_events(parsed_messages(spark, sf_dir))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    blocked = (
+        raw.filter((F.col("user_id") % 25) == 0)
+        .select(F.col("user_id").cast("string").alias("_u"))
+        .distinct()
+        .select(
+            serialize_key_col(F.array(F.col("_u")), "events").alias("key")
+        )
+    )
+    kept = filter_blocked_keys(ev, blocked, table_path="events")
+    k = serialize_key_col("key", "events")
+    return kept.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.element_at("key", 1).cast("bigint")).alias("n_users"),
+        F.sum(F.length(k)).cast("bigint").alias("key_bytes"),
+    )
+
+
+def q_problem_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S12 driver-gated: out-of-order problem events consult the
+    command queue; the LAST matching command wins. Commands are
+    synthesized deterministically from the events table (every
+    event_id % 7 == 0 position gets a command — skip for even ids,
+    apply for odd — and every % 14 == 0 position gets a LATER
+    overriding 'apply'), so the resolution, including last-wins, is
+    replicable in SQL."""
+    from .cmdqueue import parse_commands, resolve_problem_actions
+
+    parsed = parsed_messages(spark, sf_dir)
+    problems = out_of_order_events(split_events(parsed), split_heartbeats(parsed))
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = raw.filter(F.col("event_id") % 7 == 0)
+    mic = F.expr("CAST(ts DIV 1000 AS LONG)")
+
+    def cmd_json(action_col):
+        return F.to_json(
+            F.struct(
+                F.lit("inst1").alias("aardapel_instance_id"),
+                F.lit("/topic/events").alias("path"),
+                F.array(F.col("user_id").cast("string")).alias("key"),
+                F.array(mic, F.col("event_id")).alias("ts"),
+                action_col.alias("action"),
+            )
+        )
+
+    first_action = F.when(F.col("event_id") % 2 == 0, F.lit("skip")).otherwise(
+        F.lit("apply")
+    )
+    c1 = base.select(cmd_json(first_action).alias("value"))
+    c2 = base.filter(F.col("event_id") % 14 == 0).select(
+        cmd_json(F.lit("apply")).alias("value")
+    )
+    cmds = parse_commands(c1.unionByName(c2))
+    resolved = resolve_problem_actions(problems, cmds, "inst1", "/topic/events")
+    return resolved.select(
+        F.element_at("key", 1).cast("bigint").alias("user_id"),
+        F.col("step").cast("bigint").alias("step"),
+        F.col("tx_id").cast("bigint").alias("tx_id"),
+        F.coalesce(F.col("action"), F.lit("none")).alias("action"),
+    )

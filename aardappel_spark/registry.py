@@ -2098,6 +2098,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": cdc.q_apply,
     "cdc_out_of_order": cdc.q_out_of_order,
     "cdc_apply_orders": cdc.q_apply_orders,
+    "cdc_keyfilter": cdc.q_keyfilter,
+    "cdc_problem_actions": cdc.q_problem_actions,
     # pipeline operators (BASELINE.json north star)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -3796,6 +3798,24 @@ FROM e GROUP BY 1
     # the fold over registers runs in register order in BOTH engines
     # (sorted array fold / ordered list_reduce) so the floating sum has
     # one deterministic association order; 2^-rho values are exact
+    # blocked set = users with id % 25 == 0; the serialized-key layout
+    # (1 fmt byte + len('events') + len(str(uid))) is pinned by key_bytes
+    "cdc_keyfilter": _CDC_CTE + """
+SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(sum(7 + length(CAST(user_id AS VARCHAR))) AS BIGINT) AS key_bytes
+FROM ev WHERE user_id % 25 <> 0 GROUP BY op
+""",
+    # synthesized command queue: %7 positions get skip(even)/apply(odd),
+    # %14 positions get a LATER overriding apply -- last wins
+    "cdc_problem_actions": _CDC_CTE + """
+, h AS (SELECT p, step, txid FROM pm WHERE rrn = 1)
+SELECT e.user_id, e.step AS step, e.txid AS tx_id,
+       CASE WHEN e.txid % 14 = 0 THEN 'apply'
+            WHEN e.txid % 7 = 0 THEN (CASE WHEN e.txid % 2 = 0 THEN 'skip' ELSE 'apply' END)
+            ELSE 'none' END AS action
+FROM ev e JOIN h ON (e.user_id % 8) = h.p
+WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
+""",
     "events_user_hll_estimate": """
 WITH h AS (
   SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
