@@ -2082,6 +2082,99 @@ def q_events_user_hll_estimate(spark, sf_dir):
     )
 
 
+def q_events_lag_delta(spark, sf_dir):
+    """Offset window functions over a unique per-user ordering: value
+    delta vs the previous event (lag), the next event's type (lead),
+    and the user's first value (first_value) — the remaining §2.6
+    window surface (rank/ntile/RANGE/ROWS frames are covered by the
+    rank-profile, moving-avg, and running-sum queries)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+    )
+
+
+def q_text_bigram_nll(spark, sf_dir):
+    """Bigram language-model score: per-document average negative
+    log-likelihood of each bigram under the corpus's own conditional
+    bigram distribution, avg(ln c(w1) - ln c(w1,w2)) — one step up
+    from the unigram text_lm_score, and the same shape a KenLM-style
+    filter takes at scale: two count frames joined back onto the
+    bigram stream (Zipf skew absorbed by AQE), one per-doc agg. Docs
+    with fewer than 2 tokens have no bigrams and drop out."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    # materialize the token array behind a projection boundary, then
+    # build bigrams with zip_with over the array and its shifted self —
+    # each input array evaluates ONCE per row (an element_at(toks, i)
+    # lambda would re-run the split per element: O(tokens^2) per doc,
+    # measured 4s -> 0.5s at sf0.1)
+    t = docs.select("doc_id", tokens_col("text").alias("_t"))
+    n = F.size("_t")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_t", 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array())
+    bg = t.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
+        "w1", F.split(F.col("bg"), " ").getItem(0)
+    )
+    # one (doc, bigram) aggregation feeds the c12 count, the c1 count,
+    # AND the scoring join; the localCheckpoint barrier materializes it
+    # once for all three consumers (per-consumer column pruning makes
+    # the exchanges non-identical, so ReuseExchange alone can't help);
+    # per-doc NLL becomes the occurrence-weighted mean
+    occ = (
+        bg.groupBy("doc_id", "bg", "w1")
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = occ.groupBy("bg").agg(F.sum("_o").alias("_c12"))
+    c1 = occ.groupBy("w1").agg(F.sum("_o").alias("_c1"))
+    scored = occ.join(c12, "bg").join(c1, "w1")
+    diff = F.log("_c1") - F.log("_c12")
+    return scored.groupBy("doc_id").agg(
+        F.sum("_o").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("_o") * diff) / F.sum("_o"), 4).alias("bigram_nll"),
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment of LSH candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B| over distinct word sets — the signal that separates
+    sub-document duplication (quote, excerpt: one side near 1) from
+    symmetric near-dups (both sides high). Set arithmetic runs only on
+    the shared candidate-pair frame, never all pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    from .ops.text import tokens_col
+
+    tok = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
+    )
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    j = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / F.size("_ta"), 6).alias("containment_a"),
+        F.round(inter / F.size("_tb"), 6).alias("containment_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2206,6 +2299,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ppl_buckets": q_doc_ppl_buckets,
     "events_json_stats": q_events_json_stats,
     "events_user_hll_estimate": q_events_user_hll_estimate,
+    "events_lag_delta": q_events_lag_delta,
+    "text_bigram_nll": q_text_bigram_nll,
+    "dedup_containment": q_dedup_containment,
 }
 
 ORACLES: dict[str, str] = {
@@ -3840,5 +3936,50 @@ s AS (
 SELECT round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE / s.inv_sum, 4) AS hll_estimate,
        (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
 FROM s
+""",
+    "events_lag_delta": """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 2) AS delta,
+       lead(event_type) OVER w AS next_type,
+       round(first_value(value) OVER w, 2) AS first_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "text_bigram_nll": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM d WHERE len(t) >= 2
+),
+occ AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS o
+  FROM bg GROUP BY 1, 2, 3
+),
+c12 AS (SELECT bg, sum(o) AS c12 FROM occ GROUP BY 1),
+c1 AS (SELECT w1, sum(o) AS c1 FROM occ GROUP BY 1)
+SELECT occ.doc_id, CAST(sum(occ.o) AS BIGINT) AS n_bigrams,
+       round(sum(occ.o * (ln(c1.c1) - ln(c12.c12))) / sum(occ.o), 4) AS bigram_nll
+FROM occ JOIN c12 USING (bg) JOIN c1 USING (w1)
+GROUP BY occ.doc_id
+""",
+    "dedup_containment": _PAIRS_CTE + """,
+ts AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(a.t, x -> list_contains(b.t, x))) AS inter,
+         len(a.t) AS na, len(b.t) AS nb
+  FROM pairs p JOIN ts a ON p.doc_a = a.doc_id JOIN ts b ON p.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / na, 6) AS containment_a,
+       round(inter / nb, 6) AS containment_b
+FROM j
 """,
 }
