@@ -29,6 +29,7 @@ from .compact import compact_changes
 from .parse import parse_messages, split_events, split_heartbeats
 from .quorum import latest_heartbeats, out_of_order_events
 from .types import pos, pos_lit
+from .sources import load_events_ns
 
 N_PART = 8
 CUTOFF_US = 1705276800000000  # 2024-01-15T00:00:00Z (micros)
@@ -46,7 +47,7 @@ STATE_META = TableMeta(
 
 def wire_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet -> raw JSON topic messages (update/erase/resolved)."""
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = load_events_ns(spark, sf_dir)
     # Single-rowgroup toy files scan as ONE task, serializing all JSON
     # work onto one core. Repartition only when the scan is narrower than
     # the cluster; at real scale (many files >> cores) this never fires.
@@ -298,7 +299,7 @@ def q_keyfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .keyfilter import filter_blocked_keys, serialize_key_col
 
     ev = split_events(parsed_messages(spark, sf_dir))
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = load_events_ns(spark, sf_dir)
     blocked = (
         raw.filter((F.col("user_id") % 25) == 0)
         .select(F.col("user_id").cast("string").alias("_u"))
@@ -329,7 +330,7 @@ def q_problem_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parsed_messages(spark, sf_dir)
     problems = out_of_order_events(split_events(parsed), split_heartbeats(parsed))
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = load_events_ns(spark, sf_dir)
     base = raw.filter(F.col("event_id") % 7 == 0)
     mic = F.expr("CAST(ts DIV 1000 AS LONG)")
 

@@ -22,6 +22,7 @@ from .ops.dedup import (
     simhash,
     verify_pairs_jaccard,
 )
+from .sources import load_events_ns
 from .ops.similarity import (
     brute_force_topk,
     cosine_neardup_lsh,
@@ -632,7 +633,7 @@ def q_emb_outliers(spark, sf_dir):
 def q_events_value_histogram(spark, sf_dir):
     """Fixed-width value histogram per event type (bin width 25) — the
     distribution profile behind threshold choices; single hash-agg."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     return (
         ev.groupBy(
             "event_type",
@@ -648,7 +649,7 @@ def q_events_quantiles(spark, sf_dir):
     matches DuckDB quantile_cont bit-for-bit (verified): same sort +
     linear interpolation. At 100 TB swap for approx_percentile and a
     wider tolerance; the exact tier is the oracle-checkable baseline."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
@@ -663,7 +664,7 @@ def q_events_pair_window(spark, sf_dir):
     — 3x explode + equi-join, not a per-key nested loop."""
     from .ops.rangejoin import range_join_within
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     a = ev.select(
         "user_id", F.col("event_id").alias("event_a"), F.expr("ts div 1000").alias("ta")
     )
@@ -683,7 +684,7 @@ def q_events_pair_window(spark, sf_dir):
 
 
 def q_events_tumbling(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
     return (
         ev.groupBy(day.alias("day"), "event_type")
@@ -728,7 +729,7 @@ def q_events_moving_avg(spark, sf_dir):
     decimal string, DuckDB rounds the binary value) on tiny windows."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     tmic = F.expr("ts div 1000")
     w = (
         Window.partitionBy("user_id")
@@ -749,7 +750,7 @@ def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type counts as columns. Pivot values are
     pinned explicitly so the plan is a single agg (no extra distinct
     pass to discover them) and the schema is deterministic."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     p = ev.groupBy("user_id").pivot("event_type", types).count()
     # pivot leaves null where a (user, type) cell had no rows
@@ -765,7 +766,7 @@ def q_events_user_setops(spark, sf_dir):
     INTERSECT + EXCEPT with distinct semantics, each a hash-aggregated
     semi/anti shuffle in Spark. (Time slices keep the sets from
     saturating: every user has every event type over the full month.)"""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     tmic = F.expr("ts div 1000")
 
     def users(et, before_us):
@@ -782,7 +783,7 @@ def q_events_user_setops(spark, sf_dir):
 def q_events_cube(spark, sf_dir):
     """CUBE over (event_type, day): all four grouping combinations in one
     pass (Spark expands grouping sets before the single shuffle)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
     return (
         ev.select("event_type", day.alias("day"), "value")
@@ -813,7 +814,7 @@ def q_events_type_stats_salted(spark, sf_dir):
     each key over 32 reducers and still matches the direct GROUP BY."""
     from .ops.skew import salted_agg
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_events_ns(spark, sf_dir).select(
         "event_type", F.col("value").cast("decimal(12,2)").alias("v")
     )
     out = salted_agg(
@@ -841,7 +842,7 @@ def q_events_running_sum(spark, sf_dir):
     accumulation so both engines agree bit-for-bit)."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     tmic = F.expr("ts div 1000")
     w = (
         Window.partitionBy("user_id")
@@ -860,7 +861,7 @@ def q_events_running_sum(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     # Gap test and tie-breaking both run on microseconds (ts div 1000) so the
     # result is bit-identical to the DuckDB oracle, which sessions on
     # epoch_us(ts); raw-nano ordering can break micro-level ties differently.
@@ -972,7 +973,7 @@ def q_events_asof_order(spark, sf_dir):
     is deduped to one row per (user, time): highest orderkey wins."""
     from .ops.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_events_ns(spark, sf_dir).select(
         "event_id", "user_id", F.expr("ts div 1000").alias("ev_us")
     )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -1190,7 +1191,7 @@ def q_events_funnel(spark, sf_dir):
     to the previous stage — no window over the whole event stream, so
     each stage shuffles only the surviving users. Micros everywhere
     (ts div 1000 == epoch_us) for engine-identical boundaries."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_events_ns(spark, sf_dir).select(
         "user_id", "event_type", F.expr("ts div 1000").alias("mic")
     )
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
@@ -1223,7 +1224,7 @@ def q_events_retention(spark, sf_dir):
     integer arithmetic on micros — no calendar/timezone functions, so
     the buckets are bit-identical across engines."""
     week_us = 7 * 86400 * 1_000_000
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_events_ns(spark, sf_dir).select(
         "user_id", F.expr(f"(ts div 1000) div {week_us}").alias("wk")
     )
     cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
@@ -1286,7 +1287,7 @@ def q_events_user_hll(spark, sf_dir):
     Duplicates never shuffle: max(rho) per register combines map-side,
     so the shuffle is at most 64 rows per partition regardless of event
     volume — the sketch property that matters at 100 TB."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1311,7 +1312,7 @@ def q_events_grouping_sets(spark, sf_dir):
     and grand-total aggregates in one pass, discriminated by
     grouping_id — the §2.7-class relational surface Spark gives for
     free (one Expand + one hash-agg, no union of scans)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     return (
         ev.groupingSets([["event_type"], ["user_id"], []], "event_type", "user_id")
         .agg(
@@ -1330,7 +1331,7 @@ def q_events_rank_profile(spark, sf_dir):
     event_id) — unique keys make every rank function engine-exact."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select(
         "event_id",
@@ -1829,7 +1830,7 @@ def q_events_user_hll_daily(spark, sf_dir):
     range without re-reading events. Mergeability is pinned by a test
     (max over days == the global sketch); this query oracle-gates the
     per-day registers themselves."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
@@ -1872,7 +1873,7 @@ def q_events_znorm(spark, sf_dir):
     identical IEEE expression — never the builtin stddev, whose
     accumulation order is engine-specific. Stats frame is 5 rows ->
     broadcast back onto the events scan."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     vdec = F.col("value").cast("decimal(12,2)")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("_n"),
@@ -1910,7 +1911,7 @@ def q_events_sliding(spark, sf_dir):
     start explode (the batch equivalent of F.window's slideDuration;
     §2.9 windowed-agg surface). The explode is a row-local sequence —
     no shuffle until the final window aggregation."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     day_us = 86_400_000_000
     day0 = F.expr(f"((ts div 1000) div {day_us}) * {day_us}")
     starts = F.sequence(day0 - F.lit(day_us), day0, F.lit(day_us))
@@ -1939,7 +1940,7 @@ def q_events_mad_outliers(spark, sf_dir):
     5-group frame; the tiny per-type stats broadcast back onto the
     scan. Spark percentile() matches DuckDB quantile_cont bit-for-bit
     (the events_quantiles precedent)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("_med")
     )
@@ -2021,7 +2022,7 @@ def q_events_json_stats(spark, sf_dir):
     json.loads) and profile the extracted field per event type. The
     schema-on-read path every event pipeline needs for property bags;
     all outputs integer-exact."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     k = F.from_json(F.col("props"), "k long").getField("k")
     return (
         ev.select("event_type", k.alias("k"))
@@ -2045,7 +2046,7 @@ def q_events_user_hll_estimate(spark, sf_dir):
     deterministic association order. alpha = 0.709 (the m=64 constant).
     Output also carries the exact distinct count — the judge-facing
     proof the sketch works (estimate within ~13% = 1.04/sqrt(64))."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -2090,7 +2091,7 @@ def q_events_lag_delta(spark, sf_dir):
     rank-profile, moving-avg, and running-sum queries)."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_ns(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",

@@ -20,6 +20,26 @@ from pyspark.sql import functions as F
 RAW_SCHEMA = "partition int, offset long, value string"
 
 
+def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` table with `ts` normalized to BIGINT epoch-nanoseconds.
+
+    The driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+    (which Spark reads as a nanos-since-epoch long behind
+    `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us] (which
+    Spark reads as TIMESTAMP_NTZ). Every downstream kernel works on one
+    canonical layout: long nanos. The session timezone is pinned to UTC
+    (session.py), so the NTZ->LTZ cast is value-preserving and
+    `unix_micros` agrees exactly with DuckDB's `epoch_us(ts)` in the
+    oracles.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") != "bigint":
+        ev = ev.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        )
+    return ev
+
+
 def read_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """JSONL directory source: one object per line with partition/offset/
     value fields (what tests and local runs use)."""
