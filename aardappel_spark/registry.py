@@ -2092,7 +2092,11 @@ def q_events_lag_delta(spark, sf_dir):
     from pyspark.sql.window import Window
 
     ev = load_events_ns(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # order by micros (ts div 1000), not raw nanos: the DuckDB oracle only
+    # sees microsecond precision, so a micro-level tie with distinct nanos
+    # must break on event_id in BOTH engines (same precedent as
+    # q_events_sessions).
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
     return ev.select(
         "event_id",
         "user_id",

@@ -219,3 +219,35 @@ def test_kafka_projection_on_record_schema(spark):
     }
     # without a mapping, no table_id column at all
     assert "table_id" not in project_kafka_records(df).columns
+
+
+def test_ts_unit_guard_rejects_micros(spark, tmp_path):
+    """ADVICE r3: an int64 ts column holding epoch-MICROS must fail loudly
+    instead of flowing through load_events_ns 1000x too small."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from aardappel_spark.sources import load_events_ns
+
+    micros_2024 = 1_704_067_207_179_575  # ~2024-01-01 in epoch-micros
+    nanos_2024 = micros_2024 * 1000
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([micros_2024, micros_2024 + 5], pa.int64()),
+                  "event_id": pa.array([1, 2], pa.int64())}),
+        str(bad / "events.parquet"),
+    )
+    with pytest.raises(ValueError, match="not.*epoch-nanoseconds"):
+        load_events_ns(spark, str(bad))
+
+    good = tmp_path / "good"
+    good.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([nanos_2024, nanos_2024 + 5000], pa.int64()),
+                  "event_id": pa.array([1, 2], pa.int64())}),
+        str(good / "events.parquet"),
+    )
+    assert load_events_ns(spark, str(good)).count() == 2
