@@ -3988,3 +3988,47 @@ SELECT doc_a, doc_b,
 FROM j
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation.
+#
+# The round harness gates correctness on the FIRST 50 entries of queries()
+# only (CORRECTNESS_r02 and _r03 each hold exactly 50 rows, matching the
+# first 50 keys of the then-current insertion order). Rounds 1-3 therefore
+# covered the same 50 queries while 65 newer ones never got a driver row.
+# Rotate: the 50 highest-value not-yet-driver-covered queries go first so
+# round 4's artifact covers them; union(r03, r04) covers 100 of 115, and
+# the 15 deprioritized entries here (variants of families that already
+# have a green row) plus the r03 block rotate forward again next round.
+# Full-registry parity is additionally checked every round by
+# tools/check_oracle.py (all 115 green at sf0.001/0.01/0.1).
+_R04_PRIORITY: list[str] = [
+    # relational analytics: the complete TPC-H suite
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # custom join/window/agg operators
+    "events_asof_order", "events_pivot", "events_type_stats_salted",
+    "events_value_histogram", "events_grouping_sets", "events_rank_profile",
+    "events_lag_delta", "events_funnel", "events_retention",
+    "part_topk_per_brand", "orders_rollup",
+    # ANN + embedding tiers
+    "ann_sq8", "ann_pq", "emb_centroids", "emb_outliers",
+    # dedup/decontam additions
+    "dedup_incremental", "dedup_edit_distance", "dedup_cross_source",
+    "decontam_bloom", "doc_boilerplate",
+    # retrieval + sampling + sharding
+    "text_tfidf", "retrieval_bm25", "doc_search", "doc_stratified",
+    "doc_shards", "corpus_token_budget",
+    # verifiable sketches
+    "vocab_countmin", "events_user_hll",
+]
+
+assert len(_R04_PRIORITY) == 50 and len(set(_R04_PRIORITY)) == 50
+assert set(_R04_PRIORITY) <= set(QUERIES), sorted(set(_R04_PRIORITY) - set(QUERIES))
+
+_rotated = _R04_PRIORITY + [k for k in QUERIES if k not in set(_R04_PRIORITY)]
+QUERIES = {k: QUERIES[k] for k in _rotated}
+ORACLES = {k: ORACLES[k] for k in _rotated}

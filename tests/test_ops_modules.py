@@ -1341,3 +1341,48 @@ def test_ppl_buckets_are_terciles(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1  # ntile balance
     # head = lowest NLL (most in-distribution)
     assert rows["head"].avg_nll <= rows["middle"].avg_nll <= rows["tail"].avg_nll
+
+
+def test_bench_compact_line_fits_tail_window():
+    """r3 regression: the harness captures only the last 2000 chars of
+    bench stdout; the emitted line must always fit and stay valid JSON."""
+    import json as _json
+
+    import bench
+
+    # 130 long-named queries (worse than the real registry) at varied cost
+    timings = {f"very_long_query_family_name_{i:03d}": 0.1 + (i % 37) / 7.0 for i in range(130)}
+    warmup = {"cdc_parse": 5.6, "minhash_signatures": 3.4, "simhash64": 9.9}
+    total = sum(timings.values()) + sum(warmup.values())
+    line = bench.compact_line(total, timings, warmup, 0.1)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "total_query_seconds"
+    assert parsed["unit"] == "sec"
+    assert abs(parsed["value"] - total) < 0.02
+    # nothing lost: kept entries + folded tail cover every query
+    assert len(parsed["queries"]) + parsed.get("other_n", 0) == 130
+    covered = sum(parsed["queries"].values()) + parsed.get("other_sec", 0.0)
+    assert abs(covered - sum(timings.values())) < 1.5  # rounding slack
+    # kept entries are the most expensive ones
+    if parsed.get("other_n"):
+        kept_min = min(parsed["queries"].values())
+        folded_max = max(v for k, v in timings.items() if k not in parsed["queries"])
+        assert kept_min >= round(folded_max, 2) - 0.01
+
+    # small registries emit everything inline
+    small = {f"q{i}": 1.0 for i in range(10)}
+    parsed_small = _json.loads(bench.compact_line(12.0, small, {}, 0.1))
+    assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
+
+
+def test_driver_rotation_first_50_are_round4_priority():
+    """The harness gates correctness on the first 50 queries() entries;
+    pin the rotation so the round-4 artifact covers the right set."""
+    import __spark_entry__ as entry_mod
+    from aardappel_spark.registry import _R04_PRIORITY, ORACLES
+
+    q = entry_mod.queries()
+    assert list(q)[:50] == _R04_PRIORITY
+    assert list(entry_mod.oracle_sql()) == list(q)
+    assert set(ORACLES) == set(q)
