@@ -2180,6 +2180,116 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_dedup_span(spark, sf_dir):
+    """Substring-level duplicated spans (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): maximal runs of
+    consecutive word-4-gram windows that also occur in at least one
+    OTHER document. Reuses the shared _grams4_cached explode; a gram is
+    cross-doc duplicated iff its distinct-doc frequency is >= 2, and
+    consecutive duplicated window positions merge into one span via
+    gaps-and-islands (pos - rank over pos is constant within a run).
+    Output spans of >= 2 consecutive windows, i.e. >= 5 shared tokens.
+
+    Scale shape: one gram-keyed hash-agg for doc frequencies (md5-hashed
+    60-bit keys, never gram strings — same trick as doc_boilerplate),
+    one join back, one per-doc window. No cross join; the span merge is
+    per-doc local arithmetic."""
+    from pyspark.sql.window import Window
+
+    g4 = _grams4_cached(spark, sf_dir)
+    gh = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    g = g4.select("doc_id", "pos", gh.alias("gh"))
+    df = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = g.join(df.filter(F.col("nd") >= 2), "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count("*") + F.lit(3)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= 5)
+        .select("doc_id", "span_start", "span_tokens")
+    )
+
+
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): hash unigrams into 64
+    buckets, estimate target (lang='en') and raw token distributions
+    with add-one smoothing, and score each document by the mean
+    log-ratio of its tokens' buckets. Both distributions are two tiny
+    64-row aggregates broadcast into the per-token scoring pass — the
+    corpus never shuffles on anything wider than doc_id."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 64
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("token")
+    ).withColumn("b", bucket)
+    raw = toks.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("c_tgt")
+    )
+    n_raw = toks.count()
+    n_tgt = toks.filter(F.col("lang") == "en").count()
+    dist = (
+        raw.join(tgt, "b", "left")
+        .fillna(0, ["c_tgt"])
+        .select(
+            "b",
+            (
+                F.log((F.col("c_tgt") + 1) / F.lit(float(n_tgt + 64)))
+                - F.log((F.col("c_raw") + 1) / F.lit(float(n_raw + 64)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        # + 0.0 canonicalizes IEEE -0.0 (a doc whose buckets cancel
+        # exactly rounds to -0.0 in Spark but 0.0 in DuckDB)
+        .agg((F.round(F.avg("logratio"), 6) + F.lit(0.0)).alias("dsir_weight"))
+    )
+
+
+def q_doc_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: scanning docs in doc_id order, how
+    many NEW distinct tokens each doc contributes and the cumulative
+    vocabulary size after it. Computed by first-occurrence attribution
+    (min doc_id per token, one hash-agg) + a running sum — not a
+    running count-distinct, which would re-shuffle the whole token
+    stream per step. Integer-exact across engines."""
+    from pyspark.sql.window import Window
+
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = first_seen.groupBy("doc_id").agg(F.count("*").alias("n_new_tokens"))
+    all_docs = docs.select("doc_id").join(per_doc, "doc_id", "left").fillna(
+        0, ["n_new_tokens"]
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return all_docs.select(
+        "doc_id",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).alias("vocab_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2307,6 +2417,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lag_delta": q_events_lag_delta,
     "text_bigram_nll": q_text_bigram_nll,
     "dedup_containment": q_dedup_containment,
+    # round-4 additions: substring-span dedup, DSIR importance weights,
+    # vocabulary growth
+    "dedup_span": q_dedup_span,
+    "corpus_dsir": q_corpus_dsir,
+    "doc_vocab_growth": q_doc_vocab_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -3986,6 +4101,64 @@ SELECT doc_a, doc_b,
        round(inter / na, 6) AS containment_a,
        round(inter / nb, 6) AS containment_b
 FROM j
+""",
+    "dedup_span": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+                   ELSE array_to_string(list_slice(t, i, i + 3), ' ') END), 1, 15))::BIGINT AS gh
+  FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
+),
+dfg AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfg USING (gh) WHERE dfg.nd >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dup
+)
+SELECT doc_id, min(pos) AS span_start, CAST(count(*) + 3 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, island HAVING count(*) + 3 >= 5
+""",
+    "corpus_dsir": """
+WITH tk AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS b FROM tk
+),
+raw AS (SELECT b, count(*) AS c_raw FROM tb GROUP BY 1),
+tgt AS (SELECT b, count(*) AS c_tgt FROM tb WHERE lang = 'en' GROUP BY 1),
+n AS (
+  SELECT (SELECT count(*) FROM tb) AS n_raw,
+         (SELECT count(*) FROM tb WHERE lang = 'en') AS n_tgt
+),
+dist AS (
+  SELECT r.b,
+         ln((coalesce(t.c_tgt, 0) + 1) / (n.n_tgt + 64))
+         - ln((r.c_raw + 1) / (n.n_raw + 64)) AS logratio
+  FROM raw r LEFT JOIN tgt t USING (b), n
+)
+SELECT tb.doc_id, round(avg(dist.logratio), 6) + 0.0 AS dsir_weight
+FROM tb JOIN dist USING (b)
+GROUP BY tb.doc_id
+""",
+    "doc_vocab_growth": """
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+fs AS (SELECT token, min(doc_id) AS doc_id FROM tk GROUP BY 1),
+pd AS (SELECT doc_id, count(*) AS n_new_tokens FROM fs GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       CAST(sum(coalesce(pd.n_new_tokens, 0))
+            OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_size
+FROM documents d LEFT JOIN pd USING (doc_id)
 """,
 }
 

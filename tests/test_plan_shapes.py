@@ -240,3 +240,24 @@ def test_sliding_windows_single_aggregation(spark):
     plan = _plan(spark, "events_sliding")
     assert plan.count("Exchange") <= 2  # partial+final agg exchange pair
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize("qname", ["dedup_span", "corpus_dsir", "doc_vocab_growth"])
+def test_round4_queries_no_cartesian(spark, qname):
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_distribution_broadcasts(spark):
+    """The 64-row bucket distribution must broadcast into the per-token
+    scoring pass — the corpus side never shuffles on the bucket key."""
+    assert "BroadcastHashJoin" in _plan(spark, "corpus_dsir")
+
+
+def test_vocab_growth_single_window_exchange(spark):
+    """First-occurrence attribution keeps the running sum on one row per
+    doc: exactly one single-partition Exchange (the global ordering),
+    never a re-shuffle of the token stream."""
+    plan = _plan(spark, "doc_vocab_growth")
+    assert plan.count("Exchange SinglePartition") == 1
