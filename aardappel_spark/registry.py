@@ -2106,6 +2106,34 @@ def q_events_lag_delta(spark, sf_dir):
     )
 
 
+def q_events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (the standard
+    streaming-anomaly baseline), as a finite 10-term window: ewma_t =
+    sum_j a(1-a)^j v_{t-j} / sum_j a(1-a)^j over the lags that exist,
+    alpha=0.25. Written as ten explicit lag() terms summed left-to-right
+    so Spark and the oracle evaluate the IDENTICAL IEEE expression —
+    a window-frame sum would order the additions engine-specifically.
+    One Exchange on user_id; the ten lags share a single window spec."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    alpha = 0.25
+    num = None
+    den = None
+    for j in range(10):
+        wj = alpha * (1 - alpha) ** j
+        v = F.lag("value", j).over(w) if j else F.col("value")
+        term = F.when(v.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = (v * wj) if num is None else num + F.coalesce(v * wj, F.lit(0.0))
+        den = term if den is None else den + term
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram language-model score: per-document average negative
     log-likelihood of each bigram under the corpus's own conditional
@@ -2422,6 +2450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span": q_dedup_span,
     "corpus_dsir": q_corpus_dsir,
     "doc_vocab_growth": q_doc_vocab_growth,
+    "events_ewma": q_events_ewma,
 }
 
 ORACLES: dict[str, str] = {
@@ -4145,6 +4174,13 @@ dist AS (
 SELECT tb.doc_id, round(avg(dist.logratio), 6) + 0.0 AS dsir_weight
 FROM tb JOIN dist USING (b)
 GROUP BY tb.doc_id
+""",
+    "events_ewma": """
+SELECT event_id, user_id,
+       round((value * 0.25\n         + coalesce(lag(value, 1) OVER w * 0.1875, 0.0)\n         + coalesce(lag(value, 2) OVER w * 0.140625, 0.0)\n         + coalesce(lag(value, 3) OVER w * 0.10546875, 0.0)\n         + coalesce(lag(value, 4) OVER w * 0.0791015625, 0.0)\n         + coalesce(lag(value, 5) OVER w * 0.059326171875, 0.0)\n         + coalesce(lag(value, 6) OVER w * 0.04449462890625, 0.0)\n         + coalesce(lag(value, 7) OVER w * 0.0333709716796875, 0.0)\n         + coalesce(lag(value, 8) OVER w * 0.025028228759765625, 0.0)\n         + coalesce(lag(value, 9) OVER w * 0.01877117156982422, 0.0))
+         / (CASE WHEN value IS NOT NULL THEN 0.25 ELSE 0.0 END\n         + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.1875 ELSE 0.0 END\n         + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.140625 ELSE 0.0 END\n         + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.10546875 ELSE 0.0 END\n         + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0791015625 ELSE 0.0 END\n         + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.059326171875 ELSE 0.0 END\n         + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END\n         + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END\n         + CASE WHEN lag(value, 8) OVER w IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END\n         + CASE WHEN lag(value, 9) OVER w IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
     "doc_vocab_growth": """
 WITH tk AS (

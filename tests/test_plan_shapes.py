@@ -261,3 +261,11 @@ def test_vocab_growth_single_window_exchange(spark):
     never a re-shuffle of the token stream."""
     plan = _plan(spark, "doc_vocab_growth")
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_ewma_single_window_pass(spark):
+    """Ten lag() terms over one window spec must compile to ONE Window
+    operator and one user_id Exchange — not ten window passes."""
+    plan = _plan(spark, "events_ewma")
+    assert plan.count("Window") <= 2  # one Window op (+header mention slack)
+    assert plan.count("Exchange") <= 2  # user_id hash + AQE read at most

@@ -1,0 +1,161 @@
+"""Scale probe: measure how headline queries scale when the data grows.
+
+Replicates the sf0.1 tables N times into a derived dataset whose keys
+are offset per replica (stride > any base key, so joins stay
+replica-consistent and key cardinalities grow Nx) and whose document
+tokens are suffixed per replica (so the gram/shingle space grows Nx —
+"10x more unique data", not "10 copies of the same data", which would
+quadratically inflate near-dup candidate sets instead of modeling
+growth). Then runs a cross-family set of headline queries at 1x and Nx
+and reports wall-clock scaling ratios.
+
+The point of the artifact (SCALE_PROBE.json): on a fixed 32-thread
+local executor, time should grow at most ~linearly with data (ratio <=
+N, typically well under because fixed costs amortize). A query whose
+ratio blows past N has a super-linear term — exactly what would melt at
+100 TB — and fails the probe.
+
+Usage: python tools/scale_probe.py [N] [outdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+STRIDE = 10**9  # larger than any base key
+
+# key columns to offset per replica, per table (join-consistent)
+KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# cross-family headliners: relational agg, broadcast join chain, window,
+# shuffle-heavy dedup/LSH, text pipeline, CDC kernel
+PROBE_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "events_sessions",
+    "events_type_stats_salted",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "doc_boilerplate",
+    "corpus_dsir",
+    "cdc_apply",
+]
+
+
+def replicate(spark: SparkSession, n: int, outdir: str) -> None:
+    for table, keys in KEY_COLS.items():
+        df = spark.read.parquet(f"{BASE}/{table}.parquet")
+        parts = []
+        for i in range(n):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+            if table == "documents" and i > 0:
+                # distinct token space per replica: every token gets a
+                # replica suffix, so shingles/grams/minhash signatures
+                # are new values, not cross-replica duplicates
+                r = r.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        n_files = 32 if table in ("lineitem", "orders", "events") else 4
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            f"{outdir}/{table}.parquet"
+        )
+
+
+def run_probe(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from aardappel_spark import registry
+    from aardappel_spark.registry import clear_query_caches
+
+    clear_query_caches(spark)
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).collect()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"#   {name}: {out[name]}s", file=sys.stderr)
+    clear_query_caches(spark)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    root = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe"
+    )
+    from aardappel_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {"n": n, "base": BASE, "queries": {}}
+    dirs = {}
+    for factor in (1, n):
+        d = f"{root}/x{factor}"
+        print(f"# building {d}", file=sys.stderr)
+        t0 = time.perf_counter()
+        replicate(spark, factor, d)
+        print(f"# built x{factor} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        dirs[factor] = d
+
+    # one discarded x1 pass first: JIT/codegen/first-touch costs land
+    # here, not in the measured x1 numbers (without this, x1 absorbs all
+    # warm-up and the xN/x1 ratios read absurdly sub-linear)
+    print("# jit warm-up pass (discarded)", file=sys.stderr)
+    run_probe(spark, dirs[1], PROBE_QUERIES)
+    t1 = run_probe(spark, dirs[1], PROBE_QUERIES)
+    tn = run_probe(spark, dirs[n], PROBE_QUERIES)
+    for name in PROBE_QUERIES:
+        ratio = round(tn[name] / max(t1[name], 0.01), 2)
+        results["queries"][name] = {
+            f"t_x1_sec": t1[name],
+            f"t_x{n}_sec": tn[name],
+            "ratio": ratio,
+            "linear_or_better": ratio <= n * 1.2,  # 20% tolerance
+        }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(results, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(results))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
