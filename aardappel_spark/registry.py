@@ -2134,6 +2134,31 @@ def q_events_ewma(spark, sf_dir):
     )
 
 
+def q_events_paths(spark, sf_dir):
+    """User-journey path analysis: the ten most common 3-step
+    event-type sequences (consecutive per user in event-time order) —
+    the product-analytics staple next to funnel/retention. Two lead()
+    offsets over one window spec, then a global count: the sequence
+    extraction never materializes per-user arrays, so the shuffle is
+    the events once (user_id window) plus a tiny path-keyed agg."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    p = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        p.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"), "n")
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram language-model score: per-document average negative
     log-likelihood of each bigram under the corpus's own conditional
@@ -2451,6 +2476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir": q_corpus_dsir,
     "doc_vocab_growth": q_doc_vocab_growth,
     "events_ewma": q_events_ewma,
+    "events_paths": q_events_paths,
 }
 
 ORACLES: dict[str, str] = {
@@ -4181,6 +4207,17 @@ SELECT event_id, user_id,
          / (CASE WHEN value IS NOT NULL THEN 0.25 ELSE 0.0 END\n         + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.1875 ELSE 0.0 END\n         + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.140625 ELSE 0.0 END\n         + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.10546875 ELSE 0.0 END\n         + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0791015625 ELSE 0.0 END\n         + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.059326171875 ELSE 0.0 END\n         + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END\n         + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END\n         + CASE WHEN lag(value, 8) OVER w IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END\n         + CASE WHEN lag(value, 9) OVER w IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END), 6) AS ewma
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "events_paths": """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
 """,
     "doc_vocab_growth": """
 WITH tk AS (

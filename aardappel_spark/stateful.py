@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DecimalType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -197,6 +198,120 @@ def streaming_funnel(
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ewma", DoubleType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("acc", DoubleType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+_EWMA_ALPHA = 0.25
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    acc, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # deterministic event order within the batch: (event-time micros,
+        # event_id) — the same total order the batch kernel folds in, so
+        # splitting the stream at ANY batch boundary composes to the
+        # identical left fold
+        for v in pdf.sort_values(["mic", "event_id"])["value"]:
+            v = float(v)
+            acc = v if n == 0 else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
+            n += 1
+    state.update((acc, n))
+    yield pd.DataFrame([{"user_id": key[0], "ewma": acc, "n_events": n}])
+
+
+def streaming_ewma(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Continuously-maintained per-user EWMA (recursive form: acc =
+    a*v + (1-a)*acc, seeded with the first value) — the streaming
+    complement of the batch ``events_ewma`` window query and the state
+    that drives online anomaly flags. State is TWO scalars per user
+    (O(users), independent of event volume); each batch emits the
+    touched users' post-batch EWMA in update mode.
+
+    The left fold is associative under batch splitting (state carries
+    the fold accumulator), so a stream chopped into any number of
+    micro-batches equals one batch fold over the same ordered events —
+    pinned cross-batch and across a checkpoint restart by test.
+    """
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    mic = (
+        F.expr(f"{ts_col} div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(id_col).cast("long").alias("event_id"),
+        mic.alias("mic"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_ewma_fold(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Batch reference kernel for ``streaming_ewma``: the identical left
+    fold over each user's (mic, event_id)-ordered values, as a single
+    aggregate expression (sorted collect + F.aggregate) — no Python."""
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema["ts"].dataType.simpleString()
+    mic = (
+        F.expr("ts div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("long").alias("event_id"),
+        mic.alias("mic"),
+    )
+    ordered = shaped.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("mic", "event_id", "value"))
+        ).alias("evs")
+    )
+    a = _EWMA_ALPHA
+    fold = F.expr(
+        f"aggregate(slice(evs, 2, size(evs) - 1), evs[0].value, "
+        f"(acc, e) -> {a}D * e.value + {1 - a}D * acc)"
+    )
+    return ordered.filter(F.size("evs") > 0).select(
+        "user_id",
+        fold.alias("ewma"),
+        F.size("evs").cast("long").alias("n_events"),
     )
 
 

@@ -497,3 +497,74 @@ def test_incremental_dedup_across_batches_and_restart(spark, tmp_path):
     # the store holds exactly the distinct fingerprints
     fps = spark.read.parquet(store)
     assert fps.distinct().count() == 4
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """The stream-maintained EWMA over three micro-batches (including a
+    checkpoint restart between them) must equal the batch left fold over
+    the same ordered events — the split-anywhere composition property."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.stateful import batch_ewma_fold, streaming_ewma
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    collected = []
+
+    rows = [
+        # (user_id, event_id, mic, value) — user 1 spans all batches,
+        # batch 2 carries a same-micros tie broken by event_id
+        [(1, 1, 100, 10.0), (1, 2, 200, 20.0), (2, 3, 100, 5.0)],
+        [(1, 4, 300, 30.0), (1, 5, 300, 40.0), (3, 6, 50, 7.5)],
+        [(2, 7, 400, 1.0), (1, 8, 500, 2.0)],
+    ]
+
+    def write(name, batch):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, eid, mic, v in batch:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": mic * 1000, "value": v}
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts long, value double"
+        ).json(src)
+        q = (
+            streaming_ewma(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, batch in enumerate(rows):
+        write(f"b{i}.jsonl", batch)
+        run()  # each run() is a fresh query from the checkpoint: restart per batch
+
+    latest = {}
+    for r in collected:
+        latest[r.user_id] = (r.ewma, r.n_events)
+
+    flat = [r for batch in rows for r in batch]
+    batch_df = spark.createDataFrame(
+        flat, "user_id long, event_id long, mic long, value double"
+    ).select("user_id", "event_id", F.expr("mic * 1000").alias("ts"), "value")
+    expect = {
+        r.user_id: (r.ewma, r.n_events) for r in batch_ewma_fold(batch_df).collect()
+    }
+    assert set(latest) == set(expect) == {1, 2, 3}
+    for uid in expect:
+        assert latest[uid][1] == expect[uid][1], uid
+        assert abs(latest[uid][0] - expect[uid][0]) < 1e-12, uid
+    # hand-check user 1: fold 10,20,30,40,2 with alpha=.25
+    acc = 10.0
+    for v in (20.0, 30.0, 40.0, 2.0):
+        acc = 0.25 * v + 0.75 * acc
+    assert abs(latest[1][0] - acc) < 1e-12
