@@ -62,6 +62,7 @@ def main():
 
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,8 +102,25 @@ def main():
             failures.append(name)
         else:
             print(f"OK   {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        report[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": name not in failures,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "sec": round(time.time() - t0, 2),
+        }
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    out_json = os.environ.get("CHECK_ORACLE_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n": len(report),
+                       "n_ok": len(report) - len(failures),
+                       "queries": report}, fh, indent=1)
+            fh.write("\n")
     return 1 if failures else 0
 
 
