@@ -268,6 +268,23 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(emb, query_id=0, k=10, bits=6, extra_cols=["label"])
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation IN the engine: recall@10 of the LSH
+    bucket tier against the exact brute-force tier for the same probe
+    vector — the measurement that decides whether an approximate index
+    is shippable. Both tiers are deterministic (md5 hyperplanes), so
+    even this eval is hash-gated against the oracle. Two 10-row frames
+    join: cost is the two tier scans, nothing more."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id")
+    ls = q_ann_lsh(spark, sf_dir).select("vec_id")
+    hit = bf.join(ls, "vec_id")
+    return hit.agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / 10.0, 6).alias("recall"),
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from .ops.similarity import cosine_neardup_pairs_blas
@@ -2477,6 +2494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab_growth": q_doc_vocab_growth,
     "events_ewma": q_events_ewma,
     "events_paths": q_events_paths,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -4274,6 +4292,16 @@ _R04_PRIORITY: list[str] = [
 
 assert len(_R04_PRIORITY) == 50 and len(set(_R04_PRIORITY)) == 50
 assert set(_R04_PRIORITY) <= set(QUERIES), sorted(set(_R04_PRIORITY) - set(QUERIES))
+
+# composed oracle: recall@10 of the LSH tier vs the exact tier — built
+# from the two tier oracles verbatim so the eval can never drift from
+# what the gated queries themselves compute
+ORACLES["ann_recall_eval"] = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
+JOIN ({ORACLES["ann_lsh"].strip().rstrip(';')}) ls USING (vec_id)
+"""
 
 _rotated = _R04_PRIORITY + [k for k in QUERIES if k not in set(_R04_PRIORITY)]
 QUERIES = {k: QUERIES[k] for k in _rotated}
