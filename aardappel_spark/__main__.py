@@ -1,0 +1,200 @@
+"""``python -m aardappel_spark`` — the engine as a service binary.
+
+Mirrors the reference's process lifecycle (cmd/aardappel/main.go):
+parse flags -> load config -> (multi-instance) acquire the distributed
+lock, polling every 5 s as a standby -> start the /metrics + /readyz
+server and the heartbeat guard -> build the engine -> run the stream
+until the source drains (--available-now) or a SIGTERM/SIGINT arrives
+(continuous), then stop the query, release the lock, and shut the
+monitoring server down.
+
+The one honest difference from the reference: it discovers destination
+schemas by describing the destination database at startup
+(main.go:140-229); a parquet destination has nothing to describe until
+the first commit, so schemas come from a sidecar JSON given with
+``--table-metas``:
+
+    {"dst_users": {"primary_key": ["user_id"],
+                   "columns": {"user_id": "Int64",
+                               "value": "Optional<Utf8>"},
+                   "schema": "user_id bigint, value string"}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+
+from .casting import TableMeta
+from .config import EngineConfig
+
+LOCK_CHECK_INTERVAL = 5.0  # standby re-poll (main.go:38)
+
+
+def load_table_metas(path: str) -> dict[str, tuple[TableMeta, str]]:
+    with open(path) as fh:
+        raw = json.load(fh)
+    metas = {}
+    for dst_table, spec in raw.items():
+        metas[dst_table] = (
+            TableMeta(dst_table, spec["primary_key"], spec["columns"]),
+            spec["schema"],
+        )
+    return metas
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m aardappel_spark",
+        description="CDC replication engine (reference-compatible config)",
+    )
+    p.add_argument("--config", required=True, help="reference-shaped YAML/JSON config")
+    p.add_argument(
+        "--table-metas",
+        required=True,
+        help="JSON sidecar: dst_table -> {primary_key, columns, schema}",
+    )
+    p.add_argument(
+        "--source-dir",
+        default=None,
+        help="JSONL stream directory (defaults to src_connection_string)",
+    )
+    p.add_argument("--work-dir", default="./aardappel_work")
+    p.add_argument("--checkpoint", default=None, help="default: WORK_DIR/ckpt")
+    p.add_argument(
+        "--expected-partitions",
+        type=int,
+        default=None,
+        help="total partition count across all streams (the quorum cut width)",
+    )
+    p.add_argument(
+        "--available-now",
+        action="store_true",
+        help="drain the source once and exit (otherwise run until signaled)",
+    )
+    p.add_argument(
+        "--lock-timeout",
+        type=float,
+        default=None,
+        help="max seconds to wait for the instance lock (default: forever)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = EngineConfig.load(args.config)
+    metas = load_table_metas(args.table_metas)
+    source_dir = args.source_dir or cfg.src_connection_string
+    if not source_dir:
+        print("no source: give --source-dir or set src_connection_string", file=sys.stderr)
+        return 2
+    work_dir = args.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    ckpt = args.checkpoint or os.path.join(work_dir, "ckpt")
+
+    from .session import get_spark
+
+    spark = get_spark(f"aardappel-{cfg.instance_id}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- single-writer lock (W7): standby loop at 5 s like the reference
+    locker = None
+    if cfg.multiple_instances_mode:
+        from .locker import Locker, LockStorage
+
+        ttl = 2.0 * cfg.max_expected_heartbeat_interval  # main.go:389
+        locker = Locker(LockStorage(os.path.join(work_dir, "lock.json")), ttl)
+        deadline = None if args.lock_timeout is None else time.time() + args.lock_timeout
+        while not locker.try_acquire():
+            if deadline is not None and time.time() >= deadline:
+                print("instance lock held elsewhere; giving up", file=sys.stderr)
+                return 3
+            print("standby: lock held elsewhere, re-checking", file=sys.stderr)
+            time.sleep(LOCK_CHECK_INTERVAL)
+
+    from .sources import read_file_stream
+    from .streaming import ReplicationEngine
+
+    try:
+        engine = ReplicationEngine.from_config(
+            spark,
+            cfg,
+            metas,
+            work_dir,
+            **(
+                {"expected_partitions": args.expected_partitions}
+                if args.expected_partitions is not None
+                else {}
+            ),
+        )
+
+        server = guard = None
+        if cfg.mon_server_listen:
+            from .pmon import start_monitoring
+
+            server, guard = start_monitoring(
+                engine,
+                cfg.mon_server_listen,
+                guard_timeout=float(cfg.max_expected_heartbeat_interval),
+            )
+
+        if len(engine.streams) > 1:
+            source = spark.readStream.schema(
+                "table_id int, partition int, offset long, value string"
+            ).json(source_dir)
+        else:
+            source = read_file_stream(spark, source_dir)
+
+        q = engine.run_stream(source, ckpt, available_now=args.available_now)
+
+        stopping = {"flag": False}
+
+        def on_signal(signum, frame):
+            stopping["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                old_handlers[sig] = signal.signal(sig, on_signal)
+            except ValueError:
+                pass  # not the main thread (in-process tests)
+
+        try:
+            if args.available_now:
+                q.awaitTermination()
+            else:
+                while q.isActive and not stopping["flag"]:
+                    q.awaitTermination(1)
+                if q.isActive:
+                    q.stop()
+                    q.awaitTermination()
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+            if guard is not None:
+                guard.stop()
+            if server is not None:
+                server.stop()
+
+        print(
+            json.dumps(
+                {
+                    "batches_applied": engine.batches_applied,
+                    "modifications": engine.modifications,
+                    "state": engine.state.read()["state"],
+                }
+            )
+        )
+        return 0
+    finally:
+        if locker is not None:
+            locker.release()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

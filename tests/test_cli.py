@@ -1,0 +1,139 @@
+"""CLI lifecycle tests: ``python -m aardappel_spark`` drives the same
+process shape as the reference binary (cmd/aardappel/main.go) — config
+load, instance lock, monitoring, stream run, graceful exit."""
+
+import json
+import os
+
+from aardappel_spark.__main__ import main
+
+
+def _write_config(tmp, src_dir, multi_instance=False):
+    cfg = os.path.join(tmp, "config.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    f"src_connection_string: {src_dir}",
+                    f"instance_id: cli-test",
+                    f"multiple_instances_mode: {'true' if multi_instance else 'false'}",
+                    "max_expected_heartbeat_interval: 10",
+                    "streams:",
+                    f"  - src_topic: /topic/users",
+                    f"    dst_table: {os.path.join(tmp, 'dst_users')}",
+                    "    consumer: c1",
+                ]
+            )
+            + "\n"
+        )
+    return cfg
+
+
+def _write_metas(tmp):
+    metas = os.path.join(tmp, "metas.json")
+    with open(metas, "w") as f:
+        json.dump(
+            {
+                os.path.join(tmp, "dst_users"): {
+                    "primary_key": ["user_id"],
+                    "columns": {"user_id": "Int64", "value": "Optional<Utf8>"},
+                    "schema": "user_id bigint, value string",
+                }
+            },
+            f,
+        )
+    return metas
+
+
+def _write_source(tmp):
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def msg_update(uid, value, step, txid):
+        return json.dumps(
+            {"update": {"value": str(value)}, "key": [uid], "ts": [step, txid]}
+        )
+
+    def msg_hb(step):
+        return json.dumps({"resolved": [step, 0]})
+
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for partition, offset, value in [
+            (0, 1, msg_update(1, "u1", 10, 1)),
+            (0, 2, msg_update(2, "u2", 20, 1)),
+            (0, 3, msg_hb(100)),
+        ]:
+            f.write(
+                json.dumps({"partition": partition, "offset": offset, "value": value})
+                + "\n"
+            )
+    return src
+
+
+def test_cli_available_now_end_to_end(spark, tmp_path, capsys):
+    """--available-now drains the source, applies the quorum batch, and
+    exits 0 with a stats line; the destination holds the applied rows."""
+    tmp = str(tmp_path)
+    src = _write_source(tmp)
+    cfg = _write_config(tmp, src)
+    metas = _write_metas(tmp)
+
+    rc = main(
+        [
+            "--config", cfg,
+            "--table-metas", metas,
+            "--work-dir", os.path.join(tmp, "work"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["state"] == "OK"
+    assert stats["modifications"] == 2
+
+    rows = {
+        r.user_id: r.value
+        for r in _read_dst(spark, os.path.join(tmp, "dst_users")).collect()
+    }
+    assert rows == {1: "u1", 2: "u2"}
+
+
+def _read_dst(spark, dst_path):
+    from aardappel_spark.streaming import VersionedTable
+    from aardappel_spark.casting import TableMeta
+
+    meta = TableMeta(
+        "users",
+        primary_key=["user_id"],
+        columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+    )
+    vt = VersionedTable(spark, dst_path, meta, "user_id bigint, value string")
+    return vt.current()
+
+
+def test_cli_lock_conflict_exits_standby(spark, tmp_path, capsys):
+    """multiple_instances_mode + a held lock: the CLI polls as standby
+    and gives up at --lock-timeout with exit code 3, touching nothing."""
+    from aardappel_spark.locker import Locker, LockStorage
+
+    tmp = str(tmp_path)
+    src = _write_source(tmp)
+    cfg = _write_config(tmp, src, multi_instance=True)
+    metas = _write_metas(tmp)
+    work = os.path.join(tmp, "work")
+    os.makedirs(work, exist_ok=True)
+
+    other = Locker(LockStorage(os.path.join(work, "lock.json")), ttl_seconds=60)
+    assert other.try_acquire()
+
+    rc = main(
+        [
+            "--config", cfg,
+            "--table-metas", metas,
+            "--work-dir", work,
+            "--available-now",
+            "--lock-timeout", "0",
+        ]
+    )
+    assert rc == 3
+    assert not os.path.exists(os.path.join(tmp, "dst_users"))
