@@ -137,3 +137,97 @@ def test_cli_lock_conflict_exits_standby(spark, tmp_path, capsys):
     )
     assert rc == 3
     assert not os.path.exists(os.path.join(tmp, "dst_users"))
+
+
+def test_cli_multi_stream_routes_by_table(spark, tmp_path, capsys):
+    """Two streams in the config: the CLI builds the table_id-bearing
+    source schema, routes per table, and gates the cut across both
+    streams' partitions (--expected-partitions 2)."""
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def wire(table_id, partition, offset, value):
+        return json.dumps(
+            {"table_id": table_id, "partition": partition, "offset": offset, "value": value}
+        )
+
+    up = lambda col, val, key, step: json.dumps(
+        {"update": {col: val}, "key": [key], "ts": [step, 1]}
+    )
+    hb = lambda step: json.dumps({"resolved": [step, 0]})
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for line in [
+            wire(0, 0, 1, up("value", "u1", 1, 10)),
+            wire(1, 0, 2, up("amount", "9.99", 100, 12)),
+            wire(0, 0, 3, hb(50)),
+            wire(1, 0, 4, hb(50)),
+        ]:
+            f.write(line + "\n")
+
+    cfg = os.path.join(tmp, "config.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    f"src_connection_string: {src}",
+                    "instance_id: cli-multi",
+                    "streams:",
+                    "  - src_topic: /topic/users",
+                    f"    dst_table: {os.path.join(tmp, 'dst_users')}",
+                    "    consumer: c1",
+                    "  - src_topic: /topic/orders",
+                    f"    dst_table: {os.path.join(tmp, 'dst_orders')}",
+                    "    consumer: c1",
+                ]
+            )
+            + "\n"
+        )
+    metas = os.path.join(tmp, "metas.json")
+    with open(metas, "w") as f:
+        json.dump(
+            {
+                os.path.join(tmp, "dst_users"): {
+                    "primary_key": ["user_id"],
+                    "columns": {"user_id": "Int64", "value": "Optional<Utf8>"},
+                    "schema": "user_id bigint, value string",
+                },
+                os.path.join(tmp, "dst_orders"): {
+                    "primary_key": ["order_id"],
+                    "columns": {"order_id": "Int64", "amount": "Optional<Utf8>"},
+                    "schema": "order_id bigint, amount string",
+                },
+            },
+            f,
+        )
+
+    rc = main(
+        [
+            "--config", cfg,
+            "--table-metas", metas,
+            "--work-dir", os.path.join(tmp, "work"),
+            "--expected-partitions", "2",
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["modifications"] == 2 and stats["state"] == "OK"
+
+    from aardappel_spark.casting import TableMeta
+    from aardappel_spark.streaming import VersionedTable
+
+    users = VersionedTable(
+        spark,
+        os.path.join(tmp, "dst_users"),
+        TableMeta("users", ["user_id"], {"user_id": "Int64", "value": "Optional<Utf8>"}),
+        "user_id bigint, value string",
+    ).current()
+    orders = VersionedTable(
+        spark,
+        os.path.join(tmp, "dst_orders"),
+        TableMeta("orders", ["order_id"], {"order_id": "Int64", "amount": "Optional<Utf8>"}),
+        "order_id bigint, amount string",
+    ).current()
+    assert {r.user_id: r.value for r in users.collect()} == {1: "u1"}
+    assert {r.order_id: r.amount for r in orders.collect()} == {100: "9.99"}
