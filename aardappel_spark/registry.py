@@ -2250,6 +2250,41 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_gini(spark, sf_dir):
+    """Source-concentration Gini coefficient over per-source token mass
+    (the governance dial for 'is the corpus dominated by one crawl?').
+    G = sum_i (2i - n - 1) w_i / (n sum w) with sources ranked by
+    weight — all integer arithmetic until the final division, so the
+    value is engine-exact. The ranked frame is per-source (tiny); the
+    only corpus-scale work is one token count."""
+    from pyspark.sql.window import Window
+
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", F.size(tokens_col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("w"))
+    )
+    w = Window.orderBy("w", "source")
+    ranked = per_src.select(
+        "source",
+        "w",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.sum("w").alias("total_tokens"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("w"))
+            / (F.max("n") * F.sum("w")),
+            6,
+        ).alias("gini"),
+    )
+
+
 def q_dedup_span(spark, sf_dir):
     """Substring-level duplicated spans (Lee et al. 2022, 'Deduplicating
     Training Data Makes Language Models Better'): maximal runs of
@@ -2495,6 +2530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma": q_events_ewma,
     "events_paths": q_events_paths,
     "ann_recall_eval": q_ann_recall_eval,
+    "corpus_gini": q_corpus_gini,
 }
 
 ORACLES: dict[str, str] = {
@@ -4236,6 +4272,21 @@ WITH s AS (
 SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
 FROM s WHERE t3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+""",
+    "corpus_gini": """
+WITH per_src AS (
+  SELECT source, sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, w, row_number() OVER (ORDER BY w, source) AS i,
+         count(*) OVER () AS n
+  FROM per_src
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sources,
+       sum(w) AS total_tokens,
+       round(sum((2 * i - n - 1) * w) / (max(n) * sum(w)), 6) AS gini
+FROM ranked
 """,
     "doc_vocab_growth": """
 WITH tk AS (

@@ -1386,3 +1386,65 @@ def test_driver_rotation_first_50_are_round4_priority():
     assert list(q)[:50] == _R04_PRIORITY
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
+
+
+def test_dedup_span_matches_python_model(spark, tmp_path):
+    """q_dedup_span vs a direct Python model on a corpus with planted
+    shared runs: same spans, same boundaries, same merging of adjacent
+    duplicated windows (randomized by hypothesis-style seed sweep)."""
+    import random
+
+    from aardappel_spark.registry import q_dedup_span
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        shared = [f"s{i}" for i in range(12)]  # a 12-token run planted in 2 docs
+        docs = []
+        for d in range(8):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(2, 40))]
+            if d in (2, 5):  # plant the shared run mid-document
+                at = min(len(toks), 3)
+                toks = toks[:at] + shared + toks[at:]
+            docs.append((d, " ".join(toks)))
+
+        # python model: 4-gram per position (whole text when < 4 tokens),
+        # cross-doc duplicated grams, islands of consecutive dup positions
+        grams = {}
+        for d, text in docs:
+            t = [x for x in text.split(" ") if x]
+            if len(t) < 4:
+                g = [(0, " ".join(t))]
+            else:
+                g = [(i, " ".join(t[i : i + 4])) for i in range(len(t) - 3)]
+            grams[d] = g
+        df = {}
+        for d, g in grams.items():
+            for _, gram in set(g):
+                df.setdefault(gram, set()).add(d)
+        expected = set()
+        for d, g in grams.items():
+            dup_pos = sorted(p for p, gram in g if len(df[gram]) >= 2)
+            run = []
+            for p in dup_pos + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    if len(run) + 3 >= 5:
+                        expected.add((d, run[0], len(run) + 3))
+                    run = []
+                if p is not None:
+                    run.append(p)
+
+        sf_dir = str(tmp_path / f"sf_{seed}")
+        spark.createDataFrame(
+            [(d, t, "en", "src0", len(t)) for d, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+        got = {
+            (r.doc_id, r.span_start, r.span_tokens)
+            for r in q_dedup_span(spark, sf_dir).collect()
+        }
+        assert got == expected, f"seed {seed}"
+        # the planted 12-token run must surface in both docs
+        assert any(d == 2 and n >= 12 for d, _, n in got)
+        assert any(d == 5 and n >= 12 for d, _, n in got)
