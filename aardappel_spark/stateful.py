@@ -315,6 +315,103 @@ def batch_ewma_fold(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("deviation", DoubleType(), False),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType(), False),
+        StructField("ewmvar", DoubleType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+_ANOMALY_MIN_HISTORY = 5  # don't flag until the baseline has settled
+
+
+def _anomaly_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ewma, ewmvar, n = state.get if state.exists else (0.0, 0.0, 0)
+    a = _EWMA_ALPHA
+    flagged = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for eid, v in pdf.sort_values(["mic", "event_id"])[
+            ["event_id", "value"]
+        ].itertuples(index=False):
+            v = float(v)
+            if n == 0:
+                ewma, ewmvar = v, 0.0
+            else:
+                d = v - ewma
+                # flag BEFORE absorbing the point: an outlier must not
+                # vouch for itself via the baseline it just inflated
+                if n >= _ANOMALY_MIN_HISTORY and d * d > 9.0 * ewmvar and ewmvar > 0:
+                    flagged.append(
+                        {
+                            "user_id": key[0],
+                            "event_id": int(eid),
+                            "value": v,
+                            "deviation": d,
+                        }
+                    )
+                ewma = ewma + a * d
+                ewmvar = (1 - a) * (ewmvar + a * d * d)
+            n += 1
+    state.update((ewma, ewmvar, n))
+    yield pd.DataFrame(flagged, columns=["user_id", "event_id", "value", "deviation"])
+
+
+def streaming_anomaly(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Online 3-sigma anomaly detection per user: exponentially-weighted
+    mean AND variance (West 1979's incremental form) in three scalars of
+    state; an event is flagged when its squared deviation from the
+    pre-event baseline exceeds 9x the pre-event EW variance, after a
+    minimum history of 5 points. The outlier is flagged BEFORE it
+    updates the baseline, then absorbed — so a level shift flags once
+    and the baseline re-converges instead of flagging forever.
+
+    State is O(users) regardless of event volume; emits only flagged
+    events. The flags are a pure function of the ordered per-user
+    series, so any micro-batch split (and a checkpoint restart) yields
+    the identical flag set — pinned by test."""
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    mic = (
+        F.expr(f"{ts_col} div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(id_col).cast("long").alias("event_id"),
+        mic.alias("mic"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

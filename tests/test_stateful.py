@@ -568,3 +568,64 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     for v in (20.0, 30.0, 40.0, 2.0):
         acc = 0.25 * v + 0.75 * acc
     assert abs(latest[1][0] - acc) < 1e-12
+
+
+def test_streaming_anomaly_flags_spike_once(spark, tmp_path):
+    """A steady series with one injected spike (arriving in a LATER
+    micro-batch, after a restart) flags exactly that event, with the
+    same result as an equivalent single-batch run — and a level shift
+    flags once, then the baseline re-converges."""
+    from aardappel_spark.stateful import streaming_anomaly
+
+    def series():
+        rows = []
+        eid = 0
+        # steady baseline with mild wiggle
+        for i in range(12):
+            eid += 1
+            rows.append((1, eid, 100 * eid, 10.0 + (0.5 if i % 2 else -0.5)))
+        spike_id = eid + 1
+        rows.append((1, spike_id, 100 * spike_id, 60.0))  # the outlier
+        eid = spike_id
+        for i in range(4):  # back to baseline: no further flags
+            eid += 1
+            rows.append((1, eid, 100 * eid, 10.0 + (0.5 if i % 2 else -0.5)))
+        return rows, spike_id
+
+    def run_chunks(tmp, chunks):
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src, exist_ok=True)
+        flags = []
+        for bi, chunk in enumerate(chunks):
+            with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+                for uid, eid, mic, v in chunk:
+                    f.write(
+                        json.dumps(
+                            {"user_id": uid, "event_id": eid, "ts": mic * 1000, "value": v}
+                        )
+                        + "\n"
+                    )
+            stream = spark.readStream.schema(
+                "user_id long, event_id long, ts long, value double"
+            ).json(src)
+            q = (
+                streaming_anomaly(stream)
+                .writeStream.foreachBatch(lambda df, bid: flags.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return flags
+
+    rows, spike_id = series()
+    # split so the spike arrives in its own batch after a restart
+    flags_split = run_chunks(str(tmp_path / "a"), [rows[:10], rows[10:13], rows[13:]])
+    flags_single = run_chunks(str(tmp_path / "b"), [rows])
+
+    assert [f.event_id for f in flags_split] == [spike_id]
+    assert [f.event_id for f in flags_single] == [spike_id]
+    assert flags_split[0].deviation > 0
+    assert abs(flags_split[0].deviation - flags_single[0].deviation) < 1e-12
