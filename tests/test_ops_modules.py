@@ -1448,3 +1448,80 @@ def test_dedup_span_matches_python_model(spark, tmp_path):
         # the planted 12-token run must surface in both docs
         assert any(d == 2 and n >= 12 for d, _, n in got)
         assert any(d == 5 and n >= 12 for d, _, n in got)
+
+
+def test_dsir_and_vocab_growth_match_python_models(spark, tmp_path):
+    """corpus_dsir and doc_vocab_growth vs direct Python models on a
+    randomized corpus (hashing, smoothing, and first-occurrence
+    attribution all re-derived independently)."""
+    import hashlib
+    import math
+    import random
+
+    from aardappel_spark.registry import q_corpus_dsir, q_doc_vocab_growth
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = []
+    for d in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        docs.append((d, " ".join(toks), "en" if d % 3 else "de"))
+
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(d, t, lang, "s0", len(t)) for d, t, lang in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    toks_all, toks_en = [], []
+    per_doc = {}
+    for d, t, lang in docs:
+        bs = [bucket(x) for x in t.split(" ") if x]
+        per_doc[d] = bs
+        toks_all.extend(bs)
+        if lang == "en":
+            toks_en.extend(bs)
+    c_raw, c_tgt = {}, {}
+    for b in toks_all:
+        c_raw[b] = c_raw.get(b, 0) + 1
+    for b in toks_en:
+        c_tgt[b] = c_tgt.get(b, 0) + 1
+    n_raw, n_tgt = len(toks_all), len(toks_en)
+
+    def logratio(b):
+        return math.log((c_tgt.get(b, 0) + 1) / (n_tgt + 64)) - math.log(
+            (c_raw[b] + 1) / (n_raw + 64)
+        )
+
+    expect_dsir = {
+        d: round(sum(logratio(b) for b in bs) / len(bs), 6) + 0.0
+        for d, bs in per_doc.items()
+        if bs
+    }
+    got_dsir = {
+        r.doc_id: r.dsir_weight for r in q_corpus_dsir(spark, sf_dir).collect()
+    }
+    assert got_dsir.keys() == expect_dsir.keys()
+    for d in expect_dsir:
+        assert abs(got_dsir[d] - expect_dsir[d]) <= 1e-6, d
+
+    first = {}
+    for d, t, _ in docs:
+        for x in t.split(" "):
+            if x and x not in first:
+                first[x] = d
+    new_per_doc = {d: 0 for d, _, _ in docs}
+    for _, d in first.items():
+        new_per_doc[d] += 1
+    running, expect_growth = 0, {}
+    for d in sorted(new_per_doc):
+        running += new_per_doc[d]
+        expect_growth[d] = (new_per_doc[d], running)
+    got_growth = {
+        r.doc_id: (r.n_new_tokens, r.vocab_size)
+        for r in q_doc_vocab_growth(spark, sf_dir).collect()
+    }
+    assert got_growth == expect_growth
