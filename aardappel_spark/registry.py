@@ -2176,6 +2176,75 @@ def q_events_paths(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Batch 3-sigma anomaly flags (the driver-gateable face of
+    streaming_anomaly): each event is judged against the EWMA and EW
+    variance of its PREVIOUS up-to-10 values. The ten lags materialize
+    once as columns; mean and variance come from the two weighted
+    moments (var = E[l^2] - E[l]^2), so the whole expression stays
+    inside one compact whole-stage-codegen span — the per-term
+    (l_j - mean)^2 form inlined the mean ten times and overflowed the
+    JVM's 64 KB method limit into interpreted fallback. Both engines
+    evaluate the identical left-to-right float expression, so even the
+    flags' threshold comparison is engine-exact. One user_id Exchange,
+    one Window pass, no self-joins."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    alpha = 0.25
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        *[F.lag("value", j).over(w).cast("double").alias(f"l{j}") for j in range(1, 11)],
+    )
+    weights = [alpha * (1 - alpha) ** (j - 1) for j in range(1, 11)]
+    wsum = None
+    m1 = None  # sum w_j * l_j
+    m2 = None  # sum w_j * l_j^2
+    n_prev = None
+    for j, wj in enumerate(weights, start=1):
+        lj = F.col(f"l{j}")
+        present = F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        wsum = present if wsum is None else wsum + present
+        t1 = F.coalesce(lj * wj, F.lit(0.0))
+        m1 = t1 if m1 is None else m1 + t1
+        t2 = F.coalesce(lj * lj * wj, F.lit(0.0))
+        m2 = t2 if m2 is None else m2 + t2
+        cnt = lj.isNotNull().cast("int")
+        n_prev = cnt if n_prev is None else n_prev + cnt
+    stage2 = lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        n_prev.alias("n_prev"),
+        F.when(wsum > 0, m1 / wsum).alias("ewma_prev"),
+        F.when(wsum > 0, m2 / wsum).alias("m2n"),
+    )
+    stage3 = stage2.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n_prev",
+        (F.col("m2n") - F.col("ewma_prev") * F.col("ewma_prev")).alias("var_prev"),
+        (F.col("value") - F.col("ewma_prev")).alias("d"),
+    )
+    return (
+        stage3.filter(
+            (F.col("n_prev") >= 5)
+            & (F.col("var_prev") > 0)
+            & (F.col("d") * F.col("d") > 9.0 * F.col("var_prev"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round("d", 6).alias("deviation"),
+        )
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram language-model score: per-document average negative
     log-likelihood of each bigram under the corpus's own conditional
@@ -2531,6 +2600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_paths": q_events_paths,
     "ann_recall_eval": q_ann_recall_eval,
     "corpus_gini": q_corpus_gini,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -4272,6 +4342,96 @@ WITH s AS (
 SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
 FROM s WHERE t3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+""",
+    "events_anomaly": """
+WITH lagged AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3,
+         lag(value, 4) OVER w AS l4,
+         lag(value, 5) OVER w AS l5,
+         lag(value, 6) OVER w AS l6,
+         lag(value, 7) OVER w AS l7,
+         lag(value, 8) OVER w AS l8,
+         lag(value, 9) OVER w AS l9,
+         lag(value, 10) OVER w AS l10
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT event_id, user_id, value,
+         (CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l5 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l6 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l8 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l9 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN l10 IS NOT NULL THEN 1 ELSE 0 END) AS n_prev,
+         CASE WHEN (CASE WHEN l1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.1875 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.140625 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.10546875 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.0791015625 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.059326171875 ELSE 0.0 END
+           + CASE WHEN l7 IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END
+           + CASE WHEN l8 IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END
+           + CASE WHEN l9 IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END
+           + CASE WHEN l10 IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END) > 0 THEN
+           (coalesce(l1 * 0.25, 0.0)
+           + coalesce(l2 * 0.1875, 0.0)
+           + coalesce(l3 * 0.140625, 0.0)
+           + coalesce(l4 * 0.10546875, 0.0)
+           + coalesce(l5 * 0.0791015625, 0.0)
+           + coalesce(l6 * 0.059326171875, 0.0)
+           + coalesce(l7 * 0.04449462890625, 0.0)
+           + coalesce(l8 * 0.0333709716796875, 0.0)
+           + coalesce(l9 * 0.025028228759765625, 0.0)
+           + coalesce(l10 * 0.01877117156982422, 0.0))
+           / (CASE WHEN l1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.1875 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.140625 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.10546875 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.0791015625 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.059326171875 ELSE 0.0 END
+           + CASE WHEN l7 IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END
+           + CASE WHEN l8 IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END
+           + CASE WHEN l9 IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END
+           + CASE WHEN l10 IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END) END AS ewma_prev,
+         CASE WHEN (CASE WHEN l1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.1875 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.140625 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.10546875 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.0791015625 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.059326171875 ELSE 0.0 END
+           + CASE WHEN l7 IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END
+           + CASE WHEN l8 IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END
+           + CASE WHEN l9 IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END
+           + CASE WHEN l10 IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END) > 0 THEN
+           (coalesce(l1 * l1 * 0.25, 0.0)
+           + coalesce(l2 * l2 * 0.1875, 0.0)
+           + coalesce(l3 * l3 * 0.140625, 0.0)
+           + coalesce(l4 * l4 * 0.10546875, 0.0)
+           + coalesce(l5 * l5 * 0.0791015625, 0.0)
+           + coalesce(l6 * l6 * 0.059326171875, 0.0)
+           + coalesce(l7 * l7 * 0.04449462890625, 0.0)
+           + coalesce(l8 * l8 * 0.0333709716796875, 0.0)
+           + coalesce(l9 * l9 * 0.025028228759765625, 0.0)
+           + coalesce(l10 * l10 * 0.01877117156982422, 0.0))
+           / (CASE WHEN l1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.1875 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.140625 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.10546875 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.0791015625 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.059326171875 ELSE 0.0 END
+           + CASE WHEN l7 IS NOT NULL THEN 0.04449462890625 ELSE 0.0 END
+           + CASE WHEN l8 IS NOT NULL THEN 0.0333709716796875 ELSE 0.0 END
+           + CASE WHEN l9 IS NOT NULL THEN 0.025028228759765625 ELSE 0.0 END
+           + CASE WHEN l10 IS NOT NULL THEN 0.01877117156982422 ELSE 0.0 END) END AS m2n
+  FROM lagged
+),
+s3 AS (
+  SELECT event_id, user_id, value, n_prev,
+         m2n - ewma_prev * ewma_prev AS var_prev,
+         value - ewma_prev AS d
+  FROM s2
+)
+SELECT event_id, user_id, round(value, 2) AS value, round(d, 6) AS deviation
+FROM s3
+WHERE n_prev >= 5 AND var_prev > 0 AND d * d > 9.0 * var_prev
 """,
     "corpus_gini": """
 WITH per_src AS (

@@ -269,3 +269,12 @@ def test_ewma_single_window_pass(spark):
     plan = _plan(spark, "events_ewma")
     assert plan.count("Window") <= 2  # one Window op (+header mention slack)
     assert plan.count("Exchange") <= 2  # user_id hash + AQE read at most
+
+
+def test_batch_anomaly_single_window_codegen_safe(spark):
+    """Two-moment variance keeps the anomaly expression in one compact
+    Window pass: one Window op, one user_id Exchange, no cartesian."""
+    plan = _plan(spark, "events_anomaly")
+    assert plan.count("Window") <= 2
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
