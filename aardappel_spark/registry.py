@@ -2245,6 +2245,66 @@ def q_events_anomaly(spark, sf_dir):
     )
 
 
+_LR_LR = 1.0  # learning rate
+_LR_ITERS = 3
+
+
+def _lr_features(docs):
+    """Shared feature projection for the quality classifier: bias +
+    scaled token count + stopword ratio + scaled avg token length."""
+    from .ops.text import tokens_col
+
+    toks = F.size(tokens_col("text"))
+    t = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (toks / 100.0).alias("x1"),
+        F.explode(tokens_col("text")).alias("token"),
+    )
+    stop = F.col("token").isin(STOPWORDS).cast("double")
+    return t.groupBy("doc_id", "y", "x0", "x1").agg(
+        (F.sum(stop) / F.count("*")).alias("x2"),
+        (F.avg(F.length("token")) / 10.0).alias("x3"),
+    )
+
+
+def q_quality_lr_train(spark, sf_dir):
+    """Train a logistic-regression quality classifier IN the engine:
+    three full-batch gradient-descent iterations, each ONE distributed
+    aggregation pass (sum of x*(sigmoid(x.w) - y) over the corpus) with
+    only the 4-float gradient reaching the driver — textbook
+    data-parallel GD, the shape that holds at any corpus size. Labels:
+    lang == 'en'; features: bias, token count, stopword ratio, token
+    length. The oracle replays the identical three iterations in SQL;
+    weights round to 6 decimals so the engines' different summation
+    orders (both valid IEEE) cannot flip the comparison."""
+    docs = _docs(spark, sf_dir)
+    feats = _lr_features(docs)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = (
+            F.col("x0") * w[0]
+            + F.col("x1") * w[1]
+            + F.col("x2") * w[2]
+            + F.col("x3") * w[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        row = feats.agg(
+            F.avg(F.col("x0") * err).alias("g0"),
+            F.avg(F.col("x1") * err).alias("g1"),
+            F.avg(F.col("x2") * err).alias("g2"),
+            F.avg(F.col("x3") * err).alias("g3"),
+        ).collect()[0]
+        if row["g0"] is None:  # empty corpus: gradient is zero
+            break
+        w = [w[k] - _LR_LR * row[f"g{k}"] for k in range(4)]
+    return spark.createDataFrame(
+        [tuple(round(v, 6) for v in w)], "w0 double, w1 double, w2 double, w3 double"
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram language-model score: per-document average negative
     log-likelihood of each bigram under the corpus's own conditional
@@ -2601,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": q_ann_recall_eval,
     "corpus_gini": q_corpus_gini,
     "events_anomaly": q_events_anomaly,
+    "quality_lr_train": q_quality_lr_train,
 }
 
 ORACLES: dict[str, str] = {
@@ -4447,6 +4508,43 @@ SELECT CAST(max(n) AS BIGINT) AS n_sources,
        sum(w) AS total_tokens,
        round(sum((2 * i - n - 1) * w) / (max(n) * sum(w)), 6) AS gini
 FROM ranked
+""",
+    "quality_lr_train": """
+WITH t AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, y, 1.0 AS x0, len(toks) / 100.0 AS x1,
+         CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], x))) AS DOUBLE) / len(toks) AS x2,
+         (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 10.0 AS x3
+  FROM t WHERE len(toks) > 0
+),
+w1 AS (
+  SELECT 0.0 - avg(x0 * (0.5 - y)) AS w0,
+         0.0 - avg(x1 * (0.5 - y)) AS w1,
+         0.0 - avg(x2 * (0.5 - y)) AS w2,
+         0.0 - avg(x3 * (0.5 - y)) AS w3
+  FROM f
+),
+w2 AS (
+  SELECT w1.w0 - avg(x0 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w0,
+         w1.w1 - avg(x1 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w1,
+         w1.w2 - avg(x2 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w2,
+         w1.w3 - avg(x3 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w3
+  FROM f, w1 GROUP BY w1.w0, w1.w1, w1.w2, w1.w3
+),
+w3 AS (
+  SELECT w2.w0 - avg(x0 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w0,
+         w2.w1 - avg(x1 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w1,
+         w2.w2 - avg(x2 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w2,
+         w2.w3 - avg(x3 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w3
+  FROM f, w2 GROUP BY w2.w0, w2.w1, w2.w2, w2.w3
+)
+SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+       round(w2, 6) AS w2, round(w3, 6) AS w3
+FROM w3
 """,
     "doc_vocab_growth": """
 WITH tk AS (
