@@ -2305,6 +2305,26 @@ def q_quality_lr_train(spark, sf_dir):
     )
 
 
+def q_quality_lr_score(spark, sf_dir):
+    """Inference for the in-engine classifier: score every document with
+    the weights q_quality_lr_train just learned (the 4 floats ride along
+    as literals — no join), completing the train -> score loop a
+    quality-filtering pipeline runs before a corpus cut. One pass, pure
+    column math."""
+    w = q_quality_lr_train(spark, sf_dir).collect()[0]
+    feats = _lr_features(_docs(spark, sf_dir))
+    z = (
+        F.col("x0") * w.w0
+        + F.col("x1") * w.w1
+        + F.col("x2") * w.w2
+        + F.col("x3") * w.w3
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_p"),
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram language-model score: per-document average negative
     log-likelihood of each bigram under the corpus's own conditional
@@ -2662,6 +2682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_gini": q_corpus_gini,
     "events_anomaly": q_events_anomaly,
     "quality_lr_train": q_quality_lr_train,
+    "quality_lr_score": q_quality_lr_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -4545,6 +4566,44 @@ w3 AS (
 SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
        round(w2, 6) AS w2, round(w3, 6) AS w3
 FROM w3
+""",
+    "quality_lr_score": """
+WITH t AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, y, 1.0 AS x0, len(toks) / 100.0 AS x1,
+         CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'], x))) AS DOUBLE) / len(toks) AS x2,
+         (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 10.0 AS x3
+  FROM t WHERE len(toks) > 0
+),
+w1 AS (
+  SELECT 0.0 - avg(x0 * (0.5 - y)) AS w0,
+         0.0 - avg(x1 * (0.5 - y)) AS w1,
+         0.0 - avg(x2 * (0.5 - y)) AS w2,
+         0.0 - avg(x3 * (0.5 - y)) AS w3
+  FROM f
+),
+w2 AS (
+  SELECT w1.w0 - avg(x0 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w0,
+         w1.w1 - avg(x1 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w1,
+         w1.w2 - avg(x2 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w2,
+         w1.w3 - avg(x3 * (1.0/(1.0+exp(-(x0*w1.w0 + x1*w1.w1 + x2*w1.w2 + x3*w1.w3))) - y)) AS w3
+  FROM f, w1 GROUP BY w1.w0, w1.w1, w1.w2, w1.w3
+),
+w3 AS (
+  SELECT w2.w0 - avg(x0 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w0,
+         w2.w1 - avg(x1 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w1,
+         w2.w2 - avg(x2 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w2,
+         w2.w3 - avg(x3 * (1.0/(1.0+exp(-(x0*w2.w0 + x1*w2.w1 + x2*w2.w2 + x3*w2.w3))) - y)) AS w3
+  FROM f, w2 GROUP BY w2.w0, w2.w1, w2.w2, w2.w3
+)
+SELECT f.doc_id,
+       round(1.0/(1.0+exp(-(f.x0*w3.w0 + f.x1*w3.w1 + f.x2*w3.w2 + f.x3*w3.w3))), 6) AS quality_p
+FROM f, (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+                round(w2, 6) AS w2, round(w3, 6) AS w3 FROM w3) w3
 """,
     "doc_vocab_growth": """
 WITH tk AS (
