@@ -502,6 +502,47 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_est_error(spark, sf_dir):
+    """MinHash quality evaluation (the dedup twin of ann_recall_eval):
+    for every LSH candidate pair, the signature-estimated Jaccard
+    (matching components / 4) against the EXACT shingle-set Jaccard,
+    with the absolute estimation error — the measurement that says
+    whether 4 hashes is enough before a production dedup cut. Reuses
+    the shared signature and pairs frames; the exact set math runs on
+    candidates only."""
+    from .ops.dedup import shingles_col
+
+    sig = _minhash_sig_cached(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(4)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(4)]
+    )
+    est = None
+    for k in range(4):
+        eq = (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        est = eq if est is None else est + eq
+    sets = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles_col("text", k=3)).alias("s")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter / union
+    est_jac = est / F.lit(4.0)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(est_jac, 6).alias("est_jaccard"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(F.abs(est_jac - jac), 6).alias("abs_err"),
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     from .ops.text import unigram_nll
 
@@ -2709,6 +2750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "quality_lr_train": q_quality_lr_train,
     "quality_lr_score": q_quality_lr_score,
+    "dedup_est_error": q_dedup_est_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -4630,6 +4672,21 @@ SELECT f.doc_id,
        round(1.0/(1.0+exp(-(f.x0*w3.w0 + f.x1*w3.w1 + f.x2*w3.w2 + f.x3*w3.w3))), 6) AS quality_p
 FROM f, (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
                 round(w2, 6) AS w2, round(w3, 6) AS w3 FROM w3) w3
+""",
+    "dedup_est_error": _PAIRS_CTE + """
+, ts AS (SELECT doc_id, list(DISTINCT token) AS s FROM t GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0, 6) AS est_jaccard,
+       round(len(list_filter(ta.s, x -> list_contains(tb.s, x)))
+             / (len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x)))), 6) AS jaccard,
+       round(abs(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0
+             - len(list_filter(ta.s, x -> list_contains(tb.s, x)))
+             / (len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))))), 6) AS abs_err
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+JOIN ts ta ON p.doc_a = ta.doc_id
+JOIN ts tb ON p.doc_b = tb.doc_id
 """,
     "doc_vocab_growth": """
 WITH tk AS (
