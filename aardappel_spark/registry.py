@@ -543,6 +543,29 @@ def q_dedup_est_error(spark, sf_dir):
     )
 
 
+def q_doc_normalize(spark, sf_dir):
+    """Text normalization — the stage every pipeline runs before dedup:
+    lowercase, collapse whitespace runs, strip non-alphanumeric chars
+    (keeping spaces). Emitted as (doc_id, md5 digest, before/after
+    lengths) so the full normalized text is verified byte-for-byte
+    across engines without shipping it. Pure string expressions, one
+    pass, no shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.length("text").alias("len_before"),
+        F.length(norm).alias("len_after"),
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     from .ops.text import unigram_nll
 
@@ -2751,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_lr_train": q_quality_lr_train,
     "quality_lr_score": q_quality_lr_score,
     "dedup_est_error": q_dedup_est_error,
+    "doc_normalize": q_doc_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -4687,6 +4711,13 @@ JOIN sig sa ON p.doc_a = sa.doc_id
 JOIN sig sb ON p.doc_b = sb.doc_id
 JOIN ts ta ON p.doc_a = ta.doc_id
 JOIN ts tb ON p.doc_b = tb.doc_id
+""",
+    "doc_normalize": """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_digest,
+       CAST(length(text) AS INT) AS len_before,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS len_after
+FROM documents
 """,
     "doc_vocab_growth": """
 WITH tk AS (

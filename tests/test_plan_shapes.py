@@ -278,3 +278,18 @@ def test_batch_anomaly_single_window_codegen_safe(spark):
     assert plan.count("Window") <= 2
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_est_error_joins_stay_on_candidates(spark):
+    """The MinHash-error eval must run its set math on candidate pairs
+    only — broadcast joins from the tiny pairs frame, no cartesian."""
+    plan = _plan(spark, "dedup_est_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lr_score_single_pass(spark):
+    """Scoring with published weights is one aggregation over the
+    feature pass — no joins at all (weights ride as literals)."""
+    plan = _plan(spark, "quality_lr_score")
+    assert "Join" not in plan
