@@ -125,14 +125,15 @@ def _funnel_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        # event-time order within the batch; with per-user in-order
-        # arrival this reproduces the batch chain exactly (first view,
-        # first click strictly after it, first purchase strictly after
-        # that). Stages only ever advance — a late pre-stage event can't
-        # regress completed stages.
+    # concat all Arrow chunks before the event-time sort (see _ewma_fn:
+    # per-chunk sorting would depend on Arrow batch boundaries). With
+    # per-user in-order arrival this reproduces the batch chain exactly
+    # (first view, first click strictly after it, first purchase strictly
+    # after that). Stages only ever advance — a late pre-stage event can't
+    # regress completed stages.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         for mic, et in pdf.sort_values("mic")[["mic", "event_type"]].itertuples(
             index=False
         ):
@@ -223,13 +224,16 @@ def _ewma_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     acc, n = state.get if state.exists else (0.0, 0)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        # deterministic event order within the batch: (event-time micros,
-        # event_id) — the same total order the batch kernel folds in, so
-        # splitting the stream at ANY batch boundary composes to the
-        # identical left fold
+    # A group's rows may arrive as SEVERAL Arrow record batches (chunked at
+    # spark.sql.execution.arrow.maxRecordsPerBatch); sorting per-chunk would
+    # fold chunks in arrival order and break the documented invariant.
+    # Concatenate the whole group's batch first, then sort ONCE by
+    # (event-time micros, event_id) — the same total order the batch kernel
+    # folds in, so splitting the stream at ANY batch boundary composes to
+    # the identical left fold.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         for v in pdf.sort_values(["mic", "event_id"])["value"]:
             v = float(v)
             acc = v if n == 0 else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
@@ -341,9 +345,11 @@ def _anomaly_fn(
     ewma, ewmvar, n = state.get if state.exists else (0.0, 0.0, 0)
     a = _EWMA_ALPHA
     flagged = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # concat-then-sort across ALL Arrow chunks (see _ewma_fn): per-chunk
+    # sorting would make flags depend on Arrow batch boundaries
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         for eid, v in pdf.sort_values(["mic", "event_id"])[
             ["event_id", "value"]
         ].itertuples(index=False):

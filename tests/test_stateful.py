@@ -629,3 +629,109 @@ def test_streaming_anomaly_flags_spike_once(spark, tmp_path):
     assert [f.event_id for f in flags_single] == [spike_id]
     assert flags_split[0].deviation > 0
     assert abs(flags_split[0].deviation - flags_single[0].deviation) < 1e-12
+
+
+def test_streaming_ewma_multi_arrow_chunk_order(spark, tmp_path):
+    """One micro-batch whose rows for a single user span SEVERAL Arrow
+    record batches (maxRecordsPerBatch=3) and arrive in REVERSE event
+    order. The fold must sort across all chunks, not per chunk — a
+    per-chunk sort would fold the highest-mic chunk first and produce a
+    different EWMA (regression test for the concat-then-sort fix)."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.stateful import batch_ewma_fold, streaming_ewma
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    # 10 events, values distinct, written in reverse mic order so chunk 1
+    # holds the LATEST events
+    rows = [(1, eid, 100 * eid, float(eid)) for eid in range(10, 0, -1)]
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        for uid, eid, mic, v in rows:
+            f.write(
+                json.dumps(
+                    {"user_id": uid, "event_id": eid, "ts": mic * 1000, "value": v}
+                )
+                + "\n"
+            )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        collected = []
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts long, value double"
+        ).json(src)
+        q = (
+            streaming_ewma(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert len(collected) == 1 and collected[0].n_events == 10
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, event_id long, mic long, value double"
+    ).select("user_id", "event_id", F.expr("mic * 1000").alias("ts"), "value")
+    expect = batch_ewma_fold(batch_df).collect()[0].ewma
+    # the mic-ordered fold over values 1..10 with alpha=.25
+    acc = 1.0
+    for v in range(2, 11):
+        acc = 0.25 * v + 0.75 * acc
+    assert abs(expect - acc) < 1e-12
+    assert abs(collected[0].ewma - acc) < 1e-12
+
+
+def test_streaming_anomaly_multi_arrow_chunk_order(spark, tmp_path):
+    """Same multi-chunk regression for the anomaly fold: a spike written
+    FIRST in file order (so it lands in Arrow chunk 1) but carrying the
+    LAST event time must still be judged against the full pre-spike
+    baseline and flagged exactly once."""
+    from aardappel_spark.stateful import streaming_anomaly
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    baseline = [
+        (1, eid, 100 * eid, 10.0 + (0.5 if eid % 2 else -0.5)) for eid in range(1, 13)
+    ]
+    spike = (1, 13, 1300, 60.0)
+    # file order: spike first, then baseline in reverse — every chunk
+    # boundary crosses out-of-order rows
+    rows = [spike] + baseline[::-1]
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        for uid, eid, mic, v in rows:
+            f.write(
+                json.dumps(
+                    {"user_id": uid, "event_id": eid, "ts": mic * 1000, "value": v}
+                )
+                + "\n"
+            )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        flags = []
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts long, value double"
+        ).json(src)
+        q = (
+            streaming_anomaly(stream)
+            .writeStream.foreachBatch(lambda df, bid: flags.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert [f.event_id for f in flags] == [13]
+    assert flags[0].deviation > 0
