@@ -1376,14 +1376,27 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round4_priority():
+def test_driver_rotation_first_50_are_round5_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-4 artifact covers the right set."""
+    pin the rotation so the round-5 artifact covers the right set — the
+    26 never-driver-gated queries lead, round-5 additions follow, and
+    headliners pad to exactly 50."""
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import _R04_PRIORITY, ORACLES
+    from aardappel_spark.registry import _R05_PRIORITY, ORACLES
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R04_PRIORITY
+    assert list(q)[:50] == _R05_PRIORITY
+    # the never-gated block must lead, whatever lands later in the round
+    assert _R05_PRIORITY[:26] == [
+        "events_running_sum", "doc_weighted_sample", "vocab_postings",
+        "events_user_hll_daily", "langid_eval", "events_znorm",
+        "events_sliding", "events_mad_outliers", "corpus_temperature",
+        "doc_ppl_buckets", "events_json_stats", "events_user_hll_estimate",
+        "text_bigram_nll", "dedup_containment", "dedup_span", "corpus_dsir",
+        "doc_vocab_growth", "events_ewma", "events_paths", "ann_recall_eval",
+        "corpus_gini", "events_anomaly", "quality_lr_train",
+        "quality_lr_score", "dedup_est_error", "doc_normalize",
+    ]
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
