@@ -86,6 +86,26 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").collect()
 
+    # r4 postmortem: synthetic range() warmup does NOT warm whole-stage
+    # codegen, parquet footer reads, or the shuffle machinery — the first
+    # REAL query still paid ~3s of JIT/footer cost and BENCH_r04 recorded
+    # tpch_q1 at 9.36s vs its 1.33s steady state. Run one throwaway real
+    # query (the first registry entry, i.e. whatever would otherwise absorb
+    # the cold start) plus a footer-touching scan of every table, timed as
+    # an explicit warmup entry so `value` stays the honest end-to-end total
+    # while per-query numbers measure steady-state plans.
+    t0 = time.perf_counter()
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).selectExpr("count(*)").collect()
+    first_name, first_fn = next(iter(QUERIES.items()))
+    first_fn(spark, sf_dir).collect()  # discarded: JIT/codegen warm
+    warmup_cold_start = round(time.perf_counter() - t0, 3)
+
     # shared frames, timed separately (each is consumed by 2+ queries)
     warmup_builds = {
         "cdc_parse": lambda: cdc_queries.parsed_messages(spark, sf_dir),
@@ -94,7 +114,8 @@ def main() -> None:
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
         "grams4": lambda: registry._grams4_cached(spark, sf_dir),
     }
-    warmup: dict[str, float] = {}
+    warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
+    print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)
     for name, build in warmup_builds.items():
         t0 = time.perf_counter()
         build().count()  # force the persist/checkpoint materialization
@@ -122,7 +143,11 @@ def main() -> None:
                 "one-time shared materializations (cdc parse barrier, "
                 "minhash signatures + LSH pairs, simhash64, 4-gram "
                 "explode), each reused by 2+ queries; per-query times "
-                "are on warm caches. value = warmup + queries."
+                "are on warm caches. value = warmup + queries. "
+                "jvm_cold_start = footer scan of every table + one "
+                "discarded execution of the first registry query, so "
+                "JIT/codegen/footer costs no longer land on whichever "
+                "query runs first (r4's tpch_q1 9.36s-vs-1.33s artifact)."
             ),
             "dedup_clusters": (
                 "iterative connected-components loop: 2-4 join+agg "
