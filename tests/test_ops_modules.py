@@ -1538,3 +1538,51 @@ def test_dsir_and_vocab_growth_match_python_models(spark, tmp_path):
         for r in q_doc_vocab_growth(spark, sf_dir).collect()
     }
     assert got_growth == expect_growth
+
+
+def test_lsh_banded_topk_recall_and_candidates(spark, sf_dir):
+    """Banded LSH (12x4): exact-cosine re-rank values, recall@10 beats
+    both the single-bucket LSH tier and 0.8 (the round-4 target), and
+    the candidate set genuinely prunes — sub-brute-force by construction,
+    proven by count, with a band-match witness for every candidate."""
+    from aardappel_spark.ops.similarity import (
+        banded_signature,
+        brute_force_topk,
+        lsh_banded_candidates,
+        lsh_banded_topk,
+        lsh_bucket_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = 10
+    truth = {r.vec_id for r in brute_force_topk(emb, query_id=0, k=k).collect()}
+    exact = {
+        r.vec_id: r.sim
+        for r in brute_force_topk(emb, query_id=0, k=10**6).collect()
+    }
+
+    banded = lsh_banded_topk(emb, query_id=0, k=k, n_bands=12, band_bits=4).collect()
+    for r in banded:
+        assert abs(exact[r.vec_id] - r.sim) < 1e-9  # exact re-rank
+
+    bucket = lsh_bucket_topk(emb, query_id=0, k=k, bits=6).collect()
+    recall_banded = len(truth & {r.vec_id for r in banded}) / k
+    recall_bucket = len(truth & {r.vec_id for r in bucket}) / k
+    assert recall_banded >= 0.8
+    assert recall_banded >= recall_bucket
+
+    cand = lsh_banded_candidates(emb, query_id=0, n_bands=12, band_bits=4)
+    n_cand = cand.count()
+    assert 0 < n_cand < n - 1  # pruned: not brute force in disguise
+
+    # every candidate shares at least one band with the query
+    sig = emb.select(
+        "vec_id",
+        banded_signature(F.col("embedding"), 64, 12, 4).alias("b"),
+    )
+    qbands = sig.filter(F.col("vec_id") == 0).collect()[0].b
+    got = {r.vec_id: r.b for r in sig.join(cand, "vec_id").collect()}
+    for vid, bands in got.items():
+        assert any(x == y for x, y in zip(bands, qbands)), vid

@@ -293,3 +293,16 @@ def test_lr_score_single_pass(spark):
     feature pass — no joins at all (weights ride as literals)."""
     plan = _plan(spark, "quality_lr_score")
     assert "Join" not in plan
+
+
+def test_ann_lsh_banded_candidate_join_broadcasts(spark):
+    """ann_lsh_banded: the band-match candidate generation must be an
+    equi-join against the BROADCAST query bands (corpus side never
+    shuffles into the probe), the semi-join prunes before re-rank, and
+    ranking is a TakeOrdered. No cartesian product anywhere — the only
+    nested loop allowed is the 1-row query-vector broadcast."""
+    plan = _plan(spark, "ann_lsh_banded")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
