@@ -46,34 +46,46 @@ def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # paths whose int64 ts column has been verified to be epoch-NANOS
 _TS_UNIT_OK: set[str] = set()
 
-# plausible epoch-nanos range: 1971..2128. Epoch-MICROS for any date
-# before ~33658 AD falls below the lower bound, so a generator variant
-# shipping int64 micros fails loudly instead of flowing through 1000x
-# too small (every downstream `ts div 1000` would silently be wrong).
+# plausible epoch-nanos range: ~1970-04 (1e16 ns) .. ~2128 (5e18 ns).
+# Epoch-MICROS for any modern date is ~1e15-1e16 (below the lower bound
+# for everything before 2287), so a generator variant shipping int64
+# micros fails loudly instead of flowing through 1000x too small (every
+# downstream `ts div 1000` would silently be wrong).
 _NANOS_MIN = 10**16
 _NANOS_MAX = 5 * 10**18
 
 
 def _assert_ts_epoch_nanos(path: str) -> None:
     """Metadata-only magnitude check on the raw-int64 ts layout (no Spark
-    job: reads parquet row-group statistics via pyarrow)."""
+    job: reads parquet row-group statistics via pyarrow). Handles both a
+    single parquet file and a Spark-written directory dataset (part
+    files); any reader/stats surprise degrades to a no-op rather than
+    masking the real load with an opaque error — the guard is advisory,
+    the hard failure it exists for is the wrong-unit case."""
     if path in _TS_UNIT_OK:
         return
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(path)
-    idx = f.schema_arrow.get_field_index("ts")
     lo, hi = None, None
-    for rg in range(f.metadata.num_row_groups):
-        stats = f.metadata.row_group(rg).column(idx).statistics
-        if stats is None or not stats.has_min_max:
-            return  # no stats written: nothing cheap to check
-        # min_raw/max_raw are the physical int64 values — for the two
-        # layouts Spark surfaces as bigint (plain INT64, or
-        # TIMESTAMP(NANOS) under nanosAsLong) the raw value is exactly
-        # what the bigint column will hold.
-        lo = stats.min_raw if lo is None else min(lo, stats.min_raw)
-        hi = stats.max_raw if hi is None else max(hi, stats.max_raw)
+    try:
+        ds = pq.ParquetDataset(path)
+        for frag in ds.fragments:
+            f = pq.ParquetFile(frag.path)
+            idx = f.schema_arrow.get_field_index("ts")
+            if idx < 0:
+                return
+            for rg in range(f.metadata.num_row_groups):
+                stats = f.metadata.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return  # no stats written: nothing cheap to check
+                # min_raw/max_raw are the physical int64 values — for the
+                # two layouts Spark surfaces as bigint (plain INT64, or
+                # TIMESTAMP(NANOS) under nanosAsLong) the raw value is
+                # exactly what the bigint column will hold.
+                lo = stats.min_raw if lo is None else min(lo, stats.min_raw)
+                hi = stats.max_raw if hi is None else max(hi, stats.max_raw)
+    except (OSError, ValueError, KeyError, TypeError):
+        return  # unreadable metadata: leave validation to the real read
     if lo is not None and not (_NANOS_MIN <= lo and hi <= _NANOS_MAX):
         raise ValueError(
             f"events.ts at {path} is int64 but its range [{lo}, {hi}] is not "

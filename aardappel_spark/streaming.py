@@ -308,6 +308,7 @@ class ReplicationEngine:
     def __post_init__(self):
         self.state = StateStore(self.spark, os.path.join(self.work_dir, "_state"), self.instance_id)
         self._restore_hb(before_batch_id=None)
+        self._restore_offsets(before_batch_id=None)
         if not self.initial_scan and self.state.read()["stage"] == STAGE_INITIAL_SCAN:
             # seed straight to RUN when no initial-scan sync is wanted
             st = self.state.read()
@@ -414,6 +415,99 @@ class ReplicationEngine:
         for t, p, s, x in data:
             self.hb_state[(int(t), int(p))] = (Decimal(s), Decimal(x))
 
+    # -- consumed-offset guard (S5) -------------------------------------
+
+    def _off_dir(self) -> str:
+        return os.path.join(self.work_dir, "_off")
+
+    def _off_versions(self) -> list[int]:
+        if not os.path.isdir(self._off_dir()):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._off_dir())
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _persist_offsets(self, batch_id: int) -> None:
+        """Durable max-consumed offset per (table_id, partition) —
+        the reference's MakeTopicReaderGuard state
+        (internal/reader/reader.go:32-76). Spark's checkpoint normally
+        owns resume offsets (S5 by design), but a partition REBALANCE
+        hands the same partition to a new reader session whose delivery
+        can overlap already-consumed offsets; the guard is what drops
+        that overlap. Versioned like ``_persist_hb`` so a replayed
+        micro-batch restores the snapshot written before it and does not
+        filter its own records."""
+        os.makedirs(self._off_dir(), exist_ok=True)
+        data = [[t, p, o] for (t, p), o in self.off_state.items()]
+        path = os.path.join(self._off_dir(), f"v{batch_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(data))
+        os.replace(tmp, path)
+        for v in self._off_versions():
+            if v < batch_id - 1:
+                os.remove(os.path.join(self._off_dir(), f"v{v}.json"))
+
+    def _restore_offsets(self, before_batch_id: int | None) -> None:
+        versions = [
+            v
+            for v in self._off_versions()
+            if before_batch_id is None or v < before_batch_id
+        ]
+        self.off_state = {}
+        if not versions:
+            return
+        path = os.path.join(self._off_dir(), f"v{versions[-1]}.json")
+        try:
+            data = json.loads(open(path).read())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        for t, p, o in data:
+            self.off_state[(int(t), int(p))] = int(o)
+
+    def _guard_consumed_offsets(self, raw: DataFrame) -> DataFrame:
+        """Drop records at-or-below the max offset already consumed for
+        their (table_id, partition) — exactly-once across an
+        at-least-once rebalance overlap — then advance the guard from
+        the survivors. Broadcast anti-condition join: the guard table is
+        O(partitions) rows, the stream side never shuffles."""
+        cols = raw.columns
+        if "offset" not in cols:
+            return raw
+        has_table = "table_id" in cols
+        if self.off_state:
+            rows = [
+                (t, p, o) for (t, p), o in self.off_state.items()
+            ]
+            guard = self.spark.createDataFrame(
+                rows, "table_id int, partition int, _consumed long"
+            )
+            if not has_table:
+                guard = guard.drop("table_id")
+            keys = ["table_id", "partition"] if has_table else ["partition"]
+            raw = (
+                raw.join(F.broadcast(guard), keys, "left")
+                .filter(
+                    F.col("_consumed").isNull()
+                    | (F.col("offset") > F.col("_consumed"))
+                )
+                .drop("_consumed")
+            )
+        for r in (
+            raw.groupBy(
+                *(["table_id", "partition"] if has_table else ["partition"])
+            )
+            .agg(F.max("offset").alias("_max_off"))
+            .collect()
+        ):
+            k = (r.table_id if has_table else 0, r.partition)
+            cur = self.off_state.get(k)
+            if cur is None or r._max_off > cur:
+                self.off_state[k] = r._max_off
+        return raw
+
     def _update_hb_state(self, heartbeats: DataFrame) -> set[tuple[int, int]]:
         """Fold a batch's heartbeats into ``hb_state``; returns the set of
         (table_id, partition) keys that heartbeated in THIS batch (fresh
@@ -463,6 +557,11 @@ class ReplicationEngine:
         # pre-batch heartbeat state (no-op in steady state; on a replay it
         # rewinds past the crashed attempt's heartbeats)
         self._restore_hb(before_batch_id=batch_id)
+        self._restore_offsets(before_batch_id=batch_id)
+        # reader-level offset guard (S5): drop rebalance-overlap
+        # redelivery BEFORE parse/out-of-order routing, like the
+        # reference's topic reader guard
+        raw = self._guard_consumed_offsets(raw)
 
         cols = raw.columns
         parsed = parse_messages(
@@ -531,12 +630,14 @@ class ReplicationEngine:
                 if not synced:
                     self._write_pending(events, batch_id)
                     self._persist_hb(batch_id)
+                    self._persist_offsets(batch_id)
                     return
 
             if q is None or q <= checkpoint:
                 # no safe boundary yet — everything stays pending
                 self._write_pending(events, batch_id)
                 self._persist_hb(batch_id)
+                self._persist_offsets(batch_id)
                 return
 
             import time as _time
@@ -558,6 +659,7 @@ class ReplicationEngine:
             self.state.write(q, stage)
             self._consume_fresh_heartbeats(q)
             self._persist_hb(batch_id)
+            self._persist_offsets(batch_id)
             self.batches_applied += 1
             self.metrics.on_batch_applied(
                 modifications=n_mods,
