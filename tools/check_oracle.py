@@ -74,6 +74,8 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"ok": False, "error": f"spark: {e}",
+                            "sec": round(time.time() - t0, 2)}
             continue
         if name not in os_:
             print(f"SKIP {name}: no oracle (rows={len(s_rows)}) [{time.time()-t0:.1f}s]")
@@ -85,6 +87,8 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"ok": False, "error": f"duckdb: {e}",
+                            "sec": round(time.time() - t0, 2)}
             continue
 
         problems = []
@@ -102,23 +106,29 @@ def main():
             failures.append(name)
         else:
             print(f"OK   {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        rows_ok = len(s_rows) == len(d_rows)
+        schema_ok = sorted(s_cols) == sorted(d_cols)
         report[name] = {
-            "rows_match": len(s_rows) == len(d_rows),
-            "schema_match": sorted(s_cols) == sorted(d_cols),
-            "hash_match": name not in failures,
+            "ok": not problems,
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            # hash is only meaningfully checked when rows+schema agree;
+            # None marks "not comparable", not a hash failure
+            "hash_match": (not problems) if (rows_ok and schema_ok) else None,
             "spark_rows": len(s_rows),
             "oracle_rows": len(d_rows),
             "sec": round(time.time() - t0, 2),
         }
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    n_ok = sum(1 for r in report.values() if r.get("ok"))
+    print(f"\n{n_ok}/{len(report)} OK ({len(failures)} failed)")
     out_json = os.environ.get("CHECK_ORACLE_JSON")
     if out_json:
         import json
 
         with open(out_json, "w") as fh:
             json.dump({"sf_dir": sf_dir, "n": len(report),
-                       "n_ok": len(report) - len(failures),
+                       "n_ok": n_ok,
                        "queries": report}, fh, indent=1)
             fh.write("\n")
     return 1 if failures else 0
