@@ -63,6 +63,11 @@ PROBE_QUERIES = [
     "cdc_apply",
 ]
 
+# the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
+# x10) get a second, 100x point: if any had a hidden super-linear term,
+# x100 is where it shows (and where spill-thrash would start)
+X100_QUERIES = ["corpus_dsir", "doc_boilerplate", "cdc_apply"]
+
 
 def replicate(spark: SparkSession, n: int, outdir: str) -> None:
     for table, keys in KEY_COLS.items():
@@ -146,6 +151,22 @@ def main() -> None:
             "ratio": ratio,
             "linear_or_better": ratio <= n * 1.2,  # 20% tolerance
         }
+
+    big = int(os.environ.get("SCALE_PROBE_BIG", "100"))
+    if big > n:
+        d_big = f"{root}/x{big}"
+        print(f"# building {d_big}", file=sys.stderr)
+        t0 = time.perf_counter()
+        replicate(spark, big, d_big)
+        print(f"# built x{big} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        t_big = run_probe(spark, d_big, X100_QUERIES)
+        for name in X100_QUERIES:
+            r = results["queries"][name]
+            ratio_big = round(t_big[name] / max(t1[name], 0.01), 2)
+            r[f"t_x{big}_sec"] = t_big[name]
+            r[f"ratio_x{big}"] = ratio_big
+            r[f"linear_or_better_x{big}"] = ratio_big <= big * 1.2
+        results["x_big"] = big
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
