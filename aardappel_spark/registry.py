@@ -354,6 +354,344 @@ def q_ann_recall_banded(spark, sf_dir):
     )
 
 
+def q_orders_window_topn(spark, sf_dir):
+    """Top-3 orders per customer by price: the canonical per-group top-N
+    as ONE window pass (row_number + filter), not a self-join. At scale
+    this is a single hash-partition shuffle on o_custkey."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= 3)
+
+
+def q_events_hdr_quantiles(spark, sf_dir):
+    """HDR-histogram quantiles: values bucket into power-of-2 cents
+    buckets (floor(log2(round(value*100)))) — O(buckets) state per
+    event_type instead of a full sort, the classic scale trade for
+    latency percentiles. p50/p95/p99 are the lower bound of the first
+    bucket whose cumulative count crosses the rank, selected with pure
+    integer comparisons so both engines agree exactly."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    # cents clamp to >= 1: sub-cent values land in bucket 0 instead of
+    # feeding log2(0) (null in Spark, an error in DuckDB)
+    bucket = F.expr(
+        "CAST(floor(log2(greatest(CAST(round(value * 100) AS BIGINT), 1))) AS INT)"
+    )
+    hist = (
+        ev.select(F.col("event_type"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    c = hist.select(
+        "event_type", "bucket", "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    lo = F.pow(F.lit(2.0), F.col("bucket")) / F.lit(100.0)
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("total").alias("n_events"),
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), lo)).alias("p50_lo"),
+            F.min(F.when(20 * F.col("cum") >= 19 * F.col("total"), lo)).alias(
+                "p95_lo"
+            ),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("total"), lo)).alias(
+                "p99_lo"
+            ),
+        )
+    )
+
+
+def q_events_theta_union(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-user sketch per event type plus
+    the sketch UNION across types — the mergeable theta-sketch family in
+    64 hashes of state per group. Estimator (k-1)/u_k on deterministic
+    md5 hashes, so estimates (and their honest relative error vs the
+    exact count, computed in-engine) hash-match the oracle."""
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = load_events_ns(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    typed = ev.select("event_type", h.alias("h"))
+    both = typed.unionByName(
+        typed.select(F.lit("ALL").alias("event_type"), "h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = both.select(
+        "event_type", "h", F.row_number().over(w).alias("rn")
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("kth").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(K - 1)) * F.lit(float(2**60)) / F.col("kth"))
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("est_distinct"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+def q_doc_zipf_tail(spark, sf_dir):
+    """Zipf-law fit over the top-100 token frequencies: least-squares
+    slope/intercept of ln(freq) ~ ln(rank). The corpus-scale work is ONE
+    token count; the regression runs on 100 rows. A healthy natural
+    corpus slopes ~-1; a synthetic or boilerplate-heavy one doesn't —
+    a one-row corpus health dial."""
+    from pyspark.sql.window import Window
+
+    from .ops.text import tokenize
+
+    t = tokenize(_docs(spark, sf_dir))
+    counts = t.filter(F.col("token") != "").groupBy("token").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), "token")
+    top = counts.select(
+        "c", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 100)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    s = top.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def q_doc_dup_coverage(spark, sf_dir):
+    """Per-document duplication coverage (the Lee et al. 2022 metric
+    that motivates span dedup): fraction of a doc's 4-gram positions
+    whose gram also appears in ANOTHER doc. Reuses the shared grams4
+    explode; the gram->doc-frequency agg shuffles gram keys once."""
+    g = _grams4_cached(spark, sf_dir)
+    dfg = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    marked = g.join(dfg, "gram").select(
+        "doc_id", (F.col("nd") >= 2).cast("long").alias("dup")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("dup").alias("n_dup_grams"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_coverage"),
+    )
+
+
+def q_doc_len_profile_by_lang(spark, sf_dir):
+    """Corpus length profile keyed by DETECTED language (not the stored
+    label): doc counts and token-length stats per predicted lang — the
+    post-langid sanity report before per-language sampling decisions."""
+    from .ops.text import language_id, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    lang = language_id(docs)
+    lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    j = lang.join(lens, "doc_id")
+    return j.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def q_doc_simhash_hamming_hist(spark, sf_dir):
+    """Hamming-distance histogram of the 60-bit simhash over the MinHash
+    LSH candidate pairs — the calibration curve that tells you where to
+    put the simhash dedup threshold before committing a cut. Both shared
+    frames (pairs, simhash64) are reused; the histogram itself is a tiny
+    agg over candidate pairs only."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    sig = _simhash64_cached(spark, sf_dir).select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    d = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int").alias("hamming")
+        )
+    )
+    return d.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+
+
+def q_dedup_pair_degree(spark, sf_dir):
+    """Degree distribution of the near-dup candidate graph: how many
+    LSH partners each doc has, histogrammed — the shape check that
+    catches a degenerate banding (one giant bucket) before clustering.
+    Derived entirely from the shared pairs frame."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+def q_corpus_contam_overlap(spark, sf_dir):
+    """Pairwise contamination overlap: for each (corpus doc, eval doc)
+    pair sharing 4-grams, the shared-gram count and Jaccard over their
+    distinct gram sets — the evidence table behind the boolean
+    decontamination verdict. Candidates come from the gram equi-join;
+    nothing all-pairs."""
+    g = _grams4_cached(spark, sf_dir).select("doc_id", "gram").distinct()
+    corpus = g.filter(F.col("doc_id") >= 5)
+    eval_g = g.filter(F.col("doc_id") < 5)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        corpus.select(F.col("doc_id").alias("corpus_doc"), "gram")
+        .join(
+            F.broadcast(
+                eval_g.select(F.col("doc_id").alias("eval_doc"), "gram")
+            ),
+            "gram",
+        )
+        .groupBy("corpus_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("corpus_doc"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "corpus_doc")
+        .join(F.broadcast(nb), "eval_doc")
+        .select(
+            "corpus_doc",
+            "eval_doc",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("gram_jaccard"),
+        )
+        .orderBy(F.desc("n_shared"), "corpus_doc", "eval_doc")
+        .limit(20)
+    )
+
+
+def q_emb_pca_project(spark, sf_dir):
+    """First principal component of the embedding corpus by explicit
+    power iteration, and every vector's projection onto it (the 1-D
+    fairness/drift dial, and the whitening axis an IVF index would
+    remove first). Distributed work is two bounded aggregations: the
+    per-dim mean (64 sums) and the raw second-moment matrix (64x64
+    sums via one mapInPandas partial-sum pass — the same treeAggregate
+    shape as the IVF build, only O(dims^2) rows ever reach the driver).
+    Three power iterations on the rounded covariance run driver-side
+    on 4096 floats; the oracle replays the identical iterations as SQL
+    CTEs with the same per-step rounding, so projections hash-match."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = 64
+
+    def _moments(iterator):
+        import pandas as pd  # noqa: F811
+
+        s = np.zeros(dims)
+        ss = np.zeros((dims, dims))
+        n = 0
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=float)
+            s += mat.sum(axis=0)
+            ss += mat.T @ mat
+            n += len(mat)
+        out = [
+            {"i": -1, "j": -1, "v": float(n)},
+            *({"i": i, "j": -1, "v": float(s[i])} for i in range(dims)),
+            *(
+                {"i": i, "j": j, "v": float(ss[i, j])}
+                for i in range(dims)
+                for j in range(dims)
+            ),
+        ]
+        yield pd.DataFrame(out)
+
+    parts = emb.select("embedding").mapInPandas(
+        _moments, "i int, j int, v double"
+    )
+    rows = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    n = 0.0
+    s = np.zeros(dims)
+    ss = np.zeros((dims, dims))
+    for r in rows:
+        if r.i == -1:
+            n = r.v
+        elif r.j == -1:
+            s[r.i] = r.v
+        else:
+            ss[r.i, r.j] = r.v
+    if n == 0.0:  # empty corpus: no component to project onto
+        return emb.select(
+            "vec_id", F.lit(0.0).alias("pc1"), F.lit(0.0).alias("eigval")
+        ).limit(0)
+    # round the moments to 6 decimals BEFORE any derived arithmetic:
+    # summation order differs between engines (partition partial sums vs
+    # SQL agg) by ~1e-12, far inside the 5e-7 rounding boundary, so the
+    # rounded moments — and everything derived from them with identical
+    # per-step rounding — are bit-identical across engines
+    mu = np.round(s / n, 6)
+    cov = np.round(np.round(ss / n, 6) - np.outer(mu, mu), 6)
+    w = np.full(dims, 1.0 / 8.0)  # 1/sqrt(64), exact
+    for _ in range(3):
+        w = cov @ w
+        w = np.round(w / np.sqrt(np.sum(w * w)), 6)
+    if w[0] < 0:
+        w = -w
+    eig = float(np.round(w @ (cov @ w), 6))
+    wl = F.array(*[F.lit(float(x)) for x in w])
+    mul = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mul, lambda x, m: x - m
+    )
+    proj = F.aggregate(
+        F.zip_with(centered, wl, lambda x, ww: x * ww),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(proj, 4).alias("pc1"),
+        F.lit(eig).alias("eigval"),
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from .ops.similarity import cosine_neardup_pairs_blas
@@ -2728,6 +3066,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_banded": q_ann_lsh_banded,
     "ann_recall_banded": q_ann_recall_banded,
+    "emb_pca_project": q_emb_pca_project,
+    "orders_window_topn": q_orders_window_topn,
+    "events_hdr_quantiles": q_events_hdr_quantiles,
+    "events_theta_union": q_events_theta_union,
+    "doc_zipf_tail": q_doc_zipf_tail,
+    "doc_dup_coverage": q_doc_dup_coverage,
+    "doc_len_profile_by_lang": q_doc_len_profile_by_lang,
+    "doc_simhash_hamming_hist": q_doc_simhash_hamming_hist,
+    "dedup_pair_degree": q_dedup_pair_degree,
+    "corpus_contam_overlap": q_corpus_contam_overlap,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -4817,6 +5165,258 @@ SELECT d.doc_id,
             AS BIGINT) AS vocab_size
 FROM documents d LEFT JOIN pd USING (doc_id)
 """,
+    "orders_window_topn": """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+    "events_hdr_quantiles": """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(log2(greatest(CAST(round(value * 100) AS BIGINT), 1))) AS INT) AS bucket
+  FROM events
+),
+h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n_events,
+       min(CASE WHEN 2 * cum >= total THEN pow(2.0, bucket) / 100.0 END) AS p50_lo,
+       min(CASE WHEN 20 * cum >= 19 * total THEN pow(2.0, bucket) / 100.0 END) AS p95_lo,
+       min(CASE WHEN 100 * cum >= 99 * total THEN pow(2.0, bucket) / 100.0 END) AS p99_lo
+FROM c GROUP BY event_type
+""",
+    "events_theta_union": """
+WITH u AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+  UNION
+  SELECT DISTINCT 'ALL' AS event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM u
+),
+a AS (
+  SELECT event_type, count(*) AS n_exact,
+         max(CASE WHEN rn = 64 THEN h END) AS kth
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       round(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / kth END, 4) AS est_distinct,
+       round((CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+                   ELSE 63.0 * 1152921504606846976.0 / kth END - n_exact)
+             / n_exact, 4) AS rel_err
+FROM a
+""",
+    "doc_zipf_tail": """
+WITH tk AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+f AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM f
+),
+s AS (
+  SELECT count(*) AS n, sum(ln(rank)) AS sx, sum(ln(c)) AS sy,
+         sum(ln(rank) * ln(rank)) AS sxx, sum(ln(rank) * ln(c)) AS sxy
+  FROM r WHERE rank <= 100
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS zipf_intercept
+FROM s
+""",
+    "doc_dup_coverage": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END AS gram
+  FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
+),
+dfg AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dfg.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       round(sum(CASE WHEN dfg.nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+         AS dup_coverage
+FROM g JOIN dfg USING (gram)
+GROUP BY g.doc_id
+""",
+    "doc_len_profile_by_lang": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+s AS (
+  SELECT doc_id,
+       sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and', 'is', 'in', 'it') THEN 1 ELSE 0 END) AS s_en,
+       sum(CASE WHEN token IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'es') THEN 1 ELSE 0 END) AS s_es,
+       sum(CASE WHEN token IN ('der', 'die', 'das', 'und', 'ist', 'von', 'ein', 'mit') THEN 1 ELSE 0 END) AS s_de,
+       sum(CASE WHEN token IN ('le', 'la', 'les', 'et', 'de', 'un', 'est', 'dans') THEN 1 ELSE 0 END) AS s_fr,
+       sum(CASE WHEN token IN ('de5', 'shi4', 'le5', 'zai4', 'you3', 'he2', 'wo3', 'ta1') THEN 1 ELSE 0 END) AS s_zh
+  FROM t WHERE token <> '' GROUP BY doc_id
+),
+lang AS (
+  SELECT doc_id, CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en' WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de' WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr' WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang
+  FROM s
+),
+lens AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lens.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(lens.n_tokens), 4) AS avg_tokens,
+       CAST(min(lens.n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(lens.n_tokens) AS BIGINT) AS max_tokens
+FROM lang JOIN lens USING (doc_id)
+GROUP BY lang.pred_lang
+""",
+    "doc_simhash_hamming_hist": _PAIRS_CTE + """,
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(token0), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token0 FROM documents)
+  WHERE token0 <> ''
+),
+sv AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM sh, generate_series(0, 59) AS g(b)
+),
+ss AS (SELECT doc_id, b, sum(vote) AS v FROM sv GROUP BY doc_id, b),
+ssig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM ss GROUP BY doc_id
+)
+SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN ssig sa ON p.doc_a = sa.doc_id
+JOIN ssig sb ON p.doc_b = sb.doc_id
+GROUP BY 1
+""",
+    "dedup_pair_degree": _PAIRS_CTE + """,
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1
+""",
+    "corpus_contam_overlap": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END AS gram
+  FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+shared AS (
+  SELECT c.doc_id AS corpus_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+  FROM g c JOIN g e ON c.gram = e.gram
+  WHERE c.doc_id >= 5 AND e.doc_id < 5
+  GROUP BY 1, 2
+)
+SELECT s.corpus_doc, s.eval_doc, CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared / CAST(na.n + nb.n - s.n_shared AS DOUBLE), 4)
+         AS gram_jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.corpus_doc
+JOIN sizes nb ON nb.doc_id = s.eval_doc
+ORDER BY n_shared DESC, corpus_doc, eval_doc
+LIMIT 20
+""",
+    # Replays q_emb_pca_project's math step for step: moments rounded to
+    # 6 decimals BEFORE any derived arithmetic (summation-order noise is
+    # ~1e-12, far inside the 5e-7 boundary), covariance from the rounded
+    # moments, three power iterations with per-step rounding, sign fixed
+    # at component 1 — so the driver-side numpy loop and this SQL agree
+    # bit-for-bit, like quality_lr_train's replayed GD.
+    "emb_pca_project": """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (
+  SELECT i, round(sum(x) / (SELECT n FROM cnt), 6) AS m FROM v GROUP BY i
+),
+ssn AS (
+  SELECT a.i AS i, b.i AS j,
+         round(sum(a.x * b.x) / (SELECT n FROM cnt), 6) AS s
+  FROM v a JOIN v b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+cov AS (
+  SELECT ssn.i, ssn.j, round(ssn.s - ma.m * mb.m, 6) AS c
+  FROM ssn JOIN mu ma ON ma.i = ssn.i JOIN mu mb ON mb.i = ssn.j
+),
+w0 AS (SELECT i, 0.125 AS wv FROM generate_series(1, 64) AS t(i)),
+r1 AS (
+  SELECT cov.i, sum(cov.c * w0.wv) AS raw
+  FROM cov JOIN w0 ON w0.i = cov.j GROUP BY cov.i
+),
+w1 AS (
+  SELECT i, round(raw / (SELECT sqrt(sum(raw * raw)) FROM r1), 6) AS wv FROM r1
+),
+r2 AS (
+  SELECT cov.i, sum(cov.c * w1.wv) AS raw
+  FROM cov JOIN w1 ON w1.i = cov.j GROUP BY cov.i
+),
+w2 AS (
+  SELECT i, round(raw / (SELECT sqrt(sum(raw * raw)) FROM r2), 6) AS wv FROM r2
+),
+r3 AS (
+  SELECT cov.i, sum(cov.c * w2.wv) AS raw
+  FROM cov JOIN w2 ON w2.i = cov.j GROUP BY cov.i
+),
+w3 AS (
+  SELECT i, round(raw / (SELECT sqrt(sum(raw * raw)) FROM r3), 6) AS wv FROM r3
+),
+wf AS (
+  SELECT i,
+         wv * (CASE WHEN (SELECT wv FROM w3 WHERE i = 1) < 0
+                    THEN -1.0 ELSE 1.0 END) AS wv
+  FROM w3
+),
+cw AS (
+  SELECT cov.i, sum(cov.c * wf.wv) AS val
+  FROM cov JOIN wf ON wf.i = cov.j GROUP BY cov.i
+),
+eig AS (SELECT round(sum(cw.val * wf.wv), 6) AS e FROM cw JOIN wf USING (i))
+SELECT v.vec_id,
+       round(sum((v.x - mu.m) * wf.wv), 4) + 0.0 AS pc1,
+       (SELECT e FROM eig) + 0.0 AS eigval
+FROM v JOIN mu USING (i) JOIN wf USING (i)
+GROUP BY v.vec_id
+""",
 }
 
 
@@ -4850,9 +5450,9 @@ _R05_PRIORITY: list[str] = [
 _R05_ADDITIONS: list[str] = [
     k
     for k in (
-        "ann_lsh_banded", "ann_recall_banded", "doc_minhash_cluster_stats",
+        "ann_lsh_banded", "ann_recall_banded", "dedup_pair_degree",
         "emb_pca_project", "doc_zipf_tail", "events_theta_union",
-        "doc_suffix_dedup", "corpus_contam_overlap", "events_hdr_quantiles",
+        "doc_dup_coverage", "corpus_contam_overlap", "events_hdr_quantiles",
         "doc_len_profile_by_lang", "orders_window_topn", "doc_simhash_hamming_hist",
     )
     if k in QUERIES
