@@ -779,3 +779,77 @@ def incremental_dedup_batch(
         )
 
     return fn
+
+
+KMV_K = 64
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_state", LongType(), False),
+        StructField("est_distinct", DoubleType(), False),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType([StructField("hashes", ArrayType(LongType()), True)])
+
+
+def _kmv_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """KMV merge for one group: union the carried k-minimum hash set
+    with the batch's distinct hashes, keep the K smallest. Set union is
+    order-insensitive, so Arrow chunking/batch splits can't change the
+    result (unlike a fold, no ordering is even needed)."""
+    hs: set[int] = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        if len(pdf):
+            hs.update(int(h) for h in pdf["h"])
+    keep = sorted(hs)[:KMV_K]
+    state.update((keep,))
+    if len(keep) < KMV_K:
+        est = float(len(keep))
+    else:
+        est = float(KMV_K - 1) * float(2**60) / float(keep[-1])
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_state": len(keep),
+                "est_distinct": round(est, 4),
+            }
+        ]
+    )
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_theta_union`` KMV sketch:
+    per key (plus the 'ALL' union group), the K smallest distinct md5
+    hashes of the id column live in managed state — O(K) longs per
+    group regardless of stream volume — and each batch emits the
+    current (k-1)/u_k distinct-count estimate. KMV sets are mergeable
+    (union-then-truncate), so the stream-built sketch equals the batch
+    kernel over the same rows under ANY micro-batch split and across
+    checkpoint restarts — pinned by test like the other sketch twins.
+
+    Reference scope: the reference engine has no sketch module; this is
+    part of the training-data-pipeline surface (SURVEY.md §2 extension)
+    built Spark-first."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    typed = events.select(F.col(key_col).cast("string").alias("event_type"), h.alias("h"))
+    both = typed.unionByName(typed.select(F.lit("ALL").alias("event_type"), "h"))
+    return both.groupBy("event_type").applyInPandasWithState(
+        _kmv_fn,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

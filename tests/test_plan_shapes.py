@@ -306,3 +306,41 @@ def test_ann_lsh_banded_candidate_join_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_orders_window_topn_single_shuffle(spark):
+    """Per-group top-N must be ONE window pass: a single Exchange on
+    o_custkey, no self-join."""
+    plan = _plan(spark, "orders_window_topn")
+    n = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n <= 1, f"{n} exchanges"
+    assert "Join" not in plan
+
+
+def test_emb_pca_projection_is_map_only(spark):
+    """emb_pca_project's returned frame: the component/mean are plan-time
+    literals, so the projection is a map-only scan — zero Exchanges, no
+    join. (The moment aggregation runs eagerly at build time through its
+    own bounded mapInPandas pass.)"""
+    plan = _plan(spark, "emb_pca_project")
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 0
+    assert "Join" not in plan
+
+
+def test_contam_overlap_broadcasts_eval_side(spark):
+    """corpus_contam_overlap: the eval-set gram list and its sizes are
+    broadcast; the corpus gram stream never shuffles into them; final
+    ranking is a TakeOrdered."""
+    plan = _plan(spark, "corpus_contam_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_theta_union_and_hdr_no_joins(spark):
+    """The sketch/histogram aggregations are pure groupBy/window
+    pipelines — no join should appear in either plan."""
+    for q in ("events_theta_union", "events_hdr_quantiles"):
+        plan = _plan(spark, q)
+        assert "Join" not in plan, q
+        assert "CartesianProduct" not in plan, q

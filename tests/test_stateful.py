@@ -735,3 +735,66 @@ def test_streaming_anomaly_multi_arrow_chunk_order(spark, tmp_path):
 
     assert [f.event_id for f in flags] == [13]
     assert flags[0].deviation > 0
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """The stream-maintained KMV distinct sketch over three micro-batches
+    (with a checkpoint restart between each) must equal the batch KMV
+    over the union of all rows: same k-minimum hash sets, same
+    (k-1)/u_k estimates, including the 'ALL' union group — the
+    mergeability property that makes the sketch shippable."""
+    import hashlib
+
+    from aardappel_spark.stateful import KMV_K, streaming_kmv_distinct
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    batches = [
+        [("click", uid) for uid in range(0, 120)],
+        [("view", uid) for uid in range(60, 260)] + [("click", uid) for uid in range(100, 140)],
+        [("purchase", uid) for uid in range(0, 30)] + [("view", uid) for uid in range(250, 400)],
+    ]
+    collected = []
+
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for et, uid in batch:
+                f.write(json.dumps({"event_type": et, "user_id": uid}) + "\n")
+        stream = spark.readStream.schema("event_type string, user_id long").json(src)
+        q = (
+            streaming_kmv_distinct(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    latest = {}
+    for r in collected:
+        latest[r.event_type] = (r.n_state, r.est_distinct)
+
+    # python model over ALL rows, same md5 hash and estimator
+    def h(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+    groups: dict[str, set] = {"ALL": set()}
+    for batch in batches:
+        for et, uid in batch:
+            groups.setdefault(et, set()).add(h(uid))
+            groups["ALL"].add(h(uid))
+    for et, hs in groups.items():
+        keep = sorted(hs)[:KMV_K]
+        est = (
+            float(len(keep))
+            if len(keep) < KMV_K
+            else float(KMV_K - 1) * float(2**60) / float(keep[-1])
+        )
+        assert latest[et] == (len(keep), round(est, 4)), et
+    # the sketch state is genuinely bounded AND the big groups' exact
+    # counts exceeded it (the estimate is doing real work)
+    assert latest["ALL"][0] == KMV_K and len(groups["ALL"]) > KMV_K
+    assert latest["purchase"][0] == 30  # small group: exact
