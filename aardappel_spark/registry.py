@@ -492,11 +492,13 @@ def q_doc_dup_coverage(spark, sf_dir):
     that motivates span dedup): fraction of a doc's 4-gram positions
     whose gram also appears in ANOTHER doc. Reuses the shared grams4
     explode; the gram->doc-frequency agg shuffles gram keys once."""
-    g = _grams4_cached(spark, sf_dir)
-    dfg = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
-    marked = g.join(dfg, "gram").select(
+    # grams hash to 60-bit keys BEFORE the doc-frequency shuffle (the
+    # dedup_span discipline): 8-byte shuffle keys instead of raw 4-gram
+    # strings; the oracle hashes identically
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    g = _grams4_cached(spark, sf_dir).select("doc_id", gh.alias("gh"))
+    dfg = g.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd"))
+    marked = g.join(dfg, "gh").select(
         "doc_id", (F.col("nd") >= 2).cast("long").alias("dup")
     )
     return marked.groupBy("doc_id").agg(
@@ -5249,17 +5251,17 @@ WITH d AS (
 ),
 g AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
-              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END AS gram
+         ('0x' || substr(md5(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END), 1, 15))::BIGINT AS gh
   FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
 ),
-dfg AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+dfg AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN dfg.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_grams,
        round(sum(CASE WHEN dfg.nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
          AS dup_coverage
-FROM g JOIN dfg USING (gram)
+FROM g JOIN dfg USING (gh)
 GROUP BY g.doc_id
 """,
     "doc_len_profile_by_lang": """
