@@ -351,6 +351,65 @@ def banded_signature(
     )
 
 
+def _banded_planes(dims: int, n_bands: int, band_bits: int):
+    """The md5-derived hyperplane sign matrix (n_bands*band_bits, dims)
+    — identical bit conventions to :func:`banded_signature`."""
+    import hashlib
+
+    import numpy as np
+
+    total = n_bands * band_bits
+    planes = np.empty((total, dims))
+    for b in range(total):
+        for d in range(dims):
+            h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
+            planes[b, d] = 1.0 if int(h[0], 16) % 2 == 1 else -1.0
+    return planes
+
+
+def banded_signature_frame(
+    vectors: DataFrame,
+    n_bands: int = 12,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bands array<long>) for the whole corpus in ONE vectorized
+    mapInPandas pass: each Arrow batch matmuls against the plane matrix
+    (built once per task from the md5 convention). This is the hot-path
+    form of :func:`banded_signature` — the 48-plane higher-order-
+    function expression costs ~50 s on 5000 vectors at sf0.1, the BLAS
+    matmul milliseconds; a unit test pins that the two agree bit-for-
+    bit (and the DuckDB oracle replicates the same bits in SQL)."""
+    import numpy as np
+
+    probe = vectors.select(vec_col).first()
+    if probe is None:
+        return vectors.select(F.col(id_col)).limit(0).withColumn(
+            "_bands", F.array().cast("array<bigint>")
+        )
+    dims = len(probe[0])
+    planes = _banded_planes(dims, n_bands, band_bits)
+    weights = 1 << np.arange(band_bits)
+
+    def fn(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=float)
+            bits = (mat @ planes.T > 0).astype(np.int64)
+            vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "_bands": list(vals)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} bigint, _bands array<bigint>"
+    )
+
+
 def lsh_banded_candidates(
     vectors: DataFrame,
     query_id: int,
@@ -358,20 +417,20 @@ def lsh_banded_candidates(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate ids sharing >= 1 LSH band with the query (the query id
     itself excluded). The corpus explodes to (id, band_idx, band_val)
     and equi-joins the BROADCAST query bands — no cross join, no
     nested loop; at 100 TB the corpus side shuffles nothing (broadcast
-    hash join) and the distinct is over candidate ids only."""
+    hash join) and the distinct is over candidate ids only. ``sig``
+    lets callers share one materialized signature frame across the
+    top-k, candidate-count and recall consumers."""
     probe = vectors.select(vec_col).first()
     if probe is None:
         return vectors.select(F.col(id_col)).limit(0)
-    dims = len(probe[0])
-    sig = vectors.select(
-        F.col(id_col),
-        banded_signature(F.col(vec_col), dims, n_bands, band_bits).alias("_bands"),
-    )
+    if sig is None:
+        sig = banded_signature_frame(vectors, n_bands, band_bits, id_col, vec_col)
     longf = sig.select(
         F.col(id_col), F.posexplode("_bands").alias("_band", "_bv")
     )
@@ -393,6 +452,7 @@ def lsh_banded_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: list[str] | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via banded (OR-amplified) hyperplane LSH: exact cosine
     re-rank restricted to :func:`lsh_banded_candidates`. Same output
@@ -411,7 +471,7 @@ def lsh_banded_topk(
             F.lit(0.0).alias("sim"),
         ).limit(0)
     cand = lsh_banded_candidates(
-        vectors, query_id, n_bands, band_bits, id_col, vec_col
+        vectors, query_id, n_bands, band_bits, id_col, vec_col, sig=sig
     )
     qv = vectors.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("_q")

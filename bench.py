@@ -113,6 +113,7 @@ def main() -> None:
         "minhash_pairs": lambda: registry._minhash_pairs_cached(spark, sf_dir),
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
         "grams4": lambda: registry._grams4_cached(spark, sf_dir),
+        "banded_sig": lambda: registry._banded_sig_cached(spark, sf_dir),
     }
     warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
     print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)

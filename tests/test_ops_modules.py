@@ -1586,3 +1586,28 @@ def test_lsh_banded_topk_recall_and_candidates(spark, sf_dir):
     got = {r.vec_id: r.b for r in sig.join(cand, "vec_id").collect()}
     for vid, bands in got.items():
         assert any(x == y for x, y in zip(bands, qbands)), vid
+
+
+def test_banded_signature_frame_matches_expression(spark, sf_dir):
+    """The vectorized mapInPandas signature build (hot path) must agree
+    bit-for-bit with the declarative higher-order-function expression
+    (the form the DuckDB oracle replicates) on every vector."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.ops.similarity import (
+        banded_signature,
+        banded_signature_frame,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = {
+        r.vec_id: list(r.b)
+        for r in emb.select(
+            "vec_id", banded_signature(F.col("embedding"), 64, 12, 4).alias("b")
+        ).collect()
+    }
+    fast = {
+        r.vec_id: list(r._bands)
+        for r in banded_signature_frame(emb, 12, 4).collect()
+    }
+    assert expr == fast
