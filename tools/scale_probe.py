@@ -61,6 +61,11 @@ PROBE_QUERIES = [
     "doc_boilerplate",
     "corpus_dsir",
     "cdc_apply",
+    # round-5 additions: banded ANN (vectorized signature + band join),
+    # PCA moment pass (mapInPandas partial sums), KMV sketch pipeline
+    "ann_lsh_banded",
+    "emb_pca_project",
+    "events_theta_union",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
