@@ -204,12 +204,14 @@ def cosine_neardup_lsh(
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("sim"),
         ).limit(0)
-    dims = len(probe[0])
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_sig", hyperplane_signature(F.col("_v"), dims, bits)).withColumn(
-        "_n", _norm(F.col("_v"))
+    v = (
+        banded_signature_frame(vectors, 1, bits, id_col, vec_col, keep_cols=[vec_col])
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.element_at("_bands", 1).alias("_sig"),
+        )
+        .withColumn("_n", _norm(F.col("_v")))
     )
     a = v.select("_sig", F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = v.select("_sig", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
@@ -281,8 +283,13 @@ def lsh_bucket_topk(
             *[F.col(c) for c in (extra_cols or [])],
             F.lit(0.0).alias("sim"),
         ).limit(0)
-    dims = len(probe[0])
-    sig = vectors.withColumn("_sig", hyperplane_signature(F.col(vec_col), dims, bits))
+    # one vectorized signature pass (n_bands=1 degenerates to the plain
+    # `bits`-bit signature — same md5 planes, same bit packing as
+    # hyperplane_signature, which the oracle replicates)
+    sig = banded_signature_frame(
+        vectors, 1, bits, id_col, vec_col,
+        keep_cols=[vec_col, *(extra_cols or [])],
+    ).withColumn("_sig", F.element_at("_bands", 1))
     q_sig = sig.filter(F.col(id_col) == query_id).select(
         F.col("_sig").alias("_qsig"),
         F.col(vec_col).cast("array<double>").alias("_q"),
@@ -373,6 +380,7 @@ def banded_signature_frame(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, bands array<long>) for the whole corpus in ONE vectorized
     mapInPandas pass: each Arrow batch matmuls against the plane matrix
@@ -383,11 +391,11 @@ def banded_signature_frame(
     bit (and the DuckDB oracle replicates the same bits in SQL)."""
     import numpy as np
 
+    keep = [c for c in (keep_cols or []) if c != id_col]
     probe = vectors.select(vec_col).first()
     if probe is None:
-        return vectors.select(F.col(id_col)).limit(0).withColumn(
-            "_bands", F.array().cast("array<bigint>")
-        )
+        out = vectors.select(id_col, *keep).limit(0)
+        return out.withColumn("_bands", F.array().cast("array<bigint>"))
     dims = len(probe[0])
     planes = _banded_planes(dims, n_bands, band_bits)
     weights = 1 << np.arange(band_bits)
@@ -401,12 +409,19 @@ def banded_signature_frame(
             mat = np.array(pdf[vec_col].tolist(), dtype=float)
             bits = (mat @ planes.T > 0).astype(np.int64)
             vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "_bands": list(vals)}
-            )
+            cols = {id_col: pdf[id_col].values}
+            for c in keep:
+                cols[c] = pdf[c].values
+            cols["_bands"] = list(vals)
+            yield pd.DataFrame(cols)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        fn, f"{id_col} bigint, _bands array<bigint>"
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in vectors.schema.fields
+        if f.name in keep
+    )
+    return vectors.select(id_col, *{*keep, vec_col}).mapInPandas(
+        fn, f"{id_col} bigint{keep_schema}, _bands array<bigint>"
     )
 
 
