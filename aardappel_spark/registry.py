@@ -776,6 +776,21 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@10 of the IVF tier (16 centroids, 6 probes) vs exact
+    brute force — the third tier's quality dial next to
+    ann_recall_eval (single-bucket LSH) and ann_recall_banded. Both
+    tiers are deterministic, so the eval hash-matches its oracle,
+    which is composed verbatim from the two tier oracles."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id")
+    iv = q_ann_ivf(spark, sf_dir).select("vec_id")
+    return bf.join(iv, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / 10.0, 6).alias("recall"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing, oracle-gated: documents' UTF-8 bytes stand in
     for opaque payloads; n_bytes + md5 digest are engine-independent."""
@@ -3097,6 +3112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_banded": q_ann_lsh_banded,
     "ann_recall_banded": q_ann_recall_banded,
+    "ann_recall_ivf": q_ann_recall_ivf,
     "emb_pca_project": q_emb_pca_project,
     "orders_window_topn": q_orders_window_topn,
     "events_hdr_quantiles": q_events_hdr_quantiles,
@@ -5485,6 +5501,7 @@ _R05_ADDITIONS: list[str] = [
         "emb_pca_project", "doc_zipf_tail", "events_theta_union",
         "doc_dup_coverage", "corpus_contam_overlap", "events_hdr_quantiles",
         "doc_len_profile_by_lang", "orders_window_topn", "doc_simhash_hamming_hist",
+        "ann_recall_ivf",
     )
     if k in QUERIES
 ]
@@ -5513,6 +5530,14 @@ SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
        round(count(*) / 10.0, 6) AS recall
 FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
 JOIN ({ORACLES["ann_lsh"].strip().rstrip(';')}) ls USING (vec_id)
+"""
+
+# third-tier recall dial, composed verbatim from the tier oracles
+ORACLES["ann_recall_ivf"] = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
+JOIN ({ORACLES["ann_ivf"].strip().rstrip(';')}) iv USING (vec_id)
 """
 
 # composed like ann_recall_eval, plus the candidate count column that
