@@ -1350,8 +1350,8 @@ def test_bench_compact_line_fits_tail_window():
 
     import bench
 
-    # 130 long-named queries (worse than the real registry) at varied cost
-    timings = {f"very_long_query_family_name_{i:03d}": 0.1 + (i % 37) / 7.0 for i in range(130)}
+    # 160 long-named queries (worse than the real registry) at varied cost
+    timings = {f"very_long_query_family_name_{i:03d}": 0.1 + (i % 37) / 7.0 for i in range(160)}
     warmup = {"cdc_parse": 5.6, "minhash_signatures": 3.4, "simhash64": 9.9}
     total = sum(timings.values()) + sum(warmup.values())
     line = bench.compact_line(total, timings, warmup, 0.1)
@@ -1361,7 +1361,7 @@ def test_bench_compact_line_fits_tail_window():
     assert parsed["unit"] == "sec"
     assert abs(parsed["value"] - total) < 0.02
     # nothing lost: kept entries + folded tail cover every query
-    assert len(parsed["queries"]) + parsed.get("other_n", 0) == 130
+    assert len(parsed["queries"]) + parsed.get("other_n", 0) == 160
     covered = sum(parsed["queries"].values()) + parsed.get("other_sec", 0.0)
     assert abs(covered - sum(timings.values())) < 1.5  # rounding slack
     # kept entries are the most expensive ones
