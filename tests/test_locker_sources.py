@@ -251,3 +251,28 @@ def test_ts_unit_guard_rejects_micros(spark, tmp_path):
         str(good / "events.parquet"),
     )
     assert load_events_ns(spark, str(good)).count() == 2
+
+
+def test_ts_unit_guard_handles_directory_datasets(spark, tmp_path):
+    """ADVICE r4: a Spark-written DIRECTORY dataset (part files) with an
+    int64 ts column must be validated (not crash with IsADirectoryError)
+    — bad units still rejected, good units still load."""
+    import pytest
+
+    from aardappel_spark.sources import load_events_ns
+
+    micros_2024 = 1_704_067_207_179_575
+    nanos_2024 = micros_2024 * 1000
+
+    bad = tmp_path / "bad"
+    spark.createDataFrame(
+        [(micros_2024, 1), (micros_2024 + 5, 2)], "ts long, event_id long"
+    ).repartition(2).write.parquet(str(bad / "events.parquet"))
+    with pytest.raises(ValueError, match="not.*epoch-nanoseconds"):
+        load_events_ns(spark, str(bad))
+
+    good = tmp_path / "good"
+    spark.createDataFrame(
+        [(nanos_2024, 1), (nanos_2024 + 5000, 2)], "ts long, event_id long"
+    ).repartition(2).write.parquet(str(good / "events.parquet"))
+    assert load_events_ns(spark, str(good)).count() == 2
