@@ -77,6 +77,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="drain the source once and exit (otherwise run until signaled)",
     )
     p.add_argument(
+        "--source-format",
+        choices=("jsonl", "recorded-kafka", "kafka"),
+        default="jsonl",
+        help=(
+            "jsonl: raw (table_id?, partition, offset, value) lines; "
+            "recorded-kafka: recorded Kafka record batches replayed through "
+            "the live reader's post-load() path (topics from config streams); "
+            "kafka: live broker at --source-dir host:port, topics from config"
+        ),
+    )
+    p.add_argument(
         "--lock-timeout",
         type=float,
         default=None,
@@ -143,7 +154,27 @@ def main(argv: list[str] | None = None) -> int:
                 guard_timeout=float(cfg.max_expected_heartbeat_interval),
             )
 
-        if len(engine.streams) > 1:
+        if args.source_format in ("recorded-kafka", "kafka"):
+            # topic -> table id from the config's stream order, exactly
+            # like the reference assigns TableId by stream index
+            # (cmd/aardappel/main.go:204-208)
+            topics = {s.src_topic: i for i, s in enumerate(cfg.streams)}
+            if args.source_format == "recorded-kafka":
+                from .sources import read_recorded_kafka_stream
+
+                source = read_recorded_kafka_stream(
+                    spark, source_dir, table_id_by_topic=topics
+                )
+            else:
+                from .sources import read_kafka_stream
+
+                source = read_kafka_stream(
+                    spark,
+                    bootstrap_servers=source_dir,
+                    topics=list(topics),
+                    table_id_by_topic=topics,
+                )
+        elif len(engine.streams) > 1:
             source = spark.readStream.schema(
                 "table_id int, partition int, offset long, value string"
             ).json(source_dir)

@@ -231,3 +231,89 @@ def test_cli_multi_stream_routes_by_table(spark, tmp_path, capsys):
     ).current()
     assert {r.user_id: r.value for r in users.collect()} == {1: "u1"}
     assert {r.order_id: r.amount for r in orders.collect()} == {100: "9.99"}
+
+
+def test_cli_recorded_kafka_source_end_to_end(spark, tmp_path):
+    """--source-format recorded-kafka: the CLI builds the topic->table_id
+    map from the config's stream order (the reference's TableId-by-index
+    assignment, cmd/aardappel/main.go:204-208) and drives recorded Kafka
+    record batches through run_stream end-to-end."""
+    from aardappel_spark.sources import record_kafka_fixture
+
+    tmp = str(tmp_path)
+    rec = os.path.join(tmp, "recorded")
+
+    def msg_update(uid, value, step, txid):
+        return json.dumps(
+            {"update": {"value": str(value)}, "key": [uid], "ts": [step, txid]}
+        )
+
+    def msg_order(oid, amount, step, txid):
+        return json.dumps(
+            {"update": {"amount": amount}, "key": [oid], "ts": [step, txid]}
+        )
+
+    record_kafka_fixture(
+        os.path.join(rec, "batch1.jsonl"),
+        [
+            ("users_cdc", 0, 1, None, msg_update(1, "u1", 10, 1).encode(), 1000),
+            ("orders_cdc", 0, 1, None, msg_order(100, "9.99", 12, 1).encode(), 1001),
+            ("users_cdc", 0, 2, None, json.dumps({"resolved": [50, 0]}).encode(), 1002),
+            ("orders_cdc", 0, 2, None, json.dumps({"resolved": [30, 0]}).encode(), 1003),
+        ],
+    )
+
+    cfg = os.path.join(tmp, "config.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    f"src_connection_string: {rec}",
+                    "instance_id: cli-kafka-test",
+                    "multiple_instances_mode: false",
+                    "max_expected_heartbeat_interval: 10",
+                    "streams:",
+                    "  - src_topic: users_cdc",
+                    f"    dst_table: {os.path.join(tmp, 'dst_users')}",
+                    "    consumer: c1",
+                    "  - src_topic: orders_cdc",
+                    f"    dst_table: {os.path.join(tmp, 'dst_orders')}",
+                    "    consumer: c1",
+                ]
+            )
+            + "\n"
+        )
+    metas = os.path.join(tmp, "metas.json")
+    with open(metas, "w") as f:
+        json.dump(
+            {
+                os.path.join(tmp, "dst_users"): {
+                    "primary_key": ["user_id"],
+                    "columns": {"user_id": "Int64", "value": "Optional<Utf8>"},
+                    "schema": "user_id bigint, value string",
+                },
+                os.path.join(tmp, "dst_orders"): {
+                    "primary_key": ["order_id"],
+                    "columns": {"order_id": "Int64", "amount": "Optional<Utf8>"},
+                    "schema": "order_id bigint, amount string",
+                },
+            },
+            f,
+        )
+
+    rc = main(
+        [
+            "--config", cfg,
+            "--table-metas", metas,
+            "--work-dir", os.path.join(tmp, "work"),
+            "--expected-partitions", "2",
+            "--available-now",
+            "--source-format", "recorded-kafka",
+        ]
+    )
+    assert rc == 0
+    # quorum = min(50, 30): both step-10/12 changes applied
+    users = {r.user_id: r.value for r in spark.read.schema(
+        "user_id bigint, value string"
+    ).parquet(os.path.join(tmp, "dst_users", "v*", "pkb=*")).collect()}
+    assert users == {1: "u1"}
