@@ -634,6 +634,75 @@ def q_corpus_contam_overlap(spark, sf_dir):
     )
 
 
+def q_corpus_health(spark, sf_dir):
+    """One-row corpus health dashboard — the governance headline a
+    pipeline owner checks before cutting a training snapshot: volume
+    (docs/tokens), exact-duplicate mass (bag-of-words fingerprint),
+    near-dup candidate mass (share of docs in >= 1 LSH pair), and
+    language-ID coverage (share detected as und). Three tiny 1-row
+    aggregates broadcast-join the doc-level stats; the only corpus-
+    scale work is one token count and the shared fingerprint/pair
+    frames."""
+    from .ops.text import language_id, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.array_distinct(tokens_col("text"))),
+            )
+        ).alias("fp"),
+    )
+    dup_docs = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("exact_dup_docs"))
+    )
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .agg(F.count("*").alias("neardup_candidate_docs"))
+    )
+    und = language_id(docs).agg(
+        F.sum((F.col("pred_lang") == "und").cast("long")).alias("n_und")
+    )
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("mean_doc_tokens"),
+    )
+    j = (
+        totals.crossJoin(F.broadcast(dup_docs))
+        .crossJoin(F.broadcast(cand_docs))
+        .crossJoin(F.broadcast(und))
+    )
+    return j.select(
+        "n_docs",
+        "n_tokens",
+        "mean_doc_tokens",
+        "exact_dup_docs",
+        F.round(
+            F.col("exact_dup_docs") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+        ).alias("exact_dup_ratio"),
+        "neardup_candidate_docs",
+        F.round(
+            F.col("neardup_candidate_docs") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+        ).alias("neardup_candidate_ratio"),
+        F.col("n_und").alias("lang_und_docs"),
+        F.round(
+            F.col("n_und") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+        ).alias("lang_und_ratio"),
+    )
+
+
 def q_emb_pca_project(spark, sf_dir):
     """First principal component of the embedding corpus by explicit
     power iteration, and every vector's projection onto it (the 1-D
@@ -3113,6 +3182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_banded": q_ann_lsh_banded,
     "ann_recall_banded": q_ann_recall_banded,
     "ann_recall_ivf": q_ann_recall_ivf,
+    "corpus_health": q_corpus_health,
     "emb_pca_project": q_emb_pca_project,
     "orders_window_topn": q_orders_window_topn,
     "events_hdr_quantiles": q_events_hdr_quantiles,
@@ -5399,6 +5469,60 @@ JOIN sizes nb ON nb.doc_id = s.eval_doc
 ORDER BY n_shared DESC, corpus_doc, eval_doc
 LIMIT 20
 """,
+    # the `d` (doc_id, raw token list) and `pairs` CTEs come from
+    # _PAIRS_CTE; fingerprint matches ops.text.fingerprint's bag-of-words
+    # md5; langid replays the text_langid marker scoring
+    "corpus_health": _PAIRS_CTE + """,
+base AS (SELECT doc_id, len(t) AS n_tok FROM d),
+fpv AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  FROM d
+),
+dup AS (
+  SELECT coalesce(sum(n), 0) AS exact_dup_docs
+  FROM (SELECT fp, count(*) AS n FROM fpv GROUP BY fp HAVING count(*) >= 2)
+),
+cand AS (
+  SELECT count(*) AS neardup_candidate_docs
+  FROM (SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs))
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+ls AS (
+  SELECT doc_id,
+       sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and', 'is', 'in', 'it') THEN 1 ELSE 0 END) AS s_en,
+       sum(CASE WHEN token IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'es') THEN 1 ELSE 0 END) AS s_es,
+       sum(CASE WHEN token IN ('der', 'die', 'das', 'und', 'ist', 'von', 'ein', 'mit') THEN 1 ELSE 0 END) AS s_de,
+       sum(CASE WHEN token IN ('le', 'la', 'les', 'et', 'de', 'un', 'est', 'dans') THEN 1 ELSE 0 END) AS s_fr,
+       sum(CASE WHEN token IN ('de5', 'shi4', 'le5', 'zai4', 'you3', 'he2', 'wo3', 'ta1') THEN 1 ELSE 0 END) AS s_zh
+  FROM tok WHERE token <> '' GROUP BY doc_id
+),
+und AS (
+  SELECT sum(CASE WHEN NOT (
+           (s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh)
+        OR (s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh)
+        OR (s_de > 0 AND s_de >= s_fr AND s_de >= s_zh)
+        OR (s_fr > 0 AND s_fr >= s_zh)
+        OR (s_zh > 0)
+      ) THEN 1 ELSE 0 END) AS n_und
+  FROM ls
+),
+tot AS (
+  SELECT count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         round(avg(n_tok), 4) AS mean_doc_tokens
+  FROM base
+)
+SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+       tot.mean_doc_tokens,
+       CAST(dup.exact_dup_docs AS BIGINT) AS exact_dup_docs,
+       round(dup.exact_dup_docs / CAST(greatest(tot.n_docs, 1) AS DOUBLE), 6) AS exact_dup_ratio,
+       CAST(cand.neardup_candidate_docs AS BIGINT) AS neardup_candidate_docs,
+       round(cand.neardup_candidate_docs / CAST(greatest(tot.n_docs, 1) AS DOUBLE), 6) AS neardup_candidate_ratio,
+       CAST(und.n_und AS BIGINT) AS lang_und_docs,
+       round(und.n_und / CAST(greatest(tot.n_docs, 1) AS DOUBLE), 6) AS lang_und_ratio
+FROM tot, dup, cand, und
+""",
     # Replays q_emb_pca_project's math step for step: moments rounded to
     # 6 decimals BEFORE any derived arithmetic (summation-order noise is
     # ~1e-12, far inside the 5e-7 boundary), covariance from the rounded
@@ -5501,7 +5625,7 @@ _R05_ADDITIONS: list[str] = [
         "emb_pca_project", "doc_zipf_tail", "events_theta_union",
         "doc_dup_coverage", "corpus_contam_overlap", "events_hdr_quantiles",
         "doc_len_profile_by_lang", "orders_window_topn", "doc_simhash_hamming_hist",
-        "ann_recall_ivf",
+        "ann_recall_ivf", "corpus_health",
     )
     if k in QUERIES
 ]
