@@ -1113,3 +1113,99 @@ def test_kafka_live_broker_smoke(spark, tmp_path):
     # drained without error; row count >= 0 and the projected schema holds
     out = spark.sql("select * from kafka_smoke")
     assert set(out.columns) == {"table_id", "partition", "offset", "value"}
+
+
+@pytest.mark.parametrize("seed", [13, 99])
+def test_fuzz_overlap_redelivery_with_crash_converges(spark, tmp_path, seed):
+    """S5 + W5 combined stress: every micro-batch boundary re-delivers
+    the TAIL of the previous batch (the at-least-once overlap a
+    rebalance produces), and one randomly placed crash replays a batch
+    (commit done, state write lost). The consumed-offset guard must
+    drop every overlap — including across the crash replay, where the
+    guard itself rewinds — so the final state equals the single-shot
+    batch apply of the ORIGINAL (non-redelivered) messages."""
+    import random
+
+    rng = random.Random(seed)
+    tmp = str(tmp_path)
+    n_streams, n_parts = 2, 4
+    metas = [
+        TableMeta(
+            f"t{t}",
+            primary_key=["user_id"],
+            columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+        )
+        for t in range(n_streams)
+    ]
+    streams = [
+        StreamConfig(t, metas[t], os.path.join(tmp, f"dst{t}"), DST_SCHEMA)
+        for t in range(n_streams)
+    ]
+
+    msgs = []
+    step, off = 0, 0
+    for _ in range(80):
+        step += rng.randint(1, 3)
+        t, p = rng.randrange(n_streams), rng.randrange(n_parts)
+        roll = rng.random()
+        if roll < 0.25:
+            msgs.append((t, p, off, msg_hb(step)))
+        elif roll < 0.4:
+            msgs.append((t, p, off, msg_erase(rng.randint(0, 9), step, 1)))
+        else:
+            msgs.append((t, p, off, msg_update(rng.randint(0, 9), f"t{t}v{off}", step, 1)))
+        off += 1
+    final_hb = step + 1
+    for t in range(n_streams):
+        for p in range(n_parts):
+            msgs.append((t, p, off, msg_hb(final_hb)))
+            off += 1
+
+    cuts = sorted(rng.sample(range(1, len(msgs)), 3))
+    batches = [
+        msgs[a:b] for a, b in zip([0] + cuts, cuts + [len(msgs)]) if msgs[a:b]
+    ]
+    # inject at-least-once overlap: each batch (after the first) is
+    # preceded by a re-delivery of the previous batch's tail
+    delivered = [batches[0]]
+    for prev, cur in zip(batches, batches[1:]):
+        overlap = prev[-rng.randint(1, min(4, len(prev))):]
+        delivered.append(overlap + cur)
+    kill_at = rng.randrange(len(delivered))
+    raw_schema = "table_id int, partition int, offset long, value string"
+
+    def fresh_engine():
+        return ReplicationEngine(
+            spark=spark,
+            streams=streams,
+            expected_partitions=n_streams * n_parts,
+            work_dir=os.path.join(tmp, "work"),
+        )
+
+    eng = fresh_engine()
+    for i, b in enumerate(delivered):
+        df = spark.createDataFrame(b, raw_schema)
+        if i == kill_at:
+            eng.state.write = lambda *a, **k: None
+            eng.process_batch(df, i)
+            eng = fresh_engine()
+        eng.process_batch(df, i)
+
+    raw = spark.createDataFrame(msgs, raw_schema)  # ORIGINALS only
+    from aardappel_spark.types import pos, pos_lit
+
+    ev = split_events(parse_messages(raw, table_id_col="table_id")).filter(
+        pos() < pos_lit(final_hb, 0)
+    )
+    for t in range(n_streams):
+        dst0 = spark.createDataFrame([], DST_SCHEMA)
+        expected = {
+            r.user_id: r.value
+            for r in apply_batch(
+                dst0, ev.filter(F.col("table_id") == t), metas[t]
+            ).collect()
+        }
+        got = {r.user_id: r.value for r in eng.tables[t].current().collect()}
+        assert got == expected, f"table {t} (kill_at={kill_at})"
+    st = eng.state.read()
+    assert st["step_id"] == Decimal(final_hb) and st["stage"] == STAGE_RUN
