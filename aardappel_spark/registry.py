@@ -119,6 +119,72 @@ p1 AS (
 pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1))
 """
 
+# Shared DuckDB replica of ops.similarity.ivf_build's deterministic
+# spherical k-means (n_centroids=16, refine_iters=1): md5-smallest
+# seeding -> normalize -> assign (argmax cosine, lowest cluster wins
+# ties like numpy argmax) -> raw-mean + renormalize (empty clusters keep
+# their seed centroid) -> reassign. Ends at `asg1`, the post-refine
+# (vec_id, cid) assignment — ann_ivf continues with probe/re-rank CTEs,
+# semantic_dedup with within-cluster pair CTEs, so both oracles replay
+# the IDENTICAL index build.
+_IVF_ASG_CTE = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 16
+),
+s0 AS (SELECT seeds.cid, v.i, v.x FROM seeds JOIN v USING (vec_id)),
+s0n AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM s0 GROUP BY cid),
+c0 AS (
+  SELECT s0.cid, s0.i,
+         s0.x / (CASE WHEN s0n.nrm = 0 THEN 1 ELSE s0n.nrm END) AS cx
+  FROM s0 JOIN s0n USING (cid)
+),
+a0d AS (
+  SELECT v.vec_id, c0.cid, sum(v.x * c0.cx) AS dp
+  FROM v JOIN c0 USING (i) GROUP BY v.vec_id, c0.cid
+),
+asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a0d
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT asg0.cid, v.i, avg(v.x) AS mx
+  FROM asg0 JOIN v USING (vec_id) GROUP BY asg0.cid, v.i
+),
+mn AS (SELECT cid, sqrt(sum(mx * mx)) AS nrm FROM m GROUP BY cid),
+c1 AS (
+  SELECT m.cid, m.i,
+         m.mx / (CASE WHEN mn.nrm = 0 THEN 1 ELSE mn.nrm END) AS cx
+  FROM m JOIN mn USING (cid)
+  UNION ALL
+  SELECT c0.cid, c0.i, c0.cx FROM c0
+  WHERE c0.cid NOT IN (SELECT DISTINCT cid FROM asg0)
+),
+a1d AS (
+  SELECT v.vec_id, c1.cid, sum(v.x * c1.cx) AS dp
+  FROM v JOIN c1 USING (i) GROUP BY v.vec_id, c1.cid
+),
+asg1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a1d
+  ) WHERE rn = 1
+)
+"""
+
+
 def _hyperplane_values_sql(bits: int, dims: int = 64) -> str:
     """SQL VALUES rows ``(b, i, s)`` replicating ops.similarity.
     hyperplane_signature's plan-time md5 hyperplane signs (component
@@ -3152,6 +3218,259 @@ def q_doc_vocab_growth(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    the SAME deterministic spherical k-means the IVF index uses
+    (ops.similarity.ivf_build, n_centroids=16, refine_iters=1), then
+    dedup WITHIN clusters only — a vector is a duplicate when a
+    lower-id vector in its cluster has cosine >= 0.4 (dup_of = the
+    smallest such id; kept = no such partner). The cluster equi-join
+    bounds candidate generation to O(sum cluster_size^2) instead of
+    corpus all-pairs; at 100 TB the dial is n_centroids (pair mass
+    shrinks quadratically as clusters narrow). Oracle replays the
+    identical k-means build via _IVF_ASG_CTE and the same raw-vector
+    cosine, so cluster ids, dup links, and verdicts all hash-match."""
+    from .ops.similarity import cosine, ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb.head(1) == []:  # ivf_build seeds from data; empty corpus -> no rows
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid int, dup_of bigint, kept boolean"
+        )
+    assigned, _centroids = ivf_build(emb, n_centroids=16, refine_iters=1)
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col("_c").alias("cid"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("_c").alias("cid"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("dup_of"))
+        .withColumnRenamed("id_a", "vec_id")
+    )
+    return (
+        assigned.select(F.col("_id").alias("vec_id"), F.col("_c").alias("cid"))
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def q_events_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor: the event stream is
+    split at the midpoint of its time range (integer micros, exact in
+    both engines) into a baseline and a current half; `value` is binned
+    with the same width-25 bins as events_value_histogram; PSI =
+    sum((p_cur - p_base) * ln(p_cur / p_base)) over the union bin
+    domain with +0.5 Laplace smoothing so empty bins stay finite.
+    Everything is hash-aggregation plus a full-outer join on the tiny
+    bin domain — the corpus is scanned once per half, no sort, no
+    window; at 100 TB this is two shuffle-light passes. The verdict
+    thresholds (0.1 watch / 0.25 act) are industry folklore, reported
+    as plain data so the pipeline can choose."""
+    ev = load_events_ns(spark, sf_dir).select(
+        F.expr("ts DIV 1000").alias("mic"),
+        F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+    )
+    bounds = ev.agg(
+        F.min("mic").alias("mn"), F.max("mic").alias("mx")
+    ).withColumn("mid", F.expr("mn + (mx - mn) DIV 2"))
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "bin", (F.col("mic") <= F.col("mid")).alias("is_base")
+    )
+    base = halves.filter("is_base").groupBy("bin").agg(F.count("*").alias("nb"))
+    cur = halves.filter(~F.col("is_base")).groupBy("bin").agg(
+        F.count("*").alias("nc")
+    )
+    dom = base.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    tot = dom.agg(
+        F.sum("nb").alias("tb"),
+        F.sum("nc").alias("tc"),
+        F.count("*").alias("k"),
+    )
+    j = dom.crossJoin(F.broadcast(tot))
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    pc = (F.col("nc") + 0.5) / (F.col("tc") + 0.5 * F.col("k"))
+    return j.agg(
+        F.sum("nb").cast("bigint").alias("n_base"),
+        F.sum("nc").cast("bigint").alias("n_cur"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.round(F.sum((pc - pb) * (F.log(pc) - F.log(pb))), 6).alias("psi"),
+    )
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Calibration audit of the in-engine LR quality classifier: decile
+    bucket of quality_lr_score's probability vs the realized label rate
+    (lang == 'en', the training target). A well-calibrated classifier
+    has pos_rate tracking mean_p per bucket — this is the reliability
+    diagram a pipeline inspects before trusting the scores for a corpus
+    cut. One join of the scored frame with the label column plus one
+    hash-agg; the scores themselves come from the exact train+score
+    loop quality_lr_train/score already gate."""
+    scored = q_quality_lr_score(spark, sf_dir)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    return (
+        scored.join(labels, "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("quality_p") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality_p"), 6).alias("mean_p"),
+            F.round(F.avg("y"), 6).alias("pos_rate"),
+        )
+    )
+
+
+def q_dedup_survivor_quality(spark, sf_dir):
+    """Quality-aware survivor selection: instead of dedup_survivors'
+    min-id representative, each near-dup cluster keeps its LONGEST
+    member (whitespace token count, ties -> smallest doc_id) — the
+    policy real pipelines use so dedup doesn't systematically keep
+    truncated variants. Reuses the shared LSH candidate pairs and the
+    connected-components labels; the per-cluster argmax is one
+    row_number window partitioned by cluster_id (shuffle keyed on the
+    cluster label, no global sort)."""
+    from pyspark.sql.window import Window
+
+    from .ops.dedup import neardup_clusters
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    clusters = neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = (
+        clusters.join(toks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_tokens").alias("survivor_tokens"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-source novelty: the fraction of a source's distinct word
+    3-gram keys that occur in NO other source — the signal that says
+    which feeds contribute genuinely new text vs mirrored content.
+    Grams are md5-hashed to 60-bit integer keys BEFORE the shuffle
+    (the dedup_span discipline: 8-byte exchange keys instead of raw
+    gram strings), and the oracle hashes identically so collisions —
+    astronomically unlikely but possible — cannot split the engines.
+    Shape: explode -> distinct (source, key) -> per-key source count
+    -> per-source ratio; every stage is a hash-agg on bounded keys."""
+    from .ops.dedup import shingles_col
+
+    g = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(F.array_distinct(shingles_col("text", k=3))).alias("gram"),
+    )
+    keyed = g.select(
+        "source",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        .alias("gk"),
+    ).distinct()
+    spread = keyed.groupBy("gk").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    return (
+        keyed.join(spread, "gk")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum((F.col("n_sources") == 1).cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold calibration: how much pair mass (and how many
+    distinct documents) a Jaccard cut at 0.5/0.6/0.7/0.8/0.9 would
+    touch, computed over the shared LSH candidate pairs (never
+    all-pairs — the curve only makes sense above LSH's own recall
+    floor). The 5-row threshold frame broadcasts against the verified
+    pairs; zero-surviving thresholds still report as 0 rows via the
+    left join, so the curve always has 5 points. Jaccard here is exact
+    small-integer division — bit-identical across engines."""
+    thr = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    # barrier: the pair verification (set math over LSH candidates) runs
+    # ONCE; both aggregations below re-read the materialized pairs
+    # instead of re-running the whole candidate pipeline
+    jac = verify_pairs_jaccard(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    hits = (
+        F.broadcast(thr)
+        .crossJoin(jac)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+    )
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        thr.join(F.broadcast(n_pairs), "threshold", "left")
+        .join(F.broadcast(n_docs), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -3512,61 +3831,9 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.45
     # clusters keep their seed centroid) -> reassign -> probe the query's
     # top-6 clusters (argsort()[::-1] tie order = higher cluster first) ->
     # exact cosine re-rank. Approximate vs brute force, exact vs Spark.
-    "ann_ivf": """
-WITH v AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         unnest(embedding)::DOUBLE AS x
-  FROM embeddings
-),
-seeds AS (
-  SELECT vec_id, rn - 1 AS cid FROM (
-    SELECT vec_id,
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM embeddings
-  ) WHERE rn <= 16
-),
-s0 AS (SELECT seeds.cid, v.i, v.x FROM seeds JOIN v USING (vec_id)),
-s0n AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM s0 GROUP BY cid),
-c0 AS (
-  SELECT s0.cid, s0.i,
-         s0.x / (CASE WHEN s0n.nrm = 0 THEN 1 ELSE s0n.nrm END) AS cx
-  FROM s0 JOIN s0n USING (cid)
-),
-a0d AS (
-  SELECT v.vec_id, c0.cid, sum(v.x * c0.cx) AS dp
-  FROM v JOIN c0 USING (i) GROUP BY v.vec_id, c0.cid
-),
-asg0 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
-    FROM a0d
-  ) WHERE rn = 1
-),
-m AS (
-  SELECT asg0.cid, v.i, avg(v.x) AS mx
-  FROM asg0 JOIN v USING (vec_id) GROUP BY asg0.cid, v.i
-),
-mn AS (SELECT cid, sqrt(sum(mx * mx)) AS nrm FROM m GROUP BY cid),
-c1 AS (
-  SELECT m.cid, m.i,
-         m.mx / (CASE WHEN mn.nrm = 0 THEN 1 ELSE mn.nrm END) AS cx
-  FROM m JOIN mn USING (cid)
-  UNION ALL
-  SELECT c0.cid, c0.i, c0.cx FROM c0
-  WHERE c0.cid NOT IN (SELECT DISTINCT cid FROM asg0)
-),
-a1d AS (
-  SELECT v.vec_id, c1.cid, sum(v.x * c1.cx) AS dp
-  FROM v JOIN c1 USING (i) GROUP BY v.vec_id, c1.cid
-),
-asg1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
-    FROM a1d
-  ) WHERE rn = 1
-),
+    # The shared k-means prefix (through the post-refine assignment asg1)
+    # lives in _IVF_ASG_CTE so semantic_dedup replays the identical build.
+    "ann_ivf": _IVF_ASG_CTE + """,
 probes AS (
   SELECT cid FROM (
     SELECT cid, row_number() OVER (ORDER BY dp DESC, cid DESC) AS rn
@@ -5592,6 +5859,164 @@ GROUP BY v.vec_id
 
 
 # ---------------------------------------------------------------------------
+# round-5 second batch — registered via assignment (after the dict
+# literals) so the oracles can compose from already-registered oracle
+# text (_IVF_ASG_CTE, _PAIRS_CTE, quality_lr_score).
+# ---------------------------------------------------------------------------
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+QUERIES["events_psi_drift"] = q_events_psi_drift
+QUERIES["quality_calibration"] = q_quality_calibration
+QUERIES["dedup_survivor_quality"] = q_dedup_survivor_quality
+QUERIES["doc_ngram_novelty"] = q_doc_ngram_novelty
+QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+
+# SemDeDup: the identical k-means build as ann_ivf (shared prefix), then
+# within-cluster pairs only — the equi-join on cid IS the oracle's proof
+# that no all-pairs work happens.
+ORACLES["semantic_dedup"] = _IVF_ASG_CTE + """,
+n AS (SELECT vec_id, sum(x * x) AS n2 FROM v GROUP BY vec_id),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+),
+pd AS (
+  SELECT pr.id_a, pr.id_b, sum(va.x * vb.x) AS dot
+  FROM pr JOIN v va ON va.vec_id = pr.id_a
+         JOIN v vb ON vb.vec_id = pr.id_b AND va.i = vb.i
+  GROUP BY pr.id_a, pr.id_b
+),
+dup AS (
+  SELECT pd.id_a AS vec_id, min(pd.id_b) AS dup_of
+  FROM pd JOIN n na ON pd.id_a = na.vec_id JOIN n nb ON pd.id_b = nb.vec_id
+  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4
+  GROUP BY pd.id_a
+)
+SELECT asg1.vec_id, CAST(asg1.cid AS INTEGER) AS cid,
+       CAST(dup.dup_of AS BIGINT) AS dup_of,
+       (dup.dup_of IS NULL) AS kept
+FROM asg1 LEFT JOIN dup USING (vec_id)
+"""
+
+ORACLES["events_psi_drift"] = """
+WITH e AS (
+  SELECT epoch_us(ts) AS mic, CAST(floor(value / 25) AS BIGINT) AS bin
+  FROM events
+),
+bd AS (SELECT min(mic) AS mn, max(mic) AS mx FROM e),
+h AS (
+  SELECT bin, (mic <= bd.mn + (bd.mx - bd.mn) // 2) AS is_base FROM e, bd
+),
+b AS (SELECT bin, count(*) AS nb FROM h WHERE is_base GROUP BY bin),
+c AS (SELECT bin, count(*) AS nc FROM h WHERE NOT is_base GROUP BY bin),
+dom AS (
+  SELECT COALESCE(b.bin, c.bin) AS bin,
+         COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc, count(*) AS k FROM dom)
+SELECT CAST(sum(nb) AS BIGINT) AS n_base, CAST(sum(nc) AS BIGINT) AS n_cur,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(((nc + 0.5) / (tc + 0.5 * k) - (nb + 0.5) / (tb + 0.5 * k))
+             * (ln((nc + 0.5) / (tc + 0.5 * k)) - ln((nb + 0.5) / (tb + 0.5 * k)))), 6) AS psi
+FROM dom, t
+"""
+
+# calibration composes the already-gated score oracle verbatim, so the
+# audited scores can never drift from the gated classifier
+ORACLES["quality_calibration"] = f"""
+WITH scored AS ({ORACLES["quality_lr_score"].strip()})
+SELECT CAST(least(floor(quality_p * 10), 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality_p), 6) AS mean_p,
+       round(avg(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pos_rate
+FROM scored JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+ORACLES["dedup_survivor_quality"] = _PAIRS_CTE.replace(
+    "WITH", "WITH RECURSIVE", 1
+) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+tk AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+rk AS (
+  SELECT lab.node AS doc_id, lab.cluster_id, tk.n_tokens,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY tk.n_tokens DESC, lab.node) AS rn,
+         count(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+  FROM lab JOIN tk ON lab.node = tk.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS survivor_id,
+       n_tokens AS survivor_tokens, CAST(n_members AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+"""
+
+ORACLES["doc_ngram_novelty"] = """
+WITH d AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT source, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS gram
+  FROM d
+),
+k AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gk
+  FROM g
+),
+s AS (SELECT gk, count(DISTINCT source) AS n_sources FROM k GROUP BY gk)
+SELECT k.source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty_ratio
+FROM k JOIN s USING (gk)
+GROUP BY k.source
+"""
+
+ORACLES["dedup_threshold_curve"] = _PAIRS_CTE + """,
+ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(a.ts, b.ts))
+               / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
+  FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+),
+thr AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+        FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) AS t(threshold)),
+hits AS (
+  SELECT thr.threshold, jac.doc_a, jac.doc_b
+  FROM thr JOIN jac ON jac.jaccard >= thr.threshold
+),
+np AS (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY threshold),
+nd AS (
+  SELECT threshold, count(*) AS n_docs FROM (
+    SELECT DISTINCT threshold, d FROM (
+      SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hits
+    )
+  ) GROUP BY threshold
+)
+SELECT thr.threshold, CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs_affected
+FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+"""
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
@@ -5626,6 +6051,9 @@ _R05_ADDITIONS: list[str] = [
         "doc_dup_coverage", "corpus_contam_overlap", "events_hdr_quantiles",
         "doc_len_profile_by_lang", "orders_window_topn", "doc_simhash_hamming_hist",
         "ann_recall_ivf", "corpus_health",
+        # second batch
+        "semantic_dedup", "events_psi_drift", "quality_calibration",
+        "dedup_survivor_quality", "doc_ngram_novelty", "dedup_threshold_curve",
     )
     if k in QUERIES
 ]

@@ -1611,3 +1611,116 @@ def test_banded_signature_frame_matches_expression(spark, sf_dir):
         for r in banded_signature_frame(emb, 12, 4).collect()
     }
     assert expr == fast
+
+
+def test_semantic_dedup_matches_numpy_model(spark, sf_dir):
+    """Independent verification of the SemDeDup dup rule: given the
+    cluster assignment the query itself emits, every dup link must
+    equal a brute-force numpy within-cluster cosine check (dup_of =
+    smallest lower-id partner with cosine >= 0.4, kept = none)."""
+    import numpy as np
+
+    from aardappel_spark.registry import QUERIES
+
+    rows = QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cid, []).append(r.vec_id)
+    assert len(rows) == len(emb)
+    for r in rows:
+        hits = []
+        for j in by_cluster[r.cid]:
+            if j >= r.vec_id:
+                continue
+            a, b = emb[r.vec_id], emb[j]
+            s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if s >= 0.4:
+                hits.append(j)
+        if hits:
+            assert r.dup_of == min(hits) and not r.kept, r
+        else:
+            assert r.dup_of is None and r.kept, r
+
+
+def test_psi_drift_matches_python_model(spark, sf_dir):
+    """events_psi_drift equals a from-scratch Python fold over the
+    collected events: same midpoint split, same width-25 bins, same
+    +0.5 Laplace smoothing."""
+    import math
+
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.sources import load_events_ns
+
+    [row] = QUERIES["events_psi_drift"](spark, sf_dir).collect()
+    ev = load_events_ns(spark, sf_dir).select("ts", "value").collect()
+    mics = [r.ts // 1000 for r in ev]
+    mid = min(mics) + (max(mics) - min(mics)) // 2
+    base: dict[int, int] = {}
+    cur: dict[int, int] = {}
+    for r in ev:
+        side = base if r.ts // 1000 <= mid else cur
+        b = math.floor(r.value / 25)
+        side[b] = side.get(b, 0) + 1
+    dom = sorted(set(base) | set(cur))
+    tb, tc, k = sum(base.values()), sum(cur.values()), len(dom)
+    psi = 0.0
+    for b in dom:
+        pb = (base.get(b, 0) + 0.5) / (tb + 0.5 * k)
+        pc = (cur.get(b, 0) + 0.5) / (tc + 0.5 * k)
+        psi += (pc - pb) * (math.log(pc) - math.log(pb))
+    assert row.n_base == tb and row.n_cur == tc and row.n_bins == k
+    assert abs(row.psi - psi) <= 1e-6
+
+
+def test_threshold_curve_is_monotone_and_consistent(spark, sf_dir):
+    """Pair mass and affected-doc mass must be non-increasing in the
+    threshold, and every affected-doc count is bounded by 2x pairs."""
+    from aardappel_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["dedup_threshold_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_affected >= b.n_docs_affected
+    for r in rows:
+        assert r.n_docs_affected <= 2 * r.n_pairs
+
+
+def test_survivor_quality_picks_longest_member(spark, sf_dir):
+    """Each cluster's survivor must hold the cluster's max token count
+    (ties resolved to the smallest doc_id) and the member counts must
+    sum to the corpus size."""
+    from aardappel_spark.ops.dedup import neardup_clusters
+    from aardappel_spark.ops.text import tokens_col
+    from aardappel_spark.registry import (
+        QUERIES,
+        _docs,
+        _minhash_pairs_cached,
+    )
+
+    out = {r.cluster_id: r for r in QUERIES["dedup_survivor_quality"](spark, sf_dir).collect()}
+    docs = _docs(spark, sf_dir)
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    clusters = neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir)).collect()
+    members: dict[int, list[int]] = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(out) == set(members)
+    assert sum(r.n_members for r in out.values()) == len(toks)
+    for cid, mem in members.items():
+        best = min(mem, key=lambda d: (-toks[d], d))
+        assert out[cid].survivor_id == best
+        assert out[cid].survivor_tokens == toks[best]
+        assert out[cid].n_members == len(mem)

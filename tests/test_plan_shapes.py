@@ -344,3 +344,60 @@ def test_theta_union_and_hdr_no_joins(spark):
         plan = _plan(spark, q)
         assert "Join" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_semantic_dedup_pairs_are_cluster_equi_join(spark):
+    """semantic_dedup's pair generation must be an equi-join on the
+    cluster id (the SemDeDup contract: within-cluster work only) —
+    never a cartesian/nested-loop over the corpus. The signature build
+    is the shared mapInPandas kernel."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_psi_drift_scalars_broadcast(spark):
+    """events_psi_drift joins only 1-row scalar frames (time bounds,
+    totals) against the stream — those must be broadcasts; the rest is
+    hash aggregation. No shuffle-side cartesian."""
+    plan = _plan(spark, "events_psi_drift")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_quality_calibration_single_agg_over_join(spark):
+    plan = _plan(spark, "quality_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_survivor_quality_window_is_cluster_partitioned(spark):
+    """dedup_survivor_quality's argmax must be a window partitioned by
+    cluster_id (shuffle keyed on the cluster label), never a global
+    sort of the corpus."""
+    plan = _plan(spark, "dedup_survivor_quality")
+    assert "Window" in plan
+    assert "cluster_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_shuffles_hashed_keys_not_grams(spark):
+    """doc_ngram_novelty hashes grams to 60-bit longs BEFORE the
+    distinct/agg shuffles — no Exchange may carry the raw gram
+    string."""
+    plan = _plan(spark, "doc_ngram_novelty")
+    for seg in plan.split("Exchange")[1:]:
+        line = seg.splitlines()[0]
+        assert "gram#" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_curve_thresholds_broadcast(spark):
+    """dedup_threshold_curve crosses the candidate pairs with a 5-row
+    literal threshold frame — that join must be a broadcast (either
+    direction), and the heavy pair math must not replan as a
+    cartesian."""
+    plan = _plan(spark, "dedup_threshold_curve")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
