@@ -3471,6 +3471,108 @@ def q_dedup_threshold_curve(spark, sf_dir):
     )
 
 
+def q_events_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM change-point detector. With reference
+    level 55 (corpus mean ~50 plus slack 5), the classic recursion
+    s_i = max(0, s_{i-1} + (x_i - 55)) rewrites exactly as
+    S_i - min(0, min_{j<=i} S_j) with S the running sum of (x - 55) —
+    two window functions over ONE per-user sort instead of a
+    sequential fold, so the whole detector is a single Exchange keyed
+    on user_id at any scale (the least(0, ...) term is the empty-prefix
+    S_0 = 0 the classic recursion implicitly includes). The alarm
+    compares the ROUNDED statistic so an ulp of cross-engine summation
+    drift cannot flip a boundary case. Streaming twin:
+    stateful.streaming_cusum carries (S, min S) as two scalars/user."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("mic"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("mic", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = ev.withColumn("S", F.sum(F.col("value") - 55.0).over(w))
+    c = s.withColumn(
+        "cusum",
+        F.round(F.col("S") - F.least(F.lit(0.0), F.min("S").over(w)), 6),
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        "cusum",
+        (F.col("cusum") > 100.0).alias("alarm"),
+    )
+
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def q_emb_mmr_diverse(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    1998) — the selection a retrieval/training pipeline uses when the
+    plain cosine top-k is too redundant. Greedy k=5 against query
+    vector 0: each step scores every remaining candidate with
+    0.7*relevance - 0.3*max_sim_to_selected and takes the argmax
+    (ties -> smallest vec_id). The selected set (<= 5 vectors) rides
+    along as broadcast literals, so each step is ONE distributed
+    TakeOrdered pass over the persisted relevance frame and the driver
+    holds k rows total — the same bounded-collect shape as
+    quality_lr_train's gradient steps. The oracle replays the greedy
+    chain step-for-step as SQL CTEs."""
+    from .ops.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out_schema = "step int, vec_id bigint, score double, relevance double"
+    qrow = emb.filter(F.col("vec_id") == 0).head(1)
+    if not qrow:
+        return spark.createDataFrame([], out_schema)
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0].v])
+    base = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "v", cosine(F.col("v"), qlit).alias("rel"))
+        .persist()
+    )
+    selected: list = []
+    out_rows = []
+    for step in range(_MMR_K):
+        if selected:
+            sims = [
+                cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in sv]))
+                for _, sv in selected
+            ]
+            maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            maxsim = F.lit(0.0)
+        score = F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(
+            1 - _MMR_LAMBDA
+        ) * maxsim
+        pick = (
+            base.filter(
+                ~F.col("vec_id").isin([i for i, _ in selected])
+                if selected
+                else F.lit(True)
+            )
+            .select("vec_id", "v", "rel", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        r = pick[0]
+        selected.append((r.vec_id, r.v))
+        out_rows.append(
+            (step + 1, r.vec_id, round(r.score, 6), round(r.rel, 6))
+        )
+    base.unpersist()
+    return spark.createDataFrame(out_rows, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -5864,12 +5966,110 @@ GROUP BY v.vec_id
 # text (_IVF_ASG_CTE, _PAIRS_CTE, quality_lr_score).
 # ---------------------------------------------------------------------------
 
+def _mmr_oracle_sql(k: int = _MMR_K, lam: float = _MMR_LAMBDA) -> str:
+    """Replay q_emb_mmr_diverse's greedy chain as SQL CTEs: pick{s} is
+    the argmax of lam*rel - (1-lam)*max_sim_to_picked over the not-yet-
+    picked candidates. The weights are emitted with repr() so DuckDB
+    parses the IDENTICAL doubles Spark multiplies with (1 - 0.7 is
+    0.30000000000000004 in IEEE, not 0.3)."""
+    a, b = repr(lam), repr(1 - lam)
+    parts = [
+        """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+qv AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnrm FROM qv),
+rel AS (
+  SELECT v.vec_id, sum(v.x * qv.qx) / (n.nrm * qn.qnrm) AS rel
+  FROM v JOIN qv USING (i) JOIN n ON v.vec_id = n.vec_id, qn
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id, n.nrm, qn.qnrm
+)"""
+    ]
+    for s in range(1, k + 1):
+        prior = list(range(1, s))
+        for t in prior:
+            parts.append(
+                f""",
+sim{s}_{t} AS (
+  SELECT v.vec_id, sum(v.x * sv.x) / (n.nrm * sn.nrm) AS sim
+  FROM v
+  JOIN v sv ON sv.i = v.i AND sv.vec_id = (SELECT vec_id FROM pick{t})
+  JOIN n ON n.vec_id = v.vec_id
+  JOIN n sn ON sn.vec_id = (SELECT vec_id FROM pick{t})
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id, n.nrm, sn.nrm
+)"""
+            )
+        if not prior:
+            score = f"{a} * rel.rel - {b} * 0.0"
+            joins = ""
+        else:
+            sims = ", ".join(f"sim{s}_{t}.sim" for t in prior)
+            maxsim = sims if len(prior) == 1 else f"greatest({sims})"
+            score = f"{a} * rel.rel - {b} * {maxsim}"
+            joins = "".join(
+                f"\n  JOIN sim{s}_{t} ON sim{s}_{t}.vec_id = rel.vec_id"
+                for t in prior
+            )
+        not_in = (
+            ""
+            if not prior
+            else "\n  WHERE rel.vec_id NOT IN ("
+            + " UNION ALL ".join(f"SELECT vec_id FROM pick{t}" for t in prior)
+            + ")"
+        )
+        parts.append(
+            f""",
+pick{s} AS (
+  SELECT rel.vec_id, rel.rel, {score} AS score
+  FROM rel{joins}{not_in}
+  ORDER BY score DESC, rel.vec_id
+  LIMIT 1
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS INTEGER) AS step, vec_id, round(score, 6) AS score,"
+        f" round(rel, 6) AS relevance FROM pick{s}"
+        for s in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
 QUERIES["semantic_dedup"] = q_semantic_dedup
 QUERIES["events_psi_drift"] = q_events_psi_drift
 QUERIES["quality_calibration"] = q_quality_calibration
 QUERIES["dedup_survivor_quality"] = q_dedup_survivor_quality
 QUERIES["doc_ngram_novelty"] = q_doc_ngram_novelty
 QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+QUERIES["events_cusum"] = q_events_cusum
+QUERIES["emb_mmr_diverse"] = q_emb_mmr_diverse
+
+ORACLES["events_cusum"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS mic, value FROM events
+),
+s AS (
+  SELECT user_id, event_id, mic,
+         sum(value - 55.0) OVER (PARTITION BY user_id ORDER BY mic, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS S
+  FROM e
+),
+c AS (
+  SELECT user_id, event_id,
+         round(S - least(0.0, min(S) OVER (PARTITION BY user_id
+                                           ORDER BY mic, event_id
+                                           ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+  FROM s
+)
+SELECT user_id, event_id, cusum, (cusum > 100.0) AS alarm FROM c
+"""
+
+ORACLES["emb_mmr_diverse"] = _mmr_oracle_sql()
 
 # SemDeDup: the identical k-means build as ann_ivf (shared prefix), then
 # within-cluster pairs only — the equi-join on cid IS the oracle's proof
@@ -6054,6 +6254,7 @@ _R05_ADDITIONS: list[str] = [
         # second batch
         "semantic_dedup", "events_psi_drift", "quality_calibration",
         "dedup_survivor_quality", "doc_ngram_novelty", "dedup_threshold_curve",
+        "events_cusum", "emb_mmr_diverse",
     )
     if k in QUERIES
 ]

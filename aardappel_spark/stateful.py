@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DecimalType,
     DoubleType,
     LongType,
@@ -852,4 +853,134 @@ def streaming_kmv_distinct(
         stateStructType=KMV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("cusum", DoubleType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("alarm", BooleanType(), False),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType(), False),   # running sum of (value - ref)
+        StructField("m", DoubleType(), False),   # min(0, running min of S)
+        StructField("n", LongType(), False),
+    ]
+)
+
+_CUSUM_REF = 55.0   # reference level + slack (registry.q_events_cusum)
+_CUSUM_H = 100.0    # alarm threshold
+
+
+def _cusum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    S, M, n = state.get if state.exists else (0.0, 0.0, 0)
+    # concat all Arrow chunks before the event-time sort (see _ewma_fn:
+    # per-chunk sorting folds chunks in arrival order and breaks the
+    # split-anywhere invariant for >10k-row groups)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for v in pdf.sort_values(["mic", "event_id"])["value"]:
+            S += float(v) - _CUSUM_REF
+            M = min(M, S)
+            n += 1
+    state.update((S, M, n))
+    cusum = round(S - M, 6)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "cusum": cusum,
+                "n_events": n,
+                "alarm": cusum > _CUSUM_H,
+            }
+        ]
+    )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_cusum`` detector: per user,
+    managed state carries the running sum S of (value - 55) and
+    M = min(0, min prefix S) — TWO scalars regardless of stream volume
+    — and each batch emits the user's post-batch CUSUM statistic
+    S - M with the alarm verdict. The fold is associative under batch
+    splitting (state is exactly the fold accumulator), so any
+    micro-batch split plus checkpoint restarts equals the one-batch
+    fold — pinned by test against the window-rewrite batch kernel.
+
+    Reference scope: the reference engine has no analytics module; this
+    is the training-data-pipeline surface (SURVEY.md §2 extension)."""
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema[ts_col].dataType.simpleString()
+    mic = (
+        F.expr(f"{ts_col} div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(id_col).cast("long").alias("event_id"),
+        mic.alias("mic"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_cusum_fold(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Batch reference kernel for ``streaming_cusum``: the registry's
+    window rewrite (S - min(0, running min S)) evaluated at each
+    user's LAST event — the value the stream reports after absorbing
+    the same rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ts_field = events.schema["ts"].dataType.simpleString()
+    mic = (
+        F.expr("ts div 1000")
+        if ts_field == "bigint"
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    shaped = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("long").alias("event_id"),
+        mic.alias("mic"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("mic", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("user_id")
+    s = shaped.withColumn("S", F.sum(F.col("value") - _CUSUM_REF).over(w))
+    c = s.withColumn(
+        "cusum", F.round(F.col("S") - F.least(F.lit(0.0), F.min("S").over(w)), 6)
+    ).withColumn("rn", F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("mic"), F.desc("event_id"))
+    )).withColumn("n_events", F.count("*").over(wall))
+    return c.filter(F.col("rn") == 1).select(
+        "user_id",
+        "cusum",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("cusum") > _CUSUM_H).alias("alarm"),
     )

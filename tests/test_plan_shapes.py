@@ -401,3 +401,45 @@ def test_threshold_curve_thresholds_broadcast(spark):
     plan = _plan(spark, "dedup_threshold_curve")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_cusum_two_windows_one_exchange(spark):
+    """events_cusum's running-sum and running-min share one per-user
+    sort: the plan must contain exactly ONE shuffle Exchange (keyed on
+    user_id) and no join at all."""
+    plan = _plan(spark, "events_cusum")
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+
+
+def test_mmr_step_is_takeordered_no_join(spark):
+    """An MMR greedy step scores candidates against literal selected
+    vectors — its plan must be a TakeOrdered over the scan with no join
+    of any kind (the registry query materializes per step, so the step
+    plan is reconstructed here exactly as q_emb_mmr_diverse builds
+    it)."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.ops.similarity import cosine
+    from aardappel_spark.registry import _MMR_LAMBDA
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qlit = F.array(*[F.lit(0.1)] * 64)
+    base = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "v", cosine(F.col("v"), qlit).alias("rel")
+    )
+    score = F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(1 - _MMR_LAMBDA) * cosine(
+        F.col("v"), qlit
+    )
+    step = (
+        base.filter(~F.col("vec_id").isin([3, 7]))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(1)
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

@@ -798,3 +798,70 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     # counts exceeded it (the estimate is doing real work)
     assert latest["ALL"][0] == KMV_K and len(groups["ALL"]) > KMV_K
     assert latest["purchase"][0] == 30  # small group: exact
+
+
+def test_streaming_cusum_matches_batch_fold(spark, tmp_path):
+    """The stream-maintained CUSUM over three micro-batches (with a
+    checkpoint restart between each) must equal the batch window
+    rewrite at each user's last event — including a user whose spike
+    crosses the alarm threshold mid-stream and one who never does."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.stateful import batch_cusum_fold, streaming_cusum
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    collected = []
+
+    rows = [
+        # (user_id, event_id, mic, value) — user 1 spikes (alarm), user
+        # 2 stays at the reference, batch 2 has a same-micros tie
+        [(1, 1, 100, 200.0), (1, 2, 200, 180.0), (2, 3, 100, 50.0)],
+        [(1, 4, 300, 30.0), (1, 5, 300, 250.0), (2, 6, 400, 55.0)],
+        [(2, 7, 500, 40.0), (1, 8, 500, 10.0), (3, 9, 50, 70.0)],
+    ]
+
+    def write(name, batch):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, eid, mic, v in batch:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": mic * 1000, "value": v}
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts long, value double"
+        ).json(src)
+        q = (
+            streaming_cusum(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, batch in enumerate(rows):
+        write(f"b{i}.jsonl", batch)
+        run()
+
+    latest = {}
+    for r in collected:
+        latest[r.user_id] = (r.cusum, r.n_events, r.alarm)
+
+    flat = [r for batch in rows for r in batch]
+    batch_df = spark.createDataFrame(
+        flat, "user_id long, event_id long, mic long, value double"
+    ).select("user_id", "event_id", F.expr("mic * 1000").alias("ts"), "value")
+    expect = {
+        r.user_id: (r.cusum, r.n_events, r.alarm)
+        for r in batch_cusum_fold(batch_df).collect()
+    }
+    assert latest == expect
+    assert expect[1][2] is True  # the spike user alarms
+    assert expect[2][2] is False  # the at-reference user never does
