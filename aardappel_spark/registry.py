@@ -3573,6 +3573,84 @@ def q_emb_mmr_diverse(spark, sf_dir):
     return spark.createDataFrame(out_rows, out_schema)
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """The corpus-cut funnel a training pipeline reports before a run:
+    how many documents survive each successive stage — exact dedup
+    (md5-group min-id), near-dup dedup (LSH cluster survivors),
+    quality heuristics (doc_quality keep), and decontamination (no
+    benchmark 4-gram overlap, the doc_score convention). Every flag is
+    a doc_id-keyed LEFT join of the shared frames the individual gated
+    queries already build, folded into ONE conditional aggregation and
+    unpivoted with stack() — a single pass over the flag frame, no
+    per-stage rescans, the 100 TB-sane funnel shape."""
+    from .ops.dedup import contamination_check_grams, neardup_clusters
+    from .ops.text import doc_quality
+
+    docs = _docs(spark, sf_dir)
+    surv_e = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("f_exact"))
+    )
+    near = (
+        neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir))
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("f_near"))
+    )
+    q = doc_quality(docs).select("doc_id", F.col("keep").alias("f_keep"))
+    g4 = _grams4_cached(spark, sf_dir)
+    cont = contamination_check_grams(
+        g4.filter(F.col("doc_id") >= 5), g4.filter(F.col("doc_id") < 5)
+    ).select("doc_id", F.lit(True).alias("f_cont"))
+    fl = (
+        docs.select("doc_id")
+        .join(surv_e, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            F.coalesce("f_exact", F.lit(False)).alias("f_exact"),
+            F.coalesce("f_near", F.lit(False)).alias("f_near"),
+            F.coalesce("f_keep", F.lit(False)).alias("f_keep"),
+            F.coalesce("f_cont", F.lit(False)).alias("f_cont"),
+        )
+    )
+    one = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    a = fl.agg(
+        F.count("*").cast("bigint").alias("total"),
+        one(F.col("f_exact")).alias("n_exact"),
+        one(F.col("f_exact") & F.col("f_near")).alias("n_near"),
+        one(F.col("f_exact") & F.col("f_near") & F.col("f_keep")).alias(
+            "n_quality"
+        ),
+        one(
+            F.col("f_exact")
+            & F.col("f_near")
+            & F.col("f_keep")
+            & ~F.col("f_cont")
+        ).alias("n_clean"),
+    )
+    for c in ("total", "n_exact", "n_near", "n_quality", "n_clean"):
+        # try_divide: an empty corpus has total = 0 and must report a
+        # NULL pct, not raise under ANSI mode
+        a = a.withColumn(
+            f"p_{c}",
+            F.round(F.try_divide(F.col(c), F.col("total").cast("double")), 6),
+        )
+    return a.select(
+        F.expr(
+            "stack(5,"
+            " 'total', total, p_total,"
+            " 'exact_dedup', n_exact, p_n_exact,"
+            " 'near_dedup', n_near, p_n_near,"
+            " 'quality', n_quality, p_n_quality,"
+            " 'decontaminated', n_clean, p_n_clean"
+            ") as (stage, n_docs, pct)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -6071,6 +6149,74 @@ SELECT user_id, event_id, cusum, (cusum > 100.0) AS alarm FROM c
 
 ORACLES["emb_mmr_diverse"] = _mmr_oracle_sql()
 
+QUERIES["corpus_funnel"] = q_corpus_funnel
+
+ORACLES["corpus_funnel"] = _PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+near AS (SELECT node AS doc_id FROM lab WHERE cluster_id = node),
+ex AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+tq AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (CAST(len(toks) AS BIGINT) >= 5
+          AND round(CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS DOUBLE)
+                    / greatest(len(toks), 1), 6) <= 0.3
+          AND round(CAST(len(list_filter(toks, x -> lower(x) IN (STOPS_PLACEHOLDER))) AS DOUBLE)
+                    / greatest(len(toks), 1), 6) >= 0.01) AS keep
+  FROM tq
+),
+g4 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END) AS gram
+  FROM d
+),
+block AS (SELECT DISTINCT gram FROM g4 WHERE doc_id < 5),
+cont AS (
+  SELECT DISTINCT g4.doc_id FROM g4 JOIN block USING (gram) WHERE g4.doc_id >= 5
+),
+fl AS (
+  SELECT dd.doc_id,
+         (ex.doc_id IS NOT NULL) AS f_exact,
+         (near.doc_id IS NOT NULL) AS f_near,
+         COALESCE(q.keep, false) AS f_keep,
+         (cont.doc_id IS NOT NULL) AS f_cont
+  FROM documents dd
+  LEFT JOIN ex ON ex.doc_id = dd.doc_id
+  LEFT JOIN near ON near.doc_id = dd.doc_id
+  LEFT JOIN q ON q.doc_id = dd.doc_id
+  LEFT JOIN cont ON cont.doc_id = dd.doc_id
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN f_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN f_exact AND f_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         CAST(sum(CASE WHEN f_exact AND f_near AND f_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(sum(CASE WHEN f_exact AND f_near AND f_keep AND NOT f_cont THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+  FROM fl
+)
+SELECT 'total' AS stage, total AS n_docs, round(total / CAST(total AS DOUBLE), 6) AS pct FROM a
+UNION ALL SELECT 'exact_dedup', n_exact, round(n_exact / CAST(total AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'near_dedup', n_near, round(n_near / CAST(total AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'quality', n_quality, round(n_quality / CAST(total AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'decontaminated', n_clean, round(n_clean / CAST(total AS DOUBLE), 6) FROM a
+""".replace("STOPS_PLACEHOLDER", _STOP_SQL)
+
 # SemDeDup: the identical k-means build as ann_ivf (shared prefix), then
 # within-cluster pairs only — the equi-join on cid IS the oracle's proof
 # that no all-pairs work happens.
@@ -6221,15 +6367,15 @@ FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 127
+# 50 keys of the then-current insertion order). The registry holds 150
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
-# sweeps, but the bar is the driver artifact) — they go first this round so
-# union(r03, r04, r05) = the whole registry. The remaining slots re-confirm
-# round-5 additions and the flagship CDC pipeline. Full-registry parity is
-# additionally checked every round by tools/check_oracle.py (all green at
-# sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
+# sweeps, but the bar is the driver artifact) — they go first this round.
+# The 23 round-5 additions fill slots 27-49 (1 headliner pad completes the
+# 50), so union(r01..r05) = the whole 150-query registry. Full-registry
+# parity is additionally checked every round by tools/check_oracle.py (all
+# green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [
     # -- the 26 never-driver-gated queries (see NOTES_r4.md) --
     "events_running_sum", "doc_weighted_sample", "vocab_postings",
@@ -6254,7 +6400,7 @@ _R05_ADDITIONS: list[str] = [
         # second batch
         "semantic_dedup", "events_psi_drift", "quality_calibration",
         "dedup_survivor_quality", "doc_ngram_novelty", "dedup_threshold_curve",
-        "events_cusum", "emb_mmr_diverse",
+        "events_cusum", "emb_mmr_diverse", "corpus_funnel",
     )
     if k in QUERIES
 ]

@@ -1724,3 +1724,18 @@ def test_survivor_quality_picks_longest_member(spark, sf_dir):
         assert out[cid].survivor_id == best
         assert out[cid].survivor_tokens == toks[best]
         assert out[cid].n_members == len(mem)
+
+
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    """Each funnel stage can only shrink the corpus, and the stage
+    order/percentages must be internally consistent."""
+    from aardappel_spark.registry import QUERIES
+
+    rows = {r.stage: r for r in QUERIES["corpus_funnel"](spark, sf_dir).collect()}
+    order = ["total", "exact_dedup", "near_dedup", "quality", "decontaminated"]
+    assert set(rows) == set(order)
+    counts = [rows[s].n_docs for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert rows["total"].pct == 1.0
+    for s in order:
+        assert abs(rows[s].pct - rows[s].n_docs / rows["total"].n_docs) < 1e-6

@@ -443,3 +443,13 @@ def test_mmr_step_is_takeordered_no_join(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_corpus_funnel_single_flag_pass(spark):
+    """corpus_funnel folds all stage flags into one aggregation over a
+    doc_id-keyed join tree — no cartesian, no nested loop, and the
+    unpivot must be a Generate (stack), not a union of rescans."""
+    plan = _plan(spark, "corpus_funnel")
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan
+    assert "Generate stack" in plan

@@ -66,6 +66,15 @@ PROBE_QUERIES = [
     "ann_lsh_banded",
     "emb_pca_project",
     "events_theta_union",
+    # round-5 second batch: CUSUM window pair (one Exchange), gram
+    # novelty (hashed-key aggs). semantic_dedup is deliberately NOT
+    # probed at fixed parameters: with n_centroids pinned at 16 for
+    # oracle parity its within-cluster pair mass grows ~quadratically
+    # in corpus size — the production dial is n_centroids ∝ N (see the
+    # query docstring); probing the fixed-parameter variant would
+    # measure the wrong configuration, not reveal a hidden defect.
+    "events_cusum",
+    "doc_ngram_novelty",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
