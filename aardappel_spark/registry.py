@@ -303,6 +303,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
         _SIMHASH64_CACHE,
         _GRAMS4_CACHE,
         _BANDED_SIG_CACHE,
+        _IVF_ASSIGN_CACHE,
     ):
         for key in list(cache):
             if app is None or key[0] == app:
@@ -986,6 +987,24 @@ def _minhash_pairs_cached(spark, sf_dir):
             sig=_minhash_sig_cached(spark, sf_dir),
         ).persist()
     return _PAIRS_CACHE[key]
+
+
+# one deterministic k-means assignment (the IVF build) feeds
+# semantic_dedup's pair generation — memoize-and-persist like the other
+# shared frames so repeated calls don't re-run the build or leak
+# persisted RDDs
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_assigned_cached(spark, sf_dir):
+    from .ops.similarity import ivf_build
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _IVF_ASSIGN_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, _centroids = ivf_build(emb, n_centroids=16, refine_iters=1)
+        _IVF_ASSIGN_CACHE[key] = assigned.persist()
+    return _IVF_ASSIGN_CACHE[key]
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3230,15 +3249,14 @@ def q_semantic_dedup(spark, sf_dir):
     shrinks quadratically as clusters narrow). Oracle replays the
     identical k-means build via _IVF_ASG_CTE and the same raw-vector
     cosine, so cluster ids, dup links, and verdicts all hash-match."""
-    from .ops.similarity import cosine, ivf_build
+    from .ops.similarity import cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if emb.head(1) == []:  # ivf_build seeds from data; empty corpus -> no rows
         return spark.createDataFrame(
             [], "vec_id bigint, cid int, dup_of bigint, kept boolean"
         )
-    assigned, _centroids = ivf_build(emb, n_centroids=16, refine_iters=1)
-    assigned = assigned.persist()
+    assigned = _ivf_assigned_cached(spark, sf_dir)
     a = assigned.select(
         F.col("_c").alias("cid"),
         F.col("_id").alias("id_a"),

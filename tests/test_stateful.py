@@ -865,3 +865,40 @@ def test_streaming_cusum_matches_batch_fold(spark, tmp_path):
     assert latest == expect
     assert expect[1][2] is True  # the spike user alarms
     assert expect[2][2] is False  # the at-reference user never does
+
+
+def test_cusum_window_rewrite_equals_classic_recursion(spark):
+    """The S - min(0, min-prefix S) window rewrite must equal the
+    textbook recursion s_i = max(0, s_{i-1} + (x_i - ref)) on random
+    sequences — including all-below-reference and spike-then-recover
+    shapes."""
+    import random
+
+    from aardappel_spark.stateful import _CUSUM_REF, batch_cusum_fold
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        for i in range(rng.randint(1, 40)):
+            eid += 1
+            base = rng.uniform(0.0, 120.0)
+            if rng.random() < 0.1:
+                base += rng.uniform(100.0, 300.0)  # spike
+            rows.append((uid, eid, i * 10 + rng.randint(0, 5), round(base, 2)))
+
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, event_id long, mic long, value double"
+    ).selectExpr("user_id", "event_id", "mic * 1000 AS ts", "value")
+    got = {r.user_id: (r.cusum, r.n_events) for r in batch_cusum_fold(batch_df).collect()}
+
+    expect = {}
+    per_user: dict[int, list] = {}
+    for uid, eid_, mic, v in rows:
+        per_user.setdefault(uid, []).append((mic, eid_, v))
+    for uid, evs in per_user.items():
+        s = 0.0
+        for _, _, v in sorted(evs):
+            s = max(0.0, s + (v - _CUSUM_REF))
+        expect[uid] = (round(s, 6), len(evs))
+    assert got == expect
