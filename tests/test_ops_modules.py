@@ -1739,3 +1739,19 @@ def test_corpus_funnel_is_monotone(spark, sf_dir):
     assert rows["total"].pct == 1.0
     for s in order:
         assert abs(rows[s].pct - rows[s].n_docs / rows["total"].n_docs) < 1e-6
+
+
+def test_query_index_covers_every_query():
+    """Every registry query must carry a docstring or a SUMMARIES entry
+    so tools/gen_query_index.py renders a complete QUERIES.md."""
+    import importlib
+
+    gen = importlib.import_module("tools.gen_query_index")
+    from aardappel_spark import registry as reg
+
+    missing = [
+        n
+        for n, fn in reg.QUERIES.items()
+        if not fn.__doc__ and n not in gen.SUMMARIES
+    ]
+    assert missing == []
