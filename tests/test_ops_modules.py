@@ -1755,3 +1755,104 @@ def test_query_index_covers_every_query():
         if not fn.__doc__ and n not in gen.SUMMARIES
     ]
     assert missing == []
+
+
+def test_seasonality_matches_python_chi2(spark, sf_dir):
+    """events_seasonality equals a from-scratch chi-square over the
+    collected events, including the closed-form zero-hour term."""
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.sources import load_events_ns
+
+    got = {r.event_type: r for r in QUERIES["events_seasonality"](spark, sf_dir).collect()}
+    ev = load_events_ns(spark, sf_dir).select("event_type", "ts").collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in ev:
+        h = ((r.ts // 1000) // 3600000000) % 24
+        counts.setdefault(r.event_type, {}).setdefault(h, 0)
+        counts[r.event_type][h] += 1
+    assert set(got) == set(counts)
+    for et, hours in counts.items():
+        n = sum(hours.values())
+        e = n / 24.0
+        chi2 = sum((o - e) ** 2 / e for o in hours.values()) + (24 - len(hours)) * e
+        assert got[et].n_events == n
+        assert got[et].n_hours_observed == len(hours)
+        assert abs(got[et].chi2 - chi2) < 1e-3
+
+
+def test_jackknife_matches_numpy_model(spark, sf_dir):
+    """corpus_jackknife_ci equals the numpy delete-one-group jackknife
+    over the same md5 buckets."""
+    import hashlib
+
+    import numpy as np
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    [row] = QUERIES["corpus_jackknife_ci"](spark, sf_dir).collect()
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars").collect()
+    buckets: dict[int, list[float]] = {}
+    for r in docs:
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16) % 32
+        buckets.setdefault(b, []).append(float(r.n_chars))
+    T = sum(sum(v) for v in buckets.values())
+    N = sum(len(v) for v in buckets.values())
+    B = len(buckets)
+    thetas = np.array(
+        [(T - sum(v)) / (N - len(v)) for v in buckets.values()]
+    )
+    se = float(np.sqrt((B - 1) / B * ((thetas**2).sum() - thetas.sum() ** 2 / B)))
+    assert row.n_docs == N and row.n_buckets == B
+    assert abs(row.mean_nchars - T / N) < 1e-4
+    assert abs(row.jackknife_se - se) < 1e-4
+    assert abs(row.ci_lo - (row.mean_nchars - 1.96 * se)) < 1e-3
+
+
+def test_knn_graph_matches_numpy_over_candidates(spark, sf_dir):
+    """Every listed neighbor must be the cosine top-5 (rounded, ties to
+    smaller id) among the vector's banded-LSH candidates, re-derived in
+    numpy from the same shared signature frame."""
+    import numpy as np
+
+    from aardappel_spark.registry import QUERIES, _banded_sig_cached
+
+    rows = QUERIES["emb_knn_graph"](spark, sf_dir).collect()
+    sig = {r.vec_id: list(r._bands) for r in _banded_sig_cached(spark, sf_dir).collect()}
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    # candidate sets from band collisions
+    from collections import defaultdict
+
+    bucket_members = defaultdict(set)
+    for vid, bands in sig.items():
+        for i, bv in enumerate(bands):
+            bucket_members[(i, bv)].add(vid)
+    cands = defaultdict(set)
+    for members in bucket_members.values():
+        for a in members:
+            cands[a] |= members - {a}
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.vec_id, r.rank)):
+        got[r.vec_id].append((r.neighbor, r.sim))
+    assert set(got) == {v for v, c in cands.items() if c}
+    for vid, listed in got.items():
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            emb[vid]
+                            @ emb[j]
+                            / (np.linalg.norm(emb[vid]) * np.linalg.norm(emb[j]))
+                        ),
+                        4,
+                    ),
+                    j,
+                )
+                for j in cands[vid]
+            ),
+        )[:5]
+        expect = [(j, -s) for s, j in scored]
+        assert listed == expect, (vid, listed, expect)

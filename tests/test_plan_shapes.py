@@ -453,3 +453,28 @@ def test_corpus_funnel_single_flag_pass(spark):
     assert "CartesianProduct" not in plan
     assert "Union" not in plan
     assert "Generate stack" in plan
+
+
+def test_knn_graph_band_join_no_cartesian(spark):
+    """emb_knn_graph's candidate generation must be an equi-join on
+    (band, value) — never a cartesian/nested loop — and the top-5 cut
+    a Window partitioned by the source vector."""
+    plan = _plan(spark, "emb_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_seasonality_is_pure_aggregation(spark):
+    plan = _plan(spark, "events_seasonality")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jackknife_totals_broadcast(spark):
+    """corpus_jackknife_ci joins only the 1-row totals frame back onto
+    the 32-row bucket frame — broadcast, with no shuffle-side
+    cartesian."""
+    plan = _plan(spark, "corpus_jackknife_ci")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
