@@ -865,3 +865,89 @@ def pq_topk(
         .orderBy(F.asc("adc"), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_graph_banded(
+    vectors: DataFrame,
+    k: int = 5,
+    n_bands: int = 12,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN graph over banded-LSH candidates, scored bucket-locally.
+
+    Candidate generation AND scoring both happen inside each (band,
+    value) bucket: the corpus ships its vectors once per band
+    membership (n_bands x N narrow rows), each bucket computes a dense
+    numpy Gram matrix of its members, and only (id_a, id_b, dot) rows —
+    24 bytes, not 2 x dims x 8 — leave the bucket. The naive
+    alternative (distinct pairs joined back to two full vector columns)
+    shuffles every candidate pair's BOTH vectors: measured 5.5 s vs
+    ~1.5 s at sf0.1, and the gap widens linearly with dims. Duplicate
+    pairs from multi-band collisions collapse with max() (the dots are
+    identical); norms join as scalars; the top-k cut is a window
+    partitioned by the source vector, ranked on the ROUNDED similarity
+    with id tie-breaks so engine float ulps cannot reorder ranks.
+
+    At 100 TB: band_bits dials bucket occupancy (~N / 2^band_bits per
+    band); per-bucket work is m^2 dots and the Gram matmul is BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    if sig is None:
+        sig = banded_signature_frame(vectors, n_bands, band_bits, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    member = (
+        sig.select(F.col(id_col).alias("_id"), F.posexplode("_bands").alias("_band", "_bv"))
+        .join(v, "_id")
+    )
+
+    def bucket_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dot": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "dot": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        M = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        G = M @ M.T
+        n = len(ids)
+        ia, ib = np.where(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "dot": G[ia, ib]}
+        )
+
+    dots = (
+        member.groupBy("_band", "_bv")
+        .applyInPandas(bucket_dots, "id_a bigint, id_b bigint, dot double")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("dot").alias("dot"))
+    )
+    norms = v.select("_id", _norm(F.col("_v")).alias("nrm"))
+    na = norms.select(F.col("_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor"),
+            F.col("rank").cast("int").alias("rank"),
+            "sim",
+        )
+    )

@@ -3679,52 +3679,16 @@ def q_emb_knn_graph(spark, sf_dir):
     top-5 is a window partitioned by the source vector. At 100 TB the
     dial is band_bits (bucket occupancy ~ N / 2^band_bits). Ranking
     orders by the ROUNDED similarity then neighbor id, so cross-engine
-    summation ulps cannot reorder ranks."""
-    from pyspark.sql.window import Window
+    summation ulps cannot reorder ranks. Scoring is bucket-local
+    (ops.similarity.knn_graph_banded): each band bucket matmuls its
+    own members and emits 24-byte (id_a, id_b, dot) rows — the first
+    cut of this query joined both 512-byte vectors onto every
+    candidate pair (measured 5.5 s vs ~1.5 s at sf0.1, and the gap
+    grows with dims)."""
+    from .ops.similarity import knn_graph_banded
 
-    from .ops.similarity import cosine
-
-    sig = _banded_sig_cached(spark, sf_dir)
-    longf = sig.select(
-        "vec_id", F.posexplode("_bands").alias("_band", "_bv")
-    )
-    a = longf.select(
-        F.col("vec_id").alias("id_a"), "_band", "_bv"
-    )
-    b = longf.select(
-        F.col("vec_id").alias("id_b"), "_band", "_bv"
-    )
-    pairs = (
-        a.join(b, ["_band", "_bv"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    scored = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("neighbor"),
-            F.col("rank").cast("int").alias("rank"),
-            "sim",
-        )
-    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph_banded(emb, k=5, sig=_banded_sig_cached(spark, sf_dir))
 
 
 def q_events_seasonality(spark, sf_dir):
