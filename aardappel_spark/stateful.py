@@ -984,3 +984,106 @@ def batch_cusum_fold(events: DataFrame, user_col: str = "user_id") -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         (F.col("cusum") > _CUSUM_H).alias("alarm"),
     )
+
+
+PSI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_cur", LongType(), False),
+        StructField("n_bins", LongType(), False),
+        StructField("psi", DoubleType(), True),
+    ]
+)
+
+# the accumulated current-window histogram, bin-parallel arrays —
+# bounded by the value domain / bin width, NOT by stream volume
+PSI_STATE_SCHEMA = StructType(
+    [
+        StructField("bins", ArrayType(LongType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+    ]
+)
+
+PSI_BIN_WIDTH = 25.0
+
+
+def psi_statistic(
+    baseline: dict[int, int], current: dict[int, int]
+) -> tuple[int, int, float | None]:
+    """(n_cur, n_bins, psi) of `current` against the frozen `baseline`
+    histogram — the same union-domain +0.5-Laplace formula as the batch
+    events_psi_drift query. None when either side is empty."""
+    import math
+
+    dom = sorted(set(baseline) | set(current))
+    tb, tc, k = sum(baseline.values()), sum(current.values()), len(dom)
+    if k == 0 or tb == 0:
+        return tc, k, None
+    psi = 0.0
+    for b in dom:
+        pb = (baseline.get(b, 0) + 0.5) / (tb + 0.5 * k)
+        pc = (current.get(b, 0) + 0.5) / (tc + 0.5 * k)
+        psi += (pc - pb) * (math.log(pc) - math.log(pb))
+    return tc, k, round(psi, 6)
+
+
+def _make_psi_fn(baseline_by_key: dict[str, dict[int, int]]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur: dict[int, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        # histogram merge is order-insensitive — no sort needed, Arrow
+        # chunking and batch splits cannot change the result
+        for pdf in pdfs:
+            for b in pdf["bin"]:
+                b = int(b)
+                cur[b] = cur.get(b, 0) + 1
+        items = sorted(cur.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        base = baseline_by_key.get(key[0], {})
+        n_cur, n_bins, psi = psi_statistic(base, cur)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_cur": n_cur,
+                    "n_bins": n_bins,
+                    "psi": psi,
+                }
+            ]
+        )
+
+    return fn
+
+
+def streaming_psi_drift(
+    events: DataFrame,
+    baseline_by_key: dict[str, dict[int, int]],
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online distribution-drift monitor: the streaming twin of the
+    batch events_psi_drift query. The baseline histogram (per key) is
+    FROZEN at deploy time — e.g. the batch query's first-half bins —
+    and rides into the workers as a closure constant; managed state
+    accumulates the live histogram per key (bounded by the bin domain,
+    independent of stream volume) and each batch emits the current PSI.
+    Histogram accumulation is a commutative merge, so any micro-batch
+    split plus checkpoint restarts equals the one-batch histogram —
+    and the emitted PSI equals psi_statistic over the same rows,
+    pinned by test against the batch fold."""
+    from pyspark.sql import functions as F
+
+    shaped = events.select(
+        F.col(key_col).cast("string").alias("event_type"),
+        F.floor(F.col(value_col) / PSI_BIN_WIDTH).cast("long").alias("bin"),
+    )
+    return shaped.groupBy("event_type").applyInPandasWithState(
+        _make_psi_fn(baseline_by_key),
+        outputStructType=PSI_OUTPUT_SCHEMA,
+        stateStructType=PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

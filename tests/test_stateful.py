@@ -902,3 +902,68 @@ def test_cusum_window_rewrite_equals_classic_recursion(spark):
             s = max(0.0, s + (v - _CUSUM_REF))
         expect[uid] = (round(s, 6), len(evs))
     assert got == expect
+
+
+def test_streaming_psi_matches_batch_statistic(spark, tmp_path):
+    """The stream-maintained PSI over three micro-batches (with a
+    checkpoint restart between each) must equal psi_statistic over the
+    union of the same rows — per key, against a frozen baseline — and
+    drift must move the number: the shifted key's PSI ends above the
+    stable key's."""
+    import math
+
+    from aardappel_spark.stateful import (
+        PSI_BIN_WIDTH,
+        psi_statistic,
+        streaming_psi_drift,
+    )
+
+    baseline = {
+        "page_view": {0: 40, 1: 40, 2: 20},
+        "purchase": {0: 40, 1: 40, 2: 20},
+    }
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    collected = []
+
+    rows = [
+        # purchase drifts upward; page_view tracks the baseline shape
+        [("page_view", 10.0), ("page_view", 30.0), ("purchase", 60.0)],
+        [("page_view", 26.0), ("purchase", 70.0), ("purchase", 55.0)],
+        [("page_view", 51.0), ("purchase", 64.0), ("page_view", 12.0)],
+    ]
+
+    def write(name, batch):
+        with open(os.path.join(src, name), "w") as f:
+            for et, v in batch:
+                f.write(json.dumps({"event_type": et, "value": v}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("event_type string, value double").json(src)
+        q = (
+            streaming_psi_drift(stream, baseline)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, batch in enumerate(rows):
+        write(f"b{i}.jsonl", batch)
+        run()
+
+    latest = {r.event_type: (r.n_cur, r.n_bins, r.psi) for r in collected}
+
+    hist: dict[str, dict[int, int]] = {}
+    for batch in rows:
+        for et, v in batch:
+            b = math.floor(v / PSI_BIN_WIDTH)
+            hist.setdefault(et, {}).setdefault(b, 0)
+            hist[et][b] += 1
+    expect = {et: psi_statistic(baseline[et], cur) for et, cur in hist.items()}
+    assert latest == expect
+    assert latest["purchase"][2] > latest["page_view"][2]
