@@ -317,3 +317,31 @@ def test_cli_recorded_kafka_source_end_to_end(spark, tmp_path):
         "user_id bigint, value string"
     ).parquet(os.path.join(tmp, "dst_users", "v*", "pkb=*")).collect()}
     assert users == {1: "u1"}
+
+
+def test_run_query_cli_list_and_run(spark, capsys):
+    """The query-runner CLI lists the registry and runs a query (JSON
+    mode) against the shared session; unknown names suggest neighbors."""
+    from aardappel_spark import run_query
+    from aardappel_spark.registry import QUERIES
+
+    assert run_query.main(["--list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert set(out) == set(QUERIES)
+
+    assert (
+        run_query.main(
+            ["dedup_exact", "--sf-dir", "/root/testdata/sf0.001", "--json", "--limit", "3"]
+        )
+        == 0
+    )
+    captured = capsys.readouterr()
+    lines = [l for l in captured.out.strip().splitlines() if l.startswith("{")]
+    assert 1 <= len(lines) <= 3
+    import json as _json
+
+    row = _json.loads(lines[0])
+    assert "rep_doc_id" in row and "n_copies" in row
+
+    assert run_query.main(["dedup_exactt"]) == 2
+    assert "did you mean" in capsys.readouterr().err
