@@ -3780,6 +3780,52 @@ def q_corpus_jackknife_ci(spark, sf_dir):
     )
 
 
+def q_emb_knn_classify(spark, sf_dir):
+    """Semi-supervised kNN classification over the banded-LSH neighbor
+    graph: vectors with vec_id % 4 == 0 keep their labels (the seed
+    set); every other vector takes the majority label among its <= 5
+    graph neighbors that are seeds (ties -> smallest label id), with
+    the true label joined back so the query IS its own accuracy eval —
+    the weak-supervision labeling step a pipeline runs before training
+    on unlabeled data. Reuses the shared kNN graph (one more equi-join
+    + hash-agg on top); the oracle composes the gated graph oracle
+    verbatim, so the classifier can never drift from the graph it
+    claims to vote over. Honest number: on the synthetic embeddings
+    accuracy sits at chance (~0.09 over 10 labels) because the
+    generator draws labels independently of vector geometry — the
+    `correct` column exists precisely so a pipeline measures that
+    BEFORE trusting propagated labels, the same discipline as the ANN
+    recall dials."""
+    from pyspark.sql.window import Window
+
+    knn = q_emb_knn_graph(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    seeds = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("neighbor"), F.col("label").alias("seed_label")
+    )
+    votes = (
+        knn.filter(F.col("vec_id") % 4 != 0)
+        .join(seeds, "neighbor")
+        .groupBy("vec_id", "seed_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("n_votes"), F.asc("seed_label")
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.join(emb, "vec_id").select(
+        "vec_id",
+        F.col("seed_label").cast("int").alias("predicted_label"),
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        F.col("label").alias("true_label"),
+        (F.col("seed_label") == F.col("label")).alias("correct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -6280,6 +6326,7 @@ ORACLES["emb_mmr_diverse"] = _mmr_oracle_sql()
 
 QUERIES["corpus_funnel"] = q_corpus_funnel
 QUERIES["emb_knn_graph"] = q_emb_knn_graph
+QUERIES["emb_knn_classify"] = q_emb_knn_classify
 QUERIES["events_seasonality"] = q_events_seasonality
 QUERIES["corpus_jackknife_ci"] = q_corpus_jackknife_ci
 
@@ -6323,6 +6370,31 @@ SELECT id_a AS vec_id, id_b AS neighbor, CAST(rnk AS INTEGER) AS rank, sim
 FROM r WHERE rnk <= 5
 """
 assert "pr AS" in ORACLES["emb_knn_graph"], "banded CTE prefix drifted"
+
+# composed verbatim from the gated graph oracle, like the ANN recall
+# evals compose their tier oracles
+ORACLES["emb_knn_classify"] = f"""
+WITH knn AS ({ORACLES["emb_knn_graph"].strip()}),
+lab AS (SELECT vec_id AS neighbor, label AS seed_label FROM embeddings
+        WHERE vec_id % 4 = 0),
+votes AS (
+  SELECT knn.vec_id, lab.seed_label, count(*) AS n_votes
+  FROM knn JOIN lab USING (neighbor)
+  WHERE knn.vec_id % 4 <> 0
+  GROUP BY knn.vec_id, lab.seed_label
+),
+best AS (
+  SELECT vec_id, seed_label, n_votes,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY n_votes DESC, seed_label) AS rn
+  FROM votes
+)
+SELECT b.vec_id, CAST(b.seed_label AS INTEGER) AS predicted_label,
+       CAST(b.n_votes AS BIGINT) AS n_votes,
+       e.label AS true_label, (b.seed_label = e.label) AS correct
+FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+WHERE b.rn = 1
+"""
 
 ORACLES["events_seasonality"] = """
 WITH e AS (
@@ -6594,14 +6666,14 @@ FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 153
+# 50 keys of the then-current insertion order). The registry holds 154
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
 # sweeps, but the bar is the driver artifact) — they go first this round.
 # 24 of the 26 round-5 additions fill slots 27-50 (events_seasonality and
 # corpus_jackknife_ci overflow to the r06 rotation; both are green in the
-# committed 3-scale sweeps), so union(r01..r05) covers 151 of 153. Full-registry
+# committed 3-scale sweeps), so union(r01..r05) covers 151 of 154. Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [
@@ -6631,9 +6703,10 @@ _R05_ADDITIONS: list[str] = [
         "events_cusum", "emb_mmr_diverse", "corpus_funnel",
         # third batch — the 50-slot gate holds 26 never-gated + 24 of
         # these additions; the overflow (events_seasonality,
-        # corpus_jackknife_ci) is covered by the committed 3-scale
-        # sweeps this round and leads the r06 rotation
+        # corpus_jackknife_ci, emb_knn_classify) is covered by the
+        # committed 3-scale sweeps this round and leads the r06 rotation
         "emb_knn_graph", "events_seasonality", "corpus_jackknife_ci",
+        "emb_knn_classify",
     )
     if k in QUERIES
 ]
