@@ -154,10 +154,13 @@ def verify_pairs_jaccard(
     j = pairs.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size(F.array_union("_ta", "_tb"))
+    # try_divide: two empty token sets (empty/whitespace-only docs) can
+    # be LSH candidates of each other; their Jaccard is undefined —
+    # NULL, not an ANSI divide-by-zero crash
     return j.select(
         "doc_a",
         "doc_b",
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        F.round(F.try_divide(inter.cast("double"), union), 4).alias("jaccard"),
     )
 
 

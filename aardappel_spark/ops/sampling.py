@@ -139,7 +139,10 @@ def weighted_sample(
     # engines render differently); every other value is unchanged
     key = F.round(F.log(u) / F.col(weight_col), 6) + F.lit(0.0)
     return (
-        df.withColumn("wkey", key)
+        # weight-0 rows are unsampleable by definition in A-ES (and
+        # ln(u)/0 raises under ANSI mode) — drop them before scoring
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wkey", key)
         .orderBy(F.desc("wkey"), F.col(id_col))
         .limit(k)
     )

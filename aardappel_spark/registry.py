@@ -96,7 +96,7 @@ WITH d AS (
   FROM documents
 ),
 t AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 2),
                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
          END) AS token
@@ -1135,7 +1135,9 @@ def q_dedup_est_error(spark, sf_dir):
     j = pairs.join(a, "doc_a").join(b, "doc_b").join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    jac = inter / union
+    # try_divide: empty-shingle-set candidate pairs have undefined
+    # exact Jaccard (NULL), mirroring the oracle's NULLIF
+    jac = F.try_divide(inter, union)
     est_jac = est / F.lit(4.0)
     return j.select(
         "doc_a",
@@ -3084,11 +3086,13 @@ def q_dedup_containment(spark, sf_dir):
     b = tok.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
     j = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    # try_divide: an empty token set (empty/whitespace-only document)
+    # has undefined containment — NULL, not an ANSI crash
     return j.select(
         "doc_a",
         "doc_b",
-        F.round(inter / F.size("_ta"), 6).alias("containment_a"),
-        F.round(inter / F.size("_tb"), 6).alias("containment_b"),
+        F.round(F.try_divide(inter, F.size("_ta")), 6).alias("containment_a"),
+        F.round(F.try_divide(inter, F.size("_tb")), 6).alias("containment_b"),
     )
 
 
@@ -4066,7 +4070,7 @@ WITH d AS (
   FROM documents
 ),
 t AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 2),
                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
          END) AS token
@@ -4101,8 +4105,8 @@ FROM t WHERE token <> '' GROUP BY lang, source
 """,
     "doc_fingerprint": """
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+       md5(COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> t <> ''))), ' '), '')) AS fp
 FROM documents
 """,
     "ann_cosine": """
@@ -4271,7 +4275,7 @@ FROM h GROUP BY doc_id
 ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d)
 SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(a.ts, b.ts))
-             / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
+             / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0), 4) AS jaccard
 FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
 """,
     "dedup_simhash64": """
@@ -4414,7 +4418,7 @@ rep AS (
   SELECT doc_id,
          round((len(g) - len(list_distinct(g))) / CAST(greatest(len(g), 1) AS DOUBLE), 4) AS rep_ratio
   FROM (
-    SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+    SELECT doc_id, CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
            ELSE list_transform(generate_series(1, len(t) - 2),
                                i -> array_to_string(list_slice(t, i, i + 2), ' '))
            END AS g
@@ -4422,7 +4426,7 @@ rep AS (
   )
 ),
 g4 AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 3),
                              i -> array_to_string(list_slice(t, i, i + 3), ' '))
          END) AS gram
@@ -4443,7 +4447,7 @@ WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ),
 g AS (
-  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 2),
                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
          END AS grams
@@ -4461,7 +4465,7 @@ WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ),
 g AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 3),
                              i -> array_to_string(list_slice(t, i, i + 3), ' '))
          END) AS gram
@@ -4569,7 +4573,7 @@ WITH d AS (
   SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ),
 g AS (
-  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+  SELECT unnest(CASE WHEN len(t) < 2 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 1),
                              i -> array_to_string(list_slice(t, i, i + 1), ' '))
          END) AS ngram
@@ -4662,8 +4666,8 @@ FROM events GROUP BY CUBE (event_type, day)
     "dedup_incremental": """
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(
-             list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS h
+         md5(COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), t -> t <> ''))), ' '), '')) AS h
   FROM documents
 )
 SELECT n.doc_id FROM fp n
@@ -5204,7 +5208,7 @@ WITH d AS (
 ),
 g AS (
   SELECT doc_id,
-         ('0x' || substr(md5(unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ('0x' || substr(md5(unnest(CASE WHEN len(t) < 5 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 4),
                              i -> array_to_string(list_slice(t, i, i + 4), ' '))
          END)), 1, 15))::BIGINT AS gh
@@ -5229,7 +5233,7 @@ WITH d AS (
   FROM documents
 ),
 gl AS (
-  SELECT doc_id, CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 3),
                              i -> array_to_string(list_slice(t, i, i + 3), ' '))
          END AS grams
@@ -5310,7 +5314,7 @@ WITH t AS (
   SELECT doc_id, n_chars,
          round(ln((('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
                   / 4294967296.0::DOUBLE) / n_chars, 6) + 0.0::DOUBLE AS wkey
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, wkey FROM t ORDER BY wkey DESC, doc_id LIMIT 25
 """,
@@ -5622,8 +5626,8 @@ j AS (
   FROM pairs p JOIN ts a ON p.doc_a = a.doc_id JOIN ts b ON p.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(inter / na, 6) AS containment_a,
-       round(inter / nb, 6) AS containment_b
+       round(inter / NULLIF(na, 0), 6) AS containment_a,
+       round(inter / NULLIF(nb, 0), 6) AS containment_b
 FROM j
 """,
     "dedup_span": """
@@ -5873,10 +5877,10 @@ FROM f, (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
 SELECT p.doc_a, p.doc_b,
        round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0, 6) AS est_jaccard,
        round(len(list_filter(ta.s, x -> list_contains(tb.s, x)))
-             / (len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x)))), 6) AS jaccard,
+             / NULLIF(len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))), 0), 6) AS jaccard,
        round(abs(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0
              - len(list_filter(ta.s, x -> list_contains(tb.s, x)))
-             / (len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))))), 6) AS abs_err
+             / NULLIF(len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))), 0)), 6) AS abs_err
 FROM pairs p
 JOIN sig sa ON p.doc_a = sa.doc_id
 JOIN sig sb ON p.doc_b = sb.doc_id
@@ -5988,8 +5992,8 @@ WITH d AS (
 ),
 g AS (
   SELECT doc_id,
-         ('0x' || substr(md5(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
-              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END), 1, 15))::BIGINT AS gh
+         ('0x' || substr(md5(COALESCE(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END, '')), 1, 15))::BIGINT AS gh
   FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
 ),
 dfg AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
@@ -6097,7 +6101,7 @@ LIMIT 20
     "corpus_health": _PAIRS_CTE + """,
 base AS (SELECT doc_id, len(t) AS n_tok FROM d),
 fpv AS (
-  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  SELECT doc_id, md5(COALESCE(array_to_string(list_sort(list_distinct(t)), ' '), '')) AS fp
   FROM d
 ),
 dup AS (
@@ -6479,7 +6483,7 @@ q AS (
   FROM tq
 ),
 g4 AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 3),
                              i -> array_to_string(list_slice(t, i, i + 3), ' '))
          END) AS gram
@@ -6615,7 +6619,7 @@ WITH d AS (
   FROM documents
 ),
 g AS (
-  SELECT source, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+  SELECT source, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          ELSE list_transform(generate_series(1, len(t) - 2),
                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
          END) AS gram
@@ -6639,7 +6643,7 @@ ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
 jac AS (
   SELECT p.doc_a, p.doc_b,
          round(len(list_intersect(a.ts, b.ts))
-               / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 4) AS jaccard
+               / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0), 4) AS jaccard
   FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
 ),
 thr AS (SELECT CAST(threshold AS DOUBLE) AS threshold
