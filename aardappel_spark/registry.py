@@ -260,7 +260,15 @@ cand AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """`documents` with the engine's ingest normalization: NULL text
+    reads as '' (a missing field must not crash a kernel or silently
+    drop the row — found by the NULL-text differential fuzz). The
+    oracle comparison harnesses (tools/check_oracle.py, the fuzz test)
+    apply the same COALESCE when registering the DuckDB view, so both
+    engines see identical input; driver testdata contains no NULLs, so
+    its comparisons are unchanged either way."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn("text", F.coalesce("text", F.lit("")))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -6075,8 +6083,8 @@ WITH d AS (
 ),
 g AS (
   SELECT DISTINCT doc_id,
-         CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
-              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END AS gram
+         COALESCE(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(list_slice(t, i, i + 3), ' ') END, '') AS gram
   FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),

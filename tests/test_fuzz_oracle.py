@@ -84,6 +84,7 @@ def fuzz_sf_dir(tmp_path_factory):
         rows.append((100 + d, t, l, s, n))
     rows.append((990, EDGE_TEXTS[10], "en", "s1", len(EDGE_TEXTS[10])))
     rows.append((991, EDGE_TEXTS[10], "en", "s2", len(EDGE_TEXTS[10])))
+    rows.append((995, None, "en", "s1", 0))  # NULL text -> reads as ''
     con.execute(
         "CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
         " source VARCHAR, n_chars BIGINT)"
@@ -128,7 +129,18 @@ def fuzz_duck(fuzz_sf_dir):
     con = duckdb.connect()
     for p in glob.glob(f"{fuzz_sf_dir}/*.parquet"):
         name = os.path.basename(p).removesuffix(".parquet")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        if name == "documents":
+            # mirror the engine's ingest normalization (registry._docs):
+            # NULL text reads as '' on both sides
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT doc_id,"
+                " COALESCE(text, '') AS text, lang, source, n_chars"
+                f" FROM read_parquet('{p}')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+            )
     yield con
     con.close()
 

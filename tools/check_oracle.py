@@ -58,7 +58,18 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p).removesuffix(".parquet")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        if name == "documents":
+            # mirror the engine's ingest normalization (registry._docs):
+            # NULL text reads as '' on both sides of the comparison
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT doc_id,"
+                " COALESCE(text, '') AS text, lang, source, n_chars"
+                f" FROM read_parquet('{p}')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+            )
 
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
