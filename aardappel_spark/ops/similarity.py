@@ -951,3 +951,102 @@ def knn_graph_banded(
             "sim",
         )
     )
+
+
+def ivf_probe_curve(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    probe_counts: tuple[int, ...] = (1, 2, 4, 8, 16),
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-n_probe sweep for the IVF tier: one row per probe
+    count with the candidate mass it scans and its recall@k against
+    exact brute force — the tuning curve an operator reads before
+    picking n_probe for a production index (the dedup_threshold_curve
+    of the ANN story).
+
+    ONE index build and ONE exact-cosine scoring pass serve every
+    probe count: each vector gets its centroid's rank in the query's
+    probe-preference order, the corpus crosses a broadcast ``len(
+    probe_counts)``-row frame (candidates(P) = rank <= P, so the
+    nested candidate sets come from one non-equi broadcast join, never
+    len(probe_counts) rescans), and per-P top-k is one window over the
+    exploded frame. The explode is bounded by len(probe_counts) x
+    corpus — an eval-time cost, and the scan stays distributed.
+
+    Ranking is on the ROUNDED sim with vec_id tie-break (the tier
+    discipline), so both engines select identical top-k sets."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    out_schema = (
+        "n_probe int, n_candidates bigint, n_hit bigint, recall double"
+    )
+    qrow = (
+        vectors.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()
+    )
+    if qrow is None:
+        return spark.createDataFrame([], out_schema)
+
+    assigned, C = ivf_build(
+        vectors, n_centroids=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qv = np.array(qrow[0], dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    # argsort()[::-1] breaks score ties by HIGHER cid first — replayed in
+    # the oracle as ORDER BY dp DESC, cid DESC (the ann_ivf convention)
+    order = (qn @ C.T).argsort()[::-1]
+    rank_of_cid = {int(c): r + 1 for r, c in enumerate(order)}
+    rank_map = F.create_map(
+        *[F.lit(x) for c, r in rank_of_cid.items() for x in (c, r)]
+    )
+
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        assigned.filter(F.col("_id") != query_id)
+        .select(
+            "_id",
+            rank_map[F.col("_c")].alias("_r"),
+            F.round(cosine(F.col("_v"), q_lit), 4).alias("sim"),
+        )
+    )
+    bf = (
+        brute_force_topk(vectors, query_id=query_id, k=k, id_col=id_col,
+                         vec_col=vec_col)
+        .select(F.col(id_col).alias("_id"), F.lit(1).alias("_bf"))
+    )
+    probes_df = spark.createDataFrame(
+        [(int(p),) for p in probe_counts], "n_probe int"
+    )
+    ex = scored.join(
+        F.broadcast(probes_df), F.col("_r") <= F.col("n_probe")
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_probe").orderBy(F.desc("sim"), F.asc("_id"))
+    topk = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .join(F.broadcast(bf), "_id", "left")
+        .groupBy("n_probe")
+        .agg(F.sum(F.coalesce(F.col("_bf"), F.lit(0))).alias("n_hit"))
+    )
+    ncand = ex.groupBy("n_probe").agg(F.count("*").alias("n_candidates"))
+    return (
+        probes_df.join(ncand, "n_probe")
+        .join(topk, "n_probe")
+        .select(
+            "n_probe",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

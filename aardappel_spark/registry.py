@@ -6673,19 +6673,428 @@ SELECT thr.threshold, CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
 FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
 """
 
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 4: ANN quality-dial completion + analytics.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_sq8(spark, sf_dir):
+    """Recall@10 of the int8 scalar-quantized tier vs exact cosine —
+    completing the recall dial matrix: every approximate ANN tier
+    (lsh, banded, ivf, sq8, pq) now ships an oracle-gated recall
+    number. sq8 ranks by the quantized DOT product (no norm), so its
+    disagreement with cosine measures quantization + metric skew
+    together — the honest number a corpus owner needs before scanning
+    codes instead of floats."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id")
+    sq = q_ann_sq8(spark, sf_dir).select("vec_id")
+    return bf.join(sq, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / 10.0, 6).alias("recall"),
+    )
+
+
+def q_ann_recall_pq(spark, sf_dir):
+    """Recall@10 of the product-quantization tier (8 subspaces x 8
+    centroids, ADC Euclidean) vs exact cosine — the fifth and last
+    tier's recall dial. PQ compresses 64 floats to 8 bytes; this eval
+    prices that 32x compression in recall terms."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id")
+    pq = q_ann_pq(spark, sf_dir).select("vec_id")
+    return bf.join(pq, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / 10.0, 6).alias("recall"),
+    )
+
+
+def q_ann_probe_curve(spark, sf_dir):
+    """IVF recall-vs-n_probe sweep (1/2/4/8/16 probes over 16
+    centroids): candidate mass and recall@10 per probe count from ONE
+    build + ONE scoring pass (see ops.similarity.ivf_probe_curve).
+    n_probe=16 probes every cluster, so its recall row must read 1.0 —
+    the self-check that the sweep and the exact tier agree."""
+    from .ops.similarity import ivf_probe_curve
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_probe_curve(
+        emb, query_id=0, k=10, n_centroids=16, probe_counts=(1, 2, 4, 8, 16)
+    )
+
+
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix between event types:
+    P(next_type | type) from consecutive same-user events in
+    (event-time, event_id) order — the stochastic model behind
+    events_paths' raw sequence counts. One lead() over the
+    user-partitioned window (one Exchange on user_id), then a 5x5
+    aggregate; probabilities are exact integer ratios rounded at the
+    end, so both engines agree bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("_tus"), F.col("event_id"))
+    steps = (
+        ev.select(
+            "user_id", "event_type",
+            F.expr("ts div 1000").alias("_tus"), "event_id",
+        )
+        .withColumn("dst_type", F.lead("event_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+    )
+    trans = steps.groupBy(
+        F.col("event_type").alias("src_type"), "dst_type"
+    ).agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("src_type")
+    return trans.select(
+        "src_type",
+        "dst_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"),
+    )
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket analysis over order line items: support,
+    confidence and lift for unordered part-BRAND pairs co-occurring in
+    an order (the association-rule staple, run at brand granularity so
+    the pair space stays bounded). Scale shape: project + DISTINCT
+    (orderkey, brand) FIRST (the only wide shuffle, keyed on
+    orderkey), self-join on orderkey with brand_a < brand_b — fanout
+    bounded by the <= 7 lineitems an order holds — and the 25-row
+    brand-marginal frame broadcasts into the lift arithmetic. Lift is
+    computed from exact integer counts, rounded once."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = li.join(pt, "l_partkey").select("l_orderkey", "p_brand").distinct()
+    n_orders = ob.select("l_orderkey").distinct().count()
+    marg = ob.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_brand")
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.lit(float(n_orders))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_doc_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (nats) + type-token ratio
+    — the repetition/diversity quality signal next to doc_repetition's
+    ratio counts: H = ln(n) - (1/n) * sum(c_i * ln(c_i)) over the
+    doc's token counts, computed in that closed form so ONE pass over
+    the (doc_id, token) counts suffices (no p_i division per row).
+    Empty docs emit H = 0 over 0 types. Rounded once at the end; terms
+    are O(ln n)-sized so double summation noise is far below the 6dp
+    gate."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    tc = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+    )
+    ent = (
+        F.log("n_tokens") - F.col("_clogc") / F.col("n_tokens")
+    )
+    scored = per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+    empties = docs.join(tc.select("doc_id").distinct(), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_types"),
+        F.lit(0.0).alias("entropy"),
+        F.lit(None).cast("double").alias("ttr"),
+    )
+    return scored.unionByName(empties)
+
+
+def q_corpus_js_drift(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-SOURCE token
+    distributions over 64 hashed unigram buckets (the DSIR hashing
+    discipline) with +0.5 Laplace smoothing (the PSI discipline) — the
+    symmetric, bounded [0, ln 2] drift matrix a corpus owner reads
+    before mixing crawls. One token-explode scan -> a (source x 64)
+    aggregate; everything after the first groupBy is tiny (n_sources x
+    64 rows), so the pair join is a broadcast self-join, never a
+    corpus shuffle."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % 64
+    )
+    counts = (
+        docs.select("source", F.explode(tokens_col("text")).alias("token"))
+        .withColumn("b", bucket)
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    # densify: every (source, bucket) cell exists so smoothing is uniform
+    sources = counts.select("source").distinct()
+    grid = sources.crossJoin(
+        spark.range(64).select(F.col("id").alias("b"))
+    )
+    dense = grid.join(counts, ["source", "b"], "left").fillna(0, ["c"])
+    tot = dense.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    p = dense.join(F.broadcast(tot), "source").select(
+        "source", "b",
+        ((F.col("c") + F.lit(0.5)) / (F.col("n_tok") + F.lit(32.0))).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "b", F.col("p").alias("pa")
+    )
+    bb = p.select(
+        F.col("source").alias("source_b"), "b", F.col("p").alias("pb")
+    )
+    cells = (
+        a.join(F.broadcast(bb), "b")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            (
+                F.lit(0.5) * F.col("pa")
+                * F.log(F.col("pa") / ((F.col("pa") + F.col("pb")) / 2))
+                + F.lit(0.5) * F.col("pb")
+                * F.log(F.col("pb") / ((F.col("pa") + F.col("pb")) / 2))
+            ).alias("term"),
+        )
+    )
+    return cells.groupBy("source_a", "source_b").agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("js_divergence")
+    )
+
+
+QUERIES["ann_recall_sq8"] = q_ann_recall_sq8
+QUERIES["ann_recall_pq"] = q_ann_recall_pq
+QUERIES["ann_probe_curve"] = q_ann_probe_curve
+QUERIES["events_markov"] = q_events_markov
+QUERIES["basket_pairs"] = q_basket_pairs
+QUERIES["doc_token_entropy"] = q_doc_token_entropy
+QUERIES["corpus_js_drift"] = q_corpus_js_drift
+
+# composed verbatim from the tier oracles, like ann_recall_ivf
+ORACLES["ann_recall_sq8"] = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
+JOIN ({ORACLES["ann_sq8"].strip().rstrip(';')}) sq USING (vec_id)
+"""
+
+ORACLES["ann_recall_pq"] = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
+JOIN ({ORACLES["ann_pq"].strip().rstrip(';')}) pq USING (vec_id)
+"""
+
+# replays the identical k-means build (_IVF_ASG_CTE), probe-preference
+# ranking (dp DESC, cid DESC — the numpy argsort()[::-1] tie order) and
+# rounded-sim top-k per probe count
+ORACLES["ann_probe_curve"] = _IVF_ASG_CTE + """,
+prefs AS (
+  SELECT cid, row_number() OVER (ORDER BY dp DESC, cid DESC) AS pr
+  FROM a1d WHERE vec_id = 0
+),
+qv AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnrm FROM qv),
+sims AS (
+  SELECT v.vec_id,
+         round(sum(v.x * qv.qx) / (sqrt(sum(v.x * v.x)) * max(qn.qnrm)), 4) AS sim
+  FROM v JOIN qv USING (i), qn
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id
+),
+ranked AS (
+  SELECT asg1.vec_id, prefs.pr, sims.sim
+  FROM asg1 JOIN prefs ON asg1.cid = prefs.cid
+  JOIN sims ON sims.vec_id = asg1.vec_id
+),
+ps AS (SELECT CAST(np AS INT) AS n_probe
+       FROM (VALUES (1), (2), (4), (8), (16)) t(np)),
+ex AS (
+  SELECT ps.n_probe, r.vec_id, r.sim
+  FROM ps JOIN ranked r ON r.pr <= ps.n_probe
+),
+topk AS (
+  SELECT n_probe, vec_id FROM (
+    SELECT n_probe, vec_id,
+           row_number() OVER (PARTITION BY n_probe ORDER BY sim DESC, vec_id) AS rn
+    FROM ex
+  ) WHERE rn <= 10
+),
+bf AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+    FROM sims
+  ) WHERE rn <= 10
+),
+nc AS (SELECT n_probe, count(*) AS n_candidates FROM ex GROUP BY n_probe),
+nh AS (
+  SELECT t.n_probe, count(bf.vec_id) AS n_hit
+  FROM topk t LEFT JOIN bf USING (vec_id) GROUP BY t.n_probe
+)
+SELECT ps.n_probe, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(nh.n_hit, 0) / 10.0, 6) AS recall
+FROM ps JOIN nc USING (n_probe) LEFT JOIN nh USING (n_probe)
+"""
+
+ORACLES["events_markov"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS src_type, dst_type, count(*) AS n
+  FROM s WHERE dst_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+FROM t
+"""
+
+ORACLES["basket_pairs"] = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+marg AS (SELECT p_brand AS brand, count(*) AS n_brand FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / CAST(no.n_orders AS DOUBLE), 6) AS support,
+       round(n_ab / CAST(ma.n_brand AS DOUBLE), 6) AS confidence,
+       round(n_ab * CAST(no.n_orders AS DOUBLE) / (ma.n_brand * mb.n_brand), 6) AS lift
+FROM pairs
+JOIN marg ma ON pairs.brand_a = ma.brand
+JOIN marg mb ON pairs.brand_b = mb.brand, no
+"""
+
+ORACLES["doc_token_entropy"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(c * ln(c)) AS clogc
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(ln(n_tokens) - clogc / n_tokens, 6) + 0.0 AS entropy,
+       round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr
+FROM pd
+UNION ALL
+SELECT d.doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, NULL
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM tc)
+"""
+
+ORACLES["corpus_js_drift"] = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS b,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, g.b
+  FROM (SELECT DISTINCT source FROM counts) s,
+       (SELECT unnest(generate_series(0, 63)) AS b) g
+),
+dense AS (
+  SELECT grid.source, grid.b, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (source, b)
+),
+tot AS (SELECT source, sum(c) AS n_tok FROM dense GROUP BY source),
+p AS (
+  SELECT dense.source, dense.b,
+         (dense.c + 0.5) / (tot.n_tok + 32.0) AS p
+  FROM dense JOIN tot USING (source)
+),
+cells AS (
+  SELECT a.source AS source_a, b2.source AS source_b,
+         0.5 * a.p * ln(a.p / ((a.p + b2.p) / 2))
+         + 0.5 * b2.p * ln(b2.p / ((a.p + b2.p) / 2)) AS term
+  FROM p a JOIN p b2 ON a.b = b2.b AND a.source < b2.source
+)
+SELECT source_a, source_b, round(sum(term), 6) + 0.0 AS js_divergence
+FROM cells GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 154
+# 50 keys of the then-current insertion order). The registry holds 161
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
 # sweeps, but the bar is the driver artifact) — they go first this round.
 # 24 of the 26 round-5 additions fill slots 27-50 (events_seasonality and
 # corpus_jackknife_ci overflow to the r06 rotation; both are green in the
-# committed 3-scale sweeps), so union(r01..r05) covers 151 of 154. Full-registry
+# committed 3-scale sweeps), so union(r01..r05) covers 151 of 161; the three
+# batch-3 overflows plus the seven batch-4 additions (ann_recall_sq8/_pq,
+# ann_probe_curve, events_markov, basket_pairs, doc_token_entropy,
+# corpus_js_drift) lead the r06 rotation. Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

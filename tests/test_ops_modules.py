@@ -1856,3 +1856,182 @@ def test_knn_graph_matches_numpy_over_candidates(spark, sf_dir):
         )[:5]
         expect = [(j, -s) for s, j in scored]
         assert listed == expect, (vid, listed, expect)
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 4: ANN dial completion + analytics
+# ---------------------------------------------------------------------------
+
+
+def test_probe_curve_nested_and_complete(spark, sf_dir):
+    """ann_probe_curve: candidate sets are nested (monotone counts),
+    recall is monotone non-decreasing, and the full-probe row (P=16)
+    reads recall 1.0 over corpus-1 candidates — the self-check that
+    the sweep agrees with the exact tier."""
+    from aardappel_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ann_probe_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.recall <= b.recall + 1e-9
+    full = rows[-1]
+    assert full.n_candidates == n_vec - 1
+    assert full.n_hit == 10 and abs(full.recall - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r.n_hit <= 10
+        assert abs(r.recall - r.n_hit / 10.0) < 1e-9
+
+
+def test_ann_recall_sq8_pq_shape(spark, sf_dir):
+    """The sq8/pq recall dials report k=10 and a consistent
+    n_hit/recall pair (the values themselves are hash-gated by the
+    oracle sweep — this pins the eval's own arithmetic)."""
+    from aardappel_spark.registry import QUERIES
+
+    for q in ("ann_recall_sq8", "ann_recall_pq"):
+        (r,) = QUERIES[q](spark, sf_dir).collect()
+        assert r.k == 10
+        assert 0 <= r.n_hit <= 10
+        assert abs(r.recall - r.n_hit / 10.0) < 1e-9
+
+
+def test_markov_matches_python_model(spark, sf_dir):
+    """events_markov equals a from-scratch transition count over the
+    collected events, and each source row's probabilities sum to 1."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.sources import load_events_ns
+
+    got = {
+        (r.src_type, r.dst_type): r
+        for r in QUERIES["events_markov"](spark, sf_dir).collect()
+    }
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(((r.ts // 1000), r.event_id, r.event_type))
+    want = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert {k: r.n for k, r in got.items()} == dict(want)
+    rowsum = defaultdict(float)
+    for (src, _), r in got.items():
+        rowsum[src] += r.p
+    for src, s in rowsum.items():
+        assert abs(s - 1.0) < 1e-4, (src, s)
+
+
+def test_basket_pairs_matches_python_model(spark, sf_dir):
+    """basket_pairs support/confidence/lift equal a from-scratch
+    Python recomputation over the distinct (order, brand) sets."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        (r.brand_a, r.brand_b): r
+        for r in QUERIES["basket_pairs"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    rows = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    ).collect()
+    per_order = defaultdict(set)
+    for r in rows:
+        per_order[r.l_orderkey].add(r.p_brand)
+    n_orders = len(per_order)
+    marg = defaultdict(int)
+    pair_n = defaultdict(int)
+    for brands in per_order.values():
+        bs = sorted(brands)
+        for b in bs:
+            marg[b] += 1
+        for i, a in enumerate(bs):
+            for b in bs[i + 1:]:
+                pair_n[(a, b)] += 1
+    assert {k: r.n_ab for k, r in got.items()} == dict(pair_n)
+    for (a, b), r in got.items():
+        assert abs(r.support - round(pair_n[(a, b)] / n_orders, 6)) < 1e-9
+        assert abs(r.confidence - round(pair_n[(a, b)] / marg[a], 6)) < 1e-9
+        lift = pair_n[(a, b)] * n_orders / (marg[a] * marg[b])
+        assert abs(r.lift - round(lift, 6)) < 1e-6
+
+
+def test_token_entropy_matches_python_model(spark, sf_dir):
+    """doc_token_entropy equals the Counter-based Shannon entropy per
+    document, empty docs included, and respects 0 <= H <= ln(types)."""
+    import math
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {r.doc_id: r for r in QUERIES["doc_token_entropy"](spark, sf_dir).collect()}
+    docs = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    assert set(got) == {d.doc_id for d in docs}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t != ""]
+        r = got[d.doc_id]
+        assert r.n_tokens == len(toks)
+        if not toks:
+            assert r.n_types == 0 and r.entropy == 0.0 and r.ttr is None
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert r.n_types == len(c)
+        assert abs(r.entropy - h) < 1e-4
+        assert -1e-9 <= r.entropy <= math.log(max(len(c), 1)) + 1e-6
+        assert abs(r.ttr - round(len(c) / n, 6)) < 1e-9
+
+
+def test_js_drift_matches_python_model(spark, sf_dir):
+    """corpus_js_drift equals the numpy JS divergence over the same
+    hashed-bucket distributions and stays within [0, ln 2]."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in QUERIES["corpus_js_drift"](spark, sf_dir).collect()
+    }
+    docs = _docs(spark, sf_dir).select("source", "text").collect()
+    counts = defaultdict(lambda: [0] * 64)
+    for d in docs:
+        for t in d.text.split(" "):
+            if t == "":
+                continue
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+            counts[d.source][b] += 1
+    sources = sorted(counts)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1:]
+    }
+    for (sa, sb), js in got.items():
+        na, nb = sum(counts[sa]), sum(counts[sb])
+        pa = [(c + 0.5) / (na + 32.0) for c in counts[sa]]
+        pb = [(c + 0.5) / (nb + 32.0) for c in counts[sb]]
+        want = sum(
+            0.5 * x * math.log(x / ((x + y) / 2))
+            + 0.5 * y * math.log(y / ((x + y) / 2))
+            for x, y in zip(pa, pb)
+        )
+        assert abs(js - want) < 1e-4
+        assert -1e-9 <= js <= math.log(2) + 1e-9
