@@ -141,9 +141,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 nos = range(0, n, every_n)
                 ids.extend([mid] * len(nos))
                 frame_nos.extend(nos)
-                # stub "frame": digest-derived bytes; real impl decodes
+                # stub "frame": digest-derived bytes; real impl decodes.
+                # The counter suffix is ASCII (":N") so an engine whose
+                # md5 only takes VARCHAR can replay the exact digest.
                 frames.extend(
-                    hashlib.md5(payload + f_no.to_bytes(4, "big")).digest()
+                    hashlib.md5(payload + f":{f_no}".encode()).digest()
                     for f_no in nos
                 )
             yield pd.DataFrame(

@@ -7079,12 +7079,302 @@ FROM cells GROUP BY 1, 2
 """
 
 
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing, oracle-gated end-to-end: video payloads
+    (documents' UTF-8 bytes standing in, kind = doc_id % 3 == 2) fan
+    out to every 10th frame via the Arrow-batched mapInPandas kernel
+    (ops.multimodal.sample_frames). The decode is the honest stub —
+    n_frames and the per-frame bytes derive deterministically from the
+    payload digest — so DuckDB replays the identical fan-out and
+    digests, gating the REAL part (schema, batch shape, explode
+    cardinality) while the fake part stays visibly fake."""
+    from .ops.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    fr = sample_frames(media, every_n=10)
+    return fr.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+_PR_SCALE = 10**15  # fixed-point unit for pagerank mass
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the kNN similarity graph (d = 0.85, 3 power
+    iterations) — graph centrality IN the engine, the shape that finds
+    hub documents/embeddings worth auditing. Each iteration is one
+    edges-join-ranks + groupBy(dst) pass (data-parallel, shuffle keyed
+    on the graph, never a driver adjacency); the dangling mass is a
+    1-row aggregate collected like quality_lr_train's gradient. Ranks
+    live in FIXED-POINT BIGINT units of 1e-15: integer sums are exact
+    under any shuffle order (a float formulation flipped the 9th
+    decimal at sf0.1), and the oracle replays every iteration as CTEs
+    over the SAME banded-LSH kNN edge oracle in the same integer
+    arithmetic."""
+    edges = (
+        q_emb_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("vec_id", F.lit(0.0).alias("pagerank")).limit(0)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # FIXED-POINT ranks: BIGINT units of 1e-15 so every sum is exact and
+    # order-independent — float sums over different shuffle orders land
+    # within an ulp of a round() boundary and flip the 9th decimal (seen
+    # at sf0.1); integer arithmetic removes the hazard entirely.
+    r = nodes.select("vec_id", F.lit(_PR_SCALE // n_nodes).alias("r"))
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    for _ in range(3):
+        r = r.localCheckpoint()  # truncate lineage: each pass reads N rows
+        dang = (
+            r.join(outdeg.withColumnRenamed("src", "vec_id"), "vec_id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
+            .first()[0]
+        )
+        contrib = (
+            edges.join(r.withColumnRenamed("vec_id", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"{base}L + (85 * (coalesce(contrib, 0L)"
+                    f" + {int(dang) // n_nodes}L)) div 100"
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        "vec_id",
+        (F.col("r").cast("double") / F.lit(1.0e15)).alias("pagerank"),
+    )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def q_doc_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021) as named per-rule
+    flags — the policy-audit face of doc_quality's single keep bit:
+    word count in [50, 100k], mean word length in [3, 10], >80% words
+    containing a letter, <30% words ending in an ellipsis, and >= 2
+    distinct common stopwords present. Everything is array HOFs over
+    the space-split words — one scan, no explode, no shuffle; the
+    flags are plain conjunctions so a `.filter` on any of them pushes
+    toward the scan."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    words = tokens_col("text")
+    n = F.size(words).cast("bigint")
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(words, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        / n1,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]"))) / n1, 6
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(words, lambda t: t.endswith("..."))) / n1, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    ).cast("bigint")
+    p_wc = (n >= 50) & (n <= 100000)
+    p_ml = (mean_len >= 3.0) & (mean_len <= 10.0)
+    p_al = alpha_ratio > 0.8
+    p_el = ellipsis_ratio < 0.3
+    p_st = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        stop_hits.alias("stop_hits"),
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_len"),
+        p_al.alias("pass_alpha"),
+        p_el.alias("pass_ellipsis"),
+        p_st.alias("pass_stopwords"),
+        (p_wc & p_ml & p_al & p_el & p_st).alias("gopher_pass"),
+    )
+
+
+def q_corpus_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters and UTF-8 bytes
+    per BPE-ish token — the dial that prices a multilingual corpus in
+    compute terms (a language at 6 bytes/token costs 2x the training
+    steps per byte of one at 3). One scan, per-doc array counts (no
+    explode), a 5-row aggregate; exact integer sums divided once."""
+    from .ops.text import bpe_tokens_col
+
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("_chars"),
+        F.octet_length("text").cast("bigint").alias("_bytes"),
+        F.size(bpe_tokens_col("text")).cast("bigint").alias("_toks"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_toks").cast("bigint").alias("n_tokens"),
+        F.round(F.expr("try_divide(sum(_chars), sum(_toks))"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.expr("try_divide(sum(_bytes), sum(_toks))"), 6).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+QUERIES["multimodal_frames"] = q_multimodal_frames
+QUERIES["graph_pagerank"] = q_graph_pagerank
+QUERIES["doc_gopher_rules"] = q_doc_gopher_rules
+QUERIES["corpus_tokenizer_fertility"] = q_corpus_tokenizer_fertility
+
+ORACLES["multimodal_frames"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+),
+nf AS (
+  SELECT media_id, text,
+         1 + ('0x' || substr(md5(text), 5, 2))::INT AS n_frames
+  FROM m
+),
+fr AS (
+  SELECT media_id, text, unnest(range(0, n_frames, 10)) AS frame_no FROM nf
+)
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       md5(text || ':' || CAST(frame_no AS VARCHAR)) AS frame_hex
+FROM fr
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Replays q_graph_pagerank's 3 iterations as CTEs over the SAME
+    kNN edge oracle, in the SAME fixed-point BIGINT arithmetic
+    (units of 1e-15): integer sums are exact and order-independent,
+    so the two engines agree bit-for-bit with no rounding hazard
+    (a float formulation flipped the 9th decimal at sf0.1). The one
+    float op — the final /1e15 — divides identical integers by an
+    exactly-representable constant, so it is correctly rounded to the
+    identical double on both sides."""
+    knn = ORACLES["emb_knn_graph"].strip().rstrip(";")
+    out = [f"""
+WITH e AS MATERIALIZED (SELECT vec_id AS src, neighbor AS dst FROM ({knn}) g),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT vec_id, 1000000000000000 // nn.n AS r FROM nodes, nn
+)"""]
+    for i in range(3):
+        out.append(f""",
+d{i} AS (
+  SELECT COALESCE(sum(r{i}.r), 0) AS dang
+  FROM r{i} LEFT JOIN od ON r{i}.vec_id = od.src WHERE od.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst, sum(r{i}.r // od.outdeg) AS contrib
+  FROM e JOIN r{i} ON e.src = r{i}.vec_id JOIN od ON e.src = od.src
+  GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT nodes.vec_id,
+         (15 * 1000000000000000) // (100 * nn.n)
+         + (85 * (COALESCE(c{i}.contrib, 0) + d{i}.dang // nn.n)) // 100 AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.vec_id = c{i}.dst, nn, d{i}
+)""")
+    out.append("""
+SELECT vec_id, CAST(r AS DOUBLE) / 1000000000000000.0 AS pagerank FROM r3
+""")
+    return "".join(out)
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+
+ORACLES["doc_gopher_rules"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         greatest(len(ws), 1) AS n1,
+         list_sum(list_transform(ws, t -> CAST(length(t) AS BIGINT))) AS sumlen,
+         len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(ws, t -> t LIKE '%...')) AS n_ell,
+         len(list_intersect(
+               list_distinct(list_transform(ws, t -> lower(t))),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+  FROM w
+),
+r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         round(COALESCE(sumlen, 0) / CAST(n1 AS DOUBLE), 6) AS mean_word_len,
+         round(n_alpha / CAST(n1 AS DOUBLE), 6) AS alpha_word_ratio,
+         round(n_ell / CAST(n1 AS DOUBLE), 6) AS ellipsis_ratio,
+         CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, ellipsis_ratio,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+       (alpha_word_ratio > 0.8) AS pass_alpha,
+       (ellipsis_ratio < 0.3) AS pass_ellipsis,
+       (stop_hits >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (alpha_word_ratio > 0.8)
+        AND (ellipsis_ratio < 0.3)
+        AND (stop_hits >= 2)) AS gopher_pass
+FROM r
+"""
+
+ORACLES["corpus_tokenizer_fertility"] = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(sum(chars) / CAST(NULLIF(sum(toks), 0) AS DOUBLE), 6) AS chars_per_token,
+       round(sum(bytes) / CAST(NULLIF(sum(toks), 0) AS DOUBLE), 6) AS bytes_per_token
+FROM per GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 161
+# 50 keys of the then-current insertion order). The registry holds 165
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7094,7 +7384,9 @@ FROM cells GROUP BY 1, 2
 # committed 3-scale sweeps), so union(r01..r05) covers 151 of 161; the three
 # batch-3 overflows plus the seven batch-4 additions (ann_recall_sq8/_pq,
 # ann_probe_curve, events_markov, basket_pairs, doc_token_entropy,
-# corpus_js_drift) lead the r06 rotation. Full-registry
+# corpus_js_drift) lead the r06 rotation, followed by the four batch-5
+# additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
+# corpus_tokenizer_fertility). Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

@@ -36,6 +36,11 @@ FUZZ_QUERIES = [
     "dedup_exact", "text_token_stats", "doc_quality", "text_langid",
     "events_psi_drift", "events_cusum", "events_seasonality",
     "corpus_jackknife_ci",
+    # batch-4/5 text-sensitive additions: entropy/JS fold token counts,
+    # gopher splits words, fertility counts bytes vs chars (unicode!),
+    # frames hash the raw payload bytes of degenerate docs
+    "doc_token_entropy", "corpus_js_drift", "doc_gopher_rules",
+    "corpus_tokenizer_fertility", "multimodal_frames",
 ]
 
 EDGE_TEXTS = [

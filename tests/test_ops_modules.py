@@ -2035,3 +2035,125 @@ def test_js_drift_matches_python_model(spark, sf_dir):
         )
         assert abs(js - want) < 1e-4
         assert -1e-9 <= js <= math.log(2) + 1e-9
+
+
+def test_multimodal_frames_match_hashlib(spark, sf_dir):
+    """multimodal_frames' stub digests and fan-out cardinality equal a
+    hashlib recomputation from the payload bytes — pins the mapInPandas
+    explode shape and the SQL-replicable ':N' counter convention."""
+    import hashlib
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    rows = QUERIES["multimodal_frames"](spark, sf_dir).collect()
+    docs = {
+        d.doc_id: d.text
+        for d in _docs(spark, sf_dir).collect()
+        if d.doc_id % 3 == 2
+    }
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.media_id][r.frame_no] = r.frame_hex
+    assert set(got) <= set(docs)
+    for mid, text in docs.items():
+        payload = text.encode()
+        n = 1 + hashlib.md5(payload).digest()[2]
+        want = {
+            f: hashlib.md5(payload + f":{f}".encode()).hexdigest()
+            for f in range(0, n, 10)
+        }
+        assert got[mid] == want, mid
+
+
+def test_pagerank_matches_python_model(spark, sf_dir):
+    """graph_pagerank equals a from-scratch Python fixed-point power
+    iteration over the same kNN edges (BIGINT units of 1e-15, so the
+    comparison is EXACT), and the ranks sum to ~1 (mass conservation
+    up to integer-division truncation)."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import _PR_SCALE, QUERIES
+
+    got = {
+        r.vec_id: r.pagerank
+        for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    edges = [
+        (r.vec_id, r.neighbor)
+        for r in QUERIES["emb_knn_graph"](spark, sf_dir).collect()
+    ]
+    nodes = sorted(got)
+    n = len(nodes)
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    r = {v: _PR_SCALE // n for v in nodes}
+    base = (15 * _PR_SCALE) // (100 * n)
+    for _ in range(3):
+        dang = sum(r[v] for v in nodes if v not in out)
+        contrib = defaultdict(int)
+        for s, ds in out.items():
+            share = r[s] // len(ds)
+            for d in ds:
+                contrib[d] += share
+        r = {
+            v: base + (85 * (contrib.get(v, 0) + dang // n)) // 100
+            for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == r[v] / 1.0e15, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-2
+
+
+def test_gopher_rules_match_python_model(spark, sf_dir):
+    """doc_gopher_rules flags equal a from-scratch Python evaluation
+    of the named rules per document."""
+    from aardappel_spark.registry import _GOPHER_STOPS, QUERIES, _docs
+
+    got = {r.doc_id: r for r in QUERIES["doc_gopher_rules"](spark, sf_dir).collect()}
+    for d in _docs(spark, sf_dir).select("doc_id", "text").collect():
+        ws = [t for t in d.text.split(" ") if t != ""]
+        n = len(ws)
+        n1 = max(n, 1)
+        mean_len = round(sum(len(t) for t in ws) / n1, 6)
+        alpha = round(sum(1 for t in ws if any(c.isascii() and c.isalpha() for c in t)) / n1, 6)
+        ell = round(sum(1 for t in ws if t.endswith("...")) / n1, 6)
+        stops = len({t.lower() for t in ws} & set(_GOPHER_STOPS))
+        r = got[d.doc_id]
+        assert r.n_words == n
+        assert abs(r.mean_word_len - mean_len) < 1e-9
+        assert abs(r.alpha_word_ratio - alpha) < 1e-9
+        assert abs(r.ellipsis_ratio - ell) < 1e-9
+        assert r.stop_hits == stops
+        assert r.pass_word_count == (50 <= n <= 100000)
+        assert r.gopher_pass == (
+            r.pass_word_count and r.pass_mean_len and r.pass_alpha
+            and r.pass_ellipsis and r.pass_stopwords
+        )
+
+
+def test_tokenizer_fertility_matches_python_model(spark, sf_dir):
+    """corpus_tokenizer_fertility equals a regex recomputation of the
+    BPE-ish token counts and byte/char sums per language."""
+    import re
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, chars, bytes, toks
+    for d in _docs(spark, sf_dir).select("lang", "text").collect():
+        a = agg[d.lang]
+        a[0] += 1
+        a[1] += len(d.text)
+        a[2] += len(d.text.encode())
+        a[3] += len(pat.findall(d.text))
+    got = {r.lang: r for r in QUERIES["corpus_tokenizer_fertility"](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (nd, ch, by, tk) in agg.items():
+        r = got[lang]
+        assert r.n_docs == nd and r.n_tokens == tk
+        if tk:
+            assert abs(r.chars_per_token - round(ch / tk, 6)) < 1e-9
+            assert abs(r.bytes_per_token - round(by / tk, 6)) < 1e-9
