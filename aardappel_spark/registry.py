@@ -7369,12 +7369,164 @@ FROM per GROUP BY lang
 """
 
 
+
+def q_corpus_signal_corr(spark, sf_dir):
+    """Pearson correlation matrix between per-document INTEGER quality
+    signals (n_chars, n_tokens, n_types, LSH dup_degree) — the
+    cross-signal audit that answers "is my dedup just re-measuring
+    length?" before anyone tunes thresholds. Every moment (sum, sum of
+    squares, cross products) is an exact integer aggregate — order-
+    independent under any shuffle, the graph_pagerank discipline — and
+    the single float expression per pair runs on identical operands in
+    both engines. ONE distributed aggregate; the 6-row matrix unpivots
+    with stack(). (At 100 TB the BIGINT moments upgrade to decimal
+    sums; the shape is unchanged.)"""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    toks = tokens_col("text")
+    sig = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("s_chars"),
+            F.size(toks).cast("bigint").alias("s_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("s_types"),
+        )
+        .join(F.broadcast(deg), "doc_id", "left")
+        .withColumn("s_deg", F.coalesce(F.col("deg"), F.lit(0)).cast("bigint"))
+    )
+    names = ["s_chars", "s_tokens", "s_types", "s_deg"]
+    aggs = [F.count("*").alias("n")]
+    for s in names:
+        aggs.append(F.sum(s).alias(f"sum_{s}"))
+        aggs.append(F.sum(F.col(s) * F.col(s)).alias(f"sq_{s}"))
+    combos = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    for a, b in combos:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xy_{a}_{b}"))
+    m = sig.agg(*aggs)
+
+    def corr_expr(a, b):
+        n = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(sum_{a} AS DOUBLE)", f"CAST(sum_{b} AS DOUBLE)"
+        sx2, sy2 = f"CAST(sq_{a} AS DOUBLE)", f"CAST(sq_{b} AS DOUBLE)"
+        sxy = f"CAST(xy_{a}_{b} AS DOUBLE)"
+        return (
+            f"round(({n} * {sxy} - {sx} * {sy}) / "
+            f"(sqrt({n} * {sx2} - {sx} * {sx})"
+            f" * sqrt({n} * {sy2} - {sy} * {sy})), 6) + 0.0"
+        )
+
+    stack_args = ", ".join(
+        f"'{a[2:]}~{b[2:]}', {corr_expr(a, b)}" for a, b in combos
+    )
+    return m.selectExpr(
+        f"stack({len(combos)}, {stack_args}) AS (signal_pair, pearson_r)"
+    )
+
+
+def q_dedup_cc_stats(spark, sf_dir):
+    """Cluster-size histogram of the near-dup connected components:
+    how many components have 2, 3, ... members (singletons excluded) —
+    the shape report that distinguishes a healthy pair-dominated dedup
+    from a catastrophic snowball cluster. Two tiny aggregates over the
+    shared min-label component assignment."""
+    from .ops.dedup import neardup_clusters
+
+    clusters = neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.filter(F.col("sz") >= 2)
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+
+
+QUERIES["corpus_signal_corr"] = q_corpus_signal_corr
+QUERIES["dedup_cc_stats"] = q_dedup_cc_stats
+
+ORACLES["corpus_signal_corr"] = _PAIRS_CTE + """,
+deg AS (
+  SELECT doc_id, count(*) AS deg FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+),
+sg AS (
+  SELECT d.doc_id,
+         CAST(d.n_chars AS BIGINT) AS s_chars,
+         CAST(len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS BIGINT) AS s_tokens,
+         CAST(len(list_distinct(list_filter(string_split(d.text, ' '), t -> t <> ''))) AS BIGINT) AS s_types,
+         CAST(COALESCE(deg.deg, 0) AS BIGINT) AS s_deg
+  FROM documents d LEFT JOIN deg USING (doc_id)
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(s_chars) AS sum_chars, sum(s_chars * s_chars) AS sq_chars,
+         sum(s_tokens) AS sum_tokens, sum(s_tokens * s_tokens) AS sq_tokens,
+         sum(s_types) AS sum_types, sum(s_types * s_types) AS sq_types,
+         sum(s_deg) AS sum_deg, sum(s_deg * s_deg) AS sq_deg,
+         sum(s_chars * s_tokens) AS xy_chars_tokens,
+         sum(s_chars * s_types) AS xy_chars_types,
+         sum(s_chars * s_deg) AS xy_chars_deg,
+         sum(s_tokens * s_types) AS xy_tokens_types,
+         sum(s_tokens * s_deg) AS xy_tokens_deg,
+         sum(s_types * s_deg) AS xy_types_deg
+  FROM sg
+)
+SELECT 'chars~tokens' AS signal_pair,
+       round((CAST(n AS DOUBLE) * CAST(xy_chars_tokens AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_tokens AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_chars AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_tokens AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_tokens AS DOUBLE))), 6) + 0.0 AS pearson_r
+FROM m
+UNION ALL
+SELECT 'chars~types',
+       round((CAST(n AS DOUBLE) * CAST(xy_chars_types AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_types AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_chars AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_types AS DOUBLE) - CAST(sum_types AS DOUBLE) * CAST(sum_types AS DOUBLE))), 6) + 0.0
+FROM m
+UNION ALL
+SELECT 'chars~deg',
+       round((CAST(n AS DOUBLE) * CAST(xy_chars_deg AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_deg AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_chars AS DOUBLE) - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_deg AS DOUBLE) - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))), 6) + 0.0
+FROM m
+UNION ALL
+SELECT 'tokens~types',
+       round((CAST(n AS DOUBLE) * CAST(xy_tokens_types AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_types AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_tokens AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_tokens AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_types AS DOUBLE) - CAST(sum_types AS DOUBLE) * CAST(sum_types AS DOUBLE))), 6) + 0.0
+FROM m
+UNION ALL
+SELECT 'tokens~deg',
+       round((CAST(n AS DOUBLE) * CAST(xy_tokens_deg AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_deg AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_tokens AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_tokens AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_deg AS DOUBLE) - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))), 6) + 0.0
+FROM m
+UNION ALL
+SELECT 'types~deg',
+       round((CAST(n AS DOUBLE) * CAST(xy_types_deg AS DOUBLE) - CAST(sum_types AS DOUBLE) * CAST(sum_deg AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sq_types AS DOUBLE) - CAST(sum_types AS DOUBLE) * CAST(sum_types AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sq_deg AS DOUBLE) - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))), 6) + 0.0
+FROM m
+"""
+
+ORACLES["dedup_cc_stats"] = f"""
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster_id, count(*) AS sz
+  FROM ({ORACLES["dedup_clusters"].strip().rstrip(';')}) c
+  GROUP BY cluster_id
+) WHERE sz >= 2
+GROUP BY sz
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 165
+# 50 keys of the then-current insertion order). The registry holds 167
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7386,7 +7538,7 @@ FROM per GROUP BY lang
 # ann_probe_curve, events_markov, basket_pairs, doc_token_entropy,
 # corpus_js_drift) lead the r06 rotation, followed by the four batch-5
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
-# corpus_tokenizer_fertility). Full-registry
+# corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats). Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

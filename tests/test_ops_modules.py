@@ -2157,3 +2157,70 @@ def test_tokenizer_fertility_matches_python_model(spark, sf_dir):
         if tk:
             assert abs(r.chars_per_token - round(ch / tk, 6)) < 1e-9
             assert abs(r.bytes_per_token - round(by / tk, 6)) < 1e-9
+
+
+def test_signal_corr_matches_python_model(spark, sf_dir):
+    """corpus_signal_corr equals a from-scratch Pearson over the same
+    integer signals, and every r lies in [-1, 1]."""
+    import math
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs, _minhash_pairs_cached
+
+    got = {
+        r.signal_pair: r.pearson_r
+        for r in QUERIES["corpus_signal_corr"](spark, sf_dir).collect()
+    }
+    deg = defaultdict(int)
+    for r in _minhash_pairs_cached(spark, sf_dir).collect():
+        deg[r.doc_a] += 1
+        deg[r.doc_b] += 1
+    sig = {}
+    for d in _docs(spark, sf_dir).select("doc_id", "text", "n_chars").collect():
+        toks = [t for t in d.text.split(" ") if t != ""]
+        sig[d.doc_id] = {
+            "chars": d.n_chars,
+            "tokens": len(toks),
+            "types": len(set(toks)),
+            "deg": deg.get(d.doc_id, 0),
+        }
+
+    def pearson(a, b):
+        xs = [sig[i][a] for i in sig]
+        ys = [sig[i][b] for i in sig]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sx2, sy2 = sum(x * x for x in xs), sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy)
+        )
+
+    names = ["chars", "tokens", "types", "deg"]
+    want = {
+        f"{a}~{b}": pearson(a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5, (k, got[k], v)
+        assert -1.0 - 1e-9 <= got[k] <= 1.0 + 1e-9
+
+
+def test_cc_stats_matches_cluster_assignment(spark, sf_dir):
+    """dedup_cc_stats equals the size histogram of the gated
+    dedup_clusters assignment, singletons excluded."""
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in QUERIES["dedup_cc_stats"](spark, sf_dir).collect()
+    }
+    members = Counter(
+        r.cluster_id for r in QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    )
+    want = Counter(sz for sz in members.values() if sz >= 2)
+    assert got == dict(want)
