@@ -1087,3 +1087,110 @@ def streaming_psi_drift(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_K = 25
+
+RESERVOIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("grp", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("weight", LongType(), False),
+        StructField("wkey", DoubleType(), False),
+        StructField("pick_order", LongType(), False),
+    ]
+)
+
+RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("ws", ArrayType(LongType()), True),
+        StructField("keys", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _reservoir_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """A-ES reservoir merge for one group: union the carried top-K with
+    the batch's rows, keep the K largest (rounded key desc, doc_id
+    tie-break). The kept set is a pure function of the row SET —
+    per-row keys are deterministic, union is order-insensitive — so any
+    micro-batch split, Arrow chunking, or duplicate redelivery (same
+    doc_id -> same key) yields the identical reservoir."""
+    rows: dict[int, tuple[float, int]] = {}
+    if state.exists:
+        ids, ws, keys = state.get
+        for i, w, k in zip(ids, ws, keys):
+            rows[int(i)] = (float(k), int(w))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for i, w, k in zip(pdf["doc_id"], pdf["weight"], pdf["wkey"]):
+            rows[int(i)] = (float(k), int(w))
+    keep = sorted(rows.items(), key=lambda kv: (-kv[1][0], kv[0]))[:RESERVOIR_K]
+    state.update(
+        (
+            [i for i, _ in keep],
+            [w for _, (_, w) in keep],
+            [k for _, (k, _) in keep],
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "grp": key[0],
+                "doc_id": i,
+                "weight": w,
+                "wkey": k,
+                "pick_order": n + 1,
+            }
+            for n, (i, (k, w)) in enumerate(keep)
+        ],
+        columns=["grp", "doc_id", "weight", "wkey", "pick_order"],
+    )
+
+
+def streaming_reservoir(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``doc_weighted_sample`` A-ES
+    selection: the current weighted top-K sample rides in managed state
+    (K (id, weight, key) triples — bounded by K, not stream volume) and
+    each batch emits the full current reservoir with pick order.
+    Per-row keys are the IDENTICAL md5-ticket formula as the batch
+    kernel (ops.sampling.weighted_sample), so the stream-built sample
+    equals the batch sample over the union of rows under ANY
+    micro-batch split, checkpoint restart, or duplicate redelivery —
+    the property that lets a 100 TB pipeline maintain a live training
+    subset without ever re-scanning.
+
+    Reference scope: the reference engine has no sampling module; this
+    is part of the training-data-pipeline surface (SURVEY.md §2
+    extension) built Spark-first."""
+    from pyspark.sql import functions as F
+
+    from .ops.sampling import TICKET_SPACE, WEIGHTED_SALT, sample_ticket
+
+    t = sample_ticket(id_col, WEIGHTED_SALT)
+    u = (t + F.lit(1)) / F.lit(float(TICKET_SPACE))
+    key = F.round(F.log(u) / F.col(weight_col), 6) + F.lit(0.0)
+    prepped = (
+        docs.filter(F.col(weight_col) > 0)
+        .select(
+            F.lit("ALL").alias("grp"),
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("wkey"),
+        )
+    )
+    return prepped.groupBy("grp").applyInPandasWithState(
+        _reservoir_fn,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -967,3 +967,60 @@ def test_streaming_psi_matches_batch_statistic(spark, tmp_path):
     expect = {et: psi_statistic(baseline[et], cur) for et, cur in hist.items()}
     assert latest == expect
     assert latest["purchase"][2] > latest["page_view"][2]
+
+
+def test_streaming_reservoir_matches_batch_sample(spark, tmp_path):
+    """The stream-maintained A-ES reservoir over three micro-batches
+    (checkpoint restart between each, one doc redelivered with the same
+    payload, one zero-weight doc) must equal the batch weighted_sample
+    over the distinct union of rows: same doc set, same order, same
+    keys — the mergeability that keeps a live training subset honest."""
+    import json
+    import os
+
+    from aardappel_spark.ops.sampling import weighted_sample
+    from aardappel_spark.stateful import RESERVOIR_K, streaming_reservoir
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    collected = []
+
+    batches = [
+        [(i, 100 + 7 * i) for i in range(0, 40)],
+        # doc 5 redelivered (same weight) + zero-weight doc 999
+        [(5, 100 + 7 * 5), (999, 0)] + [(i, 100 + 7 * i) for i in range(40, 90)],
+        [(i, 100 + 7 * i) for i in range(90, 140)],
+    ]
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for did, w in batch:
+                f.write(json.dumps({"doc_id": did, "n_chars": w}) + "\n")
+        stream = spark.readStream.schema("doc_id long, n_chars long").json(src)
+        q = (
+            streaming_reservoir(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # latest emission = final reservoir
+    last = {}
+    for r in collected:
+        last[r.pick_order] = (r.doc_id, r.weight, r.wkey)
+    assert len(last) == RESERVOIR_K
+
+    all_rows = sorted({(did, w) for b in batches for did, w in b})
+    batch_df = spark.createDataFrame(all_rows, "doc_id long, n_chars long")
+    want = weighted_sample(batch_df, RESERVOIR_K, weight_col="n_chars").collect()
+    assert len(want) == RESERVOIR_K
+    for order, w_row in enumerate(want, start=1):
+        got = last[order]
+        assert got[0] == w_row.doc_id, (order, got, w_row)
+        assert got[1] == w_row.n_chars
+        assert got[2] == w_row.wkey
+    # zero-weight doc is unsampleable by definition
+    assert all(did != 999 for did, _, _ in last.values())
