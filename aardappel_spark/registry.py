@@ -7521,12 +7521,72 @@ GROUP BY sz
 """
 
 
+
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.
+    2009): fuse the BM25 lexical top-20 with the dense cosine top-10
+    (probe vector 0) as score = sum 1/(60 + rank) over the lists each
+    doc appears in — the modern lexical+dense search join, composed
+    entirely from the two gated rankings. Both inputs are tiny top-k
+    frames, so the fusion is driver-light arithmetic on <= 30 rows;
+    the heavy lifting stays in the gated tier queries."""
+    from pyspark.sql.window import Window
+
+    lex = q_retrieval_bm25(spark, sf_dir).select("doc_id", "bm25")
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("lex_rank")
+    )
+    den = q_ann_cosine(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "sim"
+    )
+    wd = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    denr = den.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("dense_rank")
+    )
+    fused = lexr.join(denr, "doc_id", "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)) + \
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "dense_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+QUERIES["retrieval_hybrid_rrf"] = q_retrieval_hybrid_rrf
+
+# composed verbatim from the two gated ranking oracles
+ORACLES["retrieval_hybrid_rrf"] = f"""
+WITH lexr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+  FROM ({ORACLES["retrieval_bm25"].strip().rstrip(';')}) b
+),
+denr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS dense_rank
+  FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) a
+),
+f AS (
+  SELECT COALESCE(lexr.doc_id, denr.doc_id) AS doc_id, lex_rank, dense_rank
+  FROM lexr FULL OUTER JOIN denr ON lexr.doc_id = denr.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       round(COALESCE(1.0 / (60 + lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + dense_rank), 0.0), 6) AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 167
+# 50 keys of the then-current insertion order). The registry holds 168
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7538,7 +7598,8 @@ GROUP BY sz
 # ann_probe_curve, events_markov, basket_pairs, doc_token_entropy,
 # corpus_js_drift) lead the r06 rotation, followed by the four batch-5
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
-# corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats). Full-registry
+# corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
+# retrieval_hybrid_rrf). Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

@@ -2224,3 +2224,34 @@ def test_cc_stats_matches_cluster_assignment(spark, sf_dir):
     )
     want = Counter(sz for sz in members.values() if sz >= 2)
     assert got == dict(want)
+
+
+def test_hybrid_rrf_matches_python_model(spark, sf_dir):
+    """retrieval_hybrid_rrf equals a from-scratch RRF over the two
+    gated rankings, and every fused doc appears in at least one list."""
+    from aardappel_spark.registry import QUERIES
+
+    got = QUERIES["retrieval_hybrid_rrf"](spark, sf_dir).collect()
+    lex = sorted(
+        QUERIES["retrieval_bm25"](spark, sf_dir).collect(),
+        key=lambda r: (-r.bm25, r.doc_id),
+    )
+    den = sorted(
+        QUERIES["ann_cosine"](spark, sf_dir).collect(),
+        key=lambda r: (-r.sim, r.vec_id),
+    )
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex)}
+    den_rank = {r.vec_id: i + 1 for i, r in enumerate(den)}
+    fused = {}
+    for d in set(lex_rank) | set(den_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in den_rank:
+            s += 1.0 / (60 + den_rank[d])
+        fused[d] = round(s, 6)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.doc_id, r.rrf_score) for r in got] == want
+    for r in got:
+        assert r.lex_rank == lex_rank.get(r.doc_id)
+        assert r.dense_rank == den_rank.get(r.doc_id)
