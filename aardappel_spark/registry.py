@@ -7581,12 +7581,83 @@ FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
 
+
+def q_orders_rfm(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary): per
+    customer, days since last order (vs the corpus max date), order
+    count, and exact-decimal total spend, then quartile labels by
+    ntile(4) over a fully deterministic order (metric, custkey) and
+    the 64-cell segment census. One scan -> one groupBy(custkey) ->
+    three window passes over the small per-customer frame; monetary
+    quartiles rank on the EXACT decimal sum so engines can't disagree
+    on float ties."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", F.col("o_totalprice").cast("decimal(14,2)").alias("_p")
+    )
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum("_p").alias("_spend"),
+    )
+    maxd = per.agg(F.max("_last")).first()[0]
+    per = per.withColumn(
+        "recency_days", F.datediff(F.lit(maxd), F.col("_last")).cast("bigint")
+    )
+    # recency: SMALL days = recent = best -> rank ascending puts best in q1
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("_spend"), F.asc("custkey"))
+    labeled = per.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("_spend").cast("double").alias("monetary"),
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+    )
+    return labeled.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_spend"),
+    )
+
+
+QUERIES["orders_rfm"] = q_orders_rfm
+
+ORACLES["orders_rfm"] = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT max(last_order) AS maxd FROM per),
+lab AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, mx.maxd) AS BIGINT) AS recency_days,
+         frequency,
+         CAST(spend AS DOUBLE) AS monetary,
+         CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, mx.maxd) ASC, custkey) AS INT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY spend DESC, custkey) AS INT) AS m_quartile
+  FROM per, mx
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary), 2) AS segment_spend
+FROM lab GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 168
+# 50 keys of the then-current insertion order). The registry holds 169
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7599,7 +7670,7 @@ FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
 # corpus_js_drift) lead the r06 rotation, followed by the four batch-5
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
 # corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
-# retrieval_hybrid_rrf). Full-registry
+# retrieval_hybrid_rrf, orders_rfm). Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

@@ -2255,3 +2255,52 @@ def test_hybrid_rrf_matches_python_model(spark, sf_dir):
     for r in got:
         assert r.lex_rank == lex_rank.get(r.doc_id)
         assert r.dense_rank == den_rank.get(r.doc_id)
+
+
+def test_rfm_matches_python_model(spark, sf_dir):
+    """orders_rfm equals a from-scratch RFM quartile assignment over
+    the collected orders, including the deterministic ntile tie-break
+    and the segment census totals."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        (r.r_quartile, r.f_quartile, r.m_quartile): (r.n_customers, r.segment_spend)
+        for r in QUERIES["orders_rfm"](spark, sf_dir).collect()
+    }
+    per = {}
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        c = per.setdefault(r.o_custkey, [None, 0, Decimal(0)])
+        d = r.o_orderdate
+        c[0] = d if c[0] is None or d > c[0] else c[0]
+        c[1] += 1
+        c[2] += Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+    maxd = max(v[0] for v in per.values())
+
+    def ntile4(keys):
+        n = len(keys)
+        out = {}
+        base, rem = divmod(n, 4)
+        start = 0
+        for q in range(1, 5):
+            size = base + (1 if q <= rem else 0)
+            for k in keys[start:start + size]:
+                out[k] = q
+            start += size
+        return out
+
+    custs = sorted(per)
+    rq = ntile4(sorted(custs, key=lambda c: ((maxd - per[c][0]).days, c)))
+    fq = ntile4(sorted(custs, key=lambda c: (-per[c][1], c)))
+    mq = ntile4(sorted(custs, key=lambda c: (-per[c][2], c)))
+    want_n = defaultdict(int)
+    want_s = defaultdict(float)
+    for c in custs:
+        key = (rq[c], fq[c], mq[c])
+        want_n[key] += 1
+        want_s[key] += float(per[c][2])
+    assert {k: v[0] for k, v in got.items()} == dict(want_n)
+    for k, (_, spend) in got.items():
+        assert abs(spend - round(want_s[k], 2)) < 0.02, k
