@@ -7590,7 +7590,11 @@ def q_orders_rfm(spark, sf_dir):
     the 64-cell segment census. One scan -> one groupBy(custkey) ->
     three window passes over the small per-customer frame; monetary
     quartiles rank on the EXACT decimal sum so engines can't disagree
-    on float ties."""
+    on float ties. Scale note: global ntile() is a single-partition
+    sort over the per-customer frame — exact quartiles are inherently
+    serial. Past ~1e8 customers the production swap is approx
+    percentile thresholds (3 numbers, broadcast) at the cost of exact
+    boundary determinism; the segment census shape is unchanged."""
     from pyspark.sql.window import Window
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(

@@ -75,6 +75,19 @@ PROBE_QUERIES = [
     # measure the wrong configuration, not reveal a hidden defect.
     "events_cusum",
     "doc_ngram_novelty",
+    # round-5 batch 4/5/6: order-pair self-join, token-entropy agg,
+    # JS-divergence bucket scan, lead() transition window.
+    # graph_pagerank and emb_knn_graph are NOT probed for the same
+    # reason as semantic_dedup: the replica datasets copy embeddings
+    # verbatim (only doc text gets per-replica suffixes), so every
+    # LSH band bucket grows Nx with identical vectors and the
+    # bucket-local pair mass grows ~N^2 — the probe would measure the
+    # duplicated-corpus pathology, not growth. The production dial is
+    # more bands/bits as N grows (see knn_graph_banded docstring).
+    "basket_pairs",
+    "doc_token_entropy",
+    "corpus_js_drift",
+    "events_markov",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
