@@ -6760,10 +6760,10 @@ def q_basket_pairs(spark, sf_dir):
     """Market-basket analysis over order line items: support,
     confidence and lift for unordered part-BRAND pairs co-occurring in
     an order (the association-rule staple, run at brand granularity so
-    the pair space stays bounded). Scale shape: project + DISTINCT
-    (orderkey, brand) FIRST (the only wide shuffle, keyed on
-    orderkey), self-join on orderkey with brand_a < brand_b — fanout
-    bounded by the <= 7 lineitems an order holds — and the 25-row
+    the pair space stays bounded). Scale shape: ONE wide shuffle
+    builds per-order brand sets (groupBy orderkey + collect_set);
+    unordered pairs explode row-locally from the sorted array (<= 21
+    per order), so there is no self-join at all, and the 25-row
     brand-marginal frame broadcasts into the lift arithmetic. Lift is
     computed from exact integer counts, rounded once."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -6772,16 +6772,35 @@ def q_basket_pairs(spark, sf_dir):
     pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    ob = li.join(pt, "l_partkey").select("l_orderkey", "p_brand").distinct()
-    n_orders = ob.select("l_orderkey").distinct().count()
-    marg = ob.groupBy(F.col("p_brand").alias("brand")).agg(
-        F.count("*").alias("n_brand")
+    # ONE exchange on orderkey builds the per-order brand set; pairs
+    # explode ROW-LOCALLY from the sorted array (orders hold <= 7
+    # items, so <= 21 pairs/row) — no self-join, no second wide
+    # shuffle. Marginals and the order count fall out of the same
+    # basket frame.
+    baskets = (
+        li.join(pt, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_brands"))
+        .persist()
     )
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    n_orders = baskets.count()
+    marg = (
+        baskets.select(F.explode("_brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_brand"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_brands"), i + 2, F.size(F.col("_brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.brand_a", "_p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_ab"))
     )
