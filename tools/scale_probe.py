@@ -168,8 +168,16 @@ def main() -> None:
     # warm-up and the xN/x1 ratios read absurdly sub-linear)
     print("# jit warm-up pass (discarded)", file=sys.stderr)
     run_probe(spark, dirs[1], PROBE_QUERIES)
-    t1 = run_probe(spark, dirs[1], PROBE_QUERIES)
-    tn = run_probe(spark, dirs[n], PROBE_QUERIES)
+
+    def best_of(sf_dir, names, passes=2):
+        # min over passes: one transient hiccup (page-cache flush, GC
+        # pause) must not flip a linearity verdict — a x10 run of
+        # tpch_q1 once read 17.8 s in-probe vs 0.9 s steady-state
+        runs = [run_probe(spark, sf_dir, names) for _ in range(passes)]
+        return {k: min(r[k] for r in runs) for k in names}
+
+    t1 = best_of(dirs[1], PROBE_QUERIES)
+    tn = best_of(dirs[n], PROBE_QUERIES)
     for name in PROBE_QUERIES:
         ratio = round(tn[name] / max(t1[name], 0.01), 2)
         results["queries"][name] = {
@@ -186,7 +194,7 @@ def main() -> None:
         t0 = time.perf_counter()
         replicate(spark, big, d_big)
         print(f"# built x{big} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        t_big = run_probe(spark, d_big, X100_QUERIES)
+        t_big = best_of(d_big, X100_QUERIES)
         for name in X100_QUERIES:
             r = results["queries"][name]
             ratio_big = round(t_big[name] / max(t1[name], 0.01), 2)
