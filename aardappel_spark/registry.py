@@ -7675,12 +7675,166 @@ FROM lab GROUP BY 1, 2, 3
 """
 
 
+
+def q_text_heldout_nll(spark, sf_dir):
+    """Held-out language-model evaluation — the leakage-honest version
+    of text_bigram_nll: bigram counts come from the TRAIN split only
+    (the standard salted-md5 80/10/10 ticket), and every VAL document
+    is scored under Laplace-smoothed conditionals
+    -ln((c12 + 1) / (c1 + V + 1)), plus its unseen-bigram occurrence
+    rate. Scoring a corpus with counts from the same corpus (what the
+    in-corpus query does, by design) understates perplexity; this is
+    the eval a pipeline trusts before using NLL as a filter. Same
+    shuffle shape as the in-corpus query: one (doc, bigram) aggregate
+    behind a localCheckpoint barrier feeds the two train-count frames
+    AND the val scoring join."""
+    from .ops.sampling import sample_ticket
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    t = sample_ticket("doc_id", "split")
+    lab = (
+        F.when(t < F.lit(3435973836), F.lit("train"))
+        .when(t < F.lit(3865470566), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = docs.select(
+        "doc_id", lab.alias("_split"), tokens_col("text").alias("_t")
+    ).filter(F.col("_split").isin("train", "val"))
+    n = F.size("_t")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_t", 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array())
+    bg = d.select(
+        "doc_id", "_split", F.explode(bigrams).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    occ = (
+        bg.groupBy("_split", "doc_id", "bg", "w1")
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    train_occ = occ.filter(F.col("_split") == "train")
+    c12 = train_occ.groupBy("bg").agg(F.sum("_o").alias("_c12"))
+    c1 = train_occ.groupBy("w1").agg(F.sum("_o").alias("_c1"))
+    vocab = (
+        d.filter(F.col("_split") == "train")
+        .select(F.explode("_t").alias("tok"))
+        .distinct()
+        .count()
+    )
+    val = occ.filter(F.col("_split") == "val")
+    scored = (
+        val.join(c12, "bg", "left")
+        .join(c1, "w1", "left")
+        .fillna(0, ["_c12", "_c1"])
+    )
+    term = F.log(F.col("_c1") + F.lit(float(vocab + 1))) - F.log(
+        F.col("_c12") + F.lit(1.0)
+    )
+    unseen = F.when(F.col("_c12") == 0, F.col("_o")).otherwise(F.lit(0))
+    return scored.groupBy("doc_id").agg(
+        F.sum("_o").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("_o") * term) / F.sum("_o"), 4).alias("heldout_nll"),
+        F.round(F.sum(unseen) / F.sum("_o"), 6).alias("oov_rate"),
+    )
+
+
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension profile of the embedding corpus (n, mean,
+    variance, min, max) — the dead/degenerate-dimension detector read
+    before scalar quantization (a dimension whose range collapses
+    wastes an sq8 code; one whose variance dwarfs the rest dominates
+    every distance). One posexplode pass -> a dims-sized aggregate;
+    moments are single float expressions on identical operands, rounded
+    once."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return x.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.round(F.sum("x") / F.count("*"), 6) + F.lit(0.0)).alias("mean"),
+        (
+            F.round(
+                F.sum(F.col("x") * F.col("x")) / F.count("*")
+                - (F.sum("x") / F.count("*")) * (F.sum("x") / F.count("*")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("variance"),
+        (F.round(F.min("x"), 6) + F.lit(0.0)).alias("min_x"),
+        (F.round(F.max("x"), 6) + F.lit(0.0)).alias("max_x"),
+    )
+
+
+QUERIES["text_heldout_nll"] = q_text_heldout_nll
+QUERIES["emb_dim_stats"] = q_emb_dim_stats
+
+ORACLES["text_heldout_nll"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836 THEN 'train'
+              WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'val'
+              ELSE 'test' END AS sp,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id, sp,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM d WHERE len(t) >= 2 AND sp IN ('train', 'val')
+),
+occ AS (
+  SELECT sp, doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS o
+  FROM bgs GROUP BY 1, 2, 3, 4
+),
+c12 AS (SELECT bg, sum(o) AS c12 FROM occ WHERE sp = 'train' GROUP BY 1),
+c1 AS (SELECT w1, sum(o) AS c1 FROM occ WHERE sp = 'train' GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT tok) AS vocab FROM (
+    SELECT unnest(t) AS tok FROM d WHERE sp = 'train'
+  )
+),
+val AS (
+  SELECT occ.doc_id, occ.o,
+         COALESCE(c12.c12, 0) AS c12, COALESCE(c1.c1, 0) AS c1
+  FROM occ LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)
+  WHERE occ.sp = 'val'
+)
+SELECT doc_id, CAST(sum(o) AS BIGINT) AS n_bigrams,
+       round(sum(o * (ln(c1 + (v.vocab + 1.0)) - ln(c12 + 1.0))) / sum(o), 4) AS heldout_nll,
+       round(sum(CASE WHEN c12 = 0 THEN o ELSE 0 END) / CAST(sum(o) AS DOUBLE), 6) AS oov_rate
+FROM val, v GROUP BY doc_id, v.vocab
+"""
+
+ORACLES["emb_dim_stats"] = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)
+SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       round(sum(x) / count(*), 6) + 0.0 AS mean,
+       round(sum(x * x) / count(*)
+             - (sum(x) / count(*)) * (sum(x) / count(*)), 6) + 0.0 AS variance,
+       round(min(x), 6) + 0.0 AS min_x,
+       round(max(x), 6) + 0.0 AS max_x
+FROM x GROUP BY dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 169
+# 50 keys of the then-current insertion order). The registry holds 171
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7693,7 +7847,8 @@ FROM lab GROUP BY 1, 2, 3
 # corpus_js_drift) lead the r06 rotation, followed by the four batch-5
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
 # corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
-# retrieval_hybrid_rrf, orders_rfm). Full-registry
+# retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats).
+# Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

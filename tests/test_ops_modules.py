@@ -2304,3 +2304,80 @@ def test_rfm_matches_python_model(spark, sf_dir):
     assert {k: v[0] for k, v in got.items()} == dict(want_n)
     for k, (_, spend) in got.items():
         assert abs(spend - round(want_s[k], 2)) < 0.02, k
+
+
+def test_heldout_nll_matches_python_model(spark, sf_dir):
+    """text_heldout_nll equals a from-scratch train-split bigram LM
+    with Laplace smoothing scored on the val split, including the
+    unseen-bigram occurrence rate."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {
+        r.doc_id: r for r in QUERIES["text_heldout_nll"](spark, sf_dir).collect()
+    }
+    splits = {}
+    toks = {}
+    for d in _docs(spark, sf_dir).select("doc_id", "text").collect():
+        t = int(hashlib.md5(f"split{d.doc_id}".encode()).hexdigest()[:8], 16)
+        splits[d.doc_id] = (
+            "train" if t < 3435973836 else "val" if t < 3865470566 else "test"
+        )
+        toks[d.doc_id] = [x for x in d.text.split(" ") if x != ""]
+    c12, c1, vocab = Counter(), Counter(), set()
+    for did, tt in toks.items():
+        if splits[did] != "train":
+            continue
+        vocab.update(tt)
+        for a, b in zip(tt, tt[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    val_docs = {
+        did for did, tt in toks.items()
+        if splits[did] == "val" and len(tt) >= 2
+    }
+    assert set(got) == val_docs
+    for did in val_docs:
+        tt = toks[did]
+        n = 0
+        s = 0.0
+        oov = 0
+        for a, b in zip(tt, tt[1:]):
+            n += 1
+            s += math.log(c1[a] + V + 1.0) - math.log(c12[(a, b)] + 1.0)
+            if c12[(a, b)] == 0:
+                oov += 1
+        r = got[did]
+        assert r.n_bigrams == n
+        assert abs(r.heldout_nll - s / n) < 1e-3, did
+        assert abs(r.oov_rate - round(oov / n, 6)) < 1e-9
+        assert r.heldout_nll > 0
+
+
+def test_emb_dim_stats_matches_numpy(spark, sf_dir):
+    """emb_dim_stats equals numpy per-dimension moments."""
+    import numpy as np
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {r.dim: r for r in QUERIES["emb_dim_stats"](spark, sf_dir).collect()}
+    M = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    assert set(got) == set(range(M.shape[1]))
+    for d in range(M.shape[1]):
+        col = M[:, d]
+        r = got[d]
+        assert r.n == len(col)
+        assert abs(r.mean - col.mean()) < 1e-5
+        assert abs(r.variance - col.var()) < 1e-5
+        assert abs(r.min_x - col.min()) < 1e-5
+        assert abs(r.max_x - col.max()) < 1e-5
