@@ -7829,12 +7829,222 @@ FROM x GROUP BY dim
 """
 
 
+
+def q_dedup_method_agreement(spark, sf_dir):
+    """Cross-method dedup audit: MinHash-LSH vs SimHash-band candidate
+    pairs, partitioned into both / minhash_only / simhash_only, each
+    bucket verified with exact token-set Jaccard (precision at the 0.5
+    cut) — the head-to-head a pipeline owner reads before picking a
+    fuzzy-dedup method. Both candidate frames come from the SHARED
+    cached builds; the expensive set math runs only on the (sparse)
+    union of candidates, never all pairs."""
+    from .ops.dedup import simhash_candidate_pairs, verify_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    mh = (
+        _minhash_pairs_cached(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_mh", F.lit(1))
+    )
+    sh = (
+        simhash_candidate_pairs(
+            docs, bits=60, n_bands=4, max_hamming=8,
+            sig=_simhash64_cached(spark, sf_dir),
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("_sh", F.lit(1))
+    )
+    allp = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    jac = verify_pairs_jaccard(docs, allp.select("doc_a", "doc_b"))
+    joined = allp.join(jac, ["doc_a", "doc_b"], "left")
+    agreement = (
+        F.when(F.col("_mh").isNotNull() & F.col("_sh").isNotNull(), "both")
+        .when(F.col("_mh").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    verified = F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+    return joined.groupBy(agreement.alias("agreement")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(verified).cast("bigint").alias("n_verified"),
+        F.round(F.sum(verified) / F.count("*"), 6).alias("precision"),
+    )
+
+
+def q_events_wau_hll(spark, sf_dir):
+    """Rolling 7-day weekly-active-users from the MERGEABLE daily HLL
+    registers — the cashed-in promise of events_user_hll_daily's
+    docstring: pre-aggregate once per day, answer any window by
+    merging sketches (elementwise max over the 7-day frame), never
+    re-reading events. The rolling merge runs over a dense (day x 64)
+    grid — 64 rows per day regardless of corpus size. The exact WAU
+    rides along for evaluation via a days-broadcast range join on the
+    distinct (day, user) frame; at 100 TB you would drop that column —
+    its cost is the reason the sketch exists."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    daily = (
+        ev.select(day.alias("day"), (h % 64).alias("register"),
+                  F.shiftright(h, 6).alias("v"))
+        .select(
+            "day", "register",
+            F.when(F.col("v") == 0, F.lit(55))
+            .otherwise(F.lit(54) - F.length(F.bin("v")) + 1)
+            .cast("bigint")
+            .alias("rho"),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    days = daily.select("day").distinct()
+    grid = days.crossJoin(spark.range(64).select(F.col("id").alias("register")))
+    dense = grid.join(daily, ["day", "register"], "left").withColumn(
+        "_dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("register")
+        .orderBy("_dn")
+        .rangeBetween(-6, 0)
+    )
+    roll = dense.withColumn("mr", F.max("max_rho").over(w))
+    est = roll.groupBy("day").agg(
+        (
+            F.sum(
+                F.when(F.col("mr").isNotNull(), F.pow(F.lit(2.0), -F.col("mr")))
+                .otherwise(F.lit(0.0))
+            )
+            + (F.lit(64) - F.count("mr"))
+        ).alias("_inv")
+    ).select(
+        "day",
+        F.round(F.lit(0.709 * 64.0 * 64.0) / F.col("_inv"), 4).alias("wau_estimate"),
+    )
+    du = ev.select(day.alias("day"), "user_id").distinct().withColumn(
+        "_dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    dd = days.select(
+        F.col("day").alias("anchor"),
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("_an"),
+    )
+    exact = (
+        du.join(
+            F.broadcast(dd),
+            (F.col("_dn") <= F.col("_an")) & (F.col("_dn") >= F.col("_an") - 6),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day", "wau_estimate", "wau_exact",
+        F.round(
+            (F.col("wau_estimate") - F.col("wau_exact")) / F.col("wau_exact"), 4
+        ).alias("rel_error"),
+    )
+
+
+QUERIES["dedup_method_agreement"] = q_dedup_method_agreement
+QUERIES["events_wau_hll"] = q_events_wau_hll
+
+# composed from the two gated candidate-pair oracles
+ORACLES["dedup_method_agreement"] = f"""
+WITH mh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_pairs"].strip().rstrip(';')}) x
+),
+sh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_simhash_pairs"].strip().rstrip(';')}) y
+),
+ap AS (
+  SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+         COALESCE(mh.doc_b, sh.doc_b) AS doc_b,
+         mh.doc_a IS NOT NULL AS in_mh, sh.doc_a IS NOT NULL AS in_sh
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+),
+ds AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ts
+  FROM documents
+),
+jac AS (
+  SELECT ap.doc_a, ap.doc_b, ap.in_mh, ap.in_sh,
+         round(len(list_intersect(a.ts, b.ts))
+               / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0),
+               4) AS j
+  FROM ap JOIN ds a ON ap.doc_a = a.doc_id JOIN ds b ON ap.doc_b = b.doc_id
+)
+SELECT CASE WHEN in_mh AND in_sh THEN 'both'
+            WHEN in_mh THEN 'minhash_only'
+            ELSE 'simhash_only' END AS agreement,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       round(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS precision
+FROM jac GROUP BY 1
+"""
+
+ORACLES["events_wau_hll"] = """
+WITH h AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+daily AS (
+  SELECT day, hv % 64 AS register,
+         max(CASE WHEN hv >> 6 = 0 THEN 55
+                  ELSE 54 - length(bin(hv >> 6)) + 1 END) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+grid AS (
+  SELECT days.day, g.register
+  FROM days, (SELECT unnest(generate_series(0, 63)) AS register) g
+),
+dense AS (
+  SELECT grid.day, grid.register, daily.max_rho,
+         date_diff('day', DATE '1970-01-01', grid.day) AS dn
+  FROM grid LEFT JOIN daily USING (day, register)
+),
+roll AS (
+  SELECT day, register,
+         max(max_rho) OVER (
+           PARTITION BY register ORDER BY dn
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS mr
+  FROM dense
+),
+est AS (
+  SELECT day,
+         round(0.709 * 64.0 * 64.0 /
+               (sum(CASE WHEN mr IS NOT NULL THEN pow(2.0, -mr) ELSE 0.0 END)
+                + (64 - count(mr))), 4) AS wau_estimate
+  FROM roll GROUP BY day
+),
+du AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id FROM events
+),
+exact AS (
+  SELECT days.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_exact
+  FROM days JOIN du
+    ON date_diff('day', DATE '1970-01-01', du.day)
+       BETWEEN date_diff('day', DATE '1970-01-01', days.day) - 6
+           AND date_diff('day', DATE '1970-01-01', days.day)
+  GROUP BY days.day
+)
+SELECT est.day, est.wau_estimate, exact.wau_exact,
+       round((est.wau_estimate - exact.wau_exact) / exact.wau_exact, 4) AS rel_error
+FROM est JOIN exact USING (day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 171
+# 50 keys of the then-current insertion order). The registry holds 173
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -7847,8 +8057,8 @@ FROM x GROUP BY dim
 # corpus_js_drift) lead the r06 rotation, followed by the four batch-5
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
 # corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
-# retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats).
-# Full-registry
+# retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats,
+# dedup_method_agreement, events_wau_hll). Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

@@ -2381,3 +2381,93 @@ def test_emb_dim_stats_matches_numpy(spark, sf_dir):
         assert abs(r.variance - col.var()) < 1e-5
         assert abs(r.min_x - col.min()) < 1e-5
         assert abs(r.max_x - col.max()) < 1e-5
+
+
+def test_method_agreement_matches_pair_frames(spark, sf_dir):
+    """dedup_method_agreement's partition equals the set algebra of
+    the two gated candidate-pair queries, and each bucket's precision
+    equals its verified fraction from the gated jaccard query applied
+    to the union."""
+    from aardappel_spark.ops.dedup import verify_pairs_jaccard
+    from aardappel_spark.registry import (
+        QUERIES, _docs, _minhash_pairs_cached, _simhash64_cached,
+    )
+    from aardappel_spark.ops.dedup import simhash_candidate_pairs
+
+    got = {
+        r.agreement: r
+        for r in QUERIES["dedup_method_agreement"](spark, sf_dir).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in _minhash_pairs_cached(spark, sf_dir).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            _docs(spark, sf_dir), bits=60, n_bands=4, max_hamming=8,
+            sig=_simhash64_cached(spark, sf_dir),
+        ).collect()
+    }
+    buckets = {
+        "both": mh & sh,
+        "minhash_only": mh - sh,
+        "simhash_only": sh - mh,
+    }
+    docs = {d.doc_id: set(t for t in d.text.split(" ") if t) for d in
+            _docs(spark, sf_dir).select("doc_id", "text").collect()}
+    for name, pairs in buckets.items():
+        if not pairs:
+            assert name not in got
+            continue
+        r = got[name]
+        assert r.n_pairs == len(pairs), name
+        nv = 0
+        for a, b in pairs:
+            ta, tb = docs[a], docs[b]
+            u = len(ta | tb)
+            if u and round(len(ta & tb) / u, 4) >= 0.5:
+                nv += 1
+        assert r.n_verified == nv, name
+        assert abs(r.precision - round(nv / len(pairs), 6)) < 1e-9
+
+
+def test_wau_hll_matches_python_model(spark, sf_dir):
+    """events_wau_hll equals a from-scratch rolling HLL merge and
+    exact 7-day distinct count; merged estimates track the exact WAU
+    within the sketch's error envelope."""
+    import hashlib
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.sources import load_events_ns
+
+    got = {r.day: r for r in QUERIES["events_wau_hll"](spark, sf_dir).collect()}
+    ev = load_events_ns(spark, sf_dir).select("ts", "user_id").collect()
+    regs = defaultdict(dict)   # day -> register -> max_rho
+    users = defaultdict(set)   # day -> users
+    from datetime import datetime, timezone
+
+    for r in ev:
+        day = datetime.fromtimestamp(r.ts / 1e9, tz=timezone.utc).date()
+        hv = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:15], 16)
+        reg, v = hv % 64, hv >> 6
+        rho = 55 if v == 0 else 54 - v.bit_length() + 1
+        regs[day][reg] = max(regs[day].get(reg, 0), rho)
+        users[day].add(r.user_id)
+    assert set(got) == set(regs)
+    for day in regs:
+        window = [day - timedelta(days=k) for k in range(7)]
+        merged = {}
+        wau = set()
+        for d in window:
+            for reg, rho in regs.get(d, {}).items():
+                merged[reg] = max(merged.get(reg, 0), rho)
+            wau |= users.get(d, set())
+        inv = sum(2.0 ** -rho for rho in merged.values()) + (64 - len(merged))
+        est = round(0.709 * 64 * 64 / inv, 4)
+        r = got[day]
+        assert abs(r.wau_estimate - est) < 1e-6, day
+        assert r.wau_exact == len(wau), day
+        assert abs(r.rel_error - round((est - len(wau)) / len(wau), 4)) < 1e-9
