@@ -8039,12 +8039,81 @@ FROM est JOIN exact USING (day)
 """
 
 
+
+def q_events_seasonal_forecast(spark, sf_dir):
+    """Seasonal-naive forecasting with an in-engine backtest: per
+    (event_type, hour-of-day), the mean value over every day EXCEPT
+    the last becomes the forecast for the held-out last day, scored as
+    per-type MAE (plus the cold-start count for (type, hour) cells
+    never seen in training). The simplest model that respects the
+    hour-of-day seasonality events_seasonality measures — and the
+    baseline any fancier forecaster must beat before it ships. Means
+    come from exact decimal sums divided once; the tiny (type x 24)
+    model frame broadcasts onto the test scan."""
+    ev = load_events_ns(spark, sf_dir)
+    tmic = F.expr("ts div 1000")
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(tmic)))
+    hour = (F.expr("(ts div 1000) div 3600000000") % 24).cast("int")
+    base = ev.select(
+        "event_type", day.alias("_day"), hour.alias("_hour"),
+        F.col("value").cast("decimal(12,2)").alias("_v"),
+    )
+    last_day = base.agg(F.max("_day")).first()[0]
+    if last_day is None:
+        return base.select(
+            "event_type",
+            F.lit(0).cast("bigint").alias("n_test"),
+            F.lit(0).cast("bigint").alias("n_cold"),
+            F.lit(None).cast("double").alias("mae"),
+        ).limit(0)
+    train = base.filter(F.col("_day") < F.lit(last_day))
+    test = base.filter(F.col("_day") == F.lit(last_day))
+    model = train.groupBy("event_type", "_hour").agg(
+        (F.sum("_v").cast("double") / F.count("*")).alias("_pred")
+    )
+    scored = test.join(F.broadcast(model), ["event_type", "_hour"], "left")
+    err = F.abs(F.col("_v").cast("double") - F.col("_pred"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("_pred").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cold"),
+        F.round(F.avg(err), 4).alias("mae"),
+    )
+
+
+QUERIES["events_seasonal_forecast"] = q_events_seasonal_forecast
+
+ORACLES["events_seasonal_forecast"] = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS INT) AS hour,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+ld AS (SELECT max(day) AS last_day FROM b),
+model AS (
+  SELECT event_type, hour, CAST(sum(v) AS DOUBLE) / count(*) AS pred
+  FROM b, ld WHERE b.day < ld.last_day GROUP BY 1, 2
+),
+test AS (SELECT b.* FROM b, ld WHERE b.day = ld.last_day),
+scored AS (
+  SELECT test.event_type, test.v, model.pred
+  FROM test LEFT JOIN model USING (event_type, hour)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+       round(avg(abs(CAST(v AS DOUBLE) - pred)), 4) AS mae
+FROM scored GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 173
+# 50 keys of the then-current insertion order). The registry holds 174
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -8058,7 +8127,8 @@ FROM est JOIN exact USING (day)
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
 # corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
 # retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats,
-# dedup_method_agreement, events_wau_hll). Full-registry
+# dedup_method_agreement, events_wau_hll, events_seasonal_forecast).
+# Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
 _R05_PRIORITY: list[str] = [

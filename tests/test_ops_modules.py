@@ -2471,3 +2471,51 @@ def test_wau_hll_matches_python_model(spark, sf_dir):
         assert abs(r.wau_estimate - est) < 1e-6, day
         assert r.wau_exact == len(wau), day
         assert abs(r.rel_error - round((est - len(wau)) / len(wau), 4)) < 1e-9
+
+
+def test_seasonal_forecast_matches_python_model(spark, sf_dir):
+    """events_seasonal_forecast equals a from-scratch seasonal-naive
+    backtest: per-(type, hour) train means, last-day MAE, cold cells."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+    from decimal import Decimal
+
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.sources import load_events_ns
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_seasonal_forecast"](spark, sf_dir).collect()
+    }
+    rows = []
+    for r in load_events_ns(spark, sf_dir).select("event_type", "ts", "value").collect():
+        mic = r.ts // 1000
+        day = datetime.fromtimestamp(mic / 1e6, tz=timezone.utc).date()
+        hour = (mic // 3600000000) % 24
+        rows.append((r.event_type, day, hour, Decimal(str(r.value)).quantize(Decimal("0.01"))))
+    last_day = max(d for _, d, _, _ in rows)
+    sums = defaultdict(lambda: [Decimal(0), 0])
+    for et, d, h, v in rows:
+        if d < last_day:
+            s = sums[(et, h)]
+            s[0] += v
+            s[1] += 1
+    per_type = defaultdict(lambda: [0, 0, 0.0])
+    for et, d, h, v in rows:
+        if d != last_day:
+            continue
+        p = per_type[et]
+        p[0] += 1
+        if (et, h) not in sums:
+            p[1] += 1
+        else:
+            s = sums[(et, h)]
+            pred = float(s[0]) / s[1]
+            p[2] += abs(float(v) - pred)
+    assert set(got) == set(per_type)
+    for et, (n, cold, errsum) in per_type.items():
+        r = got[et]
+        assert r.n_test == n and r.n_cold == cold
+        n_scored = n - cold
+        if n_scored:
+            assert abs(r.mae - errsum / n_scored) < 1e-3, et
