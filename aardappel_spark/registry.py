@@ -309,6 +309,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
         _MINHASH_SIG_CACHE,
         _PAIRS_CACHE,
         _SIMHASH64_CACHE,
+        _SIMHASH_PAIRS_CACHE,
         _GRAMS4_CACHE,
         _BANDED_SIG_CACHE,
         _IVF_ASSIGN_CACHE,
@@ -966,16 +967,28 @@ def q_dedup_simhash64(spark, sf_dir):
     return _simhash64_cached(spark, sf_dir)
 
 
-def q_dedup_simhash_pairs(spark, sf_dir):
+# the Hamming-band pair join feeds two consumers (the pair listing and
+# dedup_method_agreement) — memoize-and-persist like the MinHash pairs
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pairs_cached(spark, sf_dir):
     from .ops.dedup import simhash_candidate_pairs
 
-    return simhash_candidate_pairs(
-        _docs(spark, sf_dir),
-        bits=60,
-        n_bands=4,
-        max_hamming=8,
-        sig=_simhash64_cached(spark, sf_dir),
-    )
+    key = _cache_key(spark, sf_dir)
+    if key not in _SIMHASH_PAIRS_CACHE:
+        _SIMHASH_PAIRS_CACHE[key] = simhash_candidate_pairs(
+            _docs(spark, sf_dir),
+            bits=60,
+            n_bands=4,
+            max_hamming=8,
+            sig=_simhash64_cached(spark, sf_dir),
+        ).persist()
+    return _SIMHASH_PAIRS_CACHE[key]
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return _simhash_pairs_cached(spark, sf_dir)
 
 
 # One LSH candidate-pair build feeds three consumers (pair listing, word
@@ -7838,7 +7851,7 @@ def q_dedup_method_agreement(spark, sf_dir):
     fuzzy-dedup method. Both candidate frames come from the SHARED
     cached builds; the expensive set math runs only on the (sparse)
     union of candidates, never all pairs."""
-    from .ops.dedup import simhash_candidate_pairs, verify_pairs_jaccard
+    from .ops.dedup import verify_pairs_jaccard
 
     docs = _docs(spark, sf_dir)
     mh = (
@@ -7847,10 +7860,7 @@ def q_dedup_method_agreement(spark, sf_dir):
         .withColumn("_mh", F.lit(1))
     )
     sh = (
-        simhash_candidate_pairs(
-            docs, bits=60, n_bands=4, max_hamming=8,
-            sig=_simhash64_cached(spark, sf_dir),
-        )
+        _simhash_pairs_cached(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("_sh", F.lit(1))
     )
@@ -8057,7 +8067,7 @@ def q_events_seasonal_forecast(spark, sf_dir):
     base = ev.select(
         "event_type", day.alias("_day"), hour.alias("_hour"),
         F.col("value").cast("decimal(12,2)").alias("_v"),
-    )
+    ).persist()  # three consumers: last-day probe, train agg, test scan
     last_day = base.agg(F.max("_day")).first()[0]
     if last_day is None:
         return base.select(
