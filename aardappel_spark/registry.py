@@ -6902,6 +6902,11 @@ def q_corpus_js_drift(spark, sf_dir):
         .withColumn("b", bucket)
         .groupBy("source", "b")
         .agg(F.count("*").alias("c"))
+        # barrier: five consumers (sources, grid join, totals, both pair
+        # sides) re-derived the corpus explode 8x without it — the
+        # (sources x 64)-row result materializes once, eagerly, so every
+        # consumer plans against the tiny RDD scan (plan-guarded)
+        .localCheckpoint()
     )
     # densify: every (source, bucket) cell exists so smoothing is uniform
     sources = counts.select("source").distinct()

@@ -478,3 +478,102 @@ def test_jackknife_totals_broadcast(spark):
     plan = _plan(spark, "corpus_jackknife_ci")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 fourth wave
+# ---------------------------------------------------------------------------
+
+
+def test_basket_pairs_no_self_join(spark):
+    """basket_pairs builds per-order brand sets and explodes pairs
+    row-locally: the plan must contain NO sort-merge/shuffle join at
+    all on the big side (only broadcast joins for the tiny marginals)
+    and no cartesian."""
+    plan = _plan(spark, "basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_probe_curve_broadcasts_probe_frame(spark):
+    """ann_probe_curve's candidates(P) come from ONE non-equi broadcast
+    join against the 5-row probe frame — never a cartesian, never a
+    per-P rescan (a single window handles all P)."""
+    plan = _plan(spark, "ann_probe_curve")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_markov_single_window_exchange(spark):
+    """events_markov is one lead() window + one tiny aggregate: the
+    plan must hold no join and at most the window + agg exchanges."""
+    plan = _plan(spark, "events_markov")
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges <= 3, plan
+
+
+def test_js_drift_no_corpus_cartesian(spark):
+    """corpus_js_drift's pair join runs on the post-aggregate
+    (sources x 64) frame behind an eager checkpoint barrier: the final
+    plan must contain ZERO corpus explodes (the one token pass happens
+    at barrier materialization; without the barrier the five consumers
+    re-derived it 8x — the regression this guard exists to catch)."""
+    plan = _plan(spark, "corpus_js_drift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 0, plan
+
+
+def test_pagerank_no_nested_loop(spark):
+    """graph_pagerank's per-iteration joins are equi-joins on the graph
+    keys — no cartesian, no broadcast nested loop anywhere in the final
+    iteration's plan."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fuses_tiny_frames_only(spark):
+    """retrieval_hybrid_rrf joins two <= 20-row rank frames: the fusion
+    join must not shuffle the corpus (no exchange keyed on doc text /
+    tokens above the rank frames; the plan's joins are on the tiny
+    frames)."""
+    plan = _plan(spark, "retrieval_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+
+
+def test_wau_hll_exact_side_broadcasts_days(spark):
+    """events_wau_hll's exact column joins the distinct (day, user)
+    frame against a ~30-row day anchor frame — that range join must be
+    a broadcast nested loop over the TINY side, never a cartesian of
+    two big inputs."""
+    plan = _plan(spark, "events_wau_hll")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_heldout_nll_single_bigram_aggregate(spark):
+    """text_heldout_nll derives train counts AND val scoring from ONE
+    (doc, bigram) aggregate behind a checkpoint barrier: the corpus
+    tokenize/explode generator must appear exactly once in the plan
+    tree (checkpointed scans show as scan nodes, not re-explodes)."""
+    plan = _plan(spark, "text_heldout_nll")
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_model_broadcasts(spark):
+    """events_seasonal_forecast joins the (type x 24) model frame onto
+    the test scan as a broadcast."""
+    plan = _plan(spark, "events_seasonal_forecast")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_stats_single_explode_agg(spark):
+    """emb_dim_stats is one posexplode feeding one aggregate — no join,
+    single shuffle on the dims key."""
+    plan = _plan(spark, "emb_dim_stats")
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges == 1, plan
