@@ -1025,7 +1025,9 @@ def ivf_probe_curve(
     probes_df = spark.createDataFrame(
         [(int(p),) for p in probe_counts], "n_probe int"
     )
-    ex = scored.join(
+    # barrier: the candidate counts and the per-P top-k both consume the
+    # scored frame; one scoring pass over the corpus, not two
+    ex = scored.localCheckpoint().join(
         F.broadcast(probes_df), F.col("_r") <= F.col("n_probe")
     )
 

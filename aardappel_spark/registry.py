@@ -6854,10 +6854,16 @@ def q_doc_token_entropy(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
     )
-    per_doc = tc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_types"),
-        F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+    per_doc = (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+        )
+        # barrier: the scored rows AND the empty-doc anti-join both
+        # consume this; without it the corpus token explode runs twice
+        .localCheckpoint()
     )
     ent = (
         F.log("n_tokens") - F.col("_clogc") / F.col("n_tokens")
@@ -6869,7 +6875,7 @@ def q_doc_token_entropy(spark, sf_dir):
         (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
     )
-    empties = docs.join(tc.select("doc_id").distinct(), "doc_id", "left_anti").select(
+    empties = docs.join(per_doc.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id",
         F.lit(0).cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("n_types"),
@@ -7914,6 +7920,9 @@ def q_events_wau_hll(spark, sf_dir):
         )
         .groupBy("day", "register")
         .agg(F.max("rho").alias("max_rho"))
+        # barrier: the day list and the dense grid both consume this
+        # (days x 64)-row frame; one events scan, not two
+        .localCheckpoint()
     )
     days = daily.select("day").distinct()
     grid = days.crossJoin(spark.range(64).select(F.col("id").alias("register")))
