@@ -297,12 +297,19 @@ def bm25_topk(
     """
     terms = list(query_terms or BM25_QUERY_TERMS)
     t = tokenize(docs, id_col, text_col)
-    dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # checkpoint the small aggregates so their two consumers don't each
+    # re-run the corpus tokenize (dl feeds the scorer AND the stats;
+    # tf feeds the scorer AND the df count): 2 corpus passes, not 4
+    dl = t.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     qt = t.filter(F.col("token").isin(terms))
-    tf = qt.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    tf = (
+        qt.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "token")

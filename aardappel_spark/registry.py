@@ -1905,8 +1905,14 @@ def q_events_funnel(spark, sf_dir):
     ev = load_events_ns(spark, sf_dir).select(
         "user_id", "event_type", F.expr("ts div 1000").alias("mic")
     )
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("mic").alias("t1")
+    # each stage output is per-user tiny and consumed TWICE (the next
+    # stage's join and the final count) — checkpoint so the event scan
+    # runs once per stage, not once per downstream consumer
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("mic").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1914,6 +1920,7 @@ def q_events_funnel(spark, sf_dir):
         .filter(F.col("mic") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("mic").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3328,20 +3335,25 @@ def q_events_psi_drift(spark, sf_dir):
         F.expr("ts DIV 1000").alias("mic"),
         F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
     )
-    bounds = ev.agg(
-        F.min("mic").alias("mn"), F.max("mic").alias("mx")
-    ).withColumn("mid", F.expr("mn + (mx - mn) DIV 2"))
+    # two corpus passes total: the bounds pre-pass (1 row, checkpointed)
+    # and ONE conditional aggregation for both halves — the earlier
+    # base/cur + full-outer formulation re-derived the events scan 8x
+    # through dom's two consumers (caught by the duplicate-scan audit)
+    bounds = (
+        ev.agg(F.min("mic").alias("mn"), F.max("mic").alias("mx"))
+        .withColumn("mid", F.expr("mn + (mx - mn) DIV 2"))
+        .localCheckpoint()
+    )
     halves = ev.crossJoin(F.broadcast(bounds)).select(
         "bin", (F.col("mic") <= F.col("mid")).alias("is_base")
     )
-    base = halves.filter("is_base").groupBy("bin").agg(F.count("*").alias("nb"))
-    cur = halves.filter(~F.col("is_base")).groupBy("bin").agg(
-        F.count("*").alias("nc")
-    )
-    dom = base.join(cur, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("nb", F.lit(0)).alias("nb"),
-        F.coalesce("nc", F.lit(0)).alias("nc"),
+    dom = (
+        halves.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("nc"),
+        )
+        .localCheckpoint()
     )
     tot = dom.agg(
         F.sum("nb").alias("tb"),
