@@ -8144,12 +8144,95 @@ FROM scored GROUP BY event_type
 """
 
 
+
+def q_corpus_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic on document length
+    between every source pair: D = max |ECDF_a - ECDF_b| over the
+    union length domain — the nonparametric drift test that catches a
+    shifted length DISTRIBUTION even when means agree (completing the
+    drift family next to chi-square seasonality, PSI halves and JS
+    buckets). One corpus scan aggregates to (source, n_chars) counts
+    behind a checkpoint barrier; everything after — cumulative sums,
+    the pair join on the length domain, the max — runs on that tiny
+    frame. ECDF values are exact integer ratios; D compares on the
+    rounded value so engines agree."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # five consumers; one corpus scan
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    # dense domain: every source needs an ECDF value at every length in
+    # the UNION domain (step function: cumulative count of values <= x)
+    dom = counts.select("x").distinct()
+    grid = counts.select("source").distinct().crossJoin(dom)
+    dense = grid.join(counts, ["source", "x"], "left").fillna(0, ["c"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = (
+        dense.withColumn("cum", F.sum("c").over(w))
+        .join(F.broadcast(tot), "source")
+        .select("source", "x", (F.col("cum") / F.col("n")).alias("f"))
+    )
+    a = ecdf.select(
+        F.col("source").alias("source_a"), "x", F.col("f").alias("fa")
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"), "x", F.col("f").alias("fb")
+    )
+    return (
+        a.join(b, "x")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d")
+        )
+    )
+
+
+QUERIES["corpus_ks_drift"] = q_corpus_ks_drift
+
+ORACLES["corpus_ks_drift"] = """
+WITH counts AS (
+  SELECT source, n_chars AS x, count(*) AS c FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+dom AS (SELECT DISTINCT x FROM counts),
+grid AS (
+  SELECT s.source, dom.x
+  FROM (SELECT DISTINCT source FROM counts) s, dom
+),
+dense AS (
+  SELECT grid.source, grid.x, COALESCE(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (source, x)
+),
+ecdf AS (
+  SELECT dense.source, dense.x,
+         sum(dense.c) OVER (
+           PARTITION BY dense.source ORDER BY dense.x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) / CAST(tot.n AS DOUBLE) AS f
+  FROM dense JOIN tot ON dense.source = tot.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(max(abs(a.f - b.f)), 6) AS ks_d
+FROM ecdf a JOIN ecdf b ON a.x = b.x AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation.
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 174
+# 50 keys of the then-current insertion order). The registry holds 175
 # queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
 # below have NEVER had a driver row (they were verified green by the round-4
 # judge's independent side-by-side run and by the committed full-registry
@@ -8163,7 +8246,8 @@ FROM scored GROUP BY event_type
 # additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
 # corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
 # retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats,
-# dedup_method_agreement, events_wau_hll, events_seasonal_forecast).
+# dedup_method_agreement, events_wau_hll, events_seasonal_forecast,
+# corpus_ks_drift).
 # Full-registry
 # parity is additionally checked every round by tools/check_oracle.py (all
 # green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).

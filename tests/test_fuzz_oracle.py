@@ -41,7 +41,7 @@ FUZZ_QUERIES = [
     # frames hash the raw payload bytes of degenerate docs
     "doc_token_entropy", "corpus_js_drift", "doc_gopher_rules",
     "corpus_tokenizer_fertility", "multimodal_frames",
-    "text_heldout_nll",
+    "text_heldout_nll", "corpus_ks_drift",
 ]
 
 EDGE_TEXTS = [

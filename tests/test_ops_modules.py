@@ -2519,3 +2519,38 @@ def test_seasonal_forecast_matches_python_model(spark, sf_dir):
         n_scored = n - cold
         if n_scored:
             assert abs(r.mae - errsum / n_scored) < 1e-3, et
+
+
+def test_ks_drift_matches_python_model(spark, sf_dir):
+    """corpus_ks_drift equals a from-scratch two-sample KS statistic
+    over document lengths, and every D lies in [0, 1]."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {
+        (r.source_a, r.source_b): r.ks_d
+        for r in QUERIES["corpus_ks_drift"](spark, sf_dir).collect()
+    }
+    by_source = defaultdict(list)
+    for d in _docs(spark, sf_dir).select("source", "n_chars").collect():
+        by_source[d.source].append(d.n_chars)
+    sources = sorted(by_source)
+    dom = sorted({x for v in by_source.values() for x in v})
+    ecdf = {}
+    for s in sources:
+        vals = sorted(by_source[s])
+        n = len(vals)
+        import bisect
+
+        ecdf[s] = [bisect.bisect_right(vals, x) / n for x in dom]
+    want = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            want[(a, b)] = round(
+                max(abs(fa - fb) for fa, fb in zip(ecdf[a], ecdf[b])), 6
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+        assert 0.0 <= got[k] <= 1.0
