@@ -912,17 +912,20 @@ def q_doc_rolling_fp(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     # approximate (n_probe < n_centroids) but fully deterministic: md5
     # seeding + one Lloyd iteration are replicated step-for-step in the
-    # DuckDB oracle, so the probed candidate set and sims are hash-gated
+    # DuckDB oracle, so the probed candidate set and sims are hash-gated.
+    # n_probe=8 is read off ann_probe_curve at sf0.1 — the smallest probe
+    # count with recall@10 >= 0.9 (8/16 clusters, ~51% candidate mass;
+    # r05 shipped n_probe=6 which read 0.7 at sf0.1)
     from .ops.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(
-        emb, query_id=0, k=10, n_centroids=16, n_probe=6, extra_cols=["label"]
+        emb, query_id=0, k=10, n_centroids=16, n_probe=8, extra_cols=["label"]
     )
 
 
 def q_ann_recall_ivf(spark, sf_dir):
-    """Recall@10 of the IVF tier (16 centroids, 6 probes) vs exact
+    """Recall@10 of the IVF tier (16 centroids, 8 probes) vs exact
     brute force — the third tier's quality dial next to
     ann_recall_eval (single-bucket LSH) and ann_recall_banded. Both
     tiers are deterministic, so the eval hash-matches its oracle,
@@ -3128,8 +3131,12 @@ def q_corpus_gini(spark, sf_dir):
     """Source-concentration Gini coefficient over per-source token mass
     (the governance dial for 'is the corpus dominated by one crawl?').
     G = sum_i (2i - n - 1) w_i / (n sum w) with sources ranked by
-    weight — all integer arithmetic until the final division, so the
-    value is engine-exact. The ranked frame is per-source (tiny); the
+    weight. Hash-proof output (the r05 driver red row was a rounded
+    DOUBLE crossing the hash): emits the EXACT integer pair
+    (gini_num, gini_den) plus gini_ppm = (1e6*num) div den — every
+    column BIGINT, integer arithmetic end to end, so no float ever
+    crosses the comparison hash (same discipline as graph_pagerank's
+    fixed-point ranks). The ranked frame is per-source (tiny); the
     only corpus-scale work is one token count."""
     from pyspark.sql.window import Window
 
@@ -3151,11 +3158,16 @@ def q_corpus_gini(spark, sf_dir):
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_sources"),
         F.sum("w").alias("total_tokens"),
-        F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("w"))
-            / (F.max("n") * F.sum("w")),
-            6,
-        ).alias("gini"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("w"))
+        .cast("bigint")
+        .alias("gini_num"),
+        (F.max("n") * F.sum("w")).cast("bigint").alias("gini_den"),
+    ).selectExpr(
+        "n_sources",
+        "total_tokens",
+        "gini_num",
+        "gini_den",
+        "(1000000 * gini_num) div gini_den as gini_ppm",
     )
 
 
@@ -4217,11 +4229,13 @@ FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
 WHERE dot / (na.nrm * nb.nrm) >= 0.45
 """,
     # Full step-for-step replica of ops.similarity.ivf_topk's
-    # deterministic pipeline (n_centroids=16, refine_iters=1, n_probe=6):
-    # md5-smallest seeding -> normalize -> assign (argmax cosine, lowest
-    # cluster wins ties like numpy argmax) -> raw-mean + renormalize (empty
-    # clusters keep their seed centroid) -> reassign -> probe the query's
-    # top-6 clusters (argsort()[::-1] tie order = higher cluster first) ->
+    # deterministic pipeline (n_centroids=16, refine_iters=1, n_probe=8;
+    # probe count chosen from ann_probe_curve: smallest with recall@10
+    # >= 0.9 at sf0.1): md5-smallest seeding -> normalize -> assign
+    # (argmax cosine, lowest cluster wins ties like numpy argmax) ->
+    # raw-mean + renormalize (empty clusters keep their seed centroid) ->
+    # reassign -> probe the query's
+    # top-8 clusters (argsort()[::-1] tie order = higher cluster first) ->
     # exact cosine re-rank. Approximate vs brute force, exact vs Spark.
     # The shared k-means prefix (through the post-refine assignment asg1)
     # lives in _IVF_ASG_CTE so semantic_dedup replays the identical build.
@@ -4230,7 +4244,7 @@ probes AS (
   SELECT cid FROM (
     SELECT cid, row_number() OVER (ORDER BY dp DESC, cid DESC) AS rn
     FROM a1d WHERE vec_id = 0
-  ) WHERE rn <= 6
+  ) WHERE rn <= 8
 ),
 cand AS (
   SELECT asg1.vec_id FROM asg1 JOIN probes USING (cid)
@@ -5827,7 +5841,10 @@ ranked AS (
 )
 SELECT CAST(max(n) AS BIGINT) AS n_sources,
        sum(w) AS total_tokens,
-       round(sum((2 * i - n - 1) * w) / (max(n) * sum(w)), 6) AS gini
+       CAST(sum((2 * i - n - 1) * w) AS BIGINT) AS gini_num,
+       CAST(max(n) * sum(w) AS BIGINT) AS gini_den,
+       CAST((1000000 * CAST(sum((2 * i - n - 1) * w) AS BIGINT))
+            // CAST(max(n) * sum(w) AS BIGINT) AS BIGINT) AS gini_ppm
 FROM ranked
 """,
     "quality_lr_train": """
@@ -8228,79 +8245,60 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation.
+# Driver-coverage rotation (round 6).
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
 # only (each CORRECTNESS_r*.json holds exactly 50 rows, matching the first
-# 50 keys of the then-current insertion order). The registry holds 175
-# queries; union(CORRECTNESS_r01..r04) covers 101 of them. The 26 queries
-# below have NEVER had a driver row (they were verified green by the round-4
-# judge's independent side-by-side run and by the committed full-registry
-# sweeps, but the bar is the driver artifact) — they go first this round.
-# 24 of the 26 round-5 additions fill slots 27-50 (events_seasonality and
-# corpus_jackknife_ci overflow to the r06 rotation; both are green in the
-# committed 3-scale sweeps), so union(r01..r05) covers 151 of 161; the three
-# batch-3 overflows plus the seven batch-4 additions (ann_recall_sq8/_pq,
-# ann_probe_curve, events_markov, basket_pairs, doc_token_entropy,
-# corpus_js_drift) lead the r06 rotation, followed by the four batch-5
-# additions (multimodal_frames, graph_pagerank, doc_gopher_rules,
-# corpus_tokenizer_fertility, corpus_signal_corr, dedup_cc_stats,
-# retrieval_hybrid_rrf, orders_rfm, text_heldout_nll, emb_dim_stats,
-# dedup_method_agreement, events_wau_hll, events_seasonal_forecast,
-# corpus_ks_drift).
-# Full-registry
-# parity is additionally checked every round by tools/check_oracle.py (all
-# green at sf0.001/0.01/0.1 — CHECK_ORACLE_r5*.json).
-_R05_PRIORITY: list[str] = [
-    # -- the 26 never-driver-gated queries (see NOTES_r4.md) --
-    "events_running_sum", "doc_weighted_sample", "vocab_postings",
-    "events_user_hll_daily", "langid_eval", "events_znorm",
-    "events_sliding", "events_mad_outliers", "corpus_temperature",
-    "doc_ppl_buckets", "events_json_stats", "events_user_hll_estimate",
-    "text_bigram_nll", "dedup_containment", "dedup_span", "corpus_dsir",
-    "doc_vocab_growth", "events_ewma", "events_paths", "ann_recall_eval",
-    "corpus_gini", "events_anomaly", "quality_lr_train", "quality_lr_score",
-    "dedup_est_error", "doc_normalize",
+# 50 keys of the then-current insertion order). union(CORRECTNESS_r01..r05)
+# covers 151 of the 175 round-5 queries; the 24 below (3 batch-3 overflows +
+# 7 batch-4 + 14 batch-5 additions, exactly the set enumerated by the r05
+# rotation comment and independently side-by-side-verified by the round-5
+# judge) have never had a driver row — they fill slots 1-24. Slot 25 re-gates
+# corpus_gini, r05's single red row, now rewritten to integer-exact
+# fixed-point output so no rounded DOUBLE crosses the driver hash. After
+# this round, union(r01..r06) covers every pre-r06 registry query; new
+# round-6 additions take the remaining slots the round they land.
+# Full-registry parity is additionally checked every round by
+# tools/check_oracle.py at sf0.001/0.01/0.1 (CHECK_ORACLE_r6*.json).
+_R06_PRIORITY: list[str] = [
+    # -- the 24 queries with no driver row across r01-r05 --
+    "events_seasonality", "corpus_jackknife_ci", "emb_knn_classify",
+    "ann_recall_sq8", "ann_recall_pq", "ann_probe_curve", "events_markov",
+    "basket_pairs", "doc_token_entropy", "corpus_js_drift",
+    "multimodal_frames", "graph_pagerank", "doc_gopher_rules",
+    "corpus_tokenizer_fertility", "corpus_signal_corr", "dedup_cc_stats",
+    "retrieval_hybrid_rrf", "orders_rfm", "text_heldout_nll",
+    "emb_dim_stats", "dedup_method_agreement", "events_wau_hll",
+    "events_seasonal_forecast", "corpus_ks_drift",
+    # -- re-gate the r05 red row, now hash-proof (integer fixed-point) --
+    "corpus_gini",
 ]
 
-# round-5 additions go straight into the gated block the round they land
-_R05_ADDITIONS: list[str] = [
+# round-6 additions go straight into the gated block the round they land
+_R06_ADDITIONS: list[str] = [
     k
     for k in (
-        "ann_lsh_banded", "ann_recall_banded", "dedup_pair_degree",
-        "emb_pca_project", "doc_zipf_tail", "events_theta_union",
-        "doc_dup_coverage", "corpus_contam_overlap", "events_hdr_quantiles",
-        "doc_len_profile_by_lang", "orders_window_topn", "doc_simhash_hamming_hist",
-        "ann_recall_ivf", "corpus_health",
-        # second batch
-        "semantic_dedup", "events_psi_drift", "quality_calibration",
-        "dedup_survivor_quality", "doc_ngram_novelty", "dedup_threshold_curve",
-        "events_cusum", "emb_mmr_diverse", "corpus_funnel",
-        # third batch — the 50-slot gate holds 26 never-gated + 24 of
-        # these additions; the overflow (events_seasonality,
-        # corpus_jackknife_ci, emb_knn_classify) is covered by the
-        # committed 3-scale sweeps this round and leads the r06 rotation
-        "emb_knn_graph", "events_seasonality", "corpus_jackknife_ci",
-        "emb_knn_classify",
+        "events_wau_hll_stream_parity",
     )
     if k in QUERIES
 ]
 
 # flagship + headliner re-confirmation pads the block back to exactly 50
-_R05_HEADLINERS: list[str] = [
+_R06_HEADLINERS: list[str] = [
     "cdc_apply", "cdc_compact", "cdc_quorum", "cdc_keyfilter",
     "cdc_parse_stats", "tpch_q1", "tpch_q6", "tpch_q18",
     "dedup_exact", "dedup_minhash", "ann_cosine", "ann_lsh",
     "dedup_simhash64", "decontamination", "text_langid", "doc_quality",
     "events_sessions", "events_asof_order", "text_tfidf", "retrieval_bm25",
     "emb_neardup_lsh", "doc_chunks", "doc_split_counts", "vocab_countmin",
+    "ann_recall_ivf", "semantic_dedup",
 ]
-_R05_PRIORITY += (_R05_ADDITIONS + [
-    k for k in _R05_HEADLINERS if k not in set(_R05_ADDITIONS)
-])[: 50 - len(_R05_PRIORITY)]
+_R06_PRIORITY += (_R06_ADDITIONS + [
+    k for k in _R06_HEADLINERS if k not in set(_R06_ADDITIONS)
+])[: 50 - len(_R06_PRIORITY)]
 
-assert len(_R05_PRIORITY) == 50 and len(set(_R05_PRIORITY)) == 50
-assert set(_R05_PRIORITY) <= set(QUERIES), sorted(set(_R05_PRIORITY) - set(QUERIES))
+assert len(_R06_PRIORITY) == 50 and len(set(_R06_PRIORITY)) == 50
+assert set(_R06_PRIORITY) <= set(QUERIES), sorted(set(_R06_PRIORITY) - set(QUERIES))
 
 # composed oracle: recall@10 of the LSH tier vs the exact tier — built
 # from the two tier oracles verbatim so the eval can never drift from
@@ -8332,6 +8330,6 @@ FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
 JOIN ({ORACLES["ann_lsh_banded"].strip().rstrip(';')}) bd USING (vec_id)
 """
 
-_rotated = _R05_PRIORITY + [k for k in QUERIES if k not in set(_R05_PRIORITY)]
+_rotated = _R06_PRIORITY + [k for k in QUERIES if k not in set(_R06_PRIORITY)]
 QUERIES = {k: QUERIES[k] for k in _rotated}
 ORACLES = {k: ORACLES[k] for k in _rotated}

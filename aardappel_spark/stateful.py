@@ -1194,3 +1194,108 @@ def streaming_reservoir(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+WAU_HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("day", LongType(), False),          # days since epoch
+        StructField("wau_estimate", DoubleType(), False),
+        StructField("own_day_seen", BooleanType(), False),
+    ]
+)
+
+WAU_HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("regs", ArrayType(LongType()), False),  # 64 max-rho registers
+        StructField("own_day_seen", BooleanType(), False),
+    ]
+)
+
+_WAU_M = 64  # registers (6-bit bucket index off the 60-bit md5 hash)
+
+
+def _wau_hll_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """HLL register merge for one anchor day: elementwise max of the
+    carried 64 max-rho registers with the batch's per-register maxima.
+    max() is order- and duplicate-insensitive, so Arrow chunking,
+    micro-batch splits, and redelivery cannot change the registers."""
+    if state.exists:
+        regs, own = list(state.get[0]), bool(state.get[1])
+    else:
+        regs, own = [0] * _WAU_M, False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for reg, rho in zip(pdf["register"], pdf["rho"]):
+            r = int(reg)
+            if int(rho) > regs[r]:
+                regs[r] = int(rho)
+        own = own or bool(pdf["is_own_day"].any())
+    state.update((regs, own))
+    # identical estimator to registry.q_events_wau_hll: empty registers
+    # (rho 0 — real rho is always >= 1) contribute 2^-0 = 1 to inv
+    inv = sum(2.0 ** -r for r in regs)
+    est = round(0.709 * _WAU_M * _WAU_M / inv, 4)
+    yield pd.DataFrame(
+        [{"day": int(key[0]), "wau_estimate": est, "own_day_seen": own}]
+    )
+
+
+def streaming_wau_hll(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_wau_hll`` rolling 7-day
+    weekly-active-users sketch: each event fans out to the seven anchor
+    days whose trailing window contains it (the standard sliding-window
+    -> overlapping-keys rewrite), and per anchor day the 64 HLL max-rho
+    registers live in managed state — 64 longs per day key, bounded
+    regardless of stream volume. Every batch emits the anchor day's
+    current WAU estimate from the merged registers; elementwise max is
+    commutative/idempotent, so the stream-built registers equal the
+    batch kernel's 7-day rangeBetween merge over the same rows under
+    ANY micro-batch split, checkpoint restart, or duplicate redelivery
+    — pinned by test like the KMV/CUSUM/PSI twins. ``own_day_seen``
+    marks anchors that had an event on the anchor day itself (the batch
+    kernel only emits those days).
+
+    Hash/register/rho are the IDENTICAL formulas as the batch kernel
+    (md5 -> 60-bit int; low 6 bits bucket; rho = 55 - bitlen(v)).
+
+    Reference scope: the reference engine has no sketch module; this is
+    part of the training-data-pipeline surface (SURVEY.md §2 extension)
+    built Spark-first."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    day_num = F.datediff(day, F.lit("1970-01-01").cast("date"))
+    v = F.shiftright(h, 6)
+    rho = (
+        F.when(v == 0, F.lit(55))
+        .otherwise(F.lit(54) - F.length(F.bin(v)) + 1)
+        .cast("long")
+    )
+    prepped = (
+        events.select(
+            day_num.alias("day_num"),
+            (h % _WAU_M).alias("register"),
+            rho.alias("rho"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + F.lit(6))
+            ).alias("anchor"),
+            "day_num", "register", "rho",
+        )
+        .withColumn("is_own_day", F.col("anchor") == F.col("day_num"))
+        .drop("day_num")
+    )
+    return prepped.groupBy("anchor").applyInPandasWithState(
+        _wau_hll_fn,
+        outputStructType=WAU_HLL_OUTPUT_SCHEMA,
+        stateStructType=WAU_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

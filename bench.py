@@ -123,12 +123,22 @@ def main() -> None:
         warmup[name] = round(time.perf_counter() - t0, 3)
         print(f"# warmup {name}: {warmup[name]}s", file=sys.stderr)
 
+    # best-of-2 per query: a single-pass timing on a shared VM let one
+    # ambient-noise spike misrepresent a query by 9x in the r05 artifact
+    # (cdc_problem_actions 14.7s recorded vs 1.5-2.4s steady state).
+    # The scale probe already takes best-of-two for exactly this reason;
+    # the bench now holds itself to the same standard. min(), not mean:
+    # the quantity of interest is the plan's steady-state cost, and noise
+    # on a shared VM is strictly additive.
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        n = len(rows)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            n = len(rows)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()) + sum(warmup.values()), 3)
@@ -155,10 +165,12 @@ def main() -> None:
                 "rounds until the labels converge"
             ),
             "variance": (
-                "single-pass timings on a shared VM: individual "
-                "queries vary run-to-run (ambient noise, not plan "
-                "changes); steady-state costs were cross-checked in "
-                "fresh sessions (e.g. dedup_exact 0.38s, matching r1)"
+                "best-of-2 per query (same protocol as the scale "
+                "probe): each query runs twice and the min is "
+                "recorded, so a single ambient-noise spike on this "
+                "shared VM cannot land in the artifact (r05 recorded "
+                "cdc_problem_actions at 14.7s vs its 1.5-2.4s steady "
+                "state from one unlucky pass)"
             ),
         },
     }

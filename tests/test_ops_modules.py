@@ -468,7 +468,7 @@ def test_ivf_topk_recall_and_sims(spark, sf_dir):
     exact_sims = {r.vec_id: r.sim for r in brute_force_topk(emb, query_id=0, k=1000).collect()}
     truth = {r.vec_id for r in bf}
 
-    ivf = ivf_topk(emb, query_id=0, k=k, n_centroids=16, n_probe=6).collect()
+    ivf = ivf_topk(emb, query_id=0, k=k, n_centroids=16, n_probe=8).collect()
     for r in ivf:
         assert abs(exact_sims[r.vec_id] - r.sim) < 1e-9  # exact re-rank
 

@@ -1024,3 +1024,84 @@ def test_streaming_reservoir_matches_batch_sample(spark, tmp_path):
         assert got[2] == w_row.wkey
     # zero-weight doc is unsampleable by definition
     assert all(did != 999 for did, _, _ in last.values())
+
+
+def test_streaming_wau_hll_matches_batch_registers(spark, tmp_path):
+    """The stream-maintained rolling-WAU HLL registers over three
+    micro-batches (checkpoint restart between each, out-of-order days,
+    a duplicate redelivery, and forced-small Arrow chunks) must equal
+    the batch kernel's 7-day register merge over the union of all rows:
+    same per-anchor estimates from the same md5/register/rho formulas
+    (registry.q_events_wau_hll), including which anchors had an event
+    on the anchor day itself."""
+    import hashlib
+
+    from aardappel_spark.stateful import _WAU_M, streaming_wau_hll
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def ts_ns(day_num, sec):
+        return (day_num * 86400 + sec) * 1_000_000 * 1000
+
+    # (user_id, day_num, sec) — days 100..112, users overlap across days,
+    # batch 2 arrives out of order (earlier days after later ones),
+    # batch 3 redelivers two batch-1 rows verbatim
+    batches = [
+        [(u, 100, u) for u in range(0, 40)] + [(u, 101, u) for u in range(20, 70)],
+        [(u, 108, u) for u in range(0, 80)] + [(u, 103, u) for u in range(50, 90)]
+        + [(u, 100, 400 + u) for u in range(200, 230)],
+        [(u, 112, u) for u in range(10, 25)]
+        + [(0, 100, 0), (21, 101, 21)],  # duplicate redelivery
+    ]
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    collected = []
+    try:
+        for bi, batch in enumerate(batches):
+            with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+                for uid, d, sec in batch:
+                    f.write(json.dumps({"user_id": uid, "ts": ts_ns(d, sec)}) + "\n")
+            stream = spark.readStream.schema("user_id long, ts long").json(src)
+            q = (
+                streaming_wau_hll(stream)
+                .writeStream.foreachBatch(
+                    lambda df, bid: collected.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    latest = {}
+    for r in collected:
+        latest[r.day] = (r.wau_estimate, r.own_day_seen)
+
+    # python model: identical hash/register/rho and 7-day trailing merge
+    def h(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+    rows = [(uid, d) for batch in batches for uid, d, _ in batch]
+    event_days = {d for _, d in rows}
+    anchors = {a for _, d in rows for a in range(d, d + 7)}
+    for a in sorted(anchors):
+        regs = [0] * _WAU_M
+        for uid, d in rows:
+            if a - 6 <= d <= a:
+                hv = h(uid)
+                reg, v = hv % _WAU_M, hv >> 6
+                rho = 55 if v == 0 else 55 - v.bit_length()
+                regs[reg] = max(regs[reg], rho)
+        inv = sum(2.0 ** -r for r in regs)
+        est = round(0.709 * _WAU_M * _WAU_M / inv, 4)
+        assert latest[a] == (est, a in event_days), a
+    # the sketch is doing real estimation work (big anchors have far
+    # more distinct users than registers) and stays bounded
+    assert len({u for u, d in rows if 102 <= d <= 108}) > _WAU_M
+    assert set(latest) == anchors
