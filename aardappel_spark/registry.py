@@ -8245,6 +8245,409 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: six new operator patterns — deterministic A/B
+# hypothesis test, shuffle-key skew diagnostics, k-means convergence
+# dial (shared IVF build), BPE merge-round induction, Lorenz/Pareto
+# concentration in exact cents, and bitmap-index activity aggregation.
+
+
+def q_events_ab_test(spark, sf_dir):
+    """Deterministic A/B experiment readout: users hash-split into two
+    arms (md5 parity — the assignment any engine can replay), per-arm
+    purchase-conversion counts, and the two-proportion pooled z
+    statistic. All counts are exact BIGINTs and the rates are
+    fixed-point ppm (integer div), so only the final z (a sqrt) is a
+    rounded double. One groupBy(user) pass then a 2-row aggregate —
+    the shuffle is on user_id, the natural key."""
+    ev = load_events_ns(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # conversion = heavy purchaser (>= 12 purchase events, ~ the per-user
+    # median at every test scale) — every user has >= 1 purchase in the
+    # synthetic stream, so 'any purchase' would be the degenerate p = 1
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 12
+        ).cast("int").alias("conv")
+    )
+    arms = per_user.select(
+        (h % 2).alias("arm"), "conv"
+    ).groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("c_b")
+    )
+    return a.crossJoin(b).selectExpr(
+        "n_a", "c_a", "n_b", "c_b",
+        "(1000000 * c_a) div n_a as rate_a_ppm",
+        "(1000000 * c_b) div n_b as rate_b_ppm",
+        """round(
+             (c_a / cast(n_a as double) - c_b / cast(n_b as double))
+             / sqrt(
+                 ((c_a + c_b) / cast(n_a + n_b as double))
+                 * (1.0 - (c_a + c_b) / cast(n_a + n_b as double))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ),
+             4
+           ) as z_stat""",
+    )
+
+
+def q_events_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnostics for the three keys every events
+    pipeline shuffles on (user_id, event_type, event day): distinct-key
+    count, hottest-key mass, and the skew factor max/mean — the dial
+    that says which groupBy needs salting before a 1000-executor run
+    (events_type_stats_salted is the cure; this is the thermometer).
+    ONE scan: the three key projections stack() row-locally, then a
+    single (key_name, key_value) count and a 3-group reduce. Skew and
+    top-share are fixed-point ppm BIGINTs — no float crosses the
+    hash."""
+    ev = load_events_ns(spark, sf_dir)
+    day = F.to_date(
+        F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    stacked = ev.select(
+        F.col("user_id").cast("string").alias("_u"),
+        F.col("event_type").alias("_t"),
+        day.cast("string").alias("_d"),
+    ).selectExpr(
+        "stack(3, 'user_id', _u, 'event_type', _t, 'day', _d) "
+        "as (key_name, key_value)"
+    )
+    counts = stacked.groupBy("key_name", "key_value").agg(
+        F.count("*").alias("n")
+    )
+    return counts.groupBy("key_name").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("max_n"),
+    ).selectExpr(
+        "key_name", "n_keys", "total", "max_n",
+        "(1000000 * max_n * n_keys) div total as skew_ppm",
+        "(1000000 * max_n) div total as top1_share_ppm",
+    )
+
+
+def q_emb_centroid_shift(spark, sf_dir):
+    """k-means convergence dial for the shared IVF/SemDeDup index
+    build: per cluster, how far the centroid moved in the Lloyd
+    refinement (L2 between the seed centroid and the post-refine
+    centroid) and how many vectors the refined cluster holds — the
+    numbers that say whether one refinement iteration was enough and
+    whether the inverted lists are balanced (max/min member ratio is
+    the IVF load-balance dial at scale). Reuses ivf_build's exact
+    deterministic pipeline: centroid math is O(n_centroids x dims) on
+    the driver (KBs), the corpus-side work is the same two mapInPandas
+    assignment passes the gated ann_ivf already pays."""
+    import numpy as np
+
+    from .ops.similarity import _normalize_rows, ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, C1 = ivf_build(emb, n_centroids=16, refine_iters=1)
+    seed_rows = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(16)
+        .collect()
+    )
+    C0 = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
+    shifts = np.sqrt(((C1 - C0) ** 2).sum(axis=1))
+    shift_df = spark.createDataFrame(
+        [(i, round(float(s), 4)) for i, s in enumerate(shifts)],
+        "cid int, shift_l2 double",
+    )
+    sizes = assigned.groupBy("_c").agg(F.count("*").cast("bigint").alias("n_members"))
+    return sizes.select(F.col("_c").alias("cid"), "n_members").join(
+        F.broadcast(shift_df), "cid"
+    )
+
+
+def q_vocab_bpe_merges(spark, sf_dir):
+    """First BPE merge round (Sennrich et al. 2016): the 10 most
+    frequent adjacent character pairs inside lowercased alphabetic
+    words — the candidates the first merge step of a tokenizer train
+    would fuse. The pair space is bounded (26^2), so the aggregate is
+    tiny; the per-word pair explode is row-local array math off one
+    corpus scan."""
+    from .ops.text import bpe_tokens_col
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.filter(bpe_tokens_col("text"), lambda t: t.rlike("^[A-Za-z]+$"))
+        ).alias("w0")
+    ).select(F.lower("w0").alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+def q_customer_pareto(spark, sf_dir):
+    """Revenue-concentration Lorenz deciles: customers ranked by
+    lifetime order revenue, cut into ntile(10) deciles, each with its
+    exact revenue mass and the cumulative share — 'do the top 10% of
+    customers carry 40% of revenue'. Money stays exact integer cents
+    (DECIMAL x100 -> BIGINT) and shares are fixed-point ppm, so no
+    float crosses the hash. The decile ntile is a global sort of the
+    per-customer frame — the textbook Lorenz shape; at 100 TB you
+    would assign deciles from percentile cutoffs instead (documented
+    dial), the per-decile reduce is identical."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # o_totalprice is a DOUBLE in the test parquet: round() before the
+    # BIGINT cast (Spark's cast truncates, DuckDB's rounds — the one
+    # cross-engine divergence in the money path)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    per = (
+        rev.select("o_custkey", "cents", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return per.select(
+        "decile", "n_customers", "rev_cents",
+        F.sum("rev_cents").over(wc).alias("_cum"),
+        F.sum("rev_cents").over(wt).alias("_tot"),
+    ).selectExpr(
+        "decile", "n_customers", "rev_cents",
+        "(1000000 * _cum) div _tot as cum_share_ppm",
+    )
+
+
+def q_events_activity_bitmap(spark, sf_dir):
+    """Bitmap-index activity rollup: each (user, month) collapses to a
+    single BIGINT day-of-month bitmask (bit_or of 1<<day), so 'how
+    many days was this user active' is a bit_count — up to 31 distinct
+    (user, day) rows become one long, the roaring-bitmap trick that
+    makes retention math cheap at 100 TB. Output: per month, the
+    histogram of active-day counts plus how many users cleared 5 and
+    10 active days."""
+    ev = load_events_ns(spark, sf_dir)
+    d = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    per = (
+        ev.select(
+            F.date_format(d, "yyyy-MM").alias("month"),
+            "user_id",
+            F.expr(
+                "shiftleft(cast(1 as bigint), "
+                "day(to_date(date_trunc('DAY', timestamp_micros(ts div 1000)))) - 1)"
+            ).alias("_b"),
+        )
+        .groupBy("month", "user_id")
+        .agg(F.expr("bit_count(bit_or(_b))").cast("bigint").alias("active_days"))
+    )
+    return per.groupBy("month", "active_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+def q_events_watermark_lateness(spark, sf_dir):
+    """Watermark-sizing dial for the streaming surface: treating
+    event_id as arrival order, each event's lateness is the running
+    maximum event time seen so far minus its own event time — exactly
+    the quantity a Structured Streaming watermark must cover to not
+    drop it. Output: per event type, how many events a 0/1/5/60-second
+    watermark would drop plus the max observed lateness — read the row,
+    pick withWatermark(). One global running max (the same single-sort
+    shape as the batch EWMA kernels; at scale you'd shard by ingest
+    partition, which is how lateness is defined on a real bus
+    anyway), then a 5-row conditional aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    base = ev.select(
+        "event_type",
+        F.expr("ts div 1000").alias("_tus"),
+        "event_id",
+    ).withColumn("_late_us", F.max("_tus").over(w) - F.col("_tus"))
+    sec = 1_000_000
+    return base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("_late_us") > 0).cast("int")).cast("bigint").alias("n_late_any"),
+        F.sum((F.col("_late_us") > 1 * sec).cast("int")).cast("bigint").alias("n_late_1s"),
+        F.sum((F.col("_late_us") > 5 * sec).cast("int")).cast("bigint").alias("n_late_5s"),
+        F.sum((F.col("_late_us") > 60 * sec).cast("int")).cast("bigint").alias("n_late_60s"),
+        F.max("_late_us").cast("bigint").alias("max_late_us"),
+    )
+
+
+QUERIES["events_watermark_lateness"] = q_events_watermark_lateness
+
+ORACLES["events_watermark_lateness"] = """
+WITH base AS (
+  SELECT event_type, epoch_ns(ts) // 1000 AS tus,
+         max(epoch_ns(ts) // 1000) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+  FROM events
+),
+l AS (SELECT event_type, mx - tus AS late_us FROM base)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_any,
+       CAST(sum(CASE WHEN late_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1s,
+       CAST(sum(CASE WHEN late_us > 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5s,
+       CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM l GROUP BY event_type
+"""
+
+
+QUERIES["events_ab_test"] = q_events_ab_test
+QUERIES["events_key_skew"] = q_events_key_skew
+QUERIES["emb_centroid_shift"] = q_emb_centroid_shift
+QUERIES["vocab_bpe_merges"] = q_vocab_bpe_merges
+QUERIES["customer_pareto"] = q_customer_pareto
+QUERIES["events_activity_bitmap"] = q_events_activity_bitmap
+
+ORACLES["events_ab_test"] = """
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 12
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM pu GROUP BY 1
+),
+ab AS (
+  SELECT
+    (SELECT n_users FROM arms WHERE arm = 0) AS n_a,
+    (SELECT n_conv FROM arms WHERE arm = 0) AS c_a,
+    (SELECT n_users FROM arms WHERE arm = 1) AS n_b,
+    (SELECT n_conv FROM arms WHERE arm = 1) AS c_b
+)
+SELECT n_a, c_a, n_b, c_b,
+       (1000000 * c_a) // n_a AS rate_a_ppm,
+       (1000000 * c_b) // n_b AS rate_b_ppm,
+       round(
+         (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+         / sqrt(
+             ((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / n_a + 1.0 / n_b)
+           ),
+         4
+       ) AS z_stat
+FROM ab
+"""
+
+ORACLES["events_key_skew"] = """
+WITH stacked AS (
+  SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS key_value FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  UNION ALL
+  SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+),
+counts AS (
+  SELECT key_name, key_value, count(*) AS n FROM stacked GROUP BY 1, 2
+)
+SELECT key_name,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST(max(n) AS BIGINT) AS max_n,
+       (1000000 * CAST(max(n) AS BIGINT) * CAST(count(*) AS BIGINT))
+         // CAST(sum(n) AS BIGINT) AS skew_ppm,
+       (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT) AS top1_share_ppm
+FROM counts GROUP BY key_name
+"""
+
+ORACLES["emb_centroid_shift"] = _IVF_ASG_CTE + """,
+sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM asg1 GROUP BY cid),
+sh AS (
+  SELECT c1.cid,
+         round(sqrt(sum((c1.cx - c0.cx) * (c1.cx - c0.cx))), 4) AS shift_l2
+  FROM c1 JOIN c0 USING (cid, i) GROUP BY c1.cid
+)
+SELECT sz.cid, sz.n_members, sh.shift_l2
+FROM sz JOIN sh USING (cid)
+"""
+
+ORACLES["vocab_bpe_merges"] = r"""
+WITH w0 AS (
+  SELECT lower(unnest(list_filter(
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+           t -> regexp_matches(t, '^[A-Za-z]+$')))) AS w
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM w0 WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 10
+"""
+
+ORACLES["customer_pareto"] = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, cents,
+         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM rev
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM d GROUP BY decile
+)
+SELECT decile, n_customers, rev_cents,
+       (1000000 * sum(rev_cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            // (sum(rev_cents) OVER ()) AS cum_share_ppm
+FROM per
+"""
+
+ORACLES["events_activity_bitmap"] = """
+WITH per AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, user_id,
+         CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (day(CAST(ts AS DATE)) - 1)))
+              AS BIGINT) AS active_days
+  FROM events GROUP BY month, user_id
+)
+SELECT month, active_days, CAST(count(*) AS BIGINT) AS n_users
+FROM per GROUP BY month, active_days
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 6).
 #
 # The round harness gates correctness on the FIRST 50 entries of queries()
@@ -8278,7 +8681,9 @@ _R06_PRIORITY: list[str] = [
 _R06_ADDITIONS: list[str] = [
     k
     for k in (
-        "events_wau_hll_stream_parity",
+        "events_ab_test", "events_key_skew", "emb_centroid_shift",
+        "vocab_bpe_merges", "customer_pareto", "events_activity_bitmap",
+        "events_watermark_lateness",
     )
     if k in QUERIES
 ]

@@ -1299,3 +1299,74 @@ def streaming_wau_hll(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BITMAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("month", StringType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("mask", LongType(), False),
+        StructField("active_days", LongType(), False),
+    ]
+)
+
+BITMAP_STATE_SCHEMA = StructType([StructField("mask", LongType(), False)])
+
+
+def _bitmap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Day-of-month bitmask merge for one (month, user): OR the carried
+    mask with the batch's bits. bit_or is commutative and idempotent,
+    so Arrow chunking, micro-batch splits, and duplicate redelivery
+    cannot change the mask."""
+    mask = int(state.get[0]) if state.exists else 0
+    for pdf in pdfs:
+        for b in pdf["_b"]:
+            mask |= int(b)
+    state.update((mask,))
+    yield pd.DataFrame(
+        [
+            {
+                "month": key[0],
+                "user_id": int(key[1]),
+                "mask": mask,
+                "active_days": bin(mask).count("1"),
+            }
+        ]
+    )
+
+
+def streaming_activity_bitmap(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_activity_bitmap`` rollup:
+    per (month, user) the day-of-month bitmask lives in managed state —
+    ONE long per key, the bitmap-index trick that keeps retention math
+    bounded — and every batch emits the key's current mask and
+    bit_count. bit_or is commutative/idempotent, so the stream-built
+    mask equals the batch kernel's over the same rows under ANY
+    micro-batch split, checkpoint restart, or duplicate redelivery —
+    pinned by test like the WAU/KMV/CUSUM twins. Day/month formulas are
+    IDENTICAL to the batch kernel (nanos ts -> date -> yyyy-MM,
+    1 << (day-1)).
+
+    Reference scope: the reference engine has no sketch module; this is
+    part of the training-data-pipeline surface (SURVEY.md §2 extension)
+    built Spark-first."""
+    from pyspark.sql import functions as F
+
+    d = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    prepped = events.select(
+        F.date_format(d, "yyyy-MM").alias("month"),
+        "user_id",
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            "day(to_date(date_trunc('DAY', timestamp_micros(ts div 1000)))) - 1)"
+        ).alias("_b"),
+    )
+    return prepped.groupBy("month", "user_id").applyInPandasWithState(
+        _bitmap_fn,
+        outputStructType=BITMAP_OUTPUT_SCHEMA,
+        stateStructType=BITMAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

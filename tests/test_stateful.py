@@ -1105,3 +1105,60 @@ def test_streaming_wau_hll_matches_batch_registers(spark, tmp_path):
     # more distinct users than registers) and stays bounded
     assert len({u for u, d in rows if 102 <= d <= 108}) > _WAU_M
     assert set(latest) == anchors
+
+
+def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
+    """The stream-maintained (month, user) day bitmasks over three
+    micro-batches (checkpoint restart between each, duplicate
+    redelivery, cross-month keys) must equal the batch kernel's bit_or
+    over the union of all rows: same masks, same active-day counts."""
+    from aardappel_spark.stateful import streaming_activity_bitmap
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def ts_ns(day_num, sec):
+        return (day_num * 86400 + sec) * 1_000_000 * 1000
+
+    # day 19723 = 2024-01-01 (anchor January and February 2024)
+    jan, feb = 19723, 19754
+    batches = [
+        [(1, jan + 0, 10), (1, jan + 2, 20), (2, jan + 0, 5)],
+        [(1, jan + 2, 99), (2, feb + 3, 1), (1, feb + 27, 0)],
+        [(1, jan + 0, 10), (3, feb + 0, 7), (2, jan + 30, 2)],  # dup redelivery
+    ]
+    collected = []
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for uid, d, sec in batch:
+                f.write(json.dumps({"user_id": uid, "ts": ts_ns(d, sec)}) + "\n")
+        stream = spark.readStream.schema("user_id long, ts long").json(src)
+        q = (
+            streaming_activity_bitmap(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    latest = {}
+    for r in collected:
+        latest[(r.month, r.user_id)] = (r.mask, r.active_days)
+
+    import datetime
+
+    model = {}
+    for batch in batches:
+        for uid, d, _ in batch:
+            date = datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+            k = (date.strftime("%Y-%m"), uid)
+            model[k] = model.get(k, 0) | (1 << (date.day - 1))
+    assert latest == {
+        k: (m, bin(m).count("1")) for k, m in model.items()
+    }
+    # the cross-month key split is real and a dup did not double-set
+    assert ("2024-01", 1) in latest and ("2024-02", 1) in latest
+    assert latest[("2024-01", 1)][1] == 2  # days 1 and 3, dup collapsed

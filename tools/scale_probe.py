@@ -76,18 +76,20 @@ PROBE_QUERIES = [
     "events_cusum",
     "doc_ngram_novelty",
     # round-5 batch 4/5/6: order-pair self-join, token-entropy agg,
-    # JS-divergence bucket scan, lead() transition window.
-    # graph_pagerank and emb_knn_graph are NOT probed for the same
-    # reason as semantic_dedup: the replica datasets copy embeddings
-    # verbatim (only doc text gets per-replica suffixes), so every
-    # LSH band bucket grows Nx with identical vectors and the
-    # bucket-local pair mass grows ~N^2 — the probe would measure the
-    # duplicated-corpus pathology, not growth. The production dial is
-    # more bands/bits as N grows (see knn_graph_banded docstring).
+    # JS-divergence bucket scan, lead() transition window
     "basket_pairs",
     "doc_token_entropy",
     "corpus_js_drift",
     "events_markov",
+    # round-6: the remaining duplicate-scan-audit-fixed queries (the
+    # checkpoint-barrier fix class must stay measured; corpus_js_drift
+    # is already above) and the kNN-graph family, probeable now that
+    # replica embeddings are jittered (see replicate())
+    "events_psi_drift",
+    "retrieval_bm25",
+    "events_funnel",
+    "emb_knn_graph",
+    "graph_pagerank",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -116,6 +118,34 @@ def replicate(spark: SparkSession, n: int, outdir: str) -> None:
                             lambda t: F.concat(t, F.lit(f"_{i}")),
                         ),
                         " ",
+                    ),
+                )
+            if table == "embeddings" and i > 0:
+                # jittered replicas: copied vectors get deterministic
+                # per-(vec,dim,replica) noise (±0.05, ~half the mean
+                # component magnitude) so projection sign bits differ
+                # across replicas. Verbatim copies would grow every LSH
+                # band bucket Nx with IDENTICAL vectors and the
+                # bucket-local pair mass ~N^2 — the duplicated-corpus
+                # pathology, not growth — which is why graph_pagerank /
+                # emb_knn_graph were excluded from the r5 probe. With
+                # jitter they are probed like everything else.
+                r = r.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (
+                            x
+                            + 0.1
+                            * (
+                                F.pmod(
+                                    F.xxhash64(F.col("vec_id"), j, F.lit(i)),
+                                    F.lit(1000),
+                                )
+                                / 1000.0
+                                - 0.5
+                            )
+                        ).cast("float"),
                     ),
                 )
             parts.append(r)
