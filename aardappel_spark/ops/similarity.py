@@ -552,6 +552,11 @@ def ivf_build(
         .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:
+        # empty corpus: zero-row assignment and a (0, 0) centroid matrix
+        # (the np.array of an empty list is 1-D, which would trip the
+        # axis-1 normalize — the round-2 numpy empty-input trap class)
+        return v.withColumn("_c", F.lit(0).cast("int")).limit(0), np.zeros((0, 0))
     C = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
 
     def assign_with(Cn):

@@ -1323,24 +1323,39 @@ def q_emb_centroids(spark, sf_dir):
 def q_emb_outliers(spark, sf_dir):
     """Embedding quality scoring: each vector's cosine to its label
     centroid (low similarity = mislabeled/corrupt candidate — the
-    filter step before training on embeddings). Centroid built via the
-    same posexplode component-mean path as emb_centroids, then joined
-    back on (label, component) — never a whole-vector collect."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    cent = v.groupBy("label", "i").agg(F.avg("x").alias("m"))
-    j = v.join(cent, ["label", "i"])
-    per_vec = j.groupBy("vec_id", "label").agg(
-        F.sum(F.col("x") * F.col("m")).alias("dot"),
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
-        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nc"),
+    filter step before training on embeddings). Centroids come from the
+    same posexplode component-mean path as emb_centroids, but then fold
+    back into (label, centroid-array) rows — a labels-count frame — and
+    BROADCAST onto the corpus: the cosine is row-local zip_with/
+    aggregate array math off one scan. (r5 shape joined the 64x-exploded
+    corpus back on (label, i) and re-aggregated — a corpus-scale
+    shuffle of dims x rows; the broadcast form deletes it.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    return per_vec.select(
+    v = emb.select("label", F.posexplode("e").alias("i", "x"))
+    cent = (
+        v.groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    add = lambda acc, y: acc + y  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with("e", "c", lambda a, b: a * b), F.lit(0.0), add
+    )
+    nv = F.sqrt(F.aggregate(F.transform("e", lambda a: a * a), F.lit(0.0), add))
+    nc = F.sqrt(F.aggregate(F.transform("c", lambda b: b * b), F.lit(0.0), add))
+    return j.select(
         "vec_id",
         "label",
-        F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 4).alias("centroid_sim"),
+        F.round(dot / (nv * nc), 4).alias("centroid_sim"),
     )
 
 
@@ -8361,6 +8376,10 @@ def q_emb_centroid_shift(spark, sf_dir):
         .limit(16)
         .collect()
     )
+    if not seed_rows:  # empty corpus: no clusters, no shifts
+        return spark.createDataFrame(
+            [], "cid int, n_members bigint, shift_l2 double"
+        )
     C0 = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
     shifts = np.sqrt(((C1 - C0) ** 2).sum(axis=1))
     shift_df = spark.createDataFrame(
@@ -8374,8 +8393,8 @@ def q_emb_centroid_shift(spark, sf_dir):
 
 
 def q_vocab_bpe_merges(spark, sf_dir):
-    """First BPE merge round (Sennrich et al. 2016): the 10 most
-    frequent adjacent character pairs inside lowercased alphabetic
+    """First BPE merge round (Sennrich 2016, subword units): the 10
+    most frequent adjacent character pairs inside lowercased alphabetic
     words — the candidates the first merge step of a tokenizer train
     would fuse. The pair space is bounded (26^2), so the aggregate is
     tiny; the per-word pair explode is row-local array math off one
@@ -8500,6 +8519,80 @@ def q_events_watermark_lateness(spark, sf_dir):
         F.sum((F.col("_late_us") > 60 * sec).cast("int")).cast("bigint").alias("n_late_60s"),
         F.max("_late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+def q_emb_sq8_distortion(spark, sf_dir):
+    """Quantization-distortion dial for the SQ8 compressed-scan ANN
+    tier (the why behind ann_recall_sq8's recall number): corpus-level
+    relative reconstruction error of the int8 codes, in ppm of signal
+    power, plus the max per-component code error — which is <= 0.5 by
+    construction (round-half-up), so the column doubles as a
+    self-check of the quantizer. One scan, row-local array folds, a
+    single 1-row aggregate; uses the IDENTICAL sq8_quantize arithmetic
+    as the gated ann_sq8 tier."""
+    from .ops.similarity import sq8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qarr, s = sq8_quantize(F.col("e"))
+    v = emb.select("vec_id", "e", qarr.alias("q"), s.alias("s"))
+    add = lambda acc, y: acc + y  # noqa: E731
+    err2 = F.aggregate(
+        F.zip_with(
+            "e", "q",
+            lambda x, q: (x - q * F.col("s") / F.lit(127.0))
+            * (x - q * F.col("s") / F.lit(127.0)),
+        ),
+        F.lit(0.0),
+        add,
+    )
+    pow2 = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), add)
+    mce = F.array_max(
+        F.zip_with(
+            "e", "q",
+            lambda x, q: F.abs(x * F.lit(127.0) / F.col("s") - q),
+        )
+    )
+    per = v.select(
+        err2.alias("_e2"), pow2.alias("_p2"), mce.alias("_mce"),
+        F.size("e").alias("_d"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.max("_d").cast("bigint").alias("dims"),
+        F.round(F.lit(1e6) * F.sum("_e2") / F.sum("_p2"), 3).alias("rel_err_ppm"),
+        F.round(F.max("_mce"), 6).alias("max_code_err"),
+    )
+
+
+QUERIES["emb_sq8_distortion"] = q_emb_sq8_distortion
+
+ORACLES["emb_sq8_distortion"] = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+sc AS (SELECT vec_id, greatest(max(abs(x)), 1e-30) AS s FROM v GROUP BY vec_id),
+c AS (
+  SELECT v.vec_id, v.x, sc.s, floor(v.x * 127.0 / sc.s + 0.5) AS q
+  FROM v JOIN sc USING (vec_id)
+),
+per AS (
+  SELECT vec_id,
+         sum((x - q * s / 127.0) * (x - q * s / 127.0)) AS e2,
+         sum(x * x) AS p2,
+         max(abs(x * 127.0 / s - q)) AS mce,
+         count(*) AS d
+  FROM c GROUP BY vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(max(d) AS BIGINT) AS dims,
+       round(1e6 * sum(e2) / sum(p2), 3) AS rel_err_ppm,
+       round(max(mce), 6) AS max_code_err
+FROM per
+"""
 
 
 QUERIES["events_watermark_lateness"] = q_events_watermark_lateness
@@ -8683,7 +8776,7 @@ _R06_ADDITIONS: list[str] = [
     for k in (
         "events_ab_test", "events_key_skew", "emb_centroid_shift",
         "vocab_bpe_merges", "customer_pareto", "events_activity_bitmap",
-        "events_watermark_lateness",
+        "events_watermark_lateness", "emb_sq8_distortion",
     )
     if k in QUERIES
 ]

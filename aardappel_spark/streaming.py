@@ -251,6 +251,41 @@ class VersionedTable:
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
+    def n_data_files(self) -> dict[int, int]:
+        """Per-bucket parquet-file count of the current version — the
+        small-file thermometer that says when compact_files() is due."""
+        v = self.current_version()
+        return {
+            k: sum(
+                1
+                for fn in os.listdir(d)
+                if not fn.startswith(("_", "."))
+            )
+            for k, d in self._bucket_dirs(v).items()
+        }
+
+    def compact_files(self) -> int:
+        """Maintenance compaction: rewrite the current version so every
+        bucket holds ONE parquet file, and advance CURRENT. Each commit
+        rewrites its touched buckets with however many tasks held rows
+        (up to spark.sql.shuffle.partitions files per bucket), so a
+        long-running stream accumulates exactly the small-file problem
+        that degrades scan/footer performance on a 100 TB table; this
+        is the OPTIMIZE/rewrite-data-files housekeeping job (Delta
+        OPTIMIZE, Iceberg rewriteDataFiles) on the versioned layout.
+        Repartitioning BY THE BUCKET EXPRESSION puts each bucket's rows
+        in a single task before the partitioned write, so the rewrite
+        is one shuffle and the data is byte-for-byte equivalent (same
+        rows, same bucket layout). Crash-safe like any commit: staging
+        dir + atomic CURRENT pointer swap; a replay just re-runs the
+        rewrite. Returns the new version (0 = nothing to compact)."""
+        v = self.current_version()
+        if v == 0:
+            return 0
+        df = self.current().repartition(self.n_buckets, self.bucket_of())
+        self.commit(df, v + 1, touched=None)
+        return v + 1
+
 
 @dataclass
 class StreamConfig:

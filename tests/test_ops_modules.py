@@ -1376,26 +1376,29 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round5_priority():
+def test_driver_rotation_first_50_are_round6_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-5 artifact covers the right set — the
-    26 never-driver-gated queries lead, round-5 additions follow, and
-    headliners pad to exactly 50."""
+    pin the rotation so the round-6 artifact covers the right set — the
+    24 queries with no driver row across r01-r05 lead, the re-gated
+    (now integer-exact) corpus_gini is slot 25, round-6 additions
+    follow, and headliners pad to exactly 50."""
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import _R05_PRIORITY, ORACLES
+    from aardappel_spark.registry import _R06_PRIORITY, ORACLES
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R05_PRIORITY
-    # the never-gated block must lead, whatever lands later in the round
-    assert _R05_PRIORITY[:26] == [
-        "events_running_sum", "doc_weighted_sample", "vocab_postings",
-        "events_user_hll_daily", "langid_eval", "events_znorm",
-        "events_sliding", "events_mad_outliers", "corpus_temperature",
-        "doc_ppl_buckets", "events_json_stats", "events_user_hll_estimate",
-        "text_bigram_nll", "dedup_containment", "dedup_span", "corpus_dsir",
-        "doc_vocab_growth", "events_ewma", "events_paths", "ann_recall_eval",
-        "corpus_gini", "events_anomaly", "quality_lr_train",
-        "quality_lr_score", "dedup_est_error", "doc_normalize",
+    assert list(q)[:50] == _R06_PRIORITY
+    # the never-gated block + the re-gate must lead, whatever lands
+    # later in the round
+    assert _R06_PRIORITY[:25] == [
+        "events_seasonality", "corpus_jackknife_ci", "emb_knn_classify",
+        "ann_recall_sq8", "ann_recall_pq", "ann_probe_curve",
+        "events_markov", "basket_pairs", "doc_token_entropy",
+        "corpus_js_drift", "multimodal_frames", "graph_pagerank",
+        "doc_gopher_rules", "corpus_tokenizer_fertility",
+        "corpus_signal_corr", "dedup_cc_stats", "retrieval_hybrid_rrf",
+        "orders_rfm", "text_heldout_nll", "emb_dim_stats",
+        "dedup_method_agreement", "events_wau_hll",
+        "events_seasonal_forecast", "corpus_ks_drift", "corpus_gini",
     ]
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)

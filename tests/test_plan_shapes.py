@@ -577,3 +577,62 @@ def test_dim_stats_single_explode_agg(spark):
     assert "Join" not in plan
     n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_exchanges == 1, plan
+
+
+def test_key_skew_one_scan_stacked(spark):
+    """events_key_skew stacks the three key projections row-locally off
+    ONE events scan — the plan must contain exactly one parquet scan
+    and no join."""
+    plan = _plan(spark, "events_key_skew")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+
+
+def test_ab_test_single_user_shuffle(spark):
+    """events_ab_test reduces per user (one Exchange on user_id), then
+    2-row arm frames cross-attach as a broadcast scalar — no cartesian
+    on anything wider than one row per side."""
+    plan = _plan(spark, "events_ab_test")
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_money_stays_integer(spark):
+    """customer_pareto's revenue column is exact integer cents end to
+    end (BIGINT, never DOUBLE) and the share is integer-div ppm."""
+    df = registry.QUERIES["customer_pareto"](spark, SF_DIR)
+    types = dict(df.dtypes)
+    assert types["rev_cents"] == "bigint"
+    assert types["cum_share_ppm"] == "bigint"
+
+
+def test_activity_bitmap_two_aggregates_no_join(spark):
+    """events_activity_bitmap is two chained aggregates (per-key bit_or,
+    then the histogram) — no join, no window."""
+    plan = _plan(spark, "events_activity_bitmap")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_bpe_merges_rowlocal_pair_explode(spark):
+    """vocab_bpe_merges explodes char pairs row-locally: no join, and
+    the only wide exchange feeds the bounded (<= 26^2) pair aggregate
+    plus the final top-10 ordering."""
+    plan = _plan(spark, "vocab_bpe_merges")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_centroid_shift_broadcasts_shift_frame(spark):
+    """emb_centroid_shift joins the 16-row driver-computed shift frame
+    onto the cluster sizes as a broadcast."""
+    plan = _plan(spark, "emb_centroid_shift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_output_all_bigint(spark):
+    """corpus_gini's hash-proof contract: every output column is BIGINT
+    (the r05 driver red row was a rounded DOUBLE crossing the hash —
+    this guard keeps floats out permanently)."""
+    df = registry.QUERIES["corpus_gini"](spark, SF_DIR)
+    assert all(t == "bigint" for _, t in df.dtypes), df.dtypes

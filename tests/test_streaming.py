@@ -1209,3 +1209,46 @@ def test_fuzz_overlap_redelivery_with_crash_converges(spark, tmp_path, seed):
         assert got == expected, f"table {t} (kill_at={kill_at})"
     st = eng.state.read()
     assert st["step_id"] == Decimal(final_hb) and st["stage"] == STAGE_RUN
+
+
+def test_versioned_table_compact_files(spark, tmp_path):
+    """compact_files() collapses each bucket to one parquet file with
+    byte-identical content, advances CURRENT atomically, and the next
+    incremental commit still carries untouched buckets from the
+    compacted version — the OPTIMIZE housekeeping job a long-running
+    stream needs once per-bucket file counts grow."""
+    from aardappel_spark.casting import TableMeta
+    from aardappel_spark.streaming import VersionedTable
+
+    meta = TableMeta(
+        "users",
+        primary_key=["user_id"],
+        columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+    )
+    vt = VersionedTable(
+        spark, str(tmp_path / "tbl"), meta, "user_id bigint, value string",
+        n_buckets=4,
+    )
+    # a full write under 32 shuffle partitions scatters every bucket
+    # across many tasks -> many files per bucket
+    rows = [(i, f"v{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id bigint, value string").repartition(16)
+    vt.commit(df, 1, touched=None)
+    before = vt.n_data_files()
+    assert max(before.values()) > 1, before  # the small-file problem is real
+
+    new_v = vt.compact_files()
+    assert new_v == 2 and vt.current_version() == 2
+    after = vt.n_data_files()
+    assert set(after) == set(before) and all(n == 1 for n in after.values()), after
+    assert sorted((r.user_id, r.value) for r in vt.current().collect()) == rows
+
+    # incremental commit after compaction: touched bucket rewritten,
+    # untouched buckets carried over from the compacted version
+    upd = spark.createDataFrame([(0, "NEW")], "user_id bigint, value string")
+    touched = upd.select(vt.bucket_of().alias("b")).distinct().collect()
+    tb = [r.b for r in touched]
+    post = vt.read_buckets(tb).filter(~F.col("user_id").isin([0])).unionByName(upd)
+    vt.commit(post, 3, touched=tb)
+    got = dict((r.user_id, r.value) for r in vt.current().collect())
+    assert got[0] == "NEW" and got[199] == "v199" and len(got) == 200
