@@ -8566,6 +8566,109 @@ def q_emb_sq8_distortion(spark, sf_dir):
     )
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series gap fill with forward-fill: each user's daily last
+    observed value, densified over the user's own [first_day, last_day]
+    span (generated sequence explode — no calendar table), missing days
+    carrying the last seen value forward via last(ignoreNulls) — the
+    standard feature-engineering densification before any daily model.
+    One groupBy collapses events to (user, day); the grid explode is
+    row-local off the tiny per-user span frame; the forward fill is ONE
+    window Exchange on user_id. The filled value is carried verbatim
+    (no arithmetic), so both engines agree bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    d = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    base = ev.select(
+        "user_id",
+        F.datediff(d, F.lit("1970-01-01").cast("date")).alias("dn"),
+        F.expr("ts div 1000").alias("_tus"),
+        "event_id",
+        "value",
+    )
+    wlast = Window.partitionBy("user_id", "dn").orderBy(
+        F.desc("_tus"), F.desc("event_id")
+    )
+    daily = (
+        base.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "dn", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("dn").alias("_lo"), F.max("dn").alias("_hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("_lo", "_hi")).alias("dn")
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = grid.join(daily, ["user_id", "dn"], "left")
+    return j.select(
+        "user_id",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dn")).alias("day"),
+        F.last("value", ignorenulls=True).over(wf).alias("value"),
+        F.col("value").isNull().alias("filled"),
+    )
+
+
+def q_ann_probe_autoselect(spark, sf_dir):
+    """The IVF probe dial dialing itself: the smallest n_probe on the
+    recall curve with recall@10 >= 0.9 — exactly the selection rule
+    that set the ann_ivf tier default (n_probe=8 at sf0.1). Composes
+    the gated ann_probe_curve verbatim (one build + one scoring pass),
+    so the auto-selection can never drift from the curve it reads."""
+    curve = q_ann_probe_curve(spark, sf_dir)
+    return (
+        curve.filter(F.col("recall") >= 0.9)
+        .orderBy("n_probe")
+        .limit(1)
+    )
+
+
+QUERIES["events_gap_fill"] = q_events_gap_fill
+QUERIES["ann_probe_autoselect"] = q_ann_probe_autoselect
+
+ORACLES["events_gap_fill"] = """
+WITH base AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         epoch_ns(ts) // 1000 AS tus, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+daily AS (SELECT user_id, dn, value FROM base WHERE rn = 1),
+span AS (SELECT user_id, min(dn) AS lo, max(dn) AS hi FROM daily GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS dn FROM span
+),
+j AS (
+  SELECT grid.user_id, grid.dn, daily.value
+  FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.dn = daily.dn
+)
+SELECT user_id,
+       DATE '1970-01-01' + CAST(dn AS INT) AS day,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY dn
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       value IS NULL AS filled
+FROM j
+"""
+
+ORACLES["ann_probe_autoselect"] = (
+    "SELECT n_probe, n_candidates, n_hit, recall FROM ("
+    + ORACLES["ann_probe_curve"].strip().rstrip(";")
+    + ") WHERE recall >= 0.9 ORDER BY n_probe LIMIT 1"
+)
+
+
 QUERIES["emb_sq8_distortion"] = q_emb_sq8_distortion
 
 ORACLES["emb_sq8_distortion"] = """
@@ -8777,6 +8880,7 @@ _R06_ADDITIONS: list[str] = [
         "events_ab_test", "events_key_skew", "emb_centroid_shift",
         "vocab_bpe_merges", "customer_pareto", "events_activity_bitmap",
         "events_watermark_lateness", "emb_sq8_distortion",
+        "events_gap_fill", "ann_probe_autoselect",
     )
     if k in QUERIES
 ]

@@ -636,3 +636,13 @@ def test_gini_output_all_bigint(spark):
     this guard keeps floats out permanently)."""
     df = registry.QUERIES["corpus_gini"](spark, SF_DIR)
     assert all(t == "bigint" for _, t in df.dtypes), df.dtypes
+
+
+def test_gap_fill_single_ffill_window_no_cartesian(spark):
+    """events_gap_fill joins the generated daily grid back on
+    (user, day) and forward-fills in one user-keyed window — no
+    cartesian, no nested loop."""
+    plan = _plan(spark, "events_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
