@@ -1162,3 +1162,67 @@ def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
     # the cross-month key split is real and a dup did not double-set
     assert ("2024-01", 1) in latest and ("2024-02", 1) in latest
     assert latest[("2024-01", 1)][1] == 2  # days 1 and 3, dup collapsed
+
+
+def test_streaming_agg_deltas_maintains_materialized_view(spark, tmp_path):
+    """streaming_agg_deltas + MaterializedAggState maintain a grouped
+    (sum, n_keys) aggregate over an LWW change stream: updates retract
+    the old contribution (including group moves), erases retract only,
+    stale and duplicate rows emit no delta, and a replayed batch_id is
+    skipped by the applier — the final view equals a batch GROUP BY
+    over the surviving LWW rows across checkpoint restarts."""
+    from aardappel_spark.stateful import (
+        MaterializedAggState,
+        streaming_agg_deltas,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    agg_path = str(tmp_path / "agg.json")
+    os.makedirs(src, exist_ok=True)
+
+    batches = [
+        [("k1", "A", 10.0, "upsert", 1, 1), ("k2", "A", 20.0, "upsert", 1, 2),
+         ("k3", "B", 5.0, "upsert", 1, 3)],
+        # k1 moves group A->B, k2 updated in place, new key k4
+        [("k1", "B", 7.0, "upsert", 2, 1), ("k2", "A", 25.0, "upsert", 2, 2),
+         ("k4", "B", 1.0, "upsert", 1, 9)],
+        # erase k3; duplicate redelivery of k1's batch-2 row (no delta);
+        # stale out-of-order row for k2 (loses LWW -> no delta); new k5
+        [("k3", None, 0.0, "erase", 3, 1), ("k1", "B", 7.0, "upsert", 2, 1),
+         ("k2", "A", 999.0, "upsert", 0, 7), ("k5", "A", 2.0, "upsert", 1, 4)],
+    ]
+
+    state = MaterializedAggState(agg_path)
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for k, g, v, op, s, t in batch:
+                f.write(json.dumps(
+                    {"key": k, "grp": g, "value": v, "op": op,
+                     "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(
+            "key string, grp string, value double, op string, step long, tx_id long"
+        ).json(src)
+
+        def sink(df, bid):
+            st = MaterializedAggState(agg_path)  # reload: crash-safe path
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_agg_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    final = MaterializedAggState(agg_path)
+    assert final.groups == {"A": (27.0, 2), "B": (8.0, 2)}, final.groups
+
+    # replayed batch id is a no-op (exactly-once per batch)
+    assert final.apply_deltas(
+        [{"grp": "A", "delta_value": 100.0, "delta_keys": 1}], final.last_batch
+    ) is False
+    assert final.groups["A"] == (27.0, 2)
