@@ -623,13 +623,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: list[str] | None = None,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """ANN via IVF: probe the query's ``n_probe`` nearest clusters, exact
     cosine re-rank inside them. Complements the hyperplane-LSH tier:
     recall is tunable by n_probe (n_probe = n_centroids degrades to exact
     brute force), and the inverted lists prune ~(1 - n_probe/n_centroids)
     of the corpus before any pairwise arithmetic. Same output shape as
-    ``brute_force_topk`` so results are directly comparable."""
+    ``brute_force_topk`` so results are directly comparable.
+
+    ``prebuilt`` takes an already-built ``(assigned, centroids)`` pair
+    (ivf_build output) so the index builds ONCE per session and every
+    consumer — top-k, probe curve, centroid shift, SemDeDup — shares
+    it, exactly how a production deployment treats an index."""
     import numpy as np
 
     qrow = (
@@ -644,7 +650,7 @@ def ivf_topk(
             F.lit(0.0).alias("sim"),
         ).limit(0)
 
-    assigned, C = ivf_build(
+    assigned, C = prebuilt if prebuilt is not None else ivf_build(
         vectors, n_centroids=n_centroids, refine_iters=refine_iters,
         id_col=id_col, vec_col=vec_col,
     )
@@ -967,6 +973,7 @@ def ivf_probe_curve(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """Recall-vs-n_probe sweep for the IVF tier: one row per probe
     count with the candidate mass it scans and its recall@k against
@@ -999,7 +1006,7 @@ def ivf_probe_curve(
     if qrow is None:
         return spark.createDataFrame([], out_schema)
 
-    assigned, C = ivf_build(
+    assigned, C = prebuilt if prebuilt is not None else ivf_build(
         vectors, n_centroids=n_centroids, refine_iters=refine_iters,
         id_col=id_col, vec_col=vec_col,
     )

@@ -114,6 +114,9 @@ def main() -> None:
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
         "grams4": lambda: registry._grams4_cached(spark, sf_dir),
         "banded_sig": lambda: registry._banded_sig_cached(spark, sf_dir),
+        # IVF index build (assigned + centroids), shared by ann_ivf,
+        # ann_probe_curve, emb_centroid_shift, semantic_dedup
+        "ivf_build": lambda: registry._ivf_build_cached(spark, sf_dir)[0],
     }
     warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
     print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)
