@@ -8631,6 +8631,79 @@ def q_events_gap_fill(spark, sf_dir):
     )
 
 
+def q_orders_backlog(spark, sf_dir):
+    """Open-order backlog by month via interval delta counting: each
+    order contributes +1 at its order month and -1 at its close month
+    (the max lineitem ship date), and the backlog is the running sum —
+    the pattern that counts concurrent intervals (open tickets, active
+    subscriptions, in-flight orders) in ONE pass over the endpoints
+    instead of a month-by-month rescan. One join keyed on orderkey, a
+    row-local 2-delta explode, a months-count aggregate, and a running
+    sum over the tiny month frame. All-integer output."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.trunc(F.col("o_orderdate"), "MM").alias("m_open")
+    )
+    cl = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.trunc(F.max("l_shipdate"), "MM").alias("m_close"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    deltas = (
+        o.join(cl, "o_orderkey")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("m_open").alias("month"), F.lit(1).alias("d")),
+                    F.struct(F.col("m_close").alias("month"), F.lit(-1).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.month", "e.d")
+    )
+    monthly = deltas.groupBy("month").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("n_opened"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("bigint").alias("n_closed"),
+        F.sum("d").cast("bigint").alias("_net"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month", "n_opened", "n_closed",
+        F.sum("_net").over(w).cast("bigint").alias("backlog"),
+    )
+
+
+QUERIES["orders_backlog"] = q_orders_backlog
+
+ORACLES["orders_backlog"] = """
+WITH cl AS (
+  SELECT l_orderkey AS o_orderkey,
+         date_trunc('month', max(l_shipdate)) AS m_close
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month, 1 AS d
+  FROM orders o JOIN cl USING (o_orderkey)
+  UNION ALL
+  SELECT m_close AS month, -1 AS d
+  FROM orders o JOIN cl USING (o_orderkey)
+),
+monthly AS (
+  SELECT month,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+         sum(d) AS net
+  FROM deltas GROUP BY month
+)
+SELECT month, n_opened, n_closed,
+       CAST(sum(net) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM monthly
+"""
+
+
 def q_ann_probe_autoselect(spark, sf_dir):
     """The IVF probe dial dialing itself: the smallest n_probe on the
     recall curve with recall@10 >= 0.9 — exactly the selection rule
@@ -8896,7 +8969,7 @@ _R06_ADDITIONS: list[str] = [
         "events_ab_test", "events_key_skew", "emb_centroid_shift",
         "vocab_bpe_merges", "customer_pareto", "events_activity_bitmap",
         "events_watermark_lateness", "emb_sq8_distortion",
-        "events_gap_fill", "ann_probe_autoselect",
+        "events_gap_fill", "ann_probe_autoselect", "orders_backlog",
     )
     if k in QUERIES
 ]

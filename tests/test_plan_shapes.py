@@ -646,3 +646,13 @@ def test_gap_fill_single_ffill_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_backlog_delta_explode_no_rescan(spark):
+    """orders_backlog reads orders and lineitem once each (the interval
+    endpoints come from a row-local 2-delta explode, not a per-month
+    rescan) and the running sum is one window over the month frame."""
+    plan = _plan(spark, "orders_backlog")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -2,6 +2,7 @@
 
 import json
 import os
+import pytest
 
 
 def write_batch(src, name, rows):
@@ -1226,3 +1227,85 @@ def test_streaming_agg_deltas_maintains_materialized_view(spark, tmp_path):
         [{"grp": "A", "delta_value": 100.0, "delta_keys": 1}], final.last_batch
     ) is False
     assert final.groups["A"] == (27.0, 2)
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_streaming_agg_deltas_random_fuzz(spark, tmp_path, seed):
+    """Randomized IVM fuzz: random upsert/erase ops over random keys,
+    groups, and unique (step, tx) positions, arriving shuffled across
+    random micro-batch splits with duplicate redelivery mixed in — the
+    maintained view must equal a python LWW model's GROUP BY at the
+    end, for any split and any arrival order."""
+    import random
+
+    from aardappel_spark.stateful import (
+        MaterializedAggState,
+        streaming_agg_deltas,
+    )
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(8)]
+    groups = ["A", "B", "C"]
+    positions = rng.sample(range(1, 500), 60)
+    ops = []
+    for pos in positions:
+        k = rng.choice(keys)
+        if rng.random() < 0.15:
+            ops.append((k, None, 0.0, "erase", pos, pos * 7 % 97))
+        else:
+            ops.append(
+                (k, rng.choice(groups), float(rng.randint(1, 50)),
+                 "upsert", pos, pos * 7 % 97)
+            )
+    arrival = ops[:]
+    rng.shuffle(arrival)
+    # duplicate redelivery: resend ~20% of rows later in the stream
+    dups = rng.sample(arrival, 12)
+    for d in dups:
+        arrival.insert(rng.randint(0, len(arrival)), d)
+    # random batch split into 4 micro-batches
+    cuts = sorted(rng.sample(range(1, len(arrival)), 3))
+    batches = [arrival[a:b] for a, b in zip([0] + cuts, cuts + [len(arrival)])]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    agg_path = str(tmp_path / "agg.json")
+    os.makedirs(src, exist_ok=True)
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for k, g, v, op, s, t in batch:
+                f.write(json.dumps(
+                    {"key": k, "grp": g, "value": v, "op": op,
+                     "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(
+            "key string, grp string, value double, op string, step long, tx_id long"
+        ).json(src)
+
+        def sink(df, bid):
+            st = MaterializedAggState(agg_path)
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_agg_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # python model: LWW winner per key by (step, tx), then GROUP BY
+    lww = {}
+    for k, g, v, op, s, t in ops:
+        if k not in lww or (s, t) > lww[k][:2]:
+            lww[k] = (s, t, g, v, op)
+    model = {}
+    for _, _, g, v, op in lww.values():
+        if op == "erase":
+            continue
+        sm, n = model.get(g, (0.0, 0))
+        model[g] = (sm + v, n + 1)
+
+    final = MaterializedAggState(agg_path)
+    assert final.groups == model, (seed, final.groups, model)
