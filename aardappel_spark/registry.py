@@ -8631,6 +8631,52 @@ def q_events_gap_fill(spark, sf_dir):
     )
 
 
+def q_emb_sim_histogram(spark, sf_dir):
+    """Candidate-similarity histogram for the embedding near-dup tier:
+    every LSH-bucket candidate pair's exact cosine, binned at 0.05 —
+    the calibration view that says where the 0.45 near-dup threshold
+    sits in the actual pair distribution (the ANN-side twin of
+    dedup_threshold_curve). Same deterministic bucket join as the
+    gated emb_neardup_lsh, threshold removed; the histogram is a
+    bounded (<= 40-bin) aggregate, and bin arithmetic is identical
+    IEEE ops in both engines."""
+    from .ops.similarity import cosine_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_neardup_lsh(emb, threshold=-1.0, bits=4)
+    b = F.floor(F.col("sim") * 20).cast("bigint")
+    return pairs.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    ).select(
+        "bin", F.round(F.col("bin") / 20.0, 2).alias("lo"), "n_pairs"
+    )
+
+
+QUERIES["emb_sim_histogram"] = q_emb_sim_histogram
+
+ORACLES["emb_sim_histogram"] = _emb_sig_cte(4) + """,
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+),
+d AS (
+  SELECT p.id_a, p.id_b, sum(va.x * vb.x) AS dot
+  FROM p JOIN v va ON va.vec_id = p.id_a
+         JOIN v vb ON vb.vec_id = p.id_b AND va.i = vb.i
+  GROUP BY p.id_a, p.id_b
+),
+s AS (
+  SELECT round(dot / (na.nrm * nb.nrm), 3) AS sim
+  FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
+)
+SELECT CAST(floor(sim * 20) AS BIGINT) AS bin,
+       round(CAST(floor(sim * 20) AS BIGINT) / 20.0, 2) AS lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_orders_backlog(spark, sf_dir):
     """Open-order backlog by month via interval delta counting: each
     order contributes +1 at its order month and -1 at its close month
@@ -8970,6 +9016,7 @@ _R06_ADDITIONS: list[str] = [
         "vocab_bpe_merges", "customer_pareto", "events_activity_bitmap",
         "events_watermark_lateness", "emb_sq8_distortion",
         "events_gap_fill", "ann_probe_autoselect", "orders_backlog",
+        "emb_sim_histogram",
     )
     if k in QUERIES
 ]
