@@ -93,6 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="max seconds to wait for the instance lock (default: forever)",
     )
+    p.add_argument(
+        "--compact-and-exit",
+        action="store_true",
+        help=(
+            "maintenance mode: acquire the instance lock (compaction must "
+            "never race a live writer), rewrite every destination table to "
+            "one parquet file per bucket (VersionedTable.compact_files), "
+            "print before/after file counts, and exit"
+        ),
+    )
     return p
 
 
@@ -143,6 +153,21 @@ def main(argv: list[str] | None = None) -> int:
                 else {}
             ),
         )
+
+        if args.compact_and_exit:
+            # maintenance path: the lock above guarantees no live writer;
+            # compact each destination and report the small-file delta
+            for s in engine.streams:
+                tbl = engine.tables[s.table_id]
+                before = tbl.n_data_files()
+                new_v = tbl.compact_files()
+                after = tbl.n_data_files()
+                print(
+                    f"compacted {s.dst_path}: v{new_v}, files "
+                    f"{sum(before.values())} -> {sum(after.values())} "
+                    f"({len(after)} buckets)"
+                )
+            return 0
 
         server = guard = None
         if cfg.mon_server_listen:

@@ -345,3 +345,53 @@ def test_run_query_cli_list_and_run(spark, capsys):
 
     assert run_query.main(["dedup_exactt"]) == 2
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_cli_compact_and_exit(spark, tmp_path, capsys):
+    """--compact-and-exit is the maintenance mode: after a normal run
+    leaves multi-file buckets, it rewrites every destination to one
+    file per bucket under the instance lock, reports the delta, and the
+    data is unchanged."""
+    from aardappel_spark.casting import TableMeta
+    from aardappel_spark.streaming import VersionedTable
+
+    tmp = str(tmp_path)
+    src = _write_source(tmp)
+    cfg = _write_config(tmp, src)
+    metas = _write_metas(tmp)
+    work = os.path.join(tmp, "work")
+
+    rc = main(
+        ["--config", cfg, "--table-metas", metas, "--work-dir", work,
+         "--available-now"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    meta = TableMeta(
+        "users", primary_key=["user_id"],
+        columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+    )
+    vt = VersionedTable(
+        spark, os.path.join(tmp, "dst_users"), meta,
+        "user_id bigint, value string",
+    )
+    v_before = vt.current_version()
+    before = {
+        r.user_id: r.value for r in vt.current().collect()
+    }
+
+    rc = main(
+        ["--config", cfg, "--table-metas", metas, "--work-dir", work,
+         "--compact-and-exit"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out
+
+    assert vt.current_version() == v_before + 1
+    after_files = vt.n_data_files()
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert {
+        r.user_id: r.value for r in vt.current().collect()
+    } == before
