@@ -161,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
                 tbl = engine.tables[s.table_id]
                 before = tbl.n_data_files()
                 new_v = tbl.compact_files()
+                if new_v == 0:
+                    # nothing to compact (empty / never-committed table);
+                    # don't misreport the no-op as a "v0" compaction
+                    print(f"skipped {s.dst_path}: empty table, nothing to compact")
+                    continue
                 after = tbl.n_data_files()
                 print(
                     f"compacted {s.dst_path}: v{new_v}, files "

@@ -514,6 +514,34 @@ def _normalize_rows(mat):
     return mat / norms
 
 
+def ivf_seed_matrix(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The deterministic seed-centroid matrix ``ivf_build`` starts from:
+    the ``n_centroids`` rows with the smallest ``md5(id)`` (an RNG-free
+    pseudo-random sample), row-normalized. Exposed so diagnostics that
+    compare seed vs refined centroids (``emb_centroid_shift``) read the
+    SAME seeding as the index build instead of re-deriving it — one
+    source of truth for the seed rule."""
+    import numpy as np
+
+    seed_rows = (
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        return np.zeros((0, 0))
+    return _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
+
+
 def ivf_build(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -547,17 +575,12 @@ def ivf_build(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    seed_rows = (
-        v.orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    if not seed_rows:
+    C = ivf_seed_matrix(vectors, n_centroids, id_col=id_col, vec_col=vec_col)
+    if C.size == 0:
         # empty corpus: zero-row assignment and a (0, 0) centroid matrix
         # (the np.array of an empty list is 1-D, which would trip the
         # axis-1 normalize — the round-2 numpy empty-input trap class)
         return v.withColumn("_c", F.lit(0).cast("int")).limit(0), np.zeros((0, 0))
-    C = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
 
     def assign_with(Cn):
         b_C = spark.sparkContext.broadcast(Cn)
@@ -618,7 +641,7 @@ def ivf_topk(
     query_id: int,
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -923,7 +923,8 @@ def q_ann_ivf(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(
-        emb, query_id=0, k=10, n_centroids=16, n_probe=8, extra_cols=["label"],
+        emb, query_id=0, k=10, n_centroids=IVF_N_CENTROIDS, n_probe=8,
+        extra_cols=["label"],
         prebuilt=_ivf_build_cached(spark, sf_dir),
     )
 
@@ -1024,6 +1025,12 @@ def _minhash_pairs_cached(spark, sf_dir):
 _IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _IVF_CENTROIDS_CACHE: dict[tuple[str, str], "object"] = {}
 
+# the ONE n_centroids every shared-index consumer uses (build, probe
+# curve, SemDeDup, centroid shift); change it here and every query and
+# diagnostic moves together — a site passing its own literal would let
+# the shift diagnostic silently describe a different index than it claims
+IVF_N_CENTROIDS = 16
+
 
 def _ivf_build_cached(spark, sf_dir):
     """The IVF index built ONCE per (session, sf_dir) and shared by
@@ -1036,7 +1043,9 @@ def _ivf_build_cached(spark, sf_dir):
     key = _cache_key(spark, sf_dir)
     if key not in _IVF_ASSIGN_CACHE:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        assigned, centroids = ivf_build(emb, n_centroids=16, refine_iters=1)
+        assigned, centroids = ivf_build(
+            emb, n_centroids=IVF_N_CENTROIDS, refine_iters=1
+        )
         _IVF_ASSIGN_CACHE[key] = assigned.persist()
         _IVF_CENTROIDS_CACHE[key] = centroids
     return _IVF_ASSIGN_CACHE[key], _IVF_CENTROIDS_CACHE[key]
@@ -5870,7 +5879,7 @@ ranked AS (
   FROM per_src
 )
 SELECT CAST(max(n) AS BIGINT) AS n_sources,
-       sum(w) AS total_tokens,
+       CAST(sum(w) AS BIGINT) AS total_tokens,
        CAST(sum((2 * i - n - 1) * w) AS BIGINT) AS gini_num,
        CAST(max(n) * sum(w) AS BIGINT) AS gini_den,
        CAST((1000000 * CAST(sum((2 * i - n - 1) * w) AS BIGINT))
@@ -6792,7 +6801,8 @@ def q_ann_probe_curve(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_probe_curve(
-        emb, query_id=0, k=10, n_centroids=16, probe_counts=(1, 2, 4, 8, 16),
+        emb, query_id=0, k=10, n_centroids=IVF_N_CENTROIDS,
+        probe_counts=(1, 2, 4, 8, 16),
         prebuilt=_ivf_build_cached(spark, sf_dir),
     )
 
@@ -8361,7 +8371,13 @@ def q_events_key_skew(spark, sf_dir):
         F.max("n").cast("bigint").alias("max_n"),
     ).selectExpr(
         "key_name", "n_keys", "total", "max_n",
-        "(1000000 * max_n * n_keys) div total as skew_ppm",
+        # skew = max/mean in ppm, computed as 1e6*max_n div (total div
+        # n_keys) so the only product is 1e6*max_n: the naive
+        # 1e6*max_n*n_keys wraps silently in Spark (non-ANSI) while
+        # DuckDB raises — a cross-engine divergence class — once
+        # n_keys*max_n passes 9.2e12 (easily hit at 100 TB: 1e7 users
+        # x 1e6-row hot key). Remaining headroom bound: max_n < 9.2e12.
+        "(1000000 * max_n) div (total div n_keys) as skew_ppm",
         "(1000000 * max_n) div total as top1_share_ppm",
     )
 
@@ -8379,24 +8395,18 @@ def q_emb_centroid_shift(spark, sf_dir):
     assignment passes the gated ann_ivf already pays."""
     import numpy as np
 
-    from .ops.similarity import _normalize_rows
+    from .ops.similarity import ivf_seed_matrix
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned, C1 = _ivf_build_cached(spark, sf_dir)
-    seed_rows = (
-        emb.select(
-            F.col("vec_id").alias("_id"),
-            F.col("embedding").cast("array<double>").alias("_v"),
-        )
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(16)
-        .collect()
-    )
-    if not seed_rows:  # empty corpus: no clusters, no shifts
+    # same seeding as the cached build itself (single-sourced in
+    # ops.similarity.ivf_seed_matrix with the shared IVF_N_CENTROIDS),
+    # so the shift always describes the index it claims to describe
+    C0 = ivf_seed_matrix(emb, IVF_N_CENTROIDS)
+    if C0.size == 0:  # empty corpus: no clusters, no shifts
         return spark.createDataFrame(
             [], "cid int, n_members bigint, shift_l2 double"
         )
-    C0 = _normalize_rows(np.array([r["_v"] for r in seed_rows], dtype=np.float64))
     shifts = np.sqrt(((C1 - C0) ** 2).sum(axis=1))
     shift_df = spark.createDataFrame(
         [(i, round(float(s), 4)) for i, s in enumerate(shifts)],
@@ -8910,8 +8920,8 @@ SELECT key_name,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(n) AS BIGINT) AS total,
        CAST(max(n) AS BIGINT) AS max_n,
-       (1000000 * CAST(max(n) AS BIGINT) * CAST(count(*) AS BIGINT))
-         // CAST(sum(n) AS BIGINT) AS skew_ppm,
+       (1000000 * CAST(max(n) AS BIGINT))
+         // (CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT)) AS skew_ppm,
        (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT) AS top1_share_ppm
 FROM counts GROUP BY key_name
 """
@@ -8960,9 +8970,9 @@ per AS (
   FROM d GROUP BY decile
 )
 SELECT decile, n_customers, rev_cents,
-       (1000000 * sum(rev_cents) OVER (ORDER BY decile
+       CAST((1000000 * sum(rev_cents) OVER (ORDER BY decile
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-            // (sum(rev_cents) OVER ()) AS cum_share_ppm
+            // (sum(rev_cents) OVER ()) AS BIGINT) AS cum_share_ppm
 FROM per
 """
 

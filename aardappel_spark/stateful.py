@@ -1228,10 +1228,13 @@ def _wau_hll_fn(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        for reg, rho in zip(pdf["register"], pdf["rho"]):
-            r = int(reg)
-            if int(rho) > regs[r]:
-                regs[r] = int(rho)
+        # vectorized per-register max (the 7x-fanned event stream makes a
+        # hot anchor day's batch large — a per-row Python loop here would
+        # be the slowest path inside applyInPandasWithState)
+        batch_max = pdf.groupby("register")["rho"].max()
+        for r, rho in batch_max.items():
+            if int(rho) > regs[int(r)]:
+                regs[int(r)] = int(rho)
         own = own or bool(pdf["is_own_day"].any())
     state.update((regs, own))
     # identical estimator to registry.q_events_wau_hll: empty registers
@@ -1495,7 +1498,16 @@ class MaterializedAggState:
     though foreachBatch is at-least-once — the same
     version-guard shape as VersionedTable.commit. State is one row
     per GROUP (not per key): catalog-scale, the whole point of
-    maintaining the aggregate instead of the base table."""
+    maintaining the aggregate instead of the base table.
+
+    Float-drift caveat: double sums are maintained as +new/-old
+    retract-add pairs, so a long-lived view accumulates rounding
+    drift relative to a fresh GROUP BY (the fuzz tests pin parity on
+    integer-valued doubles, which are exact). For long-lived views
+    over non-integer values, schedule a periodic full rebuild
+    (recompute the GROUP BY and replace ``groups``) — the standard
+    IVM reconciliation — or maintain cents/ppm fixed-point integers
+    in the source column, as every gated query in this repo does."""
 
     def __init__(self, path: str):
         import json as _json

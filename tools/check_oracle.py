@@ -40,6 +40,39 @@ def norm(v):
     return str(v) if not isinstance(v, (int, str)) else v
 
 
+def pandas_leg_problems(con, sql, s_cols, s_rows):
+    """Driver-comparator-faithful leg: the per-round driver hashes DuckDB
+    values through pandas (``.df()``), where HUGEINT/DECIMAL render as
+    float64 while Spark's matching BIGINT stays int — invisible to the
+    exact-int ``fetchall()`` leg (this is exactly how corpus_gini and
+    customer_pareto passed locally but hash-failed on the r6 driver).
+
+    A full value-hash through pandas would false-positive on DATE columns
+    (``.df()`` renders DATE as midnight Timestamp), so this leg checks the
+    precise divergence class instead: any column that is integer-valued on
+    the Spark side but floats under DuckDB's pandas conversion while its
+    fetchall values are exact ints (i.e. the float-ness comes from the
+    DuckDB *type*, not from NULLs).
+    """
+    pdf = con.execute(sql).df()
+    problems = []
+    for i, c in enumerate(s_cols):
+        vals = [r[i] for r in s_rows]
+        ints = [v for v in vals if isinstance(v, int) and not isinstance(v, bool)]
+        if not ints or len(ints) != len([v for v in vals if v is not None]):
+            continue  # not a pure-int spark column
+        if None in vals:
+            continue  # NULLs legitimately float-ify pandas on both sides
+        match = [pc for pc in pdf.columns if pc.lower() == c]
+        if match and pdf[match[0]].dtype.kind == "f":
+            problems.append(
+                f"pandas-path renders int column '{c}' as "
+                f"{pdf[match[0]].dtype} (uncast HUGEINT/DECIMAL in the "
+                "oracle? driver hash would fail)"
+            )
+    return problems
+
+
 def rows_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -112,6 +145,8 @@ def main():
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            problems += pandas_leg_problems(con, os_[name], s_cols, s_rows)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
