@@ -7213,7 +7213,6 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-_PR_SCALE = 10**15  # fixed-point unit for pagerank mass
 
 
 def q_graph_pagerank(spark, sf_dir):
@@ -7228,6 +7227,8 @@ def q_graph_pagerank(spark, sf_dir):
     decimal at sf0.1), and the oracle replays every iteration as CTEs
     over the SAME banded-LSH kNN edge oracle in the same integer
     arithmetic."""
+    from .ops.graph import pagerank_fixed_point
+
     edges = (
         q_emb_knn_graph(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
@@ -7237,36 +7238,14 @@ def q_graph_pagerank(spark, sf_dir):
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("vec_id", F.lit(0.0).alias("pagerank")).limit(0)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # FIXED-POINT ranks: BIGINT units of 1e-15 so every sum is exact and
     # order-independent — float sums over different shuffle orders land
     # within an ulp of a round() boundary and flip the 9th decimal (seen
-    # at sf0.1); integer arithmetic removes the hazard entirely.
-    r = nodes.select("vec_id", F.lit(_PR_SCALE // n_nodes).alias("r"))
-    base = (15 * _PR_SCALE) // (100 * n_nodes)
-    for _ in range(3):
-        r = r.localCheckpoint()  # truncate lineage: each pass reads N rows
-        dang = (
-            r.join(outdeg.withColumnRenamed("src", "vec_id"), "vec_id", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)))
-            .first()[0]
-        )
-        contrib = (
-            edges.join(r.withColumnRenamed("vec_id", "src"), "src")
-            .join(outdeg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div outdeg")).alias("contrib"))
-        )
-        r = (
-            nodes.join(contrib.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
-            .select(
-                "vec_id",
-                F.expr(
-                    f"{base}L + (85 * (coalesce(contrib, 0L)"
-                    f" + {int(dang) // n_nodes}L)) div 100"
-                ).alias("r"),
-            )
-        )
+    # at sf0.1); integer arithmetic removes the hazard entirely. The
+    # iteration kernel is ops.graph.pagerank_fixed_point, shared with
+    # the scale probe's graph_pagerank_dialed row (same kernel on the
+    # occupancy-constant-banded graph).
+    r = pagerank_fixed_point(nodes, edges, n_nodes, iters=3, d_pct=85)
     return r.select(
         "vec_id",
         (F.col("r").cast("double") / F.lit(1.0e15)).alias("pagerank"),

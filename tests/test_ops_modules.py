@@ -2076,7 +2076,8 @@ def test_pagerank_matches_python_model(spark, sf_dir):
     up to integer-division truncation)."""
     from collections import defaultdict
 
-    from aardappel_spark.registry import _PR_SCALE, QUERIES
+    from aardappel_spark.ops.graph import PR_SCALE as _PR_SCALE
+    from aardappel_spark.registry import QUERIES
 
     got = {
         r.vec_id: r.pagerank

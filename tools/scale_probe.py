@@ -90,6 +90,9 @@ PROBE_QUERIES = [
     "events_funnel",
     "emb_knn_graph",
     "graph_pagerank",
+    # round-7: the near-dup calibration histogram (bits=4 fixed for
+    # oracle parity -> same fixed-parameter arithmetic as the kNN family)
+    "emb_sim_histogram",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -107,8 +110,22 @@ X100_QUERIES = ["corpus_dsir", "doc_boilerplate", "cdc_apply"]
 # linearity verdict.
 FIXED_PARAM_SUPERLINEAR = {
     "emb_knn_graph": "LSH candidate mass ~N^2/2^bits at fixed band bits; production dial: bits grows with log N",
-    "graph_pagerank": "runs on the kNN graph's edges (same fixed-band candidate arithmetic)",
+    "graph_pagerank": "runs on the kNN graph's edges (same fixed-band candidate arithmetic); dialed twin: graph_pagerank_dialed",
+    "emb_sim_histogram": "LSH bucket pair mass ~N^2/2^bits at fixed bits=4 (oracle parity); production dial: bits grows with log N; dialed twin: emb_sim_histogram_dialed",
 }
+
+# Queries whose OUTPUT is detail-granularity (one row per input event,
+# not an aggregate): the probe's .collect() adds a serial driver-side
+# row-materialization term that grows with N and dominates the measured
+# ratio — a measurement artifact of local mode, not a plan term (on a
+# cluster this output is written distributed, never collected). For
+# these the probe reports a second, distributed-sink leg
+# (write.format("noop"): full execution, zero driver transfer) as
+# ratio_compute alongside the collect ratio. Measured r7 decomposition
+# for events_cusum at x10: collect 3.7s vs distributed compute 0.66s
+# (compute ratio 1.7 on a 0.39s x1 — the one-Exchange window plan is
+# strongly sub-linear; the 7.78 headline ratio was the driver collect).
+DETAIL_OUTPUT = {"events_cusum"}
 
 
 def replicate(spark: SparkSession, n: int, outdir: str) -> None:
@@ -221,6 +238,18 @@ def main() -> None:
 
     t1 = best_of(dirs[1], PROBE_QUERIES)
     tn = best_of(dirs[n], PROBE_QUERIES)
+
+    def best_of_noop(sf_dir, name, passes=2):
+        from aardappel_spark import registry
+
+        best = float("inf")
+        for _ in range(passes):
+            df = registry.QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
     for name in PROBE_QUERIES:
         ratio = round(tn[name] / max(t1[name], 0.01), 2)
         row = {
@@ -230,6 +259,22 @@ def main() -> None:
         }
         if name in FIXED_PARAM_SUPERLINEAR:
             row["fixed_param_note"] = FIXED_PARAM_SUPERLINEAR[name]
+        elif name in DETAIL_OUTPUT:
+            # second leg: same query through a distributed sink, so the
+            # serial driver collect of the N-row detail output doesn't
+            # masquerade as a plan term (see DETAIL_OUTPUT comment)
+            c1 = best_of_noop(dirs[1], name)
+            cn = best_of_noop(dirs[n], name)
+            rc = round(cn / max(c1, 0.01), 2)
+            row["t_x1_compute_sec"] = c1
+            row[f"t_x{n}_compute_sec"] = cn
+            row["ratio_compute"] = rc
+            row["linear_or_better"] = rc <= n * 1.2
+            row["detail_output_note"] = (
+                "collect ratio includes serial driver materialization of "
+                "the per-event detail output (local-mode measurement "
+                "artifact); ratio_compute is the distributed-sink leg"
+            )
         else:
             row["linear_or_better"] = ratio <= n * 1.2  # 20% tolerance
         results["queries"][name] = row
@@ -268,6 +313,57 @@ def main() -> None:
             "emb_knn_graph row documents"
         ),
     }
+
+    # same demonstration for the two consumers of banded candidates that
+    # still carried only the fixed-parameter annotation: PageRank on the
+    # occupancy-constant graph (same iteration kernel as the gated
+    # query, via ops.graph.pagerank_fixed_point) and the similarity
+    # histogram at occupancy-constant bits
+    from aardappel_spark.ops.graph import pagerank_fixed_point
+    from aardappel_spark.ops.similarity import cosine_neardup_lsh
+
+    def pagerank_dialed(sf_dir, factor):
+        bits = 4 + max(0, int(round(math.log2(factor))))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        edges = (
+            knn_graph_banded(emb, k=5, n_bands=12, band_bits=bits)
+            .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
+            .localCheckpoint(eager=False)
+        )
+        nodes = emb.select("vec_id")
+        return pagerank_fixed_point(nodes, edges, nodes.count(), iters=3)
+
+    def sim_histogram_dialed(sf_dir, factor):
+        bits = 4 + max(0, int(round(math.log2(factor))))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = cosine_neardup_lsh(emb, threshold=-1.0, bits=bits)
+        b = F.floor(F.col("sim") * 20).cast("bigint")
+        return pairs.groupBy(b.alias("bin")).agg(F.count("*").alias("n_pairs"))
+
+    for dname, fn, fixed_row in (
+        ("graph_pagerank_dialed", pagerank_dialed, "graph_pagerank"),
+        ("emb_sim_histogram_dialed", sim_histogram_dialed, "emb_sim_histogram"),
+    ):
+        dd = {}
+        for factor in (1, n):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(dirs[factor], factor).collect()
+                best = min(best, time.perf_counter() - t0)
+            dd[factor] = round(best, 2)
+            print(f"#   {dname} x{factor}: {dd[factor]}s", file=sys.stderr)
+        results["queries"][dname] = {
+            "t_x1_sec": dd[1],
+            f"t_x{n}_sec": dd[n],
+            "ratio": round(dd[n] / max(dd[1], 0.01), 2),
+            "linear_or_better": dd[n] / max(dd[1], 0.01) <= n * 1.2,
+            "note": (
+                "band bits raised 4 -> 4+log2(N) at xN (occupancy-"
+                "constant): the production dial the fixed-parameter "
+                f"{fixed_row} row documents"
+            ),
+        }
 
     big = int(os.environ.get("SCALE_PROBE_BIG", "100"))
     if big > n:
