@@ -8967,6 +8967,45 @@ FROM per GROUP BY month, active_days
 """
 
 
+def q_orders_month_revenue(spark, sf_dir):
+    """Monthly order revenue off the orders⋈lineitem join — the batch
+    twin of the maintained join view (stateful.streaming_join_view_deltas
+    keeps EXACTLY this frame incrementally under upserts and deletes on
+    either table; the parity fuzz pins the streamed state against this
+    GROUP BY recomputed over the surviving rows). Money is exact
+    integer cents (round-then-BIGINT, the cross-engine-safe money
+    path). One shuffle join keyed on orderkey — both sides hash-
+    partition on their natural key, no broadcast needed at any scale —
+    then a partial-aggregating reduce onto the tiny month frame."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("grp")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        o.join(l, "o_orderkey")
+        .groupBy("grp")
+        .agg(
+            F.sum("cents").cast("bigint").alias("sum_value_cents"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+QUERIES["orders_month_revenue"] = q_orders_month_revenue
+
+ORACLES["orders_month_revenue"] = """
+SELECT strftime(o.o_orderdate, '%Y-%m') AS grp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 6).
 #

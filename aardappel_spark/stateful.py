@@ -1541,3 +1541,157 @@ class MaterializedAggState:
             )
         self._os.replace(tmp, self.path)
         return True
+
+# ---------------------------------------------------------------------------
+# IVM over a JOINED view: orders-side ⋈ items-side grouped aggregate
+# ---------------------------------------------------------------------------
+
+JOINVIEW_STATE_SCHEMA = StructType(
+    [
+        StructField("grp", StringType(), True),
+        StructField("present", BooleanType(), False),
+        StructField("step_o", LongType(), False),
+        StructField("tx_o", LongType(), False),
+        # per-item LWW map {sub_key: [value, step, tx_id, present]}
+        # serialized as JSON — bounded by items-per-join-key (lineitems
+        # per order: single digits), NOT by stream length
+        StructField("items", StringType(), False),
+    ]
+)
+
+
+def _join_view_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-join-key transition for a maintained JOIN view.
+
+    State carries the parent row's LWW (grp, present, position) AND a
+    per-item LWW map, so a change on EITHER side recomputes this key's
+    full contribution (grp, sum(items), n_items) locally — the delta
+    is retract(old contribution) + add(new contribution), no base-table
+    rescan. Duplicates lose their per-row LWW comparison and change
+    nothing, so they emit no delta (idempotence by position guard);
+    stale out-of-order rows likewise. A parent erase retracts the whole
+    contribution; a parent group move retracts under the old group and
+    re-adds under the new one with the SAME item sum.
+    """
+    import json as _json
+
+    if state.exists:
+        grp, present, step_o, tx_o, items_js = state.get
+        items = {k: tuple(v) for k, v in _json.loads(items_js).items()}
+    else:
+        grp, present, step_o, tx_o, items = None, False, -1, -1, {}
+
+    def contribution():
+        if not present:
+            return None
+        vals = [v for v, _, _, p in items.values() if p]
+        return (grp, float(sum(vals)), len(vals))
+
+    before = contribution()
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # parent side: batch winner by (step, tx), then LWW vs state
+        oside = pdf[pdf["side"] == "o"]
+        if len(oside):
+            w = oside.sort_values(["step", "tx_id"]).iloc[-1]
+            if (int(w["step"]), int(w["tx_id"])) > (step_o, tx_o):
+                step_o, tx_o = int(w["step"]), int(w["tx_id"])
+                present = bool(w["op"] != "erase")
+                grp = None if pd.isna(w["grp"]) else str(w["grp"])
+        # item side: per-sub_key batch winner (vectorized sort +
+        # drop_duplicates keeps the last = max-position row per item)
+        lside = pdf[pdf["side"] == "l"]
+        if len(lside):
+            wins = (
+                lside.sort_values(["step", "tx_id"])
+                .drop_duplicates("sub_key", keep="last")
+            )
+            for _, w in wins.iterrows():
+                sk = str(w["sub_key"])
+                _, s0, t0, _ = items.get(sk, (0.0, -1, -1, False))
+                if (int(w["step"]), int(w["tx_id"])) > (s0, t0):
+                    items[sk] = (
+                        0.0 if pd.isna(w["value"]) else float(w["value"]),
+                        int(w["step"]),
+                        int(w["tx_id"]),
+                        bool(w["op"] != "erase"),
+                    )
+    after = contribution()
+    state.update(
+        (grp, present, step_o, tx_o,
+         _json.dumps({k: list(v) for k, v in items.items()}))
+    )
+    out = []
+    if before != after:
+        if before is not None:
+            out.append(
+                {"key": key[0], "grp": before[0],
+                 "delta_value": -before[1], "delta_keys": -before[2]}
+            )
+        if after is not None:
+            out.append(
+                {"key": key[0], "grp": after[0],
+                 "delta_value": after[1], "delta_keys": after[2]}
+            )
+    yield pd.DataFrame(out, columns=["key", "grp", "delta_value", "delta_keys"])
+
+
+def streaming_join_view_deltas(
+    changes: DataFrame,
+    join_key_col: str = "jk",
+    side_col: str = "side",
+    sub_key_col: str = "sub_key",
+    group_col: str = "grp",
+    value_col: str = "value",
+    op_col: str = "op",
+    step_col: str = "step",
+    txid_col: str = "tx_id",
+) -> DataFrame:
+    """Incremental maintenance of a JOINED grouped view over two CDC
+    streams — the second act of ``streaming_agg_deltas``: the view is
+
+        SELECT o.grp, sum(l.value), count(l.*)
+        FROM parent o JOIN items l ON o.jk = l.jk GROUP BY o.grp
+
+    maintained under upserts AND deletes on BOTH tables. The two change
+    streams arrive unified with a ``side`` tag ('o' parent / 'l' item);
+    grouping on the join key co-locates each key's parent row and item
+    rows in ONE stateful operator, so every delta is computed from
+    per-key state alone (classic delta-join IVM needs dO⋈L + O⋈dL
+    passes over base tables; keying state by the join key makes both
+    terms local — at 100 TB the state store shards by jk and no base
+    table is ever rescanned). Output deltas are in
+    ``MATAGG_OUTPUT_SCHEMA`` and fold with the SAME
+    ``MaterializedAggState`` applier (delta_keys counts joined items).
+
+    Exactly-once: duplicates/stale rows lose their per-row LWW position
+    comparison (no state change, no delta) and a replayed batch replays
+    into the same batch_id, which the applier skips — the §4.3 recipe
+    on a derived joined view. Same float-drift caveat as
+    ``MaterializedAggState``; keep values integer-valued fixed-point.
+
+    Reference scope: the reference applies changes to base tables only
+    (processor.go); maintained join views are part of the Spark-first
+    extension surface (SURVEY.md §2 extension)."""
+    from pyspark.sql import functions as F
+
+    shaped = changes.select(
+        F.col(join_key_col).cast("string").alias("jk"),
+        F.col(side_col).cast("string").alias("side"),
+        F.col(sub_key_col).cast("string").alias("sub_key"),
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(op_col).cast("string").alias("op"),
+        F.col(step_col).cast("long").alias("step"),
+        F.col(txid_col).cast("long").alias("tx_id"),
+    )
+    return shaped.groupBy("jk").applyInPandasWithState(
+        _join_view_fn,
+        outputStructType=MATAGG_OUTPUT_SCHEMA,
+        stateStructType=JOINVIEW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

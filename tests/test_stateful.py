@@ -1309,3 +1309,166 @@ def test_streaming_agg_deltas_random_fuzz(spark, tmp_path, seed):
 
     final = MaterializedAggState(agg_path)
     assert final.groups == model, (seed, final.groups, model)
+
+
+def test_streaming_join_view_deltas_maintains_joined_view(spark, tmp_path):
+    """streaming_join_view_deltas + MaterializedAggState maintain a
+    grouped aggregate over a JOIN of two change streams: item upserts
+    and erases adjust the parent's contribution, a parent group move
+    re-groups the whole item sum, a parent erase retracts it, and
+    duplicates/stale rows emit no delta — the final view equals the
+    batch join+GROUP BY over the surviving rows."""
+    from aardappel_spark.stateful import (
+        MaterializedAggState,
+        streaming_join_view_deltas,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    agg_path = str(tmp_path / "agg.json")
+    os.makedirs(src, exist_ok=True)
+
+    # rows: (jk, side, sub_key, grp, value, op, step, tx_id)
+    batches = [
+        # order o1 in month A with two items; o2 in B with one item
+        [("o1", "o", None, "A", None, "upsert", 1, 1),
+         ("o1", "l", "i1", None, 10.0, "upsert", 1, 2),
+         ("o1", "l", "i2", None, 5.0, "upsert", 1, 3),
+         ("o2", "o", None, "B", None, "upsert", 1, 4),
+         ("o2", "l", "i1", None, 7.0, "upsert", 1, 5)],
+        # o1 moves A->B (whole 15.0 re-groups); o2's item repriced;
+        # o3 arrives items-first (no parent yet -> contributes nothing)
+        [("o1", "o", None, "B", None, "upsert", 2, 1),
+         ("o2", "l", "i1", None, 9.0, "upsert", 2, 2),
+         ("o3", "l", "i1", None, 100.0, "upsert", 1, 6)],
+        # erase o1's i2 (retract 5); duplicate redelivery of o1's move
+        # (no delta); stale reprice for o2.i1 (loses LWW, no delta);
+        # o3's parent lands -> its 100.0 finally joins in C
+        [("o1", "l", "i2", None, 0.0, "erase", 3, 1),
+         ("o1", "o", None, "B", None, "upsert", 2, 1),
+         ("o2", "l", "i1", None, 999.0, "upsert", 0, 9),
+         ("o3", "o", None, "C", None, "upsert", 2, 3)],
+        # erase parent o2 entirely: B loses 9.0 and its item count
+        [("o2", "o", None, None, None, "erase", 3, 5)],
+    ]
+
+    schema = ("jk string, side string, sub_key string, grp string,"
+              " value double, op string, step long, tx_id long")
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for jk, side, sk, g, v, op, s, t in batch:
+                f.write(json.dumps(
+                    {"jk": jk, "side": side, "sub_key": sk, "grp": g,
+                     "value": v, "op": op, "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+
+        def sink(df, bid):
+            st = MaterializedAggState(agg_path)
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_join_view_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    final = MaterializedAggState(agg_path)
+    # surviving rows: o1 in B with i1=10.0; o3 in C with i1=100.0
+    assert final.groups == {"B": (10.0, 1), "C": (100.0, 1)}, final.groups
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_streaming_join_view_deltas_random_fuzz(spark, tmp_path, seed):
+    """Randomized join-view IVM fuzz: random upsert/erase ops on BOTH
+    sides of the join (parent group moves and erases, item reprices and
+    erases, items arriving before their parent), shuffled across random
+    micro-batch splits with duplicate redelivery — the maintained view
+    must equal a python model's join+GROUP BY over the LWW survivors."""
+    import random
+
+    from aardappel_spark.stateful import (
+        MaterializedAggState,
+        streaming_join_view_deltas,
+    )
+
+    rng = random.Random(seed)
+    jks = [f"o{i}" for i in range(6)]
+    groups = ["A", "B", "C"]
+    positions = rng.sample(range(1, 600), 80)
+    ops = []
+    for pos in positions:
+        jk = rng.choice(jks)
+        if rng.random() < 0.4:  # parent-side op
+            if rng.random() < 0.15:
+                ops.append((jk, "o", None, None, None, "erase", pos, pos * 7 % 97))
+            else:
+                ops.append((jk, "o", None, rng.choice(groups), None,
+                            "upsert", pos, pos * 7 % 97))
+        else:  # item-side op
+            sk = f"i{rng.randint(0, 3)}"
+            if rng.random() < 0.15:
+                ops.append((jk, "l", sk, None, 0.0, "erase", pos, pos * 7 % 97))
+            else:
+                ops.append((jk, "l", sk, None, float(rng.randint(1, 50)),
+                            "upsert", pos, pos * 7 % 97))
+    arrival = ops[:]
+    rng.shuffle(arrival)
+    for d in rng.sample(arrival, 16):  # duplicate redelivery ~20%
+        arrival.insert(rng.randint(0, len(arrival)), d)
+    cuts = sorted(rng.sample(range(1, len(arrival)), 3))
+    batches = [arrival[a:b] for a, b in zip([0] + cuts, cuts + [len(arrival)])]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    agg_path = str(tmp_path / "agg.json")
+    os.makedirs(src, exist_ok=True)
+    schema = ("jk string, side string, sub_key string, grp string,"
+              " value double, op string, step long, tx_id long")
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for jk, side, sk, g, v, op, s, t in batch:
+                f.write(json.dumps(
+                    {"jk": jk, "side": side, "sub_key": sk, "grp": g,
+                     "value": v, "op": op, "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+
+        def sink(df, bid):
+            st = MaterializedAggState(agg_path)
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_join_view_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # python model: LWW per parent jk and per (jk, sub_key) item, then
+    # join the survivors and GROUP BY the parent's group
+    parents, items = {}, {}
+    for jk, side, sk, g, v, op, s, t in ops:
+        if side == "o":
+            if jk not in parents or (s, t) > parents[jk][:2]:
+                parents[jk] = (s, t, g, op)
+        else:
+            if (jk, sk) not in items or (s, t) > items[(jk, sk)][:2]:
+                items[(jk, sk)] = (s, t, v, op)
+    model = {}
+    for (jk, sk), (_, _, v, op) in items.items():
+        if op == "erase":
+            continue
+        p = parents.get(jk)
+        if p is None or p[3] == "erase":
+            continue
+        sm, n = model.get(p[2], (0.0, 0))
+        model[p[2]] = (sm + v, n + 1)
+
+    final = MaterializedAggState(agg_path)
+    assert final.groups == model, (seed, final.groups, model)
