@@ -9006,6 +9006,283 @@ GROUP BY grp
 """
 
 
+def q_emb_ivf_balance(spark, sf_dir):
+    """IVF cluster-occupancy balance — the operational diagnostic for
+    the shared index: probe cost is proportional to the clusters a
+    query touches, so a hot cluster holding most of the corpus means
+    n_probe dials recall but not latency. Reads the per-cluster sizes
+    off the SAME cached assignment every ANN consumer shares (no new
+    corpus pass) and reduces to one all-integer row; max_share_ppm is
+    the skew thermometer (uniform = 1e6 / n_clusters)."""
+    assigned = _ivf_assigned_cached(spark, sf_dir)
+    per = assigned.groupBy("_c").agg(F.count("*").alias("sz"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.max("sz").cast("bigint").alias("max_cluster"),
+        F.min("sz").cast("bigint").alias("min_cluster"),
+    ).selectExpr(
+        "n_clusters", "n_vecs", "max_cluster", "min_cluster",
+        "(1000000 * max_cluster) div n_vecs as max_share_ppm",
+    )
+
+
+QUERIES["emb_ivf_balance"] = q_emb_ivf_balance
+
+ORACLES["emb_ivf_balance"] = _IVF_ASG_CTE + """,
+per AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM asg1 GROUP BY cid)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_vecs,
+       CAST(max(sz) AS BIGINT) AS max_cluster,
+       CAST(min(sz) AS BIGINT) AS min_cluster,
+       (1000000 * CAST(max(sz) AS BIGINT)) // CAST(sum(sz) AS BIGINT)
+         AS max_share_ppm
+FROM per
+"""
+
+
+def q_emb_band_occupancy(spark, sf_dir):
+    """LSH band-bucket occupancy profile — the OBSERVABLE behind the
+    band-bits scale dial: per band, how many buckets exist, the largest
+    bucket, and the candidate pair mass sum(m*(m-1)/2) that the banded
+    kNN/near-dup tier will actually pay. This is the number a 100 TB
+    deployment reads to pick band_bits (occupancy ~ N / 2^bits; raise
+    bits with log N to hold pair mass linear — the dial SCALE_PROBE's
+    *_dialed rows demonstrate). One pass over the shared signature
+    frame, two hash-aggs on (band, value) keys, all-integer output."""
+    sig = _banded_sig_cached(spark, sf_dir)
+    m = sig.select(F.posexplode("_bands").alias("band", "bv"))
+    per = m.groupBy("band", "bv").agg(F.count("*").alias("m"))
+    return per.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("m").cast("bigint").alias("n_members"),
+        F.max("m").cast("bigint").alias("max_occupancy"),
+        F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("pair_mass"),
+    ).select(F.col("band").cast("bigint").alias("band"), "n_buckets",
+             "n_members", "max_occupancy", "pair_mass")
+
+
+QUERIES["emb_band_occupancy"] = q_emb_band_occupancy
+
+ORACLES["emb_band_occupancy"] = _emb_banded_cte(12, 4) + """,
+per AS (
+  SELECT band, bv, CAST(count(*) AS BIGINT) AS m
+  FROM bsig GROUP BY band, bv
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(m) AS BIGINT) AS n_members,
+       CAST(max(m) AS BIGINT) AS max_occupancy,
+       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pair_mass
+FROM per GROUP BY band
+"""
+
+
+def q_pack_efficiency_curve(spark, sf_dir):
+    """Context-window packing efficiency vs context length: for each
+    candidate context size, the padding a naive one-doc-per-block
+    packer wastes (blocks * L - tokens) — the curve a training pipeline
+    reads to size its sequence length or justify sequence packing
+    (chunk_packing is the packer; this is its design-space view). One
+    corpus pass computes per-doc token counts; the tiny counts frame
+    fans out 4x over the candidate lengths (row-local explode, no extra
+    scan). Headroom: padded_tokens stays under 9.2e12 up to ~1e13
+    wasted tokens — beyond any real corpus at the 1e6 ppm factor."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir).select(
+        F.size(tokens_col("text")).cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
+    per = docs.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(x).cast("bigint") for x in (64, 128, 256, 512)])
+        ).alias("context_tokens"),
+    )
+    return (
+        per.withColumn(
+            "blocks", F.expr("(n + context_tokens - 1) div context_tokens")
+        )
+        .groupBy("context_tokens")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("blocks").cast("bigint").alias("total_blocks"),
+            F.sum(F.expr("blocks * context_tokens - n"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .selectExpr(
+            "context_tokens", "total_tokens", "total_blocks", "padded_tokens",
+            "(1000000 * padded_tokens) div (total_tokens + padded_tokens)"
+            " as padding_ppm",
+        )
+    )
+
+
+QUERIES["pack_efficiency_curve"] = q_pack_efficiency_curve
+
+ORACLES["pack_efficiency_curve"] = """
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+),
+per AS (
+  SELECT n, CAST(l.ct AS BIGINT) AS context_tokens,
+         (n + CAST(l.ct AS BIGINT) - 1) // CAST(l.ct AS BIGINT) AS blocks
+  FROM d, unnest([64, 128, 256, 512]) AS l(ct)
+  WHERE n > 0
+)
+SELECT context_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(blocks) AS BIGINT) AS total_blocks,
+       CAST(sum(blocks * context_tokens - n) AS BIGINT) AS padded_tokens,
+       (1000000 * CAST(sum(blocks * context_tokens - n) AS BIGINT))
+         // (CAST(sum(n) AS BIGINT)
+             + CAST(sum(blocks * context_tokens - n) AS BIGINT))
+         AS padding_ppm
+FROM per GROUP BY context_tokens
+"""
+
+
+def q_events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival-time profile as a log2 histogram: each
+    user's consecutive event gaps (micros), bucketed by binary digit
+    count — the load-model view that sizes session timeouts, watermark
+    delays, and state TTLs without a single float. The bucket is
+    length(base-2 string of gap) (= floor(log2)+1 for gap > 0; 0 for
+    gap = 0), identical integer string ops in both engines — no
+    log()/ulp hazard at bucket boundaries. One Exchange keyed on
+    user_id (the events_cusum window shape), then a tiny hash-agg."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("mic")
+    )
+    w = Window.partitionBy("user_id").orderBy("mic", "event_id")
+    g = ev.withColumn("gap", F.col("mic") - F.lag("mic").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("gap") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("gap").cast("string"), 10, 2)))
+        .cast("bigint")
+    )
+    return g.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_mic"),
+        F.max("gap").cast("bigint").alias("max_gap_mic"),
+    )
+
+
+QUERIES["events_interarrival"] = q_events_interarrival
+
+ORACLES["events_interarrival"] = """
+WITH g AS (
+  SELECT epoch_ns(ts) // 1000
+           - lag(epoch_ns(ts) // 1000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CASE WHEN gap = 0 THEN 0
+            ELSE CAST(length(bin(gap)) AS BIGINT) END AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_mic,
+       CAST(max(gap) AS BIGINT) AS max_gap_mic
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_vocab_pmi(spark, sf_dir):
+    """Pointwise mutual information of the corpus's top-20 bigrams —
+    collocation strength for vocabulary construction (a high-count
+    bigram of two ubiquitous words is not a collocation; PMI separates
+    'of the' from 'new york'). Reuses the top-bigram computation
+    (partial-agg + TakeOrdered, never a full sort) restricted to true
+    2-word windows, joins the two unigram frequencies, and computes
+    ln(P(xy) / (P(x)P(y))) from exact integer counts in ONE double
+    expression mirrored verbatim in the oracle; round(..., 6) absorbs
+    libm ulps (the PSI/NLL discipline). The unigram join is a
+    broadcast onto 20 rows."""
+    from .ops.dedup import shingles_col
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    # checkpoint barriers on the AGGREGATED count frames (vocabulary-
+    # sized, tiny vs the corpus): uni feeds t1 + two joins and the
+    # bigram counts feed t2 + the top-k — without the barriers each
+    # consumer re-derives its corpus explode (the duplicate-scan audit
+    # class; this query scanned documents 5x in its first cut)
+    uni = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("nw"))
+        .localCheckpoint(eager=False)
+    )
+    bigc = (
+        docs.select(F.explode(shingles_col("text", k=2)).alias("ngram"))
+        .filter(F.size(F.split(F.col("ngram"), " ")) == 2)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t2 = bigc.groupBy().agg(F.sum("n").alias("t2"))
+    top = bigc.orderBy(F.desc("n"), "ngram").limit(20)
+    t1 = uni.groupBy().agg(F.sum("nw").alias("t1"))
+    x = top.withColumn("wx", F.split("ngram", " ")[0]).withColumn(
+        "wy", F.split("ngram", " ")[1]
+    )
+    j = (
+        x.join(F.broadcast(uni.withColumnRenamed("w", "wx").withColumnRenamed("nw", "nx")), "wx")
+        .join(F.broadcast(uni.withColumnRenamed("w", "wy").withColumnRenamed("nw", "ny")), "wy")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    return j.select(
+        "ngram",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                "ln((CAST(n AS DOUBLE) * t1 * t1)"
+                " / (CAST(t2 AS DOUBLE) * nx * ny))"
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+QUERIES["vocab_pmi"] = q_vocab_pmi
+
+ORACLES["vocab_pmi"] = """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM d
+),
+u AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM uni GROUP BY w),
+t1c AS (SELECT CAST(sum(nw) AS BIGINT) AS t1 FROM u),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram
+  FROM d WHERE len(t) >= 2
+),
+t2c AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM big),
+top AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n
+  FROM big GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+)
+SELECT top.ngram, top.n,
+       round(ln((CAST(top.n AS DOUBLE) * t1 * t1)
+                / (CAST(t2 AS DOUBLE) * ux.nw * uy.nw)), 6) AS pmi
+FROM top
+JOIN u ux ON ux.w = string_split(top.ngram, ' ')[1]
+JOIN u uy ON uy.w = string_split(top.ngram, ' ')[2]
+CROSS JOIN t1c CROSS JOIN t2c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 6).
 #
@@ -9096,6 +9373,55 @@ FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
 JOIN ({ORACLES["ann_lsh_banded"].strip().rstrip(';')}) bd USING (vec_id)
 """
 
-_rotated = _R06_PRIORITY + [k for k in QUERIES if k not in set(_R06_PRIORITY)]
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation (round 7).
+#
+# union(CORRECTNESS_r01..r06) gave every pre-r07 query a driver row; the
+# r06 artifact left exactly two red rows (corpus_gini, customer_pareto,
+# both the DuckDB-HUGEINT-through-pandas comparator artifact, oracles now
+# CAST — see tests/test_oracle_types.py), so they re-gate first. The six
+# round-7 additions follow, then the 42 queries whose latest driver row
+# is OLDEST (r02/r03, computed from the committed CORRECTNESS artifacts)
+# round-robin back through the gate so no query's row goes stale.
+# Full-registry parity is additionally checked every round by
+# tools/check_oracle.py at sf0.001/0.01/0.1 (CHECK_ORACLE_r7*.json).
+_R07_PRIORITY: list[str] = [
+    # -- re-gate the two r06 red rows, oracles now HUGEINT-free --
+    "corpus_gini", "customer_pareto",
+]
+
+# round-7 additions go straight into the gated block the round they land
+_R07_ADDITIONS: list[str] = [
+    k
+    for k in (
+        "orders_month_revenue", "emb_ivf_balance", "emb_band_occupancy",
+        "pack_efficiency_curve", "events_interarrival", "vocab_pmi",
+    )
+    if k in QUERIES
+]
+
+# the 42 stalest driver rows (latest gate r02/r03), oldest first
+_R07_STALE: list[str] = [
+    "events_moving_avg", "ann_ivf", "cdc_apply_orders", "cdc_compact_merge",
+    "cdc_out_of_order", "cdc_problem_actions", "cdc_stale_filter",
+    "chunk_packing", "corpus_mixture", "decontamination", "dedup_clusters",
+    "dedup_jaccard", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_survivors", "doc_chunks",
+    "doc_fingerprint", "doc_pii_scrub", "doc_quality", "doc_repetition",
+    "doc_rolling_fp", "doc_sample", "doc_score", "doc_split_counts",
+    "emb_neardup", "emb_neardup_lsh", "events_cube", "events_pair_window",
+    "events_quantiles", "events_sessions", "events_tumbling",
+    "events_user_setops", "multimodal_features", "text_bpe_tokens",
+    "text_langid", "text_lm_score", "text_quality", "text_token_stats",
+    "vocab_top_bigrams", "ann_pq",
+]
+_R07_PRIORITY += (_R07_ADDITIONS + [
+    k for k in _R07_STALE if k not in set(_R07_ADDITIONS)
+])[: 50 - len(_R07_PRIORITY)]
+
+assert len(_R07_PRIORITY) == 50 and len(set(_R07_PRIORITY)) == 50
+assert set(_R07_PRIORITY) <= set(QUERIES), sorted(set(_R07_PRIORITY) - set(QUERIES))
+
+_rotated = _R07_PRIORITY + [k for k in QUERIES if k not in set(_R07_PRIORITY)]
 QUERIES = {k: QUERIES[k] for k in _rotated}
 ORACLES = {k: ORACLES[k] for k in _rotated}

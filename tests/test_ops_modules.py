@@ -2558,3 +2558,122 @@ def test_ks_drift_matches_python_model(spark, sf_dir):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
         assert 0.0 <= got[k] <= 1.0
+
+
+def test_events_interarrival_matches_python_model(spark, sf_dir):
+    """events_interarrival equals a python lag-and-bucket model: per-user
+    consecutive gaps in micros, bucketed by binary digit count."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, load_events_ns
+
+    got = {
+        r.log2_bucket: (r.n_gaps, r.min_gap_mic, r.max_gap_mic)
+        for r in QUERIES["events_interarrival"](spark, sf_dir).collect()
+    }
+    ev = load_events_ns(spark, sf_dir).selectExpr(
+        "user_id", "event_id", "ts DIV 1000 as mic"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.mic, r.event_id))
+    buckets = defaultdict(list)
+    for rows in per_user.values():
+        rows.sort()
+        for (m0, _), (m1, _) in zip(rows, rows[1:]):
+            gap = m1 - m0
+            b = 0 if gap == 0 else len(bin(gap)[2:])
+            buckets[b].append(gap)
+    want = {
+        b: (len(gs), min(gs), max(gs)) for b, gs in buckets.items()
+    }
+    assert got == want
+
+
+def test_pack_efficiency_matches_python_model(spark, sf_dir):
+    """pack_efficiency_curve equals the closed-form ceil arithmetic over
+    per-doc whitespace token counts, for every candidate context size."""
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {
+        r.context_tokens: (
+            r.total_tokens, r.total_blocks, r.padded_tokens, r.padding_ppm
+        )
+        for r in QUERIES["pack_efficiency_curve"](spark, sf_dir).collect()
+    }
+    ns = [
+        len([t for t in d.text.split(" ") if t])
+        for d in _docs(spark, sf_dir).select("text").collect()
+    ]
+    ns = [n for n in ns if n > 0]
+    for L in (64, 128, 256, 512):
+        blocks = sum((n + L - 1) // L for n in ns)
+        tokens = sum(ns)
+        padded = blocks * L - tokens
+        ppm = (1000000 * padded) // (tokens + padded)
+        assert got[L] == (tokens, blocks, padded, ppm), L
+
+
+def test_ivf_balance_consistent_with_shared_assignment(spark, sf_dir):
+    """emb_ivf_balance's one row must describe exactly the shared cached
+    IVF assignment every ANN consumer uses (same build, same counts)."""
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _ivf_assigned_cached
+
+    [row] = QUERIES["emb_ivf_balance"](spark, sf_dir).collect()
+    sizes = Counter(
+        r._c for r in _ivf_assigned_cached(spark, sf_dir).select("_c").collect()
+    )
+    assert row.n_clusters == len(sizes)
+    assert row.n_vecs == sum(sizes.values())
+    assert row.max_cluster == max(sizes.values())
+    assert row.min_cluster == min(sizes.values())
+    assert row.max_share_ppm == (1000000 * max(sizes.values())) // sum(sizes.values())
+
+
+def test_band_occupancy_matches_signature_frame(spark, sf_dir):
+    """emb_band_occupancy's per-band pair mass equals the sum of
+    m*(m-1)/2 over the shared banded signature frame's buckets — the
+    exact candidate-pair count the banded kNN tier generates per band."""
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _banded_sig_cached
+
+    got = {
+        r.band: (r.n_buckets, r.n_members, r.max_occupancy, r.pair_mass)
+        for r in QUERIES["emb_band_occupancy"](spark, sf_dir).collect()
+    }
+    sig = _banded_sig_cached(spark, sf_dir).select("_bands").collect()
+    for band in got:
+        occ = Counter(r._bands[band] for r in sig)
+        assert got[band] == (
+            len(occ),
+            sum(occ.values()),
+            max(occ.values()),
+            sum(m * (m - 1) // 2 for m in occ.values()),
+        ), band
+
+
+def test_vocab_pmi_matches_python_model(spark, sf_dir):
+    """vocab_pmi equals a from-scratch python PMI over exact unigram and
+    bigram counts, on the same deterministic top-20 bigrams."""
+    import math
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {r.ngram: (r.n, r.pmi) for r in QUERIES["vocab_pmi"](spark, sf_dir).collect()}
+    uni, big = Counter(), Counter()
+    for d in _docs(spark, sf_dir).select("text").collect():
+        toks = [t for t in d.text.split(" ") if t]
+        uni.update(toks)
+        big.update(" ".join(p) for p in zip(toks, toks[1:]))
+    t1, t2 = sum(uni.values()), sum(big.values())
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(got) == {k for k, _ in top}
+    for ngram, n in top:
+        x, y = ngram.split(" ")
+        want = round(math.log((n * t1 * t1) / (t2 * uni[x] * uni[y])), 6)
+        assert got[ngram][0] == n
+        assert abs(got[ngram][1] - want) < 1e-6, ngram
