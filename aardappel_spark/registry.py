@@ -9283,6 +9283,222 @@ CROSS JOIN t1c CROSS JOIN t2c
 """
 
 
+def q_doc_chunk_dupmass(spark, sf_dir):
+    """Chunk-level duplication mass per source (the CCNet/RefinedWeb
+    paragraph-dedup signal adapted to newline-free corpora): each
+    document splits into NON-overlapping 8-word chunks, a chunk value
+    is 'duplicated' iff it appears in >= 2 distinct documents
+    corpus-wide, and each source reports how much of its chunk mass is
+    duplicated (fixed-point ppm — no float crosses the hash). Distinct
+    from dedup_span (overlapping grams over doc PAIRS) and
+    doc_repetition (within-doc): this is the corpus-frequency view a
+    pipeline uses to strip boilerplate paragraphs before training.
+
+    Plan: chunking is a pure array expression (transform over an index
+    sequence + slice — no shuffle until the explode), then ONE corpus
+    explode aggregated to (chunk_hash, source) counts and
+    localCheckpointed; the corpus-wide duplicate decision and both
+    per-source totals read that barrier, never the corpus again
+    (duplicate-scan audit discipline). Chunk values leave the explode
+    as md5 hashes, so the shuffle carries 32-byte keys, not text. At
+    100 TB: everything is hash-agg on chunk-hash keys — linear, no
+    pairwise anything; the (hash, source) frame is the corpus's
+    vocabulary of chunks, orders of magnitude smaller than the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
+    ).filter(F.size("t") > 0)
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (size(t) + 7) div 8 - 1),"
+                " i -> md5(concat_ws(' ', slice(t, i * 8 + 1, 8))))"
+            )
+        ).alias("h"),
+    )
+    per = (
+        chunks.groupBy("h", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # corpus-wide distinct-doc count per chunk value: a doc belongs to
+    # exactly one source, so summing per-source distinct counts is exact
+    dup_keys = (
+        per.groupBy("h")
+        .agg(F.sum("nd").alias("nd_all"))
+        .filter(F.col("nd_all") >= 2)
+        .select("h")
+    )
+    base = per.groupBy("source").agg(F.sum("n").alias("n_chunks"))
+    dup = (
+        per.join(dup_keys, "h", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_dup_chunks"))
+    )
+    return (
+        base.join(dup, "source", "left")
+        .select(
+            "source",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "(1000000 * CAST(coalesce(n_dup_chunks, 0) AS BIGINT))"
+                " div CAST(n_chunks AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+QUERIES["doc_chunk_dupmass"] = q_doc_chunk_dupmass
+
+ORACLES["doc_chunk_dupmass"] = """
+WITH d AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(0, (len(t) + 7) // 8 - 1),
+                i -> md5(array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')))) AS h
+  FROM d WHERE len(t) > 0
+),
+per AS (
+  SELECT h, source, count(*) AS n, count(DISTINCT doc_id) AS nd
+  FROM c GROUP BY h, source
+),
+dup_keys AS (
+  SELECT h FROM per GROUP BY h HAVING CAST(sum(nd) AS BIGINT) >= 2
+),
+base AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks FROM per GROUP BY source
+),
+dup AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_dup_chunks
+  FROM per WHERE h IN (SELECT h FROM dup_keys) GROUP BY source
+)
+SELECT base.source, n_chunks,
+       CAST(COALESCE(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       (1000000 * CAST(COALESCE(n_dup_chunks, 0) AS BIGINT)) // n_chunks AS dup_ppm
+FROM base LEFT JOIN dup ON base.source = dup.source
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Dedup-aware train/test split audit: a naive per-document split
+    (md5 of doc_id) lets near-duplicate pairs straddle the boundary —
+    test-set contamination — while splitting by near-dup CLUSTER id
+    (every doc inherits its component's label) structurally cannot.
+    Output is one row: candidate-pair count, cross-split pairs under
+    each policy (cluster must be 0 — computed, not assumed), and the
+    test-side sizes showing the cluster split stays a faithful ~1/8
+    sample. This is the step a pipeline runs between dedup and
+    training: the leak count IS the eval-contamination exposure.
+
+    Plan: reuses the SHARED persisted LSH candidate-pairs frame and the
+    same min-label-propagation components as dedup_clusters; the split
+    assignment is one md5-prefix test per policy, localCheckpointed
+    (doc-count-sized) and read by the doc-level tally and both sides of
+    the pair join. Joins are doc_id equi-joins; everything downstream
+    of the components is linear in |docs| + |pairs|.
+    """
+    from .ops.dedup import neardup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    clusters = neardup_clusters(docs, pairs)
+
+    def _is_test(c):
+        return F.substring(F.md5(c.cast("string")), 1, 1).isin("0", "1")
+
+    asg = clusters.select(
+        "doc_id",
+        _is_test(F.col("doc_id")).alias("nt"),
+        _is_test(F.col("cluster_id")).alias("ct"),
+    ).localCheckpoint(eager=False)
+    a = asg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("nt_a"),
+        F.col("ct").alias("ct_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nt_b"),
+        F.col("ct").alias("ct_b"),
+    )
+    pair_stats = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("nt_a") != F.col("nt_b")).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("naive_cross_pairs"),
+            F.coalesce(
+                F.sum((F.col("ct_a") != F.col("ct_b")).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("cluster_cross_pairs"),
+        )
+    )
+    doc_stats = asg.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("nt").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_test_naive"),
+        F.coalesce(F.sum(F.col("ct").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_test_cluster"),
+    )
+    return pair_stats.crossJoin(doc_stats)
+
+
+QUERIES["split_leakage"] = q_split_leakage
+
+ORACLES["split_leakage"] = _PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (
+  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node
+),
+asg AS (
+  SELECT node AS doc_id,
+         substring(md5(CAST(node AS VARCHAR)), 1, 1) IN ('0', '1') AS nt,
+         substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('0', '1') AS ct
+  FROM lab
+),
+ps AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(sum(CASE WHEN pa.nt <> pb.nt THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_cross_pairs,
+         CAST(COALESCE(sum(CASE WHEN pa.ct <> pb.ct THEN 1 ELSE 0 END), 0) AS BIGINT) AS cluster_cross_pairs
+  FROM pairs
+  JOIN asg pa ON pairs.doc_a = pa.doc_id
+  JOIN asg pb ON pairs.doc_b = pb.doc_id
+),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(CASE WHEN nt THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test_naive,
+         CAST(COALESCE(sum(CASE WHEN ct THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test_cluster
+  FROM asg
+)
+SELECT * FROM ps CROSS JOIN ds
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 6).
 #
@@ -9379,8 +9595,8 @@ JOIN ({ORACLES["ann_lsh_banded"].strip().rstrip(';')}) bd USING (vec_id)
 # union(CORRECTNESS_r01..r06) gave every pre-r07 query a driver row; the
 # r06 artifact left exactly two red rows (corpus_gini, customer_pareto,
 # both the DuckDB-HUGEINT-through-pandas comparator artifact, oracles now
-# CAST — see tests/test_oracle_types.py), so they re-gate first. The six
-# round-7 additions follow, then the 42 queries whose latest driver row
+# CAST — see tests/test_oracle_types.py), so they re-gate first. The eight
+# round-7 additions follow, then the 40 queries whose latest driver row
 # is OLDEST (r02/r03, computed from the committed CORRECTNESS artifacts)
 # round-robin back through the gate so no query's row goes stale.
 # Full-registry parity is additionally checked every round by
@@ -9396,6 +9612,7 @@ _R07_ADDITIONS: list[str] = [
     for k in (
         "orders_month_revenue", "emb_ivf_balance", "emb_band_occupancy",
         "pack_efficiency_curve", "events_interarrival", "vocab_pmi",
+        "doc_chunk_dupmass", "split_leakage",
     )
     if k in QUERIES
 ]

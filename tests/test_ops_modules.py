@@ -1376,29 +1376,24 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round6_priority():
+def test_driver_rotation_first_50_are_round7_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-6 artifact covers the right set — the
-    24 queries with no driver row across r01-r05 lead, the re-gated
-    (now integer-exact) corpus_gini is slot 25, round-6 additions
-    follow, and headliners pad to exactly 50."""
+    pin the rotation so the round-7 artifact covers the right set — the
+    two r06 red rows (oracles now HUGEINT-free) re-gate first, the
+    round-7 additions follow, and the stalest driver rows (latest gate
+    r02/r03) round-robin back through the remaining slots."""
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import _R06_PRIORITY, ORACLES
+    from aardappel_spark.registry import _R07_PRIORITY, ORACLES
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R06_PRIORITY
-    # the never-gated block + the re-gate must lead, whatever lands
+    assert list(q)[:50] == _R07_PRIORITY
+    # the re-gates + this round's additions must lead, whatever lands
     # later in the round
-    assert _R06_PRIORITY[:25] == [
-        "events_seasonality", "corpus_jackknife_ci", "emb_knn_classify",
-        "ann_recall_sq8", "ann_recall_pq", "ann_probe_curve",
-        "events_markov", "basket_pairs", "doc_token_entropy",
-        "corpus_js_drift", "multimodal_frames", "graph_pagerank",
-        "doc_gopher_rules", "corpus_tokenizer_fertility",
-        "corpus_signal_corr", "dedup_cc_stats", "retrieval_hybrid_rrf",
-        "orders_rfm", "text_heldout_nll", "emb_dim_stats",
-        "dedup_method_agreement", "events_wau_hll",
-        "events_seasonal_forecast", "corpus_ks_drift", "corpus_gini",
+    assert _R07_PRIORITY[:10] == [
+        "corpus_gini", "customer_pareto",
+        "orders_month_revenue", "emb_ivf_balance", "emb_band_occupancy",
+        "pack_efficiency_curve", "events_interarrival", "vocab_pmi",
+        "doc_chunk_dupmass", "split_leakage",
     ]
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
@@ -2677,3 +2672,88 @@ def test_vocab_pmi_matches_python_model(spark, sf_dir):
         want = round(math.log((n * t1 * t1) / (t2 * uni[x] * uni[y])), 6)
         assert got[ngram][0] == n
         assert abs(got[ngram][1] - want) < 1e-6, ngram
+
+
+def test_doc_chunk_dupmass_matches_python_model(spark, sf_dir):
+    """doc_chunk_dupmass equals a from-scratch python model: md5 of each
+    non-overlapping 8-word chunk, duplicated iff seen in >= 2 distinct
+    docs corpus-wide, tallied per source with integer-ppm mass."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    got = {
+        r.source: (r.n_chunks, r.n_dup_chunks, r.dup_ppm)
+        for r in QUERIES["doc_chunk_dupmass"](spark, sf_dir).collect()
+    }
+    chunk_docs = defaultdict(set)
+    per_source = defaultdict(list)  # source -> list of chunk hashes
+    for d in _docs(spark, sf_dir).select("doc_id", "source", "text").collect():
+        toks = [t for t in d.text.split(" ") if t]
+        if not toks:
+            continue
+        for i in range(0, len(toks), 8):
+            h = hashlib.md5(" ".join(toks[i:i + 8]).encode()).hexdigest()
+            chunk_docs[h].add(d.doc_id)
+            per_source[d.source].append(h)
+    want = {}
+    for s, hs in per_source.items():
+        n = len(hs)
+        nd = sum(1 for h in hs if len(chunk_docs[h]) >= 2)
+        want[s] = (n, nd, (1000000 * nd) // n)
+    assert got == want
+
+
+def test_split_leakage_matches_union_find_model(spark, sf_dir):
+    """split_leakage's downstream logic (components -> md5-prefix split
+    -> cross-pair tallies) equals a python union-find over the SAME
+    candidate-pairs frame (the pairs themselves are oracle-verified at
+    three scales); the cluster-aware split must leak exactly zero."""
+    import hashlib
+
+    from aardappel_spark.registry import (
+        QUERIES, _docs, _minhash_pairs_cached,
+    )
+
+    row = QUERIES["split_leakage"](spark, sf_dir).collect()[0]
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _minhash_pairs_cached(spark, sf_dir).collect()
+    ]
+    doc_ids = [r.doc_id for r in _docs(spark, sf_dir).select("doc_id").collect()]
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label cluster id = smallest doc id in the component (roots are
+    # always component minima with the max->min union rule above)
+    cluster = {d: find(d) for d in doc_ids}
+
+    def is_test(v):
+        return hashlib.md5(str(v).encode()).hexdigest()[0] in ("0", "1")
+
+    naive = {d: is_test(d) for d in doc_ids}
+    bycl = {d: is_test(cluster[d]) for d in doc_ids}
+    assert row.n_pairs == len(pairs)
+    assert row.naive_cross_pairs == sum(
+        1 for a, b in pairs if naive[a] != naive[b]
+    )
+    assert row.cluster_cross_pairs == 0
+    assert row.cluster_cross_pairs == sum(
+        1 for a, b in pairs if bycl[a] != bycl[b]
+    )
+    assert row.n_docs == len(doc_ids)
+    assert row.n_test_naive == sum(naive.values())
+    assert row.n_test_cluster == sum(bycl.values())
+    # the audit is non-vacuous on this data: there are pairs to leak,
+    # and the naive split actually leaks some of them
+    assert row.n_pairs > 0 and row.naive_cross_pairs > 0

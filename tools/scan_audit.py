@@ -41,6 +41,7 @@ ALLOW = {
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_jaccard",
     "dedup_edit_distance", "dedup_cross_source", "dedup_method_agreement",
     "dedup_simhash_pairs", "doc_simhash_hamming_hist", "decontam_bloom",
+    "split_leakage",
     "corpus_contam_overlap", "corpus_signal_corr", "ann_lsh_banded",
     "ann_recall_eval", "ann_recall_banded", "ann_recall_ivf",
     "ann_recall_sq8", "ann_recall_pq", "emb_knn_graph", "emb_knn_classify",
