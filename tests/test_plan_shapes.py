@@ -656,3 +656,29 @@ def test_backlog_delta_explode_no_rescan(spark):
     assert plan.count("Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_chunk_dupmass_shuffles_hashes_and_stays_semi(spark):
+    """doc_chunk_dupmass: the corpus explode leaves only md5 chunk
+    hashes for the shuffle (32-byte keys, never text), the corpus-wide
+    duplicate decision joins LeftSemi, and nothing nests or crosses."""
+    plan = _plan(spark, "doc_chunk_dupmass")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # downstream of the checkpoint barrier only (hash, source) aggregate
+    # rows move; no shuffle may carry document text
+    for part in plan.split("Exchange")[1:]:
+        assert "text#" not in part.splitlines()[0]
+    # the barrier did its job: the final plan reads the aggregated
+    # (h, source, n, nd) frame, not the corpus
+    assert "ExistingRDD[h#" in plan
+
+
+def test_split_leakage_single_scalar_cross(spark):
+    """split_leakage: the pair-side joins are doc_id equi-joins; the
+    only tolerated non-equi join is the final 1-row x 1-row scalar
+    attach (pair stats x doc tally)."""
+    plan = _plan(spark, "split_leakage")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
