@@ -753,34 +753,24 @@ def sq8_topk(
     )
 
 
-def pq_topk(
+def pq_build(
     vectors: DataFrame,
-    query_id: int,
-    k: int = 10,
     m_sub: int = 8,
     k_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    extra_cols: list[str] | None = None,
-) -> DataFrame:
-    """ANN via product quantization: the vector splits into ``m_sub``
-    subspaces, each trained to a ``k_sub``-centroid codebook (same
-    deterministic md5-seeded + one-Lloyd-iteration recipe as
-    ``ivf_build``, but Euclidean per subspace, which is PQ's metric);
-    every vector compresses to ``m_sub`` codes (3 bits each here — at
-    scale this is the 64x memory story: 8 bytes of codes standing in
-    for 512 bytes of float64s), and the query ranks candidates by the
-    ADC lookup-table sum instead of touching raw vectors.
+):
+    """Deterministic PQ index build: trains the ``m_sub`` x ``k_sub``
+    codebook (md5-seeded + one Lloyd iteration per subspace, Euclidean
+    — PQ's metric) and encodes the FULL corpus to ``m_sub``-code
+    arrays. This is index-build-time work, done once and shared by
+    every consumer (ann_pq, the IVFADC composition, their recall
+    evals) exactly like ivf_build: training partials and codes come
+    from ``mapInPandas`` passes with the codebook as a broadcast — the
+    corpus never collects, never re-shuffles.
 
-    Shapes for 100 TB: training partials and codes come from
-    ``mapInPandas`` passes with the codebook as a broadcast (the corpus
-    never collects, never re-shuffles); the ADC scoring is a pure
-    column expression over the code arrays (zip_with against a literal
-    lookup table) ending in a TakeOrdered. Everything is deterministic
-    — seeding, argmin tie order (smallest code), empty-cluster carry —
-    so the full pipeline is replicated in the DuckDB oracle and the
-    result is hash-gated like the other ANN tiers.
-    """
+    Returns ``(codes, C)``: the ``(_id, _code)`` frame and the
+    ``(m_sub, k_sub, d_sub)`` numpy codebook (driver-side, tiny)."""
     import numpy as np
     import pandas as pd
 
@@ -789,17 +779,16 @@ def pq_topk(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    qrow = v.filter(F.col("_id") == query_id).select("_v").first()
-    if qrow is None:
-        return vectors.select(
-            F.col(id_col),
-            *[F.col(c) for c in (extra_cols or [])],
-            F.lit(0.0).alias("adc"),
-        ).limit(0)
-
     seed_rows = (
         v.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k_sub).collect()
     )
+    if not seed_rows:
+        # empty corpus: zero-row codes and an all-zero codebook (the
+        # np.array-of-empty-list 1-D trap class — never reshape it)
+        codes = v.select("_id").withColumn(
+            "_code", F.expr("CAST(array() AS array<bigint>)")
+        ).limit(0)
+        return codes, np.zeros((m_sub, k_sub, 0))
     S = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
     dims = S.shape[1]
     d_sub = dims // m_sub
@@ -868,7 +857,68 @@ def pq_topk(
             out["_code"] = [row.tolist() for row in codes]
             yield out
 
-    codes = v.mapInPandas(encode, "_id bigint, _code array<bigint>")
+    return v.mapInPandas(encode, "_id bigint, _code array<bigint>"), C
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+    candidates: DataFrame | None = None,
+    prebuilt: tuple | None = None,
+) -> DataFrame:
+    """ANN via product quantization: the vector splits into ``m_sub``
+    subspaces, each trained to a ``k_sub``-centroid codebook (same
+    deterministic md5-seeded + one-Lloyd-iteration recipe as
+    ``ivf_build``, but Euclidean per subspace, which is PQ's metric);
+    every vector compresses to ``m_sub`` codes (3 bits each here — at
+    scale this is the 64x memory story: 8 bytes of codes standing in
+    for 512 bytes of float64s), and the query ranks candidates by the
+    ADC lookup-table sum instead of touching raw vectors.
+
+    Shapes for 100 TB: training partials and codes come from
+    ``mapInPandas`` passes with the codebook as a broadcast (the corpus
+    never collects, never re-shuffles); the ADC scoring is a pure
+    column expression over the code arrays (zip_with against a literal
+    lookup table) ending in a TakeOrdered. Everything is deterministic
+    — seeding, argmin tie order (smallest code), empty-cluster carry —
+    so the full pipeline is replicated in the DuckDB oracle and the
+    result is hash-gated like the other ANN tiers.
+
+    ``candidates`` (a frame with one ``_id`` column) restricts ADC
+    SCORING to those ids while training and encoding still see the
+    full corpus — the IVFADC composition (ivfpq_topk / ann_ivfpq):
+    the coarse quantizer's probed inverted lists are the candidates,
+    and at scale the codes live partitioned BY coarse cluster so the
+    probe reads only those partitions instead of joining.
+
+    ``prebuilt`` takes an already-built ``(codes, codebook)`` pair
+    (pq_build output) so the index builds ONCE per session — training
+    and encoding are index-time jobs, not per-query work.
+    """
+    import numpy as np
+
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qrow = v.filter(F.col("_id") == query_id).select("_v").first()
+    if qrow is None:
+        return vectors.select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            F.lit(0.0).alias("adc"),
+        ).limit(0)
+
+    codes, C = prebuilt if prebuilt is not None else pq_build(
+        vectors, m_sub=m_sub, k_sub=k_sub, id_col=id_col, vec_col=vec_col
+    )
+    m_sub, d_sub = C.shape[0], C.shape[2]
 
     qv = np.array(qrow[0], dtype=np.float64)
     Qs = qv.reshape(m_sub, d_sub)
@@ -883,6 +933,8 @@ def pq_topk(
     )
     score = F.aggregate(picked, F.lit(0.0), lambda a, x: a + x)
 
+    if candidates is not None:
+        codes = codes.join(candidates.select("_id"), "_id")
     out = codes.filter(F.col("_id") != query_id).withColumn(
         "adc", F.round(score, 6)
     )
@@ -898,6 +950,70 @@ def pq_topk(
         )
         .orderBy(F.asc("adc"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+    prebuilt: tuple | None = None,
+    prebuilt_pq: tuple | None = None,
+) -> DataFrame:
+    """IVFADC — the composed IVF + PQ index (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    the IVF coarse quantizer prunes the corpus to the query's
+    ``n_probe`` inverted lists, then the PQ ADC lookup-table distance
+    ranks ONLY those lists' members. This is the billion-scale recipe
+    every production ANN system ships (FAISS IVFxx,PQyy): the coarse
+    step cuts candidates ~n_probe/n_centroids, the fine step scans
+    8-byte codes instead of raw vectors — together ~64x less data
+    touched per query than a brute-force float scan, with recall
+    dialed by n_probe exactly like the plain IVF tier.
+
+    This is the no-residual IVFADC variant (PQ codes quantize raw
+    vectors, not r = x - q1(x)); the residual refinement changes the
+    codebook training input, not the plan shape. Both stages reuse the
+    session-shared artifacts: ``prebuilt`` takes the ivf_build output
+    so the coarse index builds once, and PQ training/encoding stay
+    full-corpus (index-build-time work), so the per-query cost is the
+    probe + code scan only. Deterministic end to end — oracle-gated
+    like every other tier."""
+    import numpy as np
+
+    assigned, C = prebuilt if prebuilt is not None else ivf_build(
+        vectors, id_col=id_col, vec_col=vec_col
+    )
+    qrow = (
+        vectors.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .first()
+    )
+    if qrow is None or getattr(C, "size", 0) == 0:
+        # empty corpus / missing query: pq_topk's empty path applies
+        return pq_topk(
+            vectors, query_id=query_id, k=k, m_sub=m_sub, k_sub=k_sub,
+            id_col=id_col, vec_col=vec_col, extra_cols=extra_cols,
+            prebuilt=prebuilt_pq,
+        )
+    qv = np.array(qrow[0], dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    dps = qn @ C.T
+    # ties break toward the SMALLER cluster id (the oracle's
+    # row_number ORDER BY dp DESC, cid) — lexsort, not argsort-reverse
+    order = np.lexsort((np.arange(len(dps)), -dps))
+    probes = [int(c) for c in order[:n_probe]]
+    cand = assigned.filter(F.col("_c").isin(probes)).select("_id")
+    return pq_topk(
+        vectors, query_id=query_id, k=k, m_sub=m_sub, k_sub=k_sub,
+        id_col=id_col, vec_col=vec_col, extra_cols=extra_cols,
+        candidates=cand, prebuilt=prebuilt_pq,
     )
 
 

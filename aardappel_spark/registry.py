@@ -313,6 +313,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
         _GRAMS4_CACHE,
         _BANDED_SIG_CACHE,
         _IVF_ASSIGN_CACHE,
+        _PQ_CODES_CACHE,
     ):
         for key in list(cache):
             if app is None or key[0] == app:
@@ -326,6 +327,9 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
     for key in list(_IVF_CENTROIDS_CACHE):
         if app is None or key[0] == app:
             _IVF_CENTROIDS_CACHE.pop(key)
+    for key in list(_PQ_CODEBOOK_CACHE):
+        if app is None or key[0] == app:
+            _PQ_CODEBOOK_CACHE.pop(key)
     evicted += cdc.clear_parsed_cache(spark)
     return evicted
 
@@ -1053,6 +1057,26 @@ def _ivf_build_cached(spark, sf_dir):
 
 def _ivf_assigned_cached(spark, sf_dir):
     return _ivf_build_cached(spark, sf_dir)[0]
+
+
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _pq_build_cached(spark, sf_dir):
+    """The PQ index (codes + codebook) built ONCE per (session, sf_dir)
+    and shared by ann_pq, the IVFADC composition, and their recall
+    evals — training and full-corpus encoding are index-build-time
+    jobs, exactly like _ivf_build_cached."""
+    from .ops.similarity import pq_build
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _PQ_CODES_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        codes, codebook = pq_build(emb)
+        _PQ_CODES_CACHE[key] = codes.persist()
+        _PQ_CODEBOOK_CACHE[key] = codebook
+    return _PQ_CODES_CACHE[key], _PQ_CODEBOOK_CACHE[key]
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2658,11 +2682,16 @@ def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN: 8 subspaces x 8 centroids (md5-seeded,
     one Lloyd iteration, Euclidean), ranked by the ADC lookup-table
     distance over the 8-code compression of each vector. Every training
-    and encoding step is deterministic and replicated in the oracle."""
+    and encoding step is deterministic and replicated in the oracle.
+    Codebook + codes come from the session-shared build
+    (_pq_build_cached) — index-time work, like the IVF index."""
     from .ops.similarity import pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pq_topk(emb, query_id=0, k=10, extra_cols=["label"])
+    return pq_topk(
+        emb, query_id=0, k=10, extra_cols=["label"],
+        prebuilt=_pq_build_cached(spark, sf_dir),
+    )
 
 
 def q_events_sliding(spark, sf_dir):
@@ -9590,6 +9619,349 @@ JOIN ({ORACLES["ann_lsh_banded"].strip().rstrip(';')}) bd USING (vec_id)
 """
 
 # ---------------------------------------------------------------------------
+# Round-7 batch 2: data-layout zone-map pruning, the composed IVF+PQ
+# (IVFADC) ANN tier, and Kneser-Ney smoothed bigram scoring.
+
+
+def _zorder_terms(a: str, b: str, bits: int, idiv: str) -> str:
+    """Morton/Z-order bit interleave of two ``bits``-wide non-negative
+    ints as pure div/mod/mul arithmetic — ``a``'s bit i lands at output
+    bit 2i+1, ``b``'s at 2i. No shift operators, so the SAME generated
+    expression text runs in Spark (idiv='div') and DuckDB (idiv='//')
+    with identical semantics (both truncate toward zero on non-negative
+    operands; inputs here are bucket ids in [0, 2^bits))."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((({b} {idiv} {1 << i}) % 2) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+def q_layout_zorder_skip(spark, sf_dir):
+    """Z-order (Morton) data layout vs single-dimension sorts, scored
+    by zone-map file skipping — the write-time decision that dominates
+    100 TB scan cost: a table range-partitioned on one column prunes
+    nothing for predicates on the other, while interleaving both
+    dimensions' bits gives every file a tight min/max box in BOTH, so
+    a 2-D range predicate (here the center 64/256 square of
+    user x day) reads ~4/64 files instead of 16/64 (each single-sort
+    layout) — the multi-dimensional clustering argument behind
+    Delta/Iceberg OPTIMIZE ZORDER BY.
+
+    Files are VALUE-range partitions (file = top 6 bits of the layout
+    key), exactly how a range-partitioned write behaves — so the whole
+    simulation is one scan + one hash-agg per (layout, file): no global
+    sort, no window, fully distributed at any scale. min/max per file
+    are the parquet footer zone maps; files_scanned counts files whose
+    box intersects the predicate; scan_ppm is the fraction of rows a
+    zone-map-pruning reader actually touches. All-integer output."""
+    ev = load_events_ns(spark, sf_dir)
+    base = ev.select(
+        "user_id", F.expr(f"ts div {86_400 * 10**9}").alias("day")
+    )
+    rng = base.agg(
+        F.min("user_id").alias("_u0"), F.max("user_id").alias("_u1"),
+        F.min("day").alias("_d0"), F.max("day").alias("_d1"),
+    )
+    g = base.crossJoin(F.broadcast(rng)).selectExpr(
+        "((user_id - _u0) * 256) div (_u1 - _u0 + 1) as ub",
+        "((day - _d0) * 256) div (_d1 - _d0 + 1) as db",
+    ).selectExpr(
+        "ub", "db", f"({_zorder_terms('ub', 'db', 8, 'div')}) as zkey"
+    )
+    lay = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_sort").alias("layout"),
+                    F.expr("ub div 4").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("time_sort").alias("layout"),
+                    F.expr("db div 4").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr("zkey div 1024").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+        "ub",
+        "db",
+    ).select("lf.layout", "lf.file_id", "ub", "db")
+    hit = "ub between 96 and 159 and db between 96 and 159"
+    files = lay.groupBy("layout", "file_id").agg(
+        F.count("*").alias("rows_in_file"),
+        F.min("ub").alias("min_ub"), F.max("ub").alias("max_ub"),
+        F.min("db").alias("min_db"), F.max("db").alias("max_db"),
+        F.sum(F.expr(f"case when {hit} then 1 else 0 end")).alias("rows_hit"),
+    )
+    scanned = F.expr(
+        "min_ub <= 159 and max_ub >= 96 and min_db <= 159 and max_db >= 96"
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(scanned, 1).otherwise(0)).cast("bigint")
+        .alias("files_scanned"),
+        F.sum("rows_in_file").cast("bigint").alias("rows_total"),
+        F.sum(F.when(scanned, F.col("rows_in_file")).otherwise(0))
+        .cast("bigint").alias("rows_scanned"),
+        F.sum("rows_hit").cast("bigint").alias("rows_selected"),
+    ).selectExpr(
+        "layout", "n_files", "files_scanned", "rows_total", "rows_scanned",
+        "rows_selected", "(1000000 * rows_scanned) div rows_total as scan_ppm",
+    )
+
+
+QUERIES["layout_zorder_skip"] = q_layout_zorder_skip
+
+ORACLES["layout_zorder_skip"] = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+r AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(day) AS d0, max(day) AS d1
+  FROM b
+),
+g AS (
+  SELECT ((user_id - u0) * 256) // (u1 - u0 + 1) AS ub,
+         ((day - d0) * 256) // (d1 - d0 + 1) AS db
+  FROM b CROSS JOIN r
+),
+gz AS (SELECT ub, db, ({_zorder_terms('ub', 'db', 8, '//')}) AS zkey FROM g),
+lay AS (
+  SELECT 'user_sort' AS layout, ub // 4 AS file_id, ub, db FROM gz
+  UNION ALL SELECT 'time_sort', db // 4, ub, db FROM gz
+  UNION ALL SELECT 'zorder', zkey // 1024, ub, db FROM gz
+),
+f AS (
+  SELECT layout, file_id, count(*) AS rows_in_file,
+         min(ub) AS min_ub, max(ub) AS max_ub,
+         min(db) AS min_db, max(db) AS max_db,
+         sum(CASE WHEN ub BETWEEN 96 AND 159 AND db BETWEEN 96 AND 159
+                  THEN 1 ELSE 0 END) AS rows_hit
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN min_ub <= 159 AND max_ub >= 96
+                      AND min_db <= 159 AND max_db >= 96
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(rows_in_file) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN min_ub <= 159 AND max_ub >= 96
+                      AND min_db <= 159 AND max_db >= 96
+                     THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(rows_hit) AS BIGINT) AS rows_selected,
+       (1000000 * CAST(sum(CASE WHEN min_ub <= 159 AND max_ub >= 96
+                                 AND min_db <= 159 AND max_db >= 96
+                                THEN rows_in_file ELSE 0 END) AS BIGINT))
+         // CAST(sum(rows_in_file) AS BIGINT) AS scan_ppm
+FROM f GROUP BY layout
+"""
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFADC — IVF coarse pruning composed with PQ ADC ranking
+    (Jegou et al., TPAMI 2011; see ops.similarity.ivfpq_topk for the
+    full 100 TB story): the query probes its n_probe=4 nearest of the
+    session-shared 16 IVF centroids, and the PQ lookup-table distance
+    ranks only those inverted lists' codes. The sixth ANN tier — and
+    the first COMPOSED one: both stages reuse already-gated builds
+    (the shared IVF index; the ann_pq codebook recipe), so the oracle
+    is their composition too."""
+    from .ops.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, query_id=0, k=10, n_probe=4, extra_cols=["label"],
+        prebuilt=_ivf_build_cached(spark, sf_dir),
+        prebuilt_pq=_pq_build_cached(spark, sf_dir),
+    )
+
+
+QUERIES["ann_ivfpq"] = q_ann_ivfpq
+
+
+def _ivf_cte_renamed(prefix: str) -> str:
+    """_IVF_ASG_CTE with every CTE name prefixed, so the IVF build
+    chain can coexist with the PQ chain (which reuses v/seeds/c0/
+    asg0/c1) inside one composed oracle. Word-boundary rename; column
+    names (vec_id, cid, i, x, dp, nrm, cx, mx) are untouched."""
+    import re
+
+    sql = _IVF_ASG_CTE
+    for n in (
+        "v", "seeds", "s0", "s0n", "c0", "a0d", "asg0",
+        "m", "mn", "c1", "a1d", "asg1",
+    ):
+        sql = re.sub(rf"\b{n}\b", f"{prefix}{n}", sql)
+    return sql
+
+
+# composed verbatim: the renamed IVF chain picks the probe lists, the
+# ann_pq chain (everything up to its `score` CTE, textually reused so
+# training/encoding can never drift from the gated PQ tier) scores
+# only their members
+_PQ_BODY = ORACLES["ann_pq"].strip()
+assert _PQ_BODY.startswith("WITH ") and "score AS (" in _PQ_BODY
+ORACLES["ann_ivfpq"] = _ivf_cte_renamed("iv_") + f""",
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dp DESC, cid) AS rn
+    FROM iv_a1d WHERE vec_id = 0
+  ) WHERE rn <= 4
+),
+ivcand AS (
+  SELECT vec_id FROM iv_asg1
+  WHERE cid IN (SELECT cid FROM probe) AND vec_id <> 0
+),
+{_PQ_BODY[len("WITH "):_PQ_BODY.index("score AS (")]}
+score AS (
+  SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc
+  FROM codes
+  JOIN ivcand ON codes.vec_id = ivcand.vec_id
+  JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+  GROUP BY 1
+)
+SELECT s.vec_id, e.label, s.adc
+FROM score s JOIN embeddings e USING (vec_id)
+ORDER BY adc, s.vec_id LIMIT 10
+"""
+
+
+def q_ann_recall_ivfpq(spark, sf_dir):
+    """Recall@10 of the composed IVFADC tier vs exact cosine — prices
+    the full production configuration (coarse prune + 8-byte codes) in
+    recall terms, next to the standalone IVF and PQ dials: IVFADC
+    recall is bounded above by min(IVF recall at the same n_probe, PQ
+    recall), and this row is the measured gap."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id")
+    iq = q_ann_ivfpq(spark, sf_dir).select("vec_id")
+    return bf.join(iq, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / 10.0, 6).alias("recall"),
+    )
+
+
+QUERIES["ann_recall_ivfpq"] = q_ann_recall_ivfpq
+
+ORACLES["ann_recall_ivfpq"] = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip().rstrip(';')}) bf
+JOIN ({ORACLES["ann_ivfpq"].strip().rstrip(';')}) ip USING (vec_id)
+"""
+
+
+def q_text_kn_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995, the
+    smoothing Chen & Goodman 1999 measured best-in-class; KenLM's
+    default): p(w2|w1) = max(c12 - D, 0)/c1 + D*N1+(w1,*)/c1 *
+    N1+(*,w2)/N1+(*,*) with D = 0.75. One step up from the add-nothing
+    conditional of text_bigram_nll: unseen-context mass goes to words
+    by how many DISTINCT contexts they follow (continuation count),
+    not raw frequency — the correction that stops 'Francisco' (frequent
+    but only after 'San') from soaking up smoothing mass.
+
+    Same scale shape as text_bigram_nll: one (doc, bigram) aggregation
+    behind a checkpoint barrier fans into the global type-count frame,
+    which itself (second barrier) feeds the c1/continuation/total
+    aggregates; everything rejoins on bigram/word keys (Zipf skew
+    absorbed by AQE), one per-doc weighted mean at the end. Docs with
+    fewer than 2 tokens drop out."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", tokens_col("text").alias("_t"))
+    n = F.size("_t")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_t", 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        t.select("doc_id", F.explode(bigrams).alias("bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    )
+    occ = (
+        bg.groupBy("doc_id", "bg", "w1", "w2")
+        .agg(F.count("*").alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    # global bigram TYPE frame: one row per distinct bigram — the
+    # second barrier feeds four consumers (c12 join-back, the w1
+    # aggregate, the w2 continuation aggregate, and the type total)
+    cnt = (
+        occ.groupBy("bg", "w1", "w2")
+        .agg(F.sum("_o").alias("_c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = cnt.groupBy("w1").agg(
+        F.sum("_c12").alias("_c1"), F.count("*").alias("_n1post")
+    )
+    pre = cnt.groupBy("w2").agg(F.count("*").alias("_n1pre"))
+    tt = cnt.agg(F.count("*").alias("_T"))
+    scored = (
+        occ.join(cnt.select("bg", "_c12"), "bg")
+        .join(c1, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    p = (
+        F.greatest(F.col("_c12") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("_n1post") * F.col("_n1pre") / F.col("_T")
+    ) / F.col("_c1")
+    return scored.groupBy("doc_id").agg(
+        F.sum("_o").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("_o") * -F.log(p)) / F.sum("_o"), 4)
+        .alias("kn_nll"),
+    )
+
+
+QUERIES["text_kn_nll"] = q_text_kn_nll
+
+ORACLES["text_kn_nll"] = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM d WHERE len(t) >= 2
+),
+occ AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2, count(*) AS o
+  FROM bg GROUP BY 1, 2, 3, 4
+),
+cnt AS (SELECT bg, w1, w2, sum(o) AS c12 FROM occ GROUP BY 1, 2, 3),
+c1 AS (
+  SELECT w1, sum(c12) AS c1v, count(*) AS n1post FROM cnt GROUP BY 1
+),
+pre AS (SELECT w2, count(*) AS n1pre FROM cnt GROUP BY 1),
+tt AS (SELECT count(*) AS T FROM cnt)
+SELECT occ.doc_id, CAST(sum(occ.o) AS BIGINT) AS n_bigrams,
+       round(sum(occ.o * -ln(
+         (greatest(cc.c12 - 0.75, 0.0)
+          + 0.75 * c1.n1post * pre.n1pre / tt.T) / c1.c1v
+       )) / sum(occ.o), 4) AS kn_nll
+FROM occ
+JOIN (SELECT bg, c12 FROM cnt) cc USING (bg)
+JOIN c1 USING (w1)
+JOIN pre USING (w2)
+CROSS JOIN tt
+GROUP BY occ.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
 # union(CORRECTNESS_r01..r06) gave every pre-r07 query a driver row; the
@@ -9613,6 +9985,9 @@ _R07_ADDITIONS: list[str] = [
         "orders_month_revenue", "emb_ivf_balance", "emb_band_occupancy",
         "pack_efficiency_curve", "events_interarrival", "vocab_pmi",
         "doc_chunk_dupmass", "split_leakage",
+        # batch 2: layout pruning, composed IVFADC tier, Kneser-Ney
+        "layout_zorder_skip", "ann_ivfpq", "ann_recall_ivfpq",
+        "text_kn_nll",
     )
     if k in QUERIES
 ]

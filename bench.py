@@ -117,6 +117,9 @@ def main() -> None:
         # IVF index build (assigned + centroids), shared by ann_ivf,
         # ann_probe_curve, emb_centroid_shift, semantic_dedup
         "ivf_build": lambda: registry._ivf_build_cached(spark, sf_dir)[0],
+        # PQ index build (codes + codebook), shared by ann_pq, the
+        # IVFADC composition, and their recall evals
+        "pq_build": lambda: registry._pq_build_cached(spark, sf_dir)[0],
     }
     warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
     print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)

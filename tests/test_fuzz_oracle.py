@@ -42,6 +42,8 @@ FUZZ_QUERIES = [
     "doc_token_entropy", "corpus_js_drift", "doc_gopher_rules",
     "corpus_tokenizer_fertility", "multimodal_frames",
     "text_heldout_nll", "corpus_ks_drift",
+    # round-7 batch 2: KN smoothing folds token counts four ways
+    "text_kn_nll",
 ]
 
 EDGE_TEXTS = [

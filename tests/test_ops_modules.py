@@ -2757,3 +2757,28 @@ def test_split_leakage_matches_union_find_model(spark, sf_dir):
     # the audit is non-vacuous on this data: there are pairs to leak,
     # and the naive split actually leaks some of them
     assert row.n_pairs > 0 and row.naive_cross_pairs > 0
+
+
+def test_pq_prebuilt_and_ivfpq_degradation(spark, sf_dir):
+    """The session-shared PQ build cannot change answers: pq_topk with
+    prebuilt=pq_build(...) equals the inline-build path. And probing
+    EVERY inverted list degrades the IVFADC composition to plain PQ —
+    the composed tier's self-check, mirroring the n_probe=16 row of
+    ann_probe_curve reading recall 1.0 against exact."""
+    from aardappel_spark.ops.similarity import (
+        ivf_build,
+        ivfpq_topk,
+        pq_build,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pb = pq_build(emb)
+    inline = pq_topk(emb, query_id=0, k=10).collect()
+    shared = pq_topk(emb, query_id=0, k=10, prebuilt=pb).collect()
+    assert inline == shared
+    full_probe = ivfpq_topk(
+        emb, query_id=0, k=10, n_probe=16,
+        prebuilt=ivf_build(emb), prebuilt_pq=pb,
+    ).collect()
+    assert full_probe == shared

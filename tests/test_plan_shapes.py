@@ -682,3 +682,42 @@ def test_split_leakage_single_scalar_cross(spark):
     plan = _plan(spark, "split_leakage")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_zorder_layout_single_scan_rowlocal_fanout(spark):
+    """layout_zorder_skip: ONE events scan feeds all three layouts (the
+    3x fan-out is a row-local explode, not three sorted passes), the
+    only non-equi join is the 1-row min/max range attach, and there is
+    no global sort anywhere — file ids come from key values, exactly
+    like a range-partitioned write. Two scans total: the 1-row domain
+    min/max pass (table stats / zone maps in production) and the
+    layout pass itself."""
+    plan = _plan(spark, "layout_zorder_skip")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate explode" in plan
+    # value-range file assignment: no Sort outside the aggregation
+    # machinery (a global Sort node would mean we simulated the layout
+    # with an orderBy — the non-distributed shape this test forbids)
+    assert "Sort [" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_ivfpq_candidate_join_is_equi(spark):
+    """ann_ivfpq: the probed-list restriction is an equi-join on _id
+    against the shared PQ codes (never a cross), and the final ranking
+    is a TakeOrdered, not a global sort."""
+    plan = _plan(spark, "ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kn_nll_barriers_and_equi_joins(spark):
+    """text_kn_nll: both count frames sit behind checkpoint barriers
+    (the four consumers re-read materialized RDDs, not the corpus), the
+    smoothing joins are bigram/word equi-joins, and the only tolerated
+    non-equi join is the 1-row type-total attach."""
+    plan = _plan(spark, "text_kn_nll")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "ExistingRDD" in plan

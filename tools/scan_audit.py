@@ -44,7 +44,8 @@ ALLOW = {
     "split_leakage",
     "corpus_contam_overlap", "corpus_signal_corr", "ann_lsh_banded",
     "ann_recall_eval", "ann_recall_banded", "ann_recall_ivf",
-    "ann_recall_sq8", "ann_recall_pq", "emb_knn_graph", "emb_knn_classify",
+    "ann_recall_sq8", "ann_recall_pq", "ann_recall_ivfpq",
+    "emb_knn_graph", "emb_knn_classify",
     "retrieval_hybrid_rrf", "events_retention",
     # persists-and-materializes its basket frame inside the query (the
     # n_orders count() is the materializing action); the cache lineage
