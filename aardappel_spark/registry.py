@@ -9961,6 +9961,193 @@ GROUP BY occ.doc_id
 """
 
 
+def q_events_profile(spark, sf_dir):
+    """Column-level data profiling — the ANALYZE TABLE operator a
+    pipeline runs before anything else: per column, row count, null
+    count, exact distinct count, and min/max (numeric columns in the
+    *_num pair, string columns in *_str). ONE scan: all six columns'
+    aggregates fold into a single multi-distinct aggregation (Spark
+    plans it as one Expand x6 pass — the exact-count layout; at 100 TB
+    the dial is approx_count_distinct, which drops the Expand for one
+    HLL per column), and the 1-row result fans out row-locally to one
+    row per column. ts profiles as epoch-nanos (the engine's canonical
+    layout; DuckDB mirrors via epoch_ns)."""
+    ev = load_events_ns(spark, sf_dir)
+    num_cols = ["event_id", "ts", "user_id", "value"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count("*").alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    one = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if c in num_cols else F.lit(None).cast("double"))
+            .alias("min_num"),
+            (F.col(f"_max_{c}") if c in num_cols else F.lit(None).cast("double"))
+            .alias("max_num"),
+            (F.col(f"_min_{c}") if c in str_cols else F.lit(None).cast("string"))
+            .alias("min_str"),
+            (F.col(f"_max_{c}") if c in str_cols else F.lit(None).cast("string"))
+            .alias("max_str"),
+        )
+        for c in num_cols + str_cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+QUERIES["events_profile"] = q_events_profile
+
+ORACLES["events_profile"] = """
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS ts, user_id, value, event_type, props
+  FROM events
+),
+prof AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+         count(DISTINCT event_id) AS nd_event_id,
+         CAST(min(event_id) AS DOUBLE) AS min_event_id,
+         CAST(max(event_id) AS DOUBLE) AS max_event_id,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+         count(DISTINCT ts) AS nd_ts,
+         CAST(min(ts) AS DOUBLE) AS min_ts,
+         CAST(max(ts) AS DOUBLE) AS max_ts,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+         count(DISTINCT user_id) AS nd_user_id,
+         CAST(min(user_id) AS DOUBLE) AS min_user_id,
+         CAST(max(user_id) AS DOUBLE) AS max_user_id,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+         count(DISTINCT value) AS nd_value,
+         min(value) AS min_value,
+         max(value) AS max_value,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+         count(DISTINCT event_type) AS nd_event_type,
+         min(event_type) AS min_event_type,
+         max(event_type) AS max_event_type,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+         count(DISTINCT props) AS nd_props,
+         min(props) AS min_props,
+         max(props) AS max_props
+  FROM e
+)
+SELECT 'event_id' AS "column", CAST(n AS BIGINT) AS n,
+       CAST(null_event_id AS BIGINT) AS n_null,
+       CAST(nd_event_id AS BIGINT) AS n_distinct,
+       min_event_id AS min_num, max_event_id AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM prof
+UNION ALL
+SELECT 'ts', CAST(n AS BIGINT), CAST(null_ts AS BIGINT),
+       CAST(nd_ts AS BIGINT), min_ts, max_ts, NULL, NULL FROM prof
+UNION ALL
+SELECT 'user_id', CAST(n AS BIGINT), CAST(null_user_id AS BIGINT),
+       CAST(nd_user_id AS BIGINT), min_user_id, max_user_id, NULL, NULL
+FROM prof
+UNION ALL
+SELECT 'value', CAST(n AS BIGINT), CAST(null_value AS BIGINT),
+       CAST(nd_value AS BIGINT), min_value, max_value, NULL, NULL FROM prof
+UNION ALL
+SELECT 'event_type', CAST(n AS BIGINT), CAST(null_event_type AS BIGINT),
+       CAST(nd_event_type AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), min_event_type, max_event_type FROM prof
+UNION ALL
+SELECT 'props', CAST(n AS BIGINT), CAST(null_props AS BIGINT),
+       CAST(nd_props AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min_props, max_props FROM prof
+"""
+
+
+def q_events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is attributed to
+    the SAME user's most recent prior click or view within a 7-day
+    lookback, else 'none' — the classic as-of-semantics analytics shape
+    (a per-key ordered carry, not a join): one window per user carries
+    the last touch's timestamp and type (two last_value IGNORE NULLS
+    expressions over the same ordering pick the same row), so the whole
+    query is one shuffle on user_id + one sort within partitions, then
+    a 3-group aggregate. Revenue in exact integer cents (round before
+    cast — the cross-engine truncate/round rule)."""
+    from pyspark.sql import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.col("event_type").isin("click", "view")
+    with_touch = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+        .over(w).alias("_touch_ts"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("_touch_type"),
+    )
+    week_ns = 7 * 86_400 * 10**9
+    attributed = with_touch.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("_touch_ts").isNotNull()
+            & (F.col("ts") - F.col("_touch_ts") <= F.lit(week_ns)),
+            F.col("_touch_type"),
+        ).otherwise(F.lit("none")).alias("touch_type"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("_cents"),
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.coalesce(F.sum("_cents"), F.lit(0)).cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+QUERIES["events_attribution"] = q_events_attribution
+
+ORACLES["events_attribution"] = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
+  FROM events
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type0
+  FROM e
+),
+p AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+               AND ts - touch_ts <= 604800000000000
+              THEN touch_type0 ELSE 'none' END AS touch_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM t WHERE event_type = 'purchase'
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS revenue_cents
+FROM p GROUP BY touch_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -9988,6 +10175,8 @@ _R07_ADDITIONS: list[str] = [
         # batch 2: layout pruning, composed IVFADC tier, Kneser-Ney
         "layout_zorder_skip", "ann_ivfpq", "ann_recall_ivfpq",
         "text_kn_nll",
+        # batch 3: column profiling, last-touch attribution
+        "events_profile", "events_attribution",
     )
     if k in QUERIES
 ]

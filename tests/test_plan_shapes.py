@@ -721,3 +721,27 @@ def test_kn_nll_barriers_and_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "ExistingRDD" in plan
+
+
+def test_profile_is_one_expand_pass(spark):
+    """events_profile: all six columns' exact-distinct aggregates fold
+    into ONE scan + one Expand-based multi-distinct aggregation, and
+    the per-column rows come from a row-local explode of the 1-row
+    result — never six passes over the table."""
+    plan = _plan(spark, "events_profile")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_is_one_window_carry(spark):
+    """events_attribution: the last-touch carry is a per-user window
+    (one shuffle on user_id + sort within partitions), not a self-join
+    — the as-of discipline (events_asof_order precedent)."""
+    plan = _plan(spark, "events_attribution")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
