@@ -1695,3 +1695,131 @@ def streaming_join_view_deltas(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- last-touch attribution twin --------------------------------------------
+
+ATTRIBUTION_LOOKBACK_NS = 7 * 86_400 * 10**9
+
+ATTRIB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_click", LongType(), False),
+        StructField("cents_click", LongType(), False),
+        StructField("n_view", LongType(), False),
+        StructField("cents_view", LongType(), False),
+        StructField("n_none", LongType(), False),
+        StructField("cents_none", LongType(), False),
+    ]
+)
+
+ATTRIB_STATE_SCHEMA = StructType(
+    [
+        StructField("touch_ts", LongType(), True),
+        StructField("touch_type", StringType(), True),
+        StructField("n_click", LongType(), False),
+        StructField("cents_click", LongType(), False),
+        StructField("n_view", LongType(), False),
+        StructField("cents_view", LongType(), False),
+        StructField("n_none", LongType(), False),
+        StructField("cents_none", LongType(), False),
+    ]
+)
+
+
+def _half_up_cents(v) -> int:
+    """round(value * 100, 0) with Spark/DuckDB half-away-from-zero
+    semantics (python's round() is banker's — the one divergence that
+    would break twin parity on a .5 cent)."""
+    import math
+
+    x = float(v) * 100.0
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _attribution_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        (touch_ts, touch_type, n_c, c_c, n_v, c_v, n_n, c_n) = state.get
+    else:
+        touch_ts, touch_type = None, None
+        n_c = c_c = n_v = c_v = n_n = c_n = 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # one total order, same as the batch window: (event-time, id) —
+        # splitting the stream at any batch boundary composes to the
+        # identical left-to-right carry
+        for r in pdf.sort_values(["tsn", "event_id"]).itertuples():
+            et = r.event_type
+            if et in ("click", "view"):
+                touch_ts, touch_type = int(r.tsn), et
+            elif et == "purchase":
+                cents = 0 if pd.isna(r.value) else _half_up_cents(r.value)
+                if (
+                    touch_ts is not None
+                    and int(r.tsn) - touch_ts <= ATTRIBUTION_LOOKBACK_NS
+                ):
+                    label = touch_type
+                else:
+                    label = "none"
+                if label == "click":
+                    n_c += 1
+                    c_c += cents
+                elif label == "view":
+                    n_v += 1
+                    c_v += cents
+                else:
+                    n_n += 1
+                    c_n += cents
+    state.update((touch_ts, touch_type, n_c, c_c, n_v, c_v, n_n, c_n))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_click": n_c,
+                "cents_click": c_c,
+                "n_view": n_v,
+                "cents_view": c_v,
+                "n_none": n_n,
+                "cents_none": c_n,
+            }
+        ]
+    )
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Continuously-maintained last-touch attribution per user — the
+    streaming twin of the batch ``events_attribution`` query: state is
+    the user's last click/view touch (one timestamp + one string) plus
+    six tally longs, O(users) total, independent of event volume; each
+    purchase is attributed the moment it arrives, against the SAME
+    7-day lookback and total order (ts, event_id) the batch window
+    folds in, so splitting the stream at any micro-batch boundary (and
+    restarting from the checkpoint) composes to the identical result.
+    Emits each batch's touched users with cumulative tallies (update
+    mode); the corpus-level answer is the sum over users' latest rows.
+    """
+    from pyspark.sql import functions as F
+
+    ts_field = events.schema["ts"].dataType.simpleString()
+    tsn = (
+        F.col("ts")
+        if ts_field == "bigint"
+        else F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+    )
+    shaped = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        tsn.alias("tsn"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1472,3 +1472,96 @@ def test_streaming_join_view_deltas_random_fuzz(spark, tmp_path, seed):
 
     final = MaterializedAggState(agg_path)
     assert final.groups == model, (seed, final.groups, model)
+
+
+def test_streaming_attribution_matches_batch_query(spark, tmp_path):
+    """The stream-maintained last-touch attribution over three
+    micro-batches (fresh query from the checkpoint each time = restart
+    per batch) must sum to EXACTLY what the gated batch query
+    (registry events_attribution) computes over the same events —
+    touch carry across batch boundaries, the 7-day lookback cutoff,
+    same-timestamp ties broken by event_id, and half-up cent rounding
+    all included."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark import registry
+    from aardappel_spark.stateful import streaming_attribution
+
+    day = 86_400 * 10**9
+    t0 = 1_700_000_000_000_000_000  # ~2023-11, inside the nanos guard
+    # (user_id, event_id, ts_ns, event_type, value)
+    rows = [
+        # user 1: click -> purchase (click), then view -> 8-day-late
+        # purchase (none; crosses batches AND the lookback)
+        [(1, 1, t0, "click", 0.0), (1, 2, t0 + day, "purchase", 12.34)],
+        [(1, 3, t0 + 2 * day, "view", 0.0), (2, 6, t0, "purchase", 5.0)],
+        [
+            (1, 4, t0 + 10 * day, "purchase", 10.005),
+            # user 3: touch and purchase share a timestamp — event_id
+            # order decides the touch is visible
+            (3, 7, t0, "view", 0.0), (3, 8, t0, "purchase", 99.99),
+            # user 2's second purchase now has a prior click (batch 2's
+            # state would NOT have it — it arrives in this batch first)
+            (2, 9, t0 + day, "click", 0.0),
+            (2, 10, t0 + 2 * day, "purchase", 1.0),
+        ],
+    ]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    collected = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts long, event_type string, value double"
+        ).json(src)
+        q = (
+            streaming_attribution(stream)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, batch in enumerate(rows):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for uid, eid, ts, et, v in batch:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": ts,
+                         "event_type": et, "value": v}
+                    ) + "\n"
+                )
+        run()
+
+    latest = {}
+    for r in collected:
+        latest[r.user_id] = r
+    got = {
+        "click": (sum(r.n_click for r in latest.values()),
+                  sum(r.cents_click for r in latest.values())),
+        "view": (sum(r.n_view for r in latest.values()),
+                 sum(r.cents_view for r in latest.values())),
+        "none": (sum(r.n_none for r in latest.values()),
+                 sum(r.cents_none for r in latest.values())),
+    }
+
+    # the gated batch query over the SAME events, via the real loader
+    flat = [r for batch in rows for r in batch]
+    spark.createDataFrame(
+        flat, "user_id long, event_id long, ts long, event_type string, value double"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "sf" / "events.parquet"))
+    expect = {
+        r.touch_type: (r.n_purchases, r.revenue_cents)
+        for r in registry.QUERIES["events_attribution"](
+            spark, str(tmp_path / "sf")
+        ).collect()
+    }
+    for k in ("click", "view", "none"):
+        assert got[k] == expect.get(k, (0, 0)), (k, got, expect)
