@@ -88,6 +88,10 @@ PROBE_QUERIES = [
     "events_psi_drift",
     "retrieval_bm25",
     "events_funnel",
+    # round-7 batch 2/3 additions: the window-carry and the 4-way
+    # bigram-count-join families
+    "events_attribution",
+    "text_kn_nll",
     "emb_knn_graph",
     "graph_pagerank",
     # round-7: the near-dup calibration histogram (bits=4 fixed for
