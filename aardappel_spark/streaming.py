@@ -206,6 +206,49 @@ class VersionedTable:
     def current(self) -> DataFrame:
         return self.read_buckets(None)
 
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, ascending. Retention keeps the
+        current and previous versions (the hardlink carry-over shares
+        unchanged buckets' bytes between them, so history costs only
+        the touched buckets' old files)."""
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(self.path)
+            if name.startswith("v") and name[1:].isdigit()
+            and os.path.isdir(os.path.join(self.path, name))
+        )
+
+    def read_version(self, v: int) -> DataFrame:
+        """Snapshot (time-travel) read of a retained version — the
+        VERSION AS OF story (Delta time travel / Iceberg snapshot
+        reads) on the versioned layout: a reader pinned to ``v`` sees
+        one consistent table state no matter how many commits land
+        after it, because version files are immutable once the CURRENT
+        pointer swings (a commit writes a NEW directory; it never
+        mutates an old one). Raises for vacuumed versions so a stale
+        reader fails loudly instead of silently reading the wrong
+        snapshot; the retention window (current + previous) is the
+        vacuum dial."""
+        if v == 0:
+            return self.spark.createDataFrame([], self.schema)
+        if v not in self.versions():
+            raise ValueError(
+                f"version {v} is not retained at {self.path} "
+                f"(retained: {self.versions()}); vacuumed by a later commit"
+            )
+        dirs = {
+            k: p
+            for k, p in (
+                (int(name.split("=", 1)[1]), os.path.join(self._version_dir(v), name))
+                for name in os.listdir(self._version_dir(v))
+                if name.startswith("pkb=")
+            )
+        }
+        sel = [p for _, p in sorted(dirs.items())]
+        if not sel:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*sel)
+
     def commit(
         self, df: DataFrame, version: int, touched: list[int] | None = None
     ) -> None:

@@ -745,3 +745,25 @@ def test_attribution_is_one_window_carry(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning is the other half of the 100 TB scan
+    story (static pushdown being the first): a selective dim filter on
+    a partition-keyed join must inject a dynamicpruningexpression into
+    the FACT table's PartitionFilters, so only the dim-surviving
+    partitions' files are listed and read — at scale, the difference
+    between scanning 3/20 partitions and all of them."""
+    from pyspark.sql import functions as F
+
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("part")
+    ).write.partitionBy("part").parquet(f"{tmp_path}/fact")
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 3 else "drop") for i in range(20)], "part int, tag string"
+    )
+    fact = spark.read.parquet(f"{tmp_path}/fact")
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "part")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert joined.count() == 1_500

@@ -1252,3 +1252,56 @@ def test_versioned_table_compact_files(spark, tmp_path):
     vt.commit(post, 3, touched=tb)
     got = dict((r.user_id, r.value) for r in vt.current().collect())
     assert got[0] == "NEW" and got[199] == "v199" and len(got) == 200
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Snapshot reads: read_version(v) returns the table EXACTLY as of
+    v regardless of later commits (immutable version dirs + atomic
+    pointer swap = snapshot isolation for readers); vacuumed versions
+    fail loudly. Retention = current + previous."""
+    import pytest as _pytest
+
+    from aardappel_spark.casting import TableMeta
+    from aardappel_spark.streaming import VersionedTable
+
+    meta = TableMeta(
+        "users",
+        primary_key=["user_id"],
+        columns={"user_id": "Int64", "value": "Optional<Utf8>"},
+    )
+    vt = VersionedTable(
+        spark, str(tmp_path / "tbl"), meta, "user_id bigint, value string",
+        n_buckets=4,
+    )
+    v1_rows = [(i, f"a{i}") for i in range(40)]
+    vt.commit(
+        spark.createDataFrame(v1_rows, "user_id bigint, value string"), 1,
+        touched=None,
+    )
+
+    # incremental upsert -> v2; v1 must still read as of v1
+    upd = spark.createDataFrame([(0, "NEW")], "user_id bigint, value string")
+    tb = [r.b for r in upd.select(vt.bucket_of().alias("b")).distinct().collect()]
+    post = vt.read_buckets(tb).filter(F.col("user_id") != 0).unionByName(upd)
+    vt.commit(post, 2, touched=tb)
+
+    assert vt.versions() == [1, 2]
+    as_of_1 = dict(
+        (r.user_id, r.value) for r in vt.read_version(1).collect()
+    )
+    assert as_of_1 == dict(v1_rows)  # pre-upsert snapshot, post-commit
+    now = dict((r.user_id, r.value) for r in vt.current().collect())
+    assert now[0] == "NEW" and len(now) == 40
+
+    # a third commit vacuums v1: the stale snapshot read fails loudly
+    upd3 = spark.createDataFrame([(1, "NEWER")], "user_id bigint, value string")
+    tb3 = [r.b for r in upd3.select(vt.bucket_of().alias("b")).distinct().collect()]
+    post3 = vt.read_buckets(tb3).filter(F.col("user_id") != 1).unionByName(upd3)
+    vt.commit(post3, 3, touched=tb3)
+    assert vt.versions() == [2, 3]
+    as_of_2 = dict((r.user_id, r.value) for r in vt.read_version(2).collect())
+    assert as_of_2[0] == "NEW" and as_of_2.get(1) == "a1"
+    with _pytest.raises(ValueError, match="not retained"):
+        vt.read_version(1)
+    # version 0 = the empty pre-history table
+    assert vt.read_version(0).count() == 0
