@@ -767,3 +767,16 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert joined.count() == 1_500
+
+
+def test_hilbert_layout_single_scan_one_codegen_walk(spark):
+    """layout_hilbert_skip: the 8-level Hilbert walk must collapse into
+    row-local projections over ONE events scan (+ the 1-row domain
+    min/max pass), with the 2x layout fan-out as an explode — same
+    distributed shape as layout_zorder_skip; the run-counting window
+    runs over the ~128-row (layout, file) frame, not the data."""
+    plan = _plan(spark, "layout_hilbert_skip")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate explode" in plan
