@@ -62,3 +62,94 @@ def pagerank_fixed_point(
             ).alias("r"),
         )
     return r
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census of the undirected graph under ``edges``:
+    one row — (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm), all
+    BIGINT (gcc = 3*triangles/wedges as fixed-point ppm, 0 when
+    wedge-free).
+
+    Algorithm: degree-ordered edge orientation (Schank & Wagner 2005;
+    the MapReduce form is Suri & Vassilvitskii, WWW 2011). Every edge
+    is directed from its (degree, id)-smaller endpoint to the larger;
+    wedges are generated ONLY among a node's out-neighbors, and a
+    node's out-degree under this orientation is O(sqrt(m)) for any
+    graph — so wedge generation is bounded even around celebrity hubs,
+    where the naive "join edges on the shared endpoint" explodes
+    quadratically in the hub degree. The closing-edge check is a
+    LEFT SEMI join (each wedge at most once, no post-dedup). Every
+    triangle is counted exactly once: its three vertices have a unique
+    (degree, id) order.
+
+    Shapes: dedup + degree count (two hash-aggs), one self-join on the
+    orientation source, one semi join — all equi-joins on vertex ids;
+    AQE handles residual skew.
+    """
+    # the deduped edge list feeds three consumers (degrees, orientation,
+    # edge count) and its upstream is typically an expensive candidate
+    # generation — materialize the 16-byte pairs once
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = F.struct(F.col("du").alias("kd"), F.col("u").alias("kn")) < F.struct(
+        F.col("dv").alias("kd"), F.col("v").alias("kn")
+    )
+    # oriented edges are read three times (both wedge legs + closing);
+    # materialize instead of recomputing the degree joins per consumer
+    o = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint()
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a"))
+        & (
+            F.struct(F.col("e1.db").alias("kd"), F.col("e1.b").alias("kn"))
+            < F.struct(F.col("e2.db").alias("kd"), F.col("e2.b").alias("kn"))
+        ),
+    ).select(F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc"))
+    closed = wedge.join(
+        o.select(F.col("a").alias("wb"), F.col("b").alias("wc")),
+        ["wb", "wc"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    nn = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    ne = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(tri)
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            "CAST(CASE WHEN n_wedges = 0 THEN 0"
+            " ELSE (1000000 * 3 * n_triangles) div n_wedges END AS BIGINT)"
+            " AS gcc_ppm",
+        )
+    )

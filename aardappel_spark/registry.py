@@ -10489,6 +10489,371 @@ FROM s JOIN x ON s.col = x.col
 """
 
 
+def q_dq_constraints(spark, sf_dir):
+    """Deequ-style data-quality admission gate (ops/dq.py; Schelter et
+    al., VLDB 2018): ten declarative constraints over orders, lineitem
+    and events, one report row each — (tbl, constraint, total,
+    violations, ok), every metric BIGINT. The execution shape is the
+    point: ALL of a table's row-local predicates, its key-uniqueness
+    check (count - count_distinct) and the row totals its RI rows
+    report fuse into ONE conditional-aggregation scan (3 tables -> 3
+    passes for 8 single-table constraints), so referential integrity
+    is the only extra work — a LEFT ANTI join per arm, broadcast for
+    the orders->customer dimension, ordinary shuffle join for the
+    big-big lineitem->orders arm. Thresholds are
+    chosen so the gate REPORTS real violations (totalprice cap,
+    quantity cap, the 'error' event type, the value cap at sf>=0.01)
+    rather than vacuously passing."""
+    from .ops.dq import RefCheck, RowCheck, UniqueCheck, dq_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = load_events_ns(spark, sf_dir)
+
+    rep_o = dq_check(
+        orders,
+        "orders",
+        [
+            RowCheck("custkey_not_null", "o_custkey IS NOT NULL"),
+            RowCheck("status_domain", "o_orderstatus IN ('O','F','P')"),
+            RowCheck(
+                "totalprice_bounds",
+                "o_totalprice > 0 AND o_totalprice <= 300000",
+            ),
+            UniqueCheck("orderkey_unique", ("o_orderkey",)),
+            RefCheck(
+                "custkey_ri",
+                ("o_custkey",),
+                ref=customer,
+                ref_cols=("c_custkey",),
+                broadcast=True,
+            ),
+        ],
+    )
+    rep_l = dq_check(
+        lineitem,
+        "lineitem",
+        [
+            RowCheck("quantity_bounds", "l_quantity >= 1 AND l_quantity <= 45"),
+            RowCheck("shipdate_not_null", "l_shipdate IS NOT NULL"),
+            RefCheck(
+                "orderkey_ri",
+                ("l_orderkey",),
+                ref=orders,
+                ref_cols=("o_orderkey",),
+                broadcast=False,
+            ),
+        ],
+    )
+    rep_e = dq_check(
+        ev,
+        "events",
+        [
+            RowCheck(
+                "type_domain",
+                "event_type IN ('click','view','signup','purchase')",
+            ),
+            RowCheck(
+                "value_bounds",
+                "value IS NOT NULL AND value >= 0 AND value <= 400",
+            ),
+        ],
+    )
+    return rep_o.unionByName(rep_l).unionByName(rep_e)
+
+
+def q_sessions_concurrency(spark, sf_dir):
+    """Concurrent-sessions curve — how many user sessions are active
+    at each 6-hour boundary (the capacity-planning view an event
+    platform reads to size its serving fleet). Sessions are the same
+    30-minute-gap sessionization events_sessions gates (per-user
+    window, one shuffle); the concurrency itself is the SWEEP-LINE
+    encoding (ops/intervals.py): active(t) = #{start <= t} - #{end <
+    t}, computed as two bucketed hash-aggs plus a cumulative sum over
+    the GRID ONLY — the naive interval x boundary join touches every
+    (session, boundary) pair, while the grid here is
+    time-range/bucket rows regardless of corpus size, so the
+    single-partition cumulative window is a non-issue at 100 TB. All
+    integer micros; nothing floats."""
+    from pyspark.sql.window import Window
+
+    from .ops.intervals import interval_concurrency
+
+    gap = 30 * 60 * 1_000_000
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    prev = F.lag("us").over(w)
+    flag = F.when(prev.isNull() | (F.col("us") - prev > gap), 1).otherwise(0)
+    sid = ev.select(
+        "user_id",
+        "us",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    return interval_concurrency(sessions, "s_us", "e_us", 6 * 3600 * 1_000_000)
+
+
+def q_orders_reorder_window(spark, sf_dir):
+    """Quick-reorder distribution: for every order, how many OTHER
+    orders the same customer placed inside the following 7 days
+    (half-open [t, t+7d)), reported as the n_follow histogram with the
+    exact zero-follower row — the repeat-purchase velocity view. The
+    join is the bucketed point-in-interval encoding
+    (ops/intervals.py): each order's 7-day window explodes into <= 2
+    week cells, each candidate follower computes its single cell, and
+    containment becomes an equi-join on (custkey, cell) + residual
+    filter — linear fan-out where the naive inequality join is a
+    per-customer cartesian that Catalyst would run as BNLJ at 100 TB.
+    Zero-follower orders are total - matched bases (two 1-row
+    aggregates), not a left join."""
+    from .ops.intervals import point_in_interval_join
+
+    wk = 7 * 86400 * 1_000_000
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("base_ok"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + wk).alias("e_us"),
+    )
+    pts = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("f_ok"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("f_us"),
+    )
+    j = point_in_interval_join(
+        pts, base, ["ck"], "f_us", "s_us", "e_us", bucket=wk
+    ).filter(F.col("f_ok") != F.col("base_ok"))
+    # the per-base count frame feeds both the histogram and the
+    # matched-bases count; materialize it once so the bucketed join
+    # (2 orders scans) doesn't run twice
+    m = (
+        j.groupBy("base_ok")
+        .agg(F.count("*").alias("n_follow"))
+        .localCheckpoint()
+    )
+    hist = m.groupBy("n_follow").agg(F.count("*").cast("bigint").alias("n_orders"))
+    tot = o.agg(F.count("*").alias("t"))
+    mb = m.agg(F.count("*").alias("mb"))
+    zero = (
+        tot.crossJoin(mb)
+        .select(
+            F.lit(0).cast("bigint").alias("n_follow"),
+            (F.col("t") - F.col("mb")).cast("bigint").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return hist.select(F.col("n_follow").cast("bigint"), "n_orders").unionByName(
+        zero
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle census of the kNN similarity graph — the local-
+    clustering signal next to graph_pagerank and the dedup components:
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm), one BIGINT
+    row. Edges are the SAME shared banded kNN graph emb_knn_graph
+    gates (so candidate generation stays an equi-join on band buckets
+    and inherits the band-bits scale dial); the census itself is
+    degree-ordered orientation (Schank & Wagner 2005 / Suri &
+    Vassilvitskii WWW 2011, see ops.graph.triangle_stats): wedges only
+    among out-neighbors under (degree, id) order — out-degree
+    O(sqrt(m)) around any hub — and a LEFT SEMI closing-edge join, so
+    each triangle counts exactly once and nothing explodes
+    quadratically. The global clustering coefficient crosses the hash
+    as integer ppm."""
+    from .ops.graph import triangle_stats
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    return triangle_stats(knn)
+
+
+QUERIES["graph_triangles"] = q_graph_triangles
+
+# composed verbatim from the gated kNN-graph oracle (the same pattern
+# emb_knn_classify uses); the oracle counts triangles by the simple
+# a<b<c triple join — orientation is a Spark-side efficiency choice,
+# the census is identical
+ORACLES["graph_triangles"] = f"""
+WITH knn AS ({ORACLES["emb_knn_graph"].strip()}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT w.n_nodes, m.n_edges, w.n_wedges, t.n_triangles,
+       CAST(CASE WHEN w.n_wedges = 0 THEN 0
+                 ELSE (1000000 * 3 * t.n_triangles) // w.n_wedges END
+         AS BIGINT) AS gcc_ppm
+FROM w, t, m
+"""
+
+QUERIES["sessions_concurrency"] = q_sessions_concurrency
+
+ORACLES["sessions_concurrency"] = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+l AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS f
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         sum(f) OVER (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+),
+iv AS (
+  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+  FROM s GROUP BY user_id, sid
+),
+sc AS (
+  SELECT (s_us + 21599999999) // 21600000000 AS k, count(*) AS c
+  FROM iv GROUP BY 1
+),
+ec AS (
+  SELECT e_us // 21600000000 AS k, count(*) AS c FROM iv GROUP BY 1
+),
+mm AS (
+  SELECT min(s_us) // 21600000000 AS k0,
+         (max(e_us) + 21599999999) // 21600000000 AS k1
+  FROM iv
+),
+grid AS (SELECT unnest(generate_series(k0, k1)) AS k FROM mm),
+g AS (
+  SELECT grid.k, COALESCE(sc.c, 0) AS sc, COALESCE(ec.c, 0) AS ec
+  FROM grid LEFT JOIN sc ON grid.k = sc.k LEFT JOIN ec ON grid.k = ec.k
+)
+SELECT CAST(k * 21600000000 AS BIGINT) AS boundary,
+       CAST(sum(sc) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+            - COALESCE(sum(ec) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS active
+FROM g
+"""
+
+QUERIES["orders_reorder_window"] = q_orders_reorder_window
+
+ORACLES["orders_reorder_window"] = """
+WITH o AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck, epoch_us(o_orderdate) AS us
+  FROM orders
+),
+p AS (
+  SELECT a.ok AS base, count(*) AS n
+  FROM o a JOIN o b
+    ON a.ck = b.ck AND b.us >= a.us AND b.us < a.us + 604800000000
+   AND b.ok <> a.ok
+  GROUP BY a.ok
+),
+h AS (
+  SELECT CAST(n AS BIGINT) AS n_follow, CAST(count(*) AS BIGINT) AS n_orders
+  FROM p GROUP BY n
+),
+z AS (
+  SELECT CAST(0 AS BIGINT) AS n_follow,
+         CAST((SELECT count(*) FROM o) - (SELECT count(*) FROM p)
+           AS BIGINT) AS n_orders
+)
+SELECT n_follow, n_orders FROM h
+UNION ALL
+SELECT n_follow, n_orders FROM z WHERE n_orders > 0
+"""
+
+QUERIES["dq_constraints"] = q_dq_constraints
+
+ORACLES["dq_constraints"] = """
+WITH raw AS (
+  SELECT 'orders' AS tbl, 'custkey_not_null' AS c,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(COALESCE(sum(CASE WHEN o_custkey IS NOT NULL
+                                THEN 0 ELSE 1 END), 0) AS BIGINT) AS v
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'status_domain', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'totalprice_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_totalprice > 0
+                                 AND o_totalprice <= 300000
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'custkey_ri', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'quantity_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 45
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'shipdate_not_null', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN l_shipdate IS NOT NULL
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_ri', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'events', 'type_domain', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN event_type IN
+                                ('click','view','signup','purchase')
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'value_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN value IS NOT NULL AND value >= 0
+                                 AND value <= 400
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM events
+)
+SELECT tbl, c AS "constraint", total, v AS violations,
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM raw
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -10520,6 +10885,9 @@ _R07_ADDITIONS: list[str] = [
         "events_profile", "events_attribution",
         # batch 4: Hilbert-vs-Morton scan contiguity, HLL column profile
         "layout_hilbert_skip", "events_profile_approx",
+        # batch 5: DQ admission gate, interval analytics, triangles
+        "dq_constraints", "sessions_concurrency", "orders_reorder_window",
+        "graph_triangles",
     )
     if k in QUERIES
 ]

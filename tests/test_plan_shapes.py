@@ -780,3 +780,68 @@ def test_hilbert_layout_single_scan_one_codegen_walk(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "Generate explode" in plan
+
+
+def test_dq_constraints_anti_joins_no_cartesian(spark):
+    """dq_constraints: referential integrity must stay LEFT ANTI (2
+    arms), the only loop-join shapes allowed are the 1-row scalar
+    attaches of the RI totals, and every single-table constraint reads
+    the checkpointed fused pass — so the FINAL plan's parquet scans are
+    the four anti-join inputs only."""
+    plan = _plan(spark, "dq_constraints")
+    assert plan.count("LeftAnti") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_sessions_concurrency_aggregates_before_grid(spark):
+    """sessions_concurrency: the sessionization is materialized ONCE
+    (localCheckpoint) and the sweep-line consumers read the
+    checkpointed interval rows — zero parquet re-scans — with the
+    cumulative windows running over the grid only."""
+    plan = _plan(spark, "sessions_concurrency")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orders_reorder_window_is_bucketed_equi_join(spark):
+    """orders_reorder_window: the final plan reads the checkpointed
+    per-base counts (the bucketed join ran exactly once) plus one
+    orders scan for the total; the containment join itself — checked
+    on the operator's plan, since the checkpoint hides it — is an
+    equi-join fed by the interval->cell explode, never a nested
+    loop."""
+    plan = _plan(spark, "orders_reorder_window")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # zero-row scalar attach
+    assert plan.count("Scan parquet") <= 1, plan
+
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.ops.intervals import point_in_interval_join
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    wk = 7 * 86400 * 1_000_000
+    base = o.select(
+        F.col("o_custkey").alias("ck"), us.alias("s_us"), (us + wk).alias("e_us")
+    )
+    pts = o.select(F.col("o_custkey").alias("ck"), us.alias("f_us"))
+    j = point_in_interval_join(pts, base, ["ck"], "f_us", "s_us", "e_us", wk)
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in jplan, jplan
+    assert "CartesianProduct" not in jplan
+    assert "BroadcastNestedLoopJoin" not in jplan
+
+
+def test_graph_triangles_semi_close_no_cartesian(spark):
+    """graph_triangles: the wedge join runs over the checkpointed
+    oriented edges (no parquet re-scan of the embedding pipeline) and
+    the closing-edge check stays LEFT SEMI; nothing degenerates into a
+    cartesian."""
+    plan = _plan(spark, "graph_triangles")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0, plan
