@@ -153,3 +153,55 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             " AS gcc_ppm",
         )
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous majority-vote label propagation (Raghavan, Albert &
+    Kumara 2007) over the undirected graph beneath ``edges`` — the
+    near-linear community detector. Labels seed as the node id; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label, so the whole
+    run is deterministic (the classic formulation breaks ties
+    randomly; a distributed engine wants reproducible communities).
+
+    Returns (node, label) after ``iters`` synchronous rounds. Each
+    round is one equi-join of the bidirected edge list with the label
+    frame + one hash-agg + one per-node top-1 window — two shuffles,
+    both keyed on vertex ids; labels are checkpointed per round so
+    round i reads N label rows, not the whole lineage (the
+    pagerank_fixed_point discipline). Input direction is ignored;
+    self-loops dropped; every emitted node has >= 1 neighbor by
+    construction.
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    bidir = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    lab = bidir.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        lab = lab.localCheckpoint()
+        votes = (
+            bidir.join(lab.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return lab

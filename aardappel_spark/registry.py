@@ -10675,6 +10675,78 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(knn)
 
 
+def q_graph_communities(spark, sf_dir):
+    """Community structure of the kNN similarity graph via synchronous
+    majority-vote label propagation (Raghavan et al. 2007; see
+    ops.graph.label_propagation — deterministic min-label tie-break
+    instead of the paper's random one), reported as the community-size
+    histogram (community_size, n_communities). Three synchronous
+    rounds over the SAME shared banded kNN edges the rest of the graph
+    family consumes; each round is two vertex-keyed shuffles with the
+    label frame checkpointed between rounds, so the oracle can replay
+    every round as CTEs — integer counts and ids only, nothing
+    floats. Completes the graph family: PageRank (influence),
+    connected components (reachability), triangles (local density),
+    LPA (mesoscale communities)."""
+    from .ops.graph import label_propagation
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    lab = label_propagation(knn, iters=3)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_communities")
+    ).select(F.col("sz").cast("bigint").alias("community_size"), "n_communities")
+
+
+def _communities_oracle_sql() -> str:
+    """Replays q_graph_communities' 3 synchronous LPA rounds as CTEs
+    over the same kNN edge oracle — per round, the neighbor-label vote
+    count and the (n DESC, label ASC) top-1 are exactly the Spark
+    kernel's hash-agg + window, and every quantity is an integer id or
+    count, so the engines agree exactly."""
+    knn = ORACLES["emb_knn_graph"].strip().rstrip(";")
+    out = [f"""
+WITH knn AS MATERIALIZED ({knn}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+b AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM und
+),
+l0 AS (SELECT DISTINCT node AS node, node AS label FROM b)"""]
+    for i in range(3):
+        out.append(f""",
+v{i} AS (
+  SELECT b.node, l.label, count(*) AS n
+  FROM b JOIN l{i} l ON b.nbr = l.node
+  GROUP BY b.node, l.label
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+    out.append("""
+, sizes AS (SELECT label, count(*) AS sz FROM l3 GROUP BY label)
+SELECT CAST(sz AS BIGINT) AS community_size,
+       CAST(count(*) AS BIGINT) AS n_communities
+FROM sizes GROUP BY sz
+""")
+    return "".join(out)
+
+
+QUERIES["graph_communities"] = q_graph_communities
+ORACLES["graph_communities"] = _communities_oracle_sql()
+
 QUERIES["graph_triangles"] = q_graph_triangles
 
 # composed verbatim from the gated kNN-graph oracle (the same pattern
@@ -10887,7 +10959,7 @@ _R07_ADDITIONS: list[str] = [
         "layout_hilbert_skip", "events_profile_approx",
         # batch 5: DQ admission gate, interval analytics, triangles
         "dq_constraints", "sessions_concurrency", "orders_reorder_window",
-        "graph_triangles",
+        "graph_triangles", "graph_communities",
     )
     if k in QUERIES
 ]

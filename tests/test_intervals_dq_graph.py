@@ -224,3 +224,48 @@ def test_triangle_stats_random_vs_python(spark):
     assert r.n_triangles == tri
     assert r.n_wedges == wedges
     assert r.n_edges == len(edges)
+
+
+def test_label_propagation_two_cliques(spark):
+    from aardappel_spark.ops.graph import label_propagation
+
+    tri = lambda base: [
+        (base + a, base + b) for a in range(3) for b in range(3) if a < b
+    ]
+    df = spark.createDataFrame(tri(0) + tri(3), "src long, dst long")
+    lab = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert set(lab) == set(range(6))
+    assert {lab[0], lab[1], lab[2]} == {0}
+    assert {lab[3], lab[4], lab[5]} == {3}
+
+
+def test_label_propagation_matches_python_model(spark):
+    from collections import Counter, defaultdict
+
+    from aardappel_spark.ops.graph import label_propagation
+
+    rng = random.Random(13)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(25), rng.randrange(25)) for _ in range(80))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        lab = {
+            n: min(
+                Counter(lab[m] for m in adj[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    assert got == lab

@@ -845,3 +845,15 @@ def test_graph_triangles_semi_close_no_cartesian(spark):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_graph_communities_rounds_read_checkpoints(spark):
+    """graph_communities: each LPA round joins the checkpointed
+    bidirected edges with the checkpointed previous labels — the final
+    plan re-reads no parquet and the top-1 vote stays a per-node
+    window, with nothing degenerating into a loop join."""
+    plan = _plan(spark, "graph_communities")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
