@@ -1823,3 +1823,94 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DQ_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("constraint", StringType(), False),
+        StructField("total", LongType(), False),
+        StructField("violations", LongType(), False),
+        StructField("ok", LongType(), False),
+    ]
+)
+
+DQ_STATE_SCHEMA = StructType(
+    [
+        StructField("total", LongType(), False),
+        StructField("violations", LongType(), False),
+    ]
+)
+
+
+def _dq_counter_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Additive (total, violations) counters for one constraint.
+    Integer addition is commutative/associative, so Arrow chunking and
+    micro-batch splits cannot change the totals; each batch emits the
+    constraint's current report row."""
+    t, v = (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+    for pdf in pdfs:
+        t += int(len(pdf))
+        v += int(pdf["_viol"].sum())
+    state.update((t, v))
+    yield pd.DataFrame(
+        [
+            {
+                "constraint": key[0],
+                "total": t,
+                "violations": v,
+                "ok": 1 if v == 0 else 0,
+            }
+        ]
+    )
+
+
+def streaming_dq_counters(events: DataFrame, checks) -> DataFrame:
+    """Streaming twin of the ``dq_constraints`` row-check arms — the
+    live data-quality monitor a pipeline runs on the SAME declarative
+    ``ops.dq.RowCheck`` specs its batch admission gate uses: every
+    incoming row evaluates all predicates row-locally (NULL counts as
+    a violation, exactly the batch semantics), explodes to one
+    (constraint, violation-bit) pair per check, and a single additive
+    (total, violations) counter pair per constraint lives in managed
+    state — O(n_constraints) longs of state TOTAL, any stream volume.
+    Each micro-batch emits every constraint's current report row in
+    the batch gate's shape (constraint, total, violations, ok).
+
+    Parity: counters are exact under any micro-batch split and
+    checkpoint restart (pinned in tests against ``dq_check`` over the
+    union of all rows). Unlike the idempotent bitmap/HLL twins,
+    duplicated redelivery WOULD double-count an additive counter — so
+    this twin belongs behind the same committed-offset discipline as
+    the apply sink (streaming.py's position guard), which is where the
+    CDC pipeline already runs it.
+
+    Reference scope: no reference counterpart (SURVEY.md §2 extension);
+    the batch twin is ops/dq.py.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("constraint"),
+                        F.when(F.expr(c.predicate), F.lit(0))
+                        .otherwise(F.lit(1))
+                        .cast("long")
+                        .alias("_viol"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("constraint").applyInPandasWithState(
+        _dq_counter_fn,
+        outputStructType=DQ_OUTPUT_SCHEMA,
+        stateStructType=DQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1565,3 +1565,58 @@ def test_streaming_attribution_matches_batch_query(spark, tmp_path):
     }
     for k in ("click", "view", "none"):
         assert got[k] == expect.get(k, (0, 0)), (k, got, expect)
+
+
+def test_streaming_dq_counters_match_batch_gate(spark, tmp_path):
+    """The stream-maintained per-constraint (total, violations)
+    counters over three micro-batches (checkpoint restart between
+    each, NULL predicate rows, multiple constraints) must equal the
+    batch dq_check report over the union of all rows — same totals,
+    same violation counts, same ok bits."""
+    from aardappel_spark.ops.dq import RowCheck, dq_check
+    from aardappel_spark.stateful import streaming_dq_counters
+
+    checks = [
+        RowCheck("type_domain", "event_type IN ('click', 'view')"),
+        RowCheck("value_bounds", "value IS NOT NULL AND value >= 0 AND value <= 100"),
+    ]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    batches = [
+        [("click", 5.0), ("view", 101.0), ("error", 3.0)],
+        [("click", None), ("view", -1.0)],
+        [("signup", 50.0), ("click", 100.0), ("view", 0.0)],
+    ]
+    collected = []
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for et, v in batch:
+                f.write(json.dumps({"event_type": et, "value": v}) + "\n")
+        stream = spark.readStream.schema("event_type string, value double").json(src)
+        q = (
+            streaming_dq_counters(stream, checks)
+            .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    latest = {}
+    for r in collected:
+        latest[r.constraint] = (r.total, r.violations, r.ok)
+
+    rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(rows, "event_type string, value double")
+    want = {
+        r.constraint: (r.total, r.violations, r.ok)
+        for r in dq_check(batch_df, "events", checks).collect()
+    }
+    assert latest == want
+    # the counters saw real violations, not a vacuous pass
+    assert latest["type_domain"][1] == 2  # error + signup
+    assert latest["value_bounds"][1] == 3  # 101.0, NULL, -1.0

@@ -97,6 +97,14 @@ PROBE_QUERIES = [
     # round-7: the near-dup calibration histogram (bits=4 fixed for
     # oracle parity -> same fixed-parameter arithmetic as the kNN family)
     "emb_sim_histogram",
+    # round-7 batch 5: fused DQ gate (3 scans + 2 anti joins),
+    # sweep-line concurrency (aggregate-first grid), bucketed
+    # point-in-interval join, and the triangle/LPA kNN-graph consumers
+    "dq_constraints",
+    "sessions_concurrency",
+    "orders_reorder_window",
+    "graph_triangles",
+    "graph_communities",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -116,6 +124,8 @@ FIXED_PARAM_SUPERLINEAR = {
     "emb_knn_graph": "LSH candidate mass ~N^2/2^bits at fixed band bits; production dial: bits grows with log N",
     "graph_pagerank": "runs on the kNN graph's edges (same fixed-band candidate arithmetic); dialed twin: graph_pagerank_dialed",
     "emb_sim_histogram": "LSH bucket pair mass ~N^2/2^bits at fixed bits=4 (oracle parity); production dial: bits grows with log N; dialed twin: emb_sim_histogram_dialed",
+    "graph_triangles": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the census itself is linear in edges+wedges",
+    "graph_communities": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each LPA round is linear in edges",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,
