@@ -10675,6 +10675,93 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(knn)
 
 
+def q_emb_silhouette(spark, sf_dir):
+    """Centroid-based silhouette per IVF cluster — the clustering-
+    quality diagnostic next to emb_ivf_balance's occupancy view: for
+    every vector, a = cosine to its OWN centroid, b = best cosine to
+    any OTHER centroid, s = (a - b) / max(1 - a, 1 - b) (the
+    simplified/medoid-free silhouette; a in [-1, 1] cosine turns the
+    classic distance form d = 1 - cos into exactly this), reported as
+    each cluster's size and mean silhouette. Rides the session-shared
+    IVF build: the 16 normalized centroids broadcast onto one corpus
+    pass (x16 row-local fan-out, the a1d shape of the oracle), one
+    per-vector argmax-free max/max aggregate, one per-cluster mean —
+    no corpus shuffle beyond the two hash-aggs. Near-0 or negative
+    mean silhouette for a fat cluster is the 'n_centroids too small'
+    signal the SemDeDup/IVF dial reads."""
+    assigned, C = _ivf_build_cached(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cid int, c array<double>",
+    )
+    base = assigned.select(
+        F.col("_id").alias("vec_id"),
+        F.col("_v").alias("emb"),
+        F.col("_c").alias("own"),
+        F.sqrt(
+            F.aggregate(
+                F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("nrm"),
+    )
+    d = base.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "own",
+        "cid",
+        F.expr(
+            "CASE WHEN nrm = 0 THEN 0.0 ELSE"
+            " aggregate(zip_with(emb, c, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x) / nrm END"
+        ).alias("cos"),
+    )
+    per_vec = d.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cid") == F.col("own"), F.col("cos"))).alias("a"),
+        F.max(F.when(F.col("cid") != F.col("own"), F.col("cos"))).alias("b"),
+    )
+    sil = per_vec.select(
+        "own",
+        F.expr(
+            "CASE WHEN greatest(1.0D - a, 1.0D - b) <= 0.0D THEN 0.0D"
+            " ELSE (a - b) / greatest(1.0D - a, 1.0D - b) END"
+        ).alias("s"),
+    )
+    return sil.groupBy("own").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("s"), 4).alias("mean_silhouette"),
+    ).select(F.col("own").cast("int").alias("cid"), "n_vecs", "mean_silhouette")
+
+
+QUERIES["emb_silhouette"] = q_emb_silhouette
+
+# composed on the shared IVF assignment oracle: a1d already holds every
+# (vector, centroid) dot with the normalized centroids — a is the own-
+# cluster row, b the best other row, scaled to cosine by the vector norm
+ORACLES["emb_silhouette"] = _IVF_ASG_CTE + """,
+nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+cosd AS (
+  SELECT a1d.vec_id, a1d.cid,
+         CASE WHEN nv.nrm = 0 THEN 0 ELSE a1d.dp / nv.nrm END AS cos
+  FROM a1d JOIN nv USING (vec_id)
+),
+pv AS (
+  SELECT cosd.vec_id, asg1.cid AS own,
+         max(CASE WHEN cosd.cid = asg1.cid THEN cosd.cos END) AS a,
+         max(CASE WHEN cosd.cid <> asg1.cid THEN cosd.cos END) AS b
+  FROM cosd JOIN asg1 USING (vec_id)
+  GROUP BY cosd.vec_id, asg1.cid
+),
+sil AS (
+  SELECT own,
+         CASE WHEN greatest(1 - a, 1 - b) <= 0 THEN 0
+              ELSE (a - b) / greatest(1 - a, 1 - b) END AS s
+  FROM pv
+)
+SELECT CAST(own AS INTEGER) AS cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(s), 4) AS mean_silhouette
+FROM sil GROUP BY own
+"""
+
+
 def q_graph_communities(spark, sf_dir):
     """Community structure of the kNN similarity graph via synchronous
     majority-vote label propagation (Raghavan et al. 2007; see
@@ -10959,7 +11046,7 @@ _R07_ADDITIONS: list[str] = [
         "layout_hilbert_skip", "events_profile_approx",
         # batch 5: DQ admission gate, interval analytics, triangles
         "dq_constraints", "sessions_concurrency", "orders_reorder_window",
-        "graph_triangles", "graph_communities",
+        "graph_triangles", "graph_communities", "emb_silhouette",
     )
     if k in QUERIES
 ]

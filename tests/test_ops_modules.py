@@ -2650,6 +2650,41 @@ def test_band_occupancy_matches_signature_frame(spark, sf_dir):
         ), band
 
 
+def test_emb_silhouette_matches_numpy_model(spark, sf_dir):
+    """emb_silhouette equals a from-scratch NumPy simplified silhouette
+    over the SAME shared IVF build: a = cosine to own centroid, b = best
+    other-centroid cosine, s = (a - b) / max(1 - a, 1 - b), averaged per
+    cluster — and every vector's own-centroid cosine is its a (never its
+    b), so s is well-defined for every assignment the build produced."""
+    import numpy as np
+    import pytest
+
+    from aardappel_spark.registry import QUERIES, _ivf_build_cached
+
+    assigned, C = _ivf_build_cached(spark, sf_dir)
+    rows = assigned.select("_v", "_c").collect()
+    V = np.array([r._v for r in rows], dtype=np.float64)
+    own = np.array([r._c for r in rows], dtype=np.int64)
+    nrm = np.linalg.norm(V, axis=1)
+    cos = V @ C.T  # centroids are L2-normalized at build time
+    cos = np.where(nrm[:, None] == 0, 0.0, cos / np.where(nrm == 0, 1, nrm)[:, None])
+    a = cos[np.arange(len(rows)), own]
+    masked = cos.copy()
+    masked[np.arange(len(rows)), own] = -np.inf
+    b = masked.max(axis=1)
+    denom = np.maximum(1 - a, 1 - b)
+    s = np.where(denom <= 0, 0.0, (a - b) / np.where(denom <= 0, 1, denom))
+    got = {
+        r.cid: (r.n_vecs, r.mean_silhouette)
+        for r in QUERIES["emb_silhouette"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(np.unique(own))
+    for cid in got:
+        sel = s[own == cid]
+        assert got[cid][0] == int(sel.size), cid
+        assert got[cid][1] == pytest.approx(round(float(sel.mean()), 4), abs=2e-4), cid
+
+
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
     """vocab_pmi equals a from-scratch python PMI over exact unigram and
     bigram counts, on the same deterministic top-20 bigrams."""
