@@ -10841,8 +10841,8 @@ QUERIES["graph_triangles"] = q_graph_triangles
 # a<b<c triple join — orientation is a Spark-side efficiency choice,
 # the census is identical
 ORACLES["graph_triangles"] = f"""
-WITH knn AS ({ORACLES["emb_knn_graph"].strip()}),
-und AS (
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS MATERIALIZED (
   SELECT DISTINCT least(vec_id, neighbor) AS u,
                   greatest(vec_id, neighbor) AS v
   FROM knn WHERE vec_id <> neighbor
@@ -11013,6 +11013,463 @@ FROM raw
 """
 
 
+def q_emb_hubness(spark, sf_dir):
+    """In-degree histogram of the directed kNN graph — the hubness
+    diagnostic (Radovanovic et al. JMLR 2010): in high dimensions a few
+    vectors appear in MANY other vectors' top-k lists (hubs) while
+    antihubs appear in none, and a heavy right tail here means kNN-based
+    dedup/classification quality is degrading. Rides the SAME shared
+    banded kNN graph emb_knn_graph gates (band-bits scale dial
+    included); the census is two integer hash-aggs — in-degree per
+    neighbor, then vectors per in-degree — plus the exact zero-in-degree
+    (antihub) row computed as corpus total minus distinct neighbors, two
+    1-row aggregates instead of a left join. Everything crosses the
+    hash as BIGINT."""
+    knn = q_emb_knn_graph(spark, sf_dir)
+    # barrier: the histogram AND the antihub count both consume the
+    # in-degree frame; without it the banded top-k window runs twice
+    ind = (
+        knn.groupBy(F.col("neighbor"))
+        .agg(F.count("*").alias("in_deg_raw"))
+        .localCheckpoint()
+    )
+    hist = ind.groupBy(F.col("in_deg_raw").cast("bigint").alias("in_deg")).agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    tot = spark.read.parquet(f"{sf_dir}/embeddings.parquet").agg(
+        F.count("*").alias("t")
+    )
+    nz = ind.agg(F.count("*").alias("nz"))
+    zero = (
+        tot.crossJoin(nz)
+        .select(
+            F.lit(0).cast("bigint").alias("in_deg"),
+            (F.col("t") - F.col("nz")).cast("bigint").alias("n_vecs"),
+        )
+        .filter(F.col("n_vecs") > 0)
+    )
+    return hist.unionByName(zero)
+
+
+QUERIES["emb_hubness"] = q_emb_hubness
+
+# composed verbatim from the gated kNN-graph oracle (the
+# graph_triangles pattern); the antihub row is total minus distinct
+# neighbors, exactly the Spark-side encoding
+ORACLES["emb_hubness"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+ind AS MATERIALIZED (SELECT neighbor, count(*) AS ind FROM knn GROUP BY neighbor)
+SELECT CAST(ind AS BIGINT) AS in_deg, CAST(count(*) AS BIGINT) AS n_vecs
+FROM ind GROUP BY ind
+UNION ALL
+SELECT CAST(0 AS BIGINT), n_vecs FROM (
+  SELECT CAST((SELECT count(*) FROM embeddings)
+              - (SELECT count(*) FROM ind) AS BIGINT) AS n_vecs
+) WHERE n_vecs > 0
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected kNN similarity graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over all
+    directed edge stubs — negative r means hubs attach to low-degree
+    nodes (the typical kNN-graph shape), positive means a rich club.
+    Edges are the same dedup'd least/greatest orientation
+    graph_triangles uses on the shared banded graph. The sufficient
+    statistics are EXACT integers (per symmetric stub pair: M = 2m,
+    Sx = sum(du+dv), Sxy = 2*sum(du*dv), Sx2 = sum(du^2+dv^2)) from two
+    degree joins; r is then evaluated mean-first in doubles — never
+    M*Sxy - Sx^2 in integer space, whose Sx^2 overflows BIGINT at
+    ~1e10 stubs where Spark would wrap and DuckDB would raise. Both
+    engines fold the identical expression over identical integers, so
+    the rounded double is engine-exact."""
+    knn = q_emb_knn_graph(spark, sf_dir)
+    # barriers: the edge list feeds the degree union twice plus the
+    # stats join, and degrees join the edges twice — both frames are
+    # O(edges)/O(nodes) small; without them the banded top-k window
+    # subtree re-executes per consumer
+    und = (
+        knn.filter(F.col("vec_id") != F.col("neighbor"))
+        .select(
+            F.least("vec_id", "neighbor").alias("u"),
+            F.greatest("vec_id", "neighbor").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+    )
+    st = ed.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.coalesce(F.sum(F.col("da") + F.col("db")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_d"),
+        F.coalesce(F.sum(2 * F.col("da") * F.col("db")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_dxy"),
+        F.coalesce(
+            F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return st.select(
+        "n_edges",
+        "sum_d",
+        "sum_dxy",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n_edges = 0 THEN 0.0 ELSE CASE WHEN"
+            " (sum_d2 / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))) <= 0"
+            " THEN 0.0 ELSE round("
+            " (sum_dxy / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges)))"
+            " / (sum_d2 / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))), 6)"
+            " END END"
+        ).alias("assortativity"),
+    )
+
+
+QUERIES["graph_assortativity"] = q_graph_assortativity
+
+ORACLES["graph_assortativity"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+ed AS (
+  SELECT du.d AS da, dv.d AS db
+  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(COALESCE(sum(da + db), 0) AS BIGINT) AS sum_d,
+         CAST(COALESCE(sum(2 * da * db), 0) AS BIGINT) AS sum_dxy,
+         CAST(COALESCE(sum(da * da + db * db), 0) AS BIGINT) AS sum_d2
+  FROM ed
+)
+SELECT n_edges, sum_d, sum_dxy, sum_d2,
+       CASE WHEN n_edges = 0 THEN 0.0 ELSE CASE WHEN
+         (sum_d2 / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))) <= 0
+       THEN 0.0 ELSE round(
+         (sum_dxy / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges)))
+         / (sum_d2 / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))), 6)
+       END END AS assortativity
+FROM st
+"""
+
+
+def q_customer_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention triangle over orders: customers grouped
+    by first-order month, then for each month-age the distinct count
+    still ordering, plus retained_ppm against the cohort's own age-0
+    size (integer fixed-point — no float crosses the hash; the cohort
+    month itself crosses as a DATE both engines render identically).
+    Month index is y*12 + m - 1 pure integer calendar math. ONE orders
+    scan: the first-order month is a partition-wide window min over
+    custkey (one shuffle), not a groupBy-min self-join that would scan
+    and shuffle orders twice; then one (cohort, age) distinct-agg. The
+    age-0 denominator is a window max over the cohort partition —
+    O(cohorts) groups, never a second orders pass."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+    )
+    # first-order month via a partition-wide window min: ONE orders
+    # scan and one ck shuffle, where the groupBy-min + self-join form
+    # scans orders twice and shuffles both sides
+    wc = Window.partitionBy("ck")
+    j = o.select(
+        "ck",
+        F.min("mi").over(wc).alias("c0"),
+        (F.col("mi") - F.min("mi").over(wc)).alias("age"),
+    )
+    g = j.groupBy("c0", "age").agg(F.countDistinct("ck").alias("n_customers"))
+    w = Window.partitionBy("c0")
+    g2 = g.withColumn(
+        "n0", F.max(F.when(F.col("age") == 0, F.col("n_customers"))).over(w)
+    )
+    return g2.select(
+        F.make_date(
+            F.expr("c0 div 12"), F.expr("c0 % 12 + 1"), F.lit(1)
+        ).alias("cohort"),
+        F.col("age").cast("bigint").alias("month_age"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.expr("(1000000 * n_customers) div n0").cast("bigint").alias(
+            "retained_ppm"
+        ),
+    )
+
+
+QUERIES["customer_cohort_retention"] = q_customer_cohort_retention
+
+ORACLES["customer_cohort_retention"] = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+  FROM orders
+),
+f AS (SELECT ck, min(mi) AS c0 FROM o GROUP BY ck),
+j AS (SELECT o.ck, f.c0, o.mi - f.c0 AS age FROM o JOIN f USING (ck)),
+g AS (SELECT c0, age, count(DISTINCT ck) AS n FROM j GROUP BY c0, age),
+g2 AS (
+  SELECT c0, age, n,
+         max(CASE WHEN age = 0 THEN n END) OVER (PARTITION BY c0) AS n0
+  FROM g
+)
+SELECT make_date(CAST(c0 // 12 AS INTEGER), CAST(c0 % 12 + 1 AS INTEGER), 1)
+         AS cohort,
+       CAST(age AS BIGINT) AS month_age,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST((1000000 * n) // n0 AS BIGINT) AS retained_ppm
+FROM g2
+"""
+
+
+def q_events_autocorr(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    weekly-cycle detector next to events_seasonality's hour-of-day
+    chi-square: a lag-7 peak is the weekday signature. Counts bucket to
+    the dense day grid (zero days included via one sequence explode off
+    the 1-row min/max aggregate — the grid is O(time range), not
+    O(volume), so the single-partition lag window over it is a
+    non-issue at 100 TB); all seven lags come from ONE window pass
+    stacked into (lag, x, y) pairs. Sufficient statistics are exact
+    BIGINTs; r evaluates mean-first in doubles — identical expression,
+    identical integers, engine-exact after round(6)."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir).select(
+        F.expr("(ts div 1000) div 86400000000").alias("d")
+    )
+    # barrier: the min/max grid seed AND the left join both consume the
+    # tiny per-day frame; without it events scans twice
+    per_day = ev.groupBy("d").agg(F.count("*").alias("c")).localCheckpoint()
+    grid = (
+        per_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+    )
+    days = grid.join(per_day, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("d")
+    lagged = days.select(
+        "c", *[F.lag("c", L).over(w).alias(f"l{L}") for L in range(1, 8)]
+    )
+    pairs = lagged.select(
+        F.expr(
+            "stack(7, "
+            + ", ".join(f"{L}L, c, l{L}" for L in range(1, 8))
+            + ") AS (lag, x, y)"
+        )
+    ).filter(F.col("y").isNotNull())
+    st = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    return st.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.expr(
+            "CASE WHEN (sx2 / n_pairs - (sx / n_pairs) * (sx / n_pairs))"
+            " * (sy2 / n_pairs - (sy / n_pairs) * (sy / n_pairs)) <= 0"
+            " THEN 0.0 ELSE round("
+            " (sxy / n_pairs - (sx / n_pairs) * (sy / n_pairs))"
+            " / sqrt((sx2 / n_pairs - (sx / n_pairs) * (sx / n_pairs))"
+            " * (sy2 / n_pairs - (sy / n_pairs) * (sy / n_pairs))), 6)"
+            " END"
+        ).alias("autocorr"),
+    )
+
+
+QUERIES["events_autocorr"] = q_events_autocorr
+
+# the oracle takes lag-L pairs by a dense-grid self-join (b.d = a.d - L),
+# which on the gap-free grid is exactly Spark's window lag
+ORACLES["events_autocorr"] = """
+WITH e AS (
+  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS d FROM events
+),
+pc AS (SELECT d, count(*) AS c FROM e GROUP BY d),
+mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM pc),
+grid AS (
+  SELECT unnest(generate_series(d0, d1)) AS d FROM mm WHERE d0 IS NOT NULL
+),
+days AS (
+  SELECT grid.d, COALESCE(pc.c, 0) AS c FROM grid LEFT JOIN pc USING (d)
+),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pr AS (
+  SELECT lags.lag, a.c AS x, b.c AS y
+  FROM days a JOIN lags ON TRUE JOIN days b ON b.d = a.d - lags.lag
+),
+st AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy,
+         CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sx2,
+         CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS sy2
+  FROM pr GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN (sx2 / n_pairs - (sx / n_pairs) * (sx / n_pairs))
+                 * (sy2 / n_pairs - (sy / n_pairs) * (sy / n_pairs)) <= 0
+       THEN 0.0 ELSE round(
+         (sxy / n_pairs - (sx / n_pairs) * (sy / n_pairs))
+         / sqrt((sx2 / n_pairs - (sx / n_pairs) * (sx / n_pairs))
+         * (sy2 / n_pairs - (sy / n_pairs) * (sy / n_pairs))), 6)
+       END AS autocorr
+FROM st
+"""
+
+
+def q_pq_code_balance(spark, sf_dir):
+    """Per-subspace PQ codebook utilization — the index-health view of
+    the shared PQ build (emb_ivf_balance's twin for the fine
+    quantizer): for each of the 8 subspaces, how many of the 8 codes
+    the corpus actually uses and how skewed the occupancy is
+    (max_share_ppm). A subspace where one code absorbs most vectors
+    quantizes to near-zero information — the 'retrain the codebook /
+    raise k_sub' dial. One posexplode over the cached (_id, _code)
+    frame (x8 row-local fan-out), two integer hash-aggs; the oracle
+    textually reuses the gated ann_pq encode chain so training can
+    never drift from what this query claims to describe."""
+    codes, _C = _pq_build_cached(spark, sf_dir)
+    mc = codes.select(
+        F.posexplode("_code").alias("m", "cid")
+    )
+    cc = mc.groupBy("m", "cid").agg(F.count("*").alias("n"))
+    return (
+        cc.groupBy("m")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.count("*").cast("bigint").alias("n_codes_used"),
+            F.max("n").cast("bigint").alias("max_code_n"),
+            F.min("n").cast("bigint").alias("min_code_n"),
+        )
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "n_vecs",
+            "n_codes_used",
+            "max_code_n",
+            "min_code_n",
+            F.expr("(1000000 * max_code_n) div n_vecs").alias("max_share_ppm"),
+        )
+    )
+
+
+QUERIES["pq_code_balance"] = q_pq_code_balance
+
+# everything up to the ann_pq oracle's `lut` CTE IS the PQ training +
+# full-corpus encode (the same textual-reuse contract ann_ivfpq pins);
+# this oracle aggregates those codes instead of scoring a query
+assert "lut AS (" in _PQ_BODY
+ORACLES["pq_code_balance"] = _PQ_BODY[: _PQ_BODY.index("lut AS (")].rstrip().rstrip(
+    ","
+) + """,
+cc AS (SELECT m, cid, count(*) AS n FROM codes GROUP BY m, cid),
+g AS (
+  SELECT m, CAST(sum(n) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_codes_used,
+         CAST(max(n) AS BIGINT) AS max_code_n,
+         CAST(min(n) AS BIGINT) AS min_code_n
+  FROM cc GROUP BY m
+)
+SELECT CAST(m AS INTEGER) AS m, n_vecs, n_codes_used, max_code_n, min_code_n,
+       (1000000 * max_code_n) // n_vecs AS max_share_ppm
+FROM g
+"""
+
+
+def q_doc_hapax_ratio(spark, sf_dir):
+    """Per-source hapax legomena profile — the lexical-diversity
+    signal next to doc_token_entropy's per-doc view and
+    doc_vocab_growth's Heaps curve: within each source's own
+    vocabulary, what share of types (and of token mass) occurs exactly
+    once. Template-generated or heavily boilerplate sources show LOW
+    hapax share; OCR noise or unsegmented text shows pathologically
+    HIGH. Same whitespace tokenizer every gated text query uses
+    (ops.text.tokens_col == string_split on ' '); one token explode,
+    two integer hash-aggs, all-BIGINT fixed-point output."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    tc = (
+        docs.select("source", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(1000000 * n_hapax) div n_types").alias("hapax_type_ppm"),
+            F.expr("(1000000 * n_hapax) div n_tokens").alias("hapax_token_ppm"),
+        )
+    )
+
+
+QUERIES["doc_hapax_ratio"] = q_doc_hapax_ratio
+
+ORACLES["doc_hapax_ratio"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+g AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_hapax
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       (1000000 * n_hapax) // n_types AS hapax_type_ppm,
+       (1000000 * n_hapax) // n_tokens AS hapax_token_ppm
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -11047,6 +11504,9 @@ _R07_ADDITIONS: list[str] = [
         # batch 5: DQ admission gate, interval analytics, triangles
         "dq_constraints", "sessions_concurrency", "orders_reorder_window",
         "graph_triangles", "graph_communities", "emb_silhouette",
+        # batch 6: graph/embedding index health, cohort + autocorr
+        "emb_hubness", "graph_assortativity", "customer_cohort_retention",
+        "events_autocorr", "pq_code_balance", "doc_hapax_ratio",
     )
     if k in QUERIES
 ]

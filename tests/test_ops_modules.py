@@ -2685,6 +2685,186 @@ def test_emb_silhouette_matches_numpy_model(spark, sf_dir):
         assert got[cid][1] == pytest.approx(round(float(sel.mean()), 4), abs=2e-4), cid
 
 
+def test_emb_hubness_consistent_with_knn_graph(spark, sf_dir):
+    """emb_hubness's histogram is exactly the in-degree census of the
+    shared kNN graph: per-degree counts match a Counter over the edge
+    list, the histogram's total mass equals the corpus size (antihub
+    row included), and its edge-weighted mass equals the edge count."""
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, q_emb_knn_graph
+
+    edges = q_emb_knn_graph(spark, sf_dir).select("neighbor").collect()
+    ind = Counter(r.neighbor for r in edges)
+    hist = Counter(Counter(ind.values()))
+    got = {
+        r.in_deg: r.n_vecs for r in QUERIES["emb_hubness"](spark, sf_dir).collect()
+    }
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for d, n in hist.items():
+        assert got[d] == n, d
+    assert sum(got.values()) == n_emb
+    assert got.get(0, 0) == n_emb - len(ind)
+    assert sum(d * n for d, n in got.items()) == len(edges)
+
+
+def test_graph_assortativity_matches_numpy_model(spark, sf_dir):
+    """graph_assortativity equals numpy's Pearson correlation over the
+    symmetrized endpoint-degree pairs of the same dedup'd undirected
+    edge list — both the exact integer sufficient statistics and the
+    rounded coefficient."""
+    from collections import Counter
+
+    import numpy as np
+    import pytest
+
+    from aardappel_spark.registry import QUERIES, q_emb_knn_graph
+
+    knn = q_emb_knn_graph(spark, sf_dir).collect()
+    und = {
+        (min(r.vec_id, r.neighbor), max(r.vec_id, r.neighbor))
+        for r in knn
+        if r.vec_id != r.neighbor
+    }
+    deg = Counter()
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    xs = [deg[u] for u, v in und] + [deg[v] for u, v in und]
+    ys = [deg[v] for u, v in und] + [deg[u] for u, v in und]
+    [row] = QUERIES["graph_assortativity"](spark, sf_dir).collect()
+    assert row.n_edges == len(und)
+    assert row.sum_d == sum(deg[u] + deg[v] for u, v in und)
+    assert row.sum_dxy == sum(2 * deg[u] * deg[v] for u, v in und)
+    assert row.sum_d2 == sum(deg[u] ** 2 + deg[v] ** 2 for u, v in und)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert row.assortativity == pytest.approx(round(float(r), 6), abs=2e-6)
+
+
+def test_customer_cohort_retention_matches_python_model(spark, sf_dir):
+    """Cohort triangle equals a dict-based python model over orders:
+    same cohorts, same distinct-customer counts per age, ppm against
+    the age-0 row via the same integer division."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    mi = lambda d: d.year * 12 + d.month - 1  # noqa: E731
+    first = {}
+    for r in orders:
+        first[r.o_custkey] = min(first.get(r.o_custkey, 1 << 60), mi(r.o_orderdate))
+    cell = defaultdict(set)
+    for r in orders:
+        c0 = first[r.o_custkey]
+        cell[(c0, mi(r.o_orderdate) - c0)].add(r.o_custkey)
+    got = {
+        (r.cohort, r.month_age): (r.n_customers, r.retained_ppm)
+        for r in QUERIES["customer_cohort_retention"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(cell)
+    import datetime
+
+    for (c0, age), members in cell.items():
+        k = (datetime.date(c0 // 12, c0 % 12 + 1, 1), age)
+        n0 = len(cell[(c0, 0)])
+        assert got[k] == (len(members), (1000000 * len(members)) // n0), k
+
+
+def test_events_autocorr_matches_numpy_model(spark, sf_dir):
+    """events_autocorr equals numpy corrcoef over the zero-filled dense
+    daily-count series at every lag 1..7, with n_pairs = n_days - lag."""
+    from collections import Counter
+
+    import numpy as np
+    import pytest
+
+    from aardappel_spark.registry import QUERIES, load_events_ns
+
+    days = [
+        r.d
+        for r in load_events_ns(spark, sf_dir)
+        .selectExpr("(ts div 1000) div 86400000000 AS d")
+        .collect()
+    ]
+    cnt = Counter(days)
+    lo, hi = min(cnt), max(cnt)
+    series = np.array([cnt.get(d, 0) for d in range(lo, hi + 1)], dtype=np.float64)
+    got = {
+        r.lag: (r.n_pairs, r.autocorr)
+        for r in QUERIES["events_autocorr"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, 8))
+    for L in range(1, 8):
+        x, y = series[L:], series[:-L]
+        assert got[L][0] == len(x)
+        r = np.corrcoef(x, y)[0, 1] if x.std() > 0 and y.std() > 0 else 0.0
+        assert got[L][1] == pytest.approx(round(float(r), 6), abs=2e-6), L
+
+
+def test_pq_code_balance_consistent_with_shared_codes(spark, sf_dir):
+    """pq_code_balance describes exactly the shared cached PQ encode:
+    per-subspace occupancy stats match a Counter over the (_id, _code)
+    frame every ANN consumer uses."""
+    from collections import Counter
+
+    from aardappel_spark.registry import QUERIES, _pq_build_cached
+
+    codes, _ = _pq_build_cached(spark, sf_dir)
+    rows = codes.select("_code").collect()
+    got = {
+        r.m: (r.n_vecs, r.n_codes_used, r.max_code_n, r.min_code_n, r.max_share_ppm)
+        for r in QUERIES["pq_code_balance"](spark, sf_dir).collect()
+    }
+    n_sub = len(rows[0]._code)
+    assert set(got) == set(range(n_sub))
+    for m in range(n_sub):
+        occ = Counter(r._code[m] for r in rows)
+        tot = sum(occ.values())
+        assert got[m] == (
+            tot,
+            len(occ),
+            max(occ.values()),
+            min(occ.values()),
+            (1000000 * max(occ.values())) // tot,
+        ), m
+
+
+def test_doc_hapax_ratio_matches_python_model(spark, sf_dir):
+    """doc_hapax_ratio equals a Counter-based model using the same
+    whitespace tokenizer over each source's own vocabulary."""
+    from collections import Counter, defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    per_source = defaultdict(Counter)
+    for r in _docs(spark, sf_dir).select("source", "text").collect():
+        per_source[r.source].update(t for t in r.text.split(" ") if t)
+    got = {
+        r.source: (
+            r.n_tokens, r.n_types, r.n_hapax, r.hapax_type_ppm, r.hapax_token_ppm
+        )
+        for r in QUERIES["doc_hapax_ratio"](spark, sf_dir).collect()
+    }
+    want_sources = {s for s, c in per_source.items() if c}
+    assert set(got) == want_sources
+    for s in want_sources:
+        c = per_source[s]
+        n_tokens, n_types = sum(c.values()), len(c)
+        n_hapax = sum(1 for v in c.values() if v == 1)
+        assert got[s] == (
+            n_tokens,
+            n_types,
+            n_hapax,
+            (1000000 * n_hapax) // n_types,
+            (1000000 * n_hapax) // n_tokens,
+        ), s
+
+
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
     """vocab_pmi equals a from-scratch python PMI over exact unigram and
     bigram counts, on the same deterministic top-20 bigrams."""
