@@ -11470,6 +11470,89 @@ FROM g
 """
 
 
+def q_events_burst_rate(spark, sf_dir):
+    """Peak per-minute event rate per user, as a histogram — the
+    rate-limiting / abuse-detection view next to events_anomaly's
+    EWMA outliers: how many users peak at 1 event/min, how many at 50.
+    Three integer hash-aggs ((user, minute) count -> per-user max ->
+    histogram), each with map-side partial aggregation; the minute
+    bucket is pure integer division on epoch micros so both engines
+    agree exactly and the scan stays inside whole-stage codegen."""
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", F.expr("(ts div 1000) div 60000000").alias("minute")
+    )
+    per_min = ev.groupBy("user_id", "minute").agg(F.count("*").alias("c"))
+    peak = per_min.groupBy("user_id").agg(F.max("c").alias("peak"))
+    return peak.groupBy(F.col("peak").cast("bigint").alias("peak_per_min")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+QUERIES["events_burst_rate"] = q_events_burst_rate
+
+ORACLES["events_burst_rate"] = """
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) // 60000000 AS minute FROM events
+),
+pm AS (SELECT user_id, minute, count(*) AS c FROM e GROUP BY 1, 2),
+pk AS (SELECT user_id, max(c) AS peak FROM pm GROUP BY user_id)
+SELECT CAST(peak AS BIGINT) AS peak_per_min,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM pk GROUP BY peak
+"""
+
+
+def q_doc_simhash_bit_balance(spark, sf_dir):
+    """Per-bit ones-share of the corpus 60-bit simhash signatures —
+    the index-health diagnostic for the simhash dedup tier (the
+    pq_code_balance twin for Hamming space): a bit stuck near 0 or
+    1e6 ppm carries no information, compressing real Hamming
+    distances and inflating the band-collision rate
+    dedup_simhash_pairs pays. Rides the session-shared signature
+    frame (_simhash64_cached); the x60 fan-out is one broadcast range
+    join (row-local bit probes, never a shuffle of the corpus), then
+    one integer hash-agg. All-BIGINT fixed-point output."""
+    sig = _simhash64_cached(spark, sf_dir)
+    bits = spark.range(60).select(F.col("id").cast("int").alias("b"))
+    probed = sig.crossJoin(F.broadcast(bits)).select(
+        "b", F.expr("shiftright(simhash, b) & 1").alias("bit")
+    )
+    return (
+        probed.groupBy("b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bit").cast("bigint").alias("n_ones"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_docs",
+            "n_ones",
+            F.expr("(1000000 * n_ones) div n_docs").alias("ones_ppm"),
+        )
+    )
+
+
+QUERIES["doc_simhash_bit_balance"] = q_doc_simhash_bit_balance
+
+# composed on the gated dedup_simhash64 oracle's signature chain so the
+# bit census can never drift from the signatures the dedup tier hashes
+ORACLES["doc_simhash_bit_balance"] = f"""
+WITH sig AS MATERIALIZED ({ORACLES["dedup_simhash64"].strip()}),
+pb AS (
+  SELECT g.b AS b, (sig.simhash >> g.b) & 1 AS bit
+  FROM sig, generate_series(0, 59) AS g(b)
+),
+g AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(bit), 0) AS BIGINT) AS n_ones
+  FROM pb GROUP BY b
+)
+SELECT CAST(b AS INTEGER) AS b, n_docs, n_ones,
+       (1000000 * n_ones) // n_docs AS ones_ppm
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -11507,6 +11590,8 @@ _R07_ADDITIONS: list[str] = [
         # batch 6: graph/embedding index health, cohort + autocorr
         "emb_hubness", "graph_assortativity", "customer_cohort_retention",
         "events_autocorr", "pq_code_balance", "doc_hapax_ratio",
+        # batch 7: rate-limit view, simhash index health
+        "events_burst_rate", "doc_simhash_bit_balance",
     )
     if k in QUERIES
 ]

@@ -2865,6 +2865,47 @@ def test_doc_hapax_ratio_matches_python_model(spark, sf_dir):
         ), s
 
 
+def test_events_burst_rate_matches_python_model(spark, sf_dir):
+    """events_burst_rate equals a Counter model: per-user max 1-minute
+    event count, histogrammed; total mass = distinct users."""
+    from collections import Counter, defaultdict
+
+    from aardappel_spark.registry import QUERIES, load_events_ns
+
+    rows = (
+        load_events_ns(spark, sf_dir)
+        .selectExpr("user_id", "(ts div 1000) div 60000000 AS minute")
+        .collect()
+    )
+    per_min = Counter((r.user_id, r.minute) for r in rows)
+    peak = defaultdict(int)
+    for (u, _m), c in per_min.items():
+        peak[u] = max(peak[u], c)
+    got = {
+        r.peak_per_min: r.n_users
+        for r in QUERIES["events_burst_rate"](spark, sf_dir).collect()
+    }
+    assert got == dict(Counter(peak.values()))
+    assert sum(got.values()) == len(peak)
+
+
+def test_doc_simhash_bit_balance_matches_signatures(spark, sf_dir):
+    """doc_simhash_bit_balance's per-bit ones counts equal a python bit
+    census over the SAME shared signature frame the dedup tier hashes,
+    with the ppm from the same integer division."""
+    from aardappel_spark.registry import QUERIES, _simhash64_cached
+
+    sigs = [r.simhash for r in _simhash64_cached(spark, sf_dir).collect()]
+    got = {
+        r.b: (r.n_docs, r.n_ones, r.ones_ppm)
+        for r in QUERIES["doc_simhash_bit_balance"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(60))
+    for b in range(60):
+        ones = sum((s >> b) & 1 for s in sigs)
+        assert got[b] == (len(sigs), ones, (1000000 * ones) // len(sigs)), b
+
+
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
     """vocab_pmi equals a from-scratch python PMI over exact unigram and
     bigram counts, on the same deterministic top-20 bigrams."""
