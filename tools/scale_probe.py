@@ -105,6 +105,19 @@ PROBE_QUERIES = [
     "orders_reorder_window",
     "graph_triangles",
     "graph_communities",
+    # round-7 batch 6/7: window-min cohort triangle, dense-grid
+    # autocorrelation, hash-agg burst histogram, per-source hapax
+    # explode, shared-index health consumers (IVF silhouette, PQ code
+    # census, simhash bit census) and two more kNN-graph consumers
+    "customer_cohort_retention",
+    "events_autocorr",
+    "events_burst_rate",
+    "doc_hapax_ratio",
+    "emb_silhouette",
+    "pq_code_balance",
+    "doc_simhash_bit_balance",
+    "emb_hubness",
+    "graph_assortativity",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -126,6 +139,8 @@ FIXED_PARAM_SUPERLINEAR = {
     "emb_sim_histogram": "LSH bucket pair mass ~N^2/2^bits at fixed bits=4 (oracle parity); production dial: bits grows with log N; dialed twin: emb_sim_histogram_dialed",
     "graph_triangles": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the census itself is linear in edges+wedges",
     "graph_communities": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each LPA round is linear in edges",
+    "emb_hubness": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the in-degree census is linear in edges",
+    "graph_assortativity": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); degrees + stats are linear in edges",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,
