@@ -11553,6 +11553,190 @@ FROM g
 """
 
 
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the product-health ratio next to
+    events_activity_bitmap's active-day histogram: for every day with
+    activity, the exact distinct actives that day over the exact
+    distinct actives in the trailing 30-day window, as fixed-point
+    ppm. The corpus collapses to distinct (user, day) FIRST (one
+    shuffle, the frame retention math reuses), DAU is a count per day
+    (already distinct), and MAU fans each user-day into the <= 30
+    window days it serves (row-local sequence explode) followed by one
+    (user, window-day) dedup + count — linear ×30, never a per-day
+    rescan of the corpus, which is the naive 30-pass shape. Early days
+    carry partial (ramp-up) windows, reported as-is."""
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("d")
+    )
+    # barrier: DAU and the MAU fan-out both consume the user-day frame
+    ud = ev.distinct().localCheckpoint()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    mau = (
+        ud.select("user_id", F.explode(F.expr("sequence(d, d + 29)")).alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("mau"))
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.expr("date_add(DATE '1970-01-01', cast(d as int))").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.expr("(1000000 * dau) div mau").alias("stickiness_ppm"),
+        )
+    )
+
+
+QUERIES["events_stickiness"] = q_events_stickiness
+
+ORACLES["events_stickiness"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d
+  FROM events
+),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+f AS (
+  SELECT DISTINCT ud.user_id, ud.d + g.i AS wd
+  FROM ud, generate_series(0, 29) AS g(i)
+),
+mau AS (SELECT wd AS d, count(*) AS mau FROM f GROUP BY wd)
+SELECT DATE '1970-01-01' + CAST(dau.d AS INTEGER) AS day,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau,
+       CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN mau ON dau.d = mau.d
+"""
+
+
+def q_text_readability(spark, sf_dir):
+    """Per-source Flesch reading-ease profile — the readability leg of
+    the quality suite (doc_quality counts token classes; this reads
+    sentence and syllable structure): words = the shared whitespace
+    tokenizer's count, sentences = terminal-punctuation runs
+    (min 1/doc), syllables ~ vowel-group runs (the standard heuristic).
+    All three cross the hash as exact per-source BIGINT sums; the mean
+    Flesch score 206.835 - 1.015*(W/S) - 84.6*(Sy/W) is ONE double
+    expression over those sums, identical in both engines. Everything
+    is row-local regexp counting into two hash-aggs — no explode, the
+    corpus is scanned once."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("sy"),
+    ).filter(F.col("w") > 0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_sentences"),
+            F.sum("sy").cast("bigint").alias("n_syllables"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "round(206.835 - 1.015 * (n_words / n_sentences)"
+                " - 84.6 * (n_syllables / n_words), 4)"
+            ).alias("flesch"),
+        )
+    )
+
+
+QUERIES["text_readability"] = q_text_readability
+
+ORACLES["text_readability"] = """
+WITH pd AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+  FROM documents
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences,
+         CAST(sum(sy) AS BIGINT) AS n_syllables
+  FROM pd WHERE w > 0 GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words / n_sentences)
+             - 84.6 * (n_syllables / n_words), 4) AS flesch
+FROM g
+"""
+
+
+def q_orders_repeat_latency(spark, sf_dir):
+    """First-to-second-order latency histogram — the conversion-
+    velocity view next to customer_cohort_retention's monthly
+    triangle: for every customer with >= 2 orders, the exact day gap
+    between their first and second order ((date, orderkey)-ordered so
+    same-day ties break deterministically in both engines), bucketed
+    into weeks. One custkey window pass (rank <= 2), one row-local
+    pivot via the min/max of the two epoch-day values, one integer
+    hash-agg. The zero-week bucket (repeat within 7 days) is the
+    activation signal; the long tail prices win-back campaigns."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .alias("d"),
+    )
+    w = Window.partitionBy("ck").orderBy("d", "ok")
+    two = o.select("ck", "d", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 2
+    )
+    gap = (
+        two.groupBy("ck")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+        .filter(F.col("n") == 2)
+        .select(F.expr("(d2 - d1) div 7").alias("week_bucket"))
+    )
+    return gap.groupBy(F.col("week_bucket").cast("bigint").alias("week_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+QUERIES["orders_repeat_latency"] = q_orders_repeat_latency
+
+ORACLES["orders_repeat_latency"] = """
+WITH o AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok,
+         epoch_us(o_orderdate) // 86400000000 AS d
+  FROM orders
+),
+r AS (
+  SELECT ck, d, row_number() OVER (PARTITION BY ck ORDER BY d, ok) AS rn
+  FROM o
+),
+g AS (
+  SELECT ck, count(*) AS n,
+         max(CASE WHEN rn = 1 THEN d END) AS d1,
+         max(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY ck
+)
+SELECT CAST((d2 - d1) // 7 AS BIGINT) AS week_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM g WHERE n = 2 GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -11592,6 +11776,8 @@ _R07_ADDITIONS: list[str] = [
         "events_autocorr", "pq_code_balance", "doc_hapax_ratio",
         # batch 7: rate-limit view, simhash index health
         "events_burst_rate", "doc_simhash_bit_balance",
+        # batch 8: DAU/MAU stickiness, Flesch readability, repeat latency
+        "events_stickiness", "text_readability", "orders_repeat_latency",
     )
     if k in QUERIES
 ]

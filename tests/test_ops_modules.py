@@ -3,6 +3,8 @@
 import json
 from decimal import Decimal
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aardappel_spark.cmdqueue import parse_commands, resolve_problem_actions
@@ -2904,6 +2906,103 @@ def test_doc_simhash_bit_balance_matches_signatures(spark, sf_dir):
     for b in range(60):
         ones = sum((s >> b) & 1 for s in sigs)
         assert got[b] == (len(sigs), ones, (1000000 * ones) // len(sigs)), b
+
+
+def test_events_stickiness_matches_python_model(spark, sf_dir):
+    """events_stickiness equals a set-based python model: exact DAU,
+    exact trailing-30-day MAU, ppm by the same integer division."""
+    import datetime
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, load_events_ns
+
+    rows = (
+        load_events_ns(spark, sf_dir)
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d")
+        .collect()
+    )
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.d].add(r.user_id)
+    got = {
+        r.day: (r.dau, r.mau, r.stickiness_ppm)
+        for r in QUERIES["events_stickiness"](spark, sf_dir).collect()
+    }
+    assert set(got) == {
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=d) for d in by_day
+    }
+    for d, users in by_day.items():
+        mau = set()
+        for back in range(30):
+            mau |= by_day.get(d - back, set())
+        k = datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+        assert got[k] == (
+            len(users), len(mau), (1000000 * len(users)) // len(mau)
+        ), d
+
+
+def test_text_readability_matches_python_model(spark, sf_dir):
+    """text_readability's per-source sums equal a regex model (same
+    word/sentence/vowel-group definitions), and the mean Flesch is the
+    closed form over those sums."""
+    import re
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, sentences, syllables
+    for r in _docs(spark, sf_dir).select("source", "text").collect():
+        w = len([t for t in r.text.split(" ") if t])
+        if w == 0:
+            continue
+        s = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        sy = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        a = acc[r.source]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += sy
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in QUERIES["text_readability"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(acc)
+    for src, (nd, nw, ns, nsy) in acc.items():
+        flesch = round(206.835 - 1.015 * (nw / ns) - 84.6 * (nsy / nw), 4)
+        assert got[src][:4] == (nd, nw, ns, nsy), src
+        assert got[src][4] == pytest.approx(flesch, abs=1e-9), src
+
+
+def test_orders_repeat_latency_matches_python_model(spark, sf_dir):
+    """orders_repeat_latency equals a sorted-python model over orders:
+    per customer, gap between the first two (date, orderkey)-ordered
+    orders, week-bucketed; total mass = customers with >= 2 orders."""
+    from collections import Counter, defaultdict
+
+    from aardappel_spark.registry import QUERIES
+
+    by_ck = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey AS ck", "o_orderkey AS ok",
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 AS d",
+        )
+        .collect()
+    ):
+        by_ck[r.ck].append((r.d, r.ok))
+    want = Counter()
+    for orders in by_ck.values():
+        if len(orders) < 2:
+            continue
+        orders.sort()
+        want[(orders[1][0] - orders[0][0]) // 7] += 1
+    got = {
+        r.week_bucket: r.n_customers
+        for r in QUERIES["orders_repeat_latency"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == sum(1 for o in by_ck.values() if len(o) >= 2)
 
 
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
