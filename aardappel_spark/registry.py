@@ -11737,6 +11737,149 @@ FROM g WHERE n = 2 GROUP BY 1
 """
 
 
+def q_shipping_latency(spark, sf_dir):
+    """Order-to-ship latency percentiles per order priority — exact
+    p50/p90/p99 day gaps computed the 100 TB way: the orders⋈lineitem
+    join (orderkey equi-join, both sides shuffle-partitioned on the
+    key) collapses IMMEDIATELY to a (priority, day-gap) counting
+    histogram — day gaps are small bounded integers, so the histogram
+    is O(priorities × gap range) rows regardless of corpus size — and
+    the percentile selection is a cumulative window over that tiny
+    frame. The naive per-group sort ranks the full fact table inside
+    5 priority partitions, a skew wall at scale; selecting from exact
+    counts is both deterministic (no interpolation — the k-th
+    percentile is the smallest gap with 100*cum >= k*total, identical
+    integer arithmetic in both engines) and sort-free."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .alias("od"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .alias("sd"),
+    )
+    h = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority", (F.col("sd") - F.col("od")).alias("gap"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("gap")
+    wp = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "gap",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(wp).alias("tot"),
+    )
+    pick = lambda k: F.min(  # noqa: E731
+        F.when(100 * F.col("cum") >= k * F.col("tot"), F.col("gap"))
+    ).cast("bigint")
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("tot").cast("bigint").alias("n_items"),
+        pick(50).alias("p50_days"),
+        pick(90).alias("p90_days"),
+        pick(99).alias("p99_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+    )
+
+
+QUERIES["shipping_latency"] = q_shipping_latency
+
+ORACLES["shipping_latency"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         epoch_us(l.l_shipdate) // 86400000000
+           - epoch_us(o.o_orderdate) // 86400000000 AS gap
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+h AS (SELECT o_orderpriority, gap, count(*) AS c FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, gap,
+         sum(c) OVER (PARTITION BY o_orderpriority ORDER BY gap
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM h
+)
+SELECT o_orderpriority,
+       CAST(max(tot) AS BIGINT) AS n_items,
+       CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN gap END) AS BIGINT)
+         AS p50_days,
+       CAST(min(CASE WHEN 100 * cum >= 90 * tot THEN gap END) AS BIGINT)
+         AS p90_days,
+       CAST(min(CASE WHEN 100 * cum >= 99 * tot THEN gap END) AS BIGINT)
+         AS p99_days,
+       CAST(max(gap) AS BIGINT) AS max_days
+FROM cum GROUP BY o_orderpriority
+"""
+
+
+def q_events_new_vs_returning(spark, sf_dir):
+    """New-vs-returning growth accounting per day: each active day's
+    DAU split into first-seen-today users and returning users, with
+    the new share as fixed-point ppm — the companion ratio to
+    events_stickiness (stickiness says how often actives return;
+    this says how much of today is acquisition vs retention). The
+    corpus collapses to distinct (user, day) once; first-seen day is
+    a partition-wide window min over user (one shuffle, the
+    customer_cohort_retention shape), then one day hash-agg. All
+    integers."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir).select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("d")
+    )
+    ud = ev.distinct()
+    wu = Window.partitionBy("user_id")
+    tagged = ud.select(
+        "d", (F.col("d") == F.min("d").over(wu)).cast("int").alias("is_new")
+    )
+    return (
+        tagged.groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("dau"),
+            F.sum("is_new").cast("bigint").alias("new_users"),
+        )
+        .select(
+            F.expr("date_add(DATE '1970-01-01', cast(d as int))").alias("day"),
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).cast("bigint").alias(
+                "returning_users"
+            ),
+            F.expr("(1000000 * new_users) div dau").alias("new_ppm"),
+        )
+    )
+
+
+QUERIES["events_new_vs_returning"] = q_events_new_vs_returning
+
+ORACLES["events_new_vs_returning"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d
+  FROM events
+),
+f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id),
+t AS (
+  SELECT ud.d, CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END AS is_new
+  FROM ud JOIN f USING (user_id)
+),
+g AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau,
+         CAST(COALESCE(sum(is_new), 0) AS BIGINT) AS new_users
+  FROM t GROUP BY d
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, dau, new_users,
+       dau - new_users AS returning_users,
+       (1000000 * new_users) // dau AS new_ppm
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -11778,6 +11921,8 @@ _R07_ADDITIONS: list[str] = [
         "events_burst_rate", "doc_simhash_bit_balance",
         # batch 8: DAU/MAU stickiness, Flesch readability, repeat latency
         "events_stickiness", "text_readability", "orders_repeat_latency",
+        # batch 9: histogram-exact latency percentiles, growth accounting
+        "shipping_latency", "events_new_vs_returning",
     )
     if k in QUERIES
 ]

@@ -3005,6 +3005,81 @@ def test_orders_repeat_latency_matches_python_model(spark, sf_dir):
     assert sum(got.values()) == sum(1 for o in by_ck.values() if len(o) >= 2)
 
 
+def test_shipping_latency_matches_python_model(spark, sf_dir):
+    """shipping_latency's histogram-selected percentiles equal a
+    sorted-python model: the k-th percentile is the smallest gap whose
+    cumulative count reaches ceil(k*n/100) — no interpolation."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES
+
+    o = {
+        r.o_orderkey: (r.o_orderpriority, r.od)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderkey", "o_orderpriority",
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 AS od",
+        )
+        .collect()
+    }
+    gaps = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey",
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000 AS sd",
+        )
+        .collect()
+    ):
+        prio, od = o[r.l_orderkey]
+        gaps[prio].append(r.sd - od)
+    got = {
+        r.o_orderpriority: (r.n_items, r.p50_days, r.p90_days, r.p99_days, r.max_days)
+        for r in QUERIES["shipping_latency"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(gaps)
+    for prio, g in gaps.items():
+        g.sort()
+        n = len(g)
+        pick = lambda k: g[(k * n + 99) // 100 - 1]  # noqa: E731
+        assert got[prio] == (n, pick(50), pick(90), pick(99), g[-1]), prio
+
+
+def test_events_new_vs_returning_matches_python_model(spark, sf_dir):
+    """events_new_vs_returning equals a first-seen-dict model; per day
+    new + returning = dau, and summed new_users over all days equals
+    the distinct user count."""
+    import datetime
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, load_events_ns
+
+    by_day = defaultdict(set)
+    for r in (
+        load_events_ns(spark, sf_dir)
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d")
+        .collect()
+    ):
+        by_day[r.d].add(r.user_id)
+    first = {}
+    for d in sorted(by_day):
+        for u in by_day[d]:
+            first.setdefault(u, d)
+    got = {
+        r.day: (r.dau, r.new_users, r.returning_users, r.new_ppm)
+        for r in QUERIES["events_new_vs_returning"](spark, sf_dir).collect()
+    }
+    epoch = datetime.date(1970, 1, 1)
+    assert set(got) == {epoch + datetime.timedelta(days=d) for d in by_day}
+    for d, users in by_day.items():
+        new = sum(1 for u in users if first[u] == d)
+        k = epoch + datetime.timedelta(days=d)
+        assert got[k] == (
+            len(users), new, len(users) - new, (1000000 * new) // len(users)
+        ), d
+    assert sum(v[1] for v in got.values()) == len(first)
+
+
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
     """vocab_pmi equals a from-scratch python PMI over exact unigram and
     bigram counts, on the same deterministic top-20 bigrams."""
