@@ -11880,6 +11880,86 @@ FROM g
 """
 
 
+def q_corpus_vocab_overlap(spark, sf_dir):
+    """Exact pairwise vocabulary Jaccard between sources — the
+    provenance-dedup signal next to corpus_js_drift's distributional
+    drift (drift reads frequency SHAPE; this reads exact type-set
+    overlap, the 'same crawl ingested twice under two names'
+    detector). Scale shape is the basket_pairs trick: distinct
+    (source, token) once, then tokens collapse to their <= n_sources
+    member set and pairs explode ROW-LOCALLY from the sorted set (<=
+    C(20,2) per token) into one hash-agg — never a token self-join,
+    whose hot tokens (stopwords shared by every source) would each
+    fan out |sources|^2 rows through a shuffle. Per-source vocabulary
+    sizes broadcast into the final ppm arithmetic. All-BIGINT."""
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens_col("text")).alias("token"))
+        .distinct()
+        # barrier: vocabulary sizes AND the pair fan-out both consume it
+        .localCheckpoint()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        st.groupBy("token")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " b -> struct(a AS sa, b AS sb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+QUERIES["corpus_vocab_overlap"] = q_corpus_vocab_overlap
+
+# the oracle takes the naive token self-join — row-local pair
+# generation is a Spark-side efficiency choice, the census is identical
+ORACLES["corpus_vocab_overlap"] = """
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
+       (1000000 * i.n_inter) // (na.n + nb.n - i.n_inter) AS jaccard_ppm
+FROM i JOIN sz na ON i.source_a = na.source
+       JOIN sz nb ON i.source_b = nb.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 7).
 #
@@ -11923,6 +12003,8 @@ _R07_ADDITIONS: list[str] = [
         "events_stickiness", "text_readability", "orders_repeat_latency",
         # batch 9: histogram-exact latency percentiles, growth accounting
         "shipping_latency", "events_new_vs_returning",
+        # batch 10: exact cross-source vocabulary Jaccard
+        "corpus_vocab_overlap",
     )
     if k in QUERIES
 ]

@@ -3080,6 +3080,37 @@ def test_events_new_vs_returning_matches_python_model(spark, sf_dir):
     assert sum(v[1] for v in got.values()) == len(first)
 
 
+def test_corpus_vocab_overlap_matches_python_model(spark, sf_dir):
+    """corpus_vocab_overlap equals a set-based python Jaccard over the
+    same whitespace tokenizer; every co-occurring pair present, ppm by
+    the same integer division."""
+    from collections import defaultdict
+
+    from aardappel_spark.registry import QUERIES, _docs
+
+    vocab = defaultdict(set)
+    for r in _docs(spark, sf_dir).select("source", "text").collect():
+        vocab[r.source].update(t for t in r.text.split(" ") if t)
+    got = {
+        (r.source_a, r.source_b): (r.n_inter, r.n_a, r.n_b, r.jaccard_ppm)
+        for r in QUERIES["corpus_vocab_overlap"](spark, sf_dir).collect()
+    }
+    srcs = sorted(vocab)
+    want_pairs = {
+        (a, b)
+        for ia, a in enumerate(srcs)
+        for b in srcs[ia + 1:]
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == want_pairs
+    for a, b in want_pairs:
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert got[(a, b)] == (
+            inter, len(vocab[a]), len(vocab[b]), (1000000 * inter) // union
+        ), (a, b)
+
+
 def test_vocab_pmi_matches_python_model(spark, sf_dir):
     """vocab_pmi equals a from-scratch python PMI over exact unigram and
     bigram counts, on the same deterministic top-20 bigrams."""
