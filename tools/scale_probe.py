@@ -118,6 +118,15 @@ PROBE_QUERIES = [
     "doc_simhash_bit_balance",
     "emb_hubness",
     "graph_assortativity",
+    # round-7 batch 8/9/10: user-day distinct fan-outs (stickiness /
+    # growth split), histogram-exact percentile join, regexp-scan
+    # readability, window-rank repeat latency, row-local vocab pairs
+    "events_stickiness",
+    "events_new_vs_returning",
+    "shipping_latency",
+    "text_readability",
+    "orders_repeat_latency",
+    "corpus_vocab_overlap",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
