@@ -857,3 +857,82 @@ def test_graph_communities_rounds_read_checkpoints(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_customer_cohort_retention_single_orders_scan(spark):
+    """customer_cohort_retention: the first-order month is a window
+    min, NOT a groupBy-min self-join — exactly one orders scan feeds
+    the whole cohort triangle."""
+    plan = _plan(spark, "customer_cohort_retention")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shipping_latency_histogram_not_fact_sort(spark):
+    """shipping_latency: two fact scans (orders + lineitem) collapse
+    into the counting histogram BEFORE any window — the cumulative
+    Sort runs over hash-aggregated (priority, gap) rows, never over
+    the joined fact table (at scale that per-priority fact sort is
+    the skew wall this query exists to avoid)."""
+    plan = _plan(spark, "shipping_latency")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the window input must be the post-aggregate frame: a HashAggregate
+    # appears below the Window in the plan tree (printed after it)
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "window not fed by the histogram"
+
+
+def test_events_stickiness_reads_checkpointed_user_days(spark):
+    """events_stickiness: DAU and the x30 MAU fan-out both read the
+    checkpointed distinct (user, day) frame — the final plan re-reads
+    no parquet and the fan-out is a row-local Generate."""
+    plan = _plan(spark, "events_stickiness")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_new_vs_returning_single_events_scan(spark):
+    """events_new_vs_returning: first-seen day is a window min over
+    the user partition — one events scan, no self-join."""
+    plan = _plan(spark, "events_new_vs_returning")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_vocab_overlap_row_local_pairs(spark):
+    """corpus_vocab_overlap: pairs explode row-locally from each
+    token's member set (Generate over collect_set, never a token
+    self-join) and the vocabulary sizes broadcast into the ppm
+    arithmetic; the checkpointed (source, token) frame means no
+    parquet re-scan."""
+    plan = _plan(spark, "corpus_vocab_overlap")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Generate explode" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_assortativity_reads_checkpoints_only(spark):
+    """graph_assortativity: the degree joins run over the
+    checkpointed undirected edges and checkpointed degree frame — no
+    parquet re-scan of the embedding pipeline, no loop joins."""
+    plan = _plan(spark, "graph_assortativity")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_hubness_one_scan_for_antihub_total(spark):
+    """emb_hubness: the histogram and the antihub count read the
+    checkpointed in-degree frame; the only parquet touch left is the
+    corpus-total count for the zero row."""
+    plan = _plan(spark, "emb_hubness")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan
