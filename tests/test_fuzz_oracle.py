@@ -44,6 +44,15 @@ FUZZ_QUERIES = [
     "text_heldout_nll", "corpus_ks_drift",
     # round-7 batch 2: KN smoothing folds token counts four ways
     "text_kn_nll",
+    # round-7 batch 6..10: hapax/readability/vocab-overlap fold the
+    # same degenerate token shapes; the bit census rides the simhash
+    # signatures of empty/unicode docs; the events family exercises
+    # tied timestamps through day/minute bucketing and window ranks
+    "doc_hapax_ratio", "text_readability", "corpus_vocab_overlap",
+    "doc_simhash_bit_balance", "events_stickiness", "events_burst_rate",
+    "events_autocorr", "events_new_vs_returning",
+    "orders_repeat_latency", "customer_cohort_retention",
+    "shipping_latency",
 ]
 
 EDGE_TEXTS = [
