@@ -1,0 +1,61 @@
+"""Query inventory: every implemented operator as (spark_fn, oracle_sql).
+
+The driver runs each Spark query at sf0.01 against its DuckDB oracle
+(row count + schema + order-insensitive value hash), so every pair here
+must agree on COLUMN NAMES and value rendering. Numeric outputs are
+bigint, or doubles produced by identical exact-decimal -> double -> round
+pipelines in both engines.
+
+Split into per-domain modules (round 8); each module populates the shared
+``QUERIES``/``ORACLES`` dicts in ``_dicts`` at import time. Import order is
+topological on cross-module oracle/function references (corpus and graph
+consume ann's kNN oracle). ``_shared`` holds the helpers, CTE constants and
+per-session caches every domain uses. The flat ``aardappel_spark.registry``
+namespace (helpers, ``q_*`` functions, caches) is preserved by hoisting each
+module's names below, so existing imports keep working unchanged.
+"""
+
+from __future__ import annotations
+
+from . import _dicts, _shared
+from . import cdc, tpch, events, dedup, ann, text, corpus, graph, sales, layout, misc
+from . import _rotation
+
+from ._shared import *  # noqa: F401,F403
+
+_MODULES = (_shared, cdc, tpch, events, dedup, ann, text, corpus, graph,
+            sales, layout, misc, _rotation)
+for _m in _MODULES:
+    for _k, _v in vars(_m).items():
+        if not _k.startswith("__") and _k not in globals():
+            globals()[_k] = _v
+del _m, _k, _v
+
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation (round 8).
+#
+# union(CORRECTNESS_r01..r07) gave every query a driver row with zero red
+# latest rows (r7 judge-verified). Round-8 additions go straight into the
+# gated block the round they land; the remaining slots round-robin through
+# the queries whose latest driver row is OLDEST (r03-gated remainder),
+# computed from the committed CORRECTNESS artifacts. Full-registry parity
+# is additionally checked every round by tools/check_oracle.py at
+# sf0.001/0.01/0.1 (CHECK_ORACLE_r8*.json).
+_R08_ADDITIONS: list[str] = [
+    k
+    for k in _rotation.R08_ADDITION_NAMES
+    if k in _dicts.QUERIES
+]
+
+_R08_PRIORITY: list[str] = list(
+    dict.fromkeys(_R08_ADDITIONS + _rotation._R08_STALE)
+)[:50]
+
+assert len(_R08_PRIORITY) == 50 and len(set(_R08_PRIORITY)) == 50
+assert set(_R08_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R08_PRIORITY) - set(_dicts.QUERIES)
+)
+
+_rotated = _R08_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R08_PRIORITY)]
+QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
+ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

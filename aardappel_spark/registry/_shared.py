@@ -1,0 +1,854 @@
+"""Shared helpers, CTE constants, and per-session caches for the query registry."""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cdc_queries as cdc
+from ..ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from ..sources import load_events_ns
+from ..ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_banded_candidates,
+    lsh_banded_topk,
+    lsh_bucket_topk,
+)
+from ..ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
+
+from ._dicts import QUERIES, ORACLES  # noqa: F401
+
+__all__ = [
+    'IVF_N_CENTROIDS',
+    '_BANDED_SIG_CACHE',
+    '_CDC_CTE',
+    '_CUTOFF',
+    '_GOPHER_STOPS',
+    '_GRAMS4_CACHE',
+    '_HILBERT_LEVELS',
+    '_IVF_ASG_CTE',
+    '_IVF_ASSIGN_CACHE',
+    '_IVF_CENTROIDS_CACHE',
+    '_LR_ITERS',
+    '_LR_LR',
+    '_LR_WEIGHTS_CACHE',
+    '_MINHASH_SIG_CACHE',
+    '_MMR_K',
+    '_MMR_LAMBDA',
+    '_PAIRS_CACHE',
+    '_PAIRS_CTE',
+    '_PQ_CODEBOOK_CACHE',
+    '_PQ_CODES_CACHE',
+    '_SIMHASH64_CACHE',
+    '_SIMHASH_PAIRS_CACHE',
+    '_STOP_SQL',
+    '_banded_sig_cached',
+    '_cache_key',
+    '_communities_oracle_sql',
+    '_dec',
+    '_docs',
+    '_emb_banded_cte',
+    '_emb_sig_cte',
+    '_grams4_cached',
+    '_hilbert_ctes',
+    '_hilbert_level',
+    '_hyperplane_values_sql',
+    '_ivf_assigned_cached',
+    '_ivf_build_cached',
+    '_ivf_cte_renamed',
+    '_lr_features',
+    '_lr_train',
+    '_lr_weights',
+    '_minhash_pairs_cached',
+    '_minhash_sig_cached',
+    '_mmr_oracle_sql',
+    '_pagerank_oracle_sql',
+    '_pq_build_cached',
+    '_simhash64_cached',
+    '_simhash_pairs_cached',
+    '_zorder_terms',
+    'clear_query_caches',
+]
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE prefix replicating cdc_queries' wire mapping
+# ---------------------------------------------------------------------------
+
+_CDC_CTE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS step, event_id AS txid,
+         CASE WHEN event_type = 'error' THEN 'erase' ELSE 'update' END AS op,
+         event_type, value, props,
+         row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_id % 10 <> 0
+),
+hb AS (
+  SELECT user_id % 8 AS p, epoch_us(ts) AS step, event_id AS txid
+  FROM events WHERE event_id % 10 = 0
+),
+pm AS (
+  SELECT p, step, txid,
+         row_number() OVER (PARTITION BY p ORDER BY step DESC, txid DESC) AS rrn
+  FROM hb
+),
+le AS (
+  SELECT user_id, max(rn) AS erase_rn FROM ev WHERE op = 'erase' GROUP BY user_id
+),
+fin AS (
+  SELECT user_id, arg_max(op, rn) AS final_op, arg_max(step, rn) AS last_step,
+         arg_max(txid, rn) AS last_tx
+  FROM ev GROUP BY user_id
+),
+cols AS (
+  SELECT user_id, 'value' AS col_name, CAST(value AS VARCHAR) AS col_value, rn
+  FROM ev WHERE op = 'update' AND event_type IN ('purchase', 'click', 'view')
+  UNION ALL
+  SELECT user_id, 'props' AS col_name, props AS col_value, rn
+  FROM ev WHERE op = 'update' AND event_type IN ('signup', 'click', 'view')
+),
+merged AS (
+  SELECT c.user_id, c.col_name, arg_max(c.col_value, c.rn) AS col_value
+  FROM cols c LEFT JOIN le ON c.user_id = le.user_id
+  WHERE le.erase_rn IS NULL OR c.rn > le.erase_rn
+  GROUP BY c.user_id, c.col_name
+)
+"""
+
+_CUTOFF = cdc.CUTOFF_US
+
+# shared oracle prefix: MinHash LSH candidate pairs over `documents`
+# (word-3-gram shingles, 4 salted-md5 minhashes, 2 bands of 2) — the SQL
+# mirror of ops.dedup.minhash_candidate_pairs. Ends at `pairs`, so
+# consumers append further CTEs with a leading comma.
+_PAIRS_CTE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+         min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+  FROM t GROUP BY doc_id
+),
+p0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id
+),
+p1 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+  ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1))
+"""
+
+# Shared DuckDB replica of ops.similarity.ivf_build's deterministic
+# spherical k-means (n_centroids=16, refine_iters=1): md5-smallest
+# seeding -> normalize -> assign (argmax cosine, lowest cluster wins
+# ties like numpy argmax) -> raw-mean + renormalize (empty clusters keep
+# their seed centroid) -> reassign. Ends at `asg1`, the post-refine
+# (vec_id, cid) assignment — ann_ivf continues with probe/re-rank CTEs,
+# semantic_dedup with within-cluster pair CTEs, so both oracles replay
+# the IDENTICAL index build.
+_IVF_ASG_CTE = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 16
+),
+s0 AS (SELECT seeds.cid, v.i, v.x FROM seeds JOIN v USING (vec_id)),
+s0n AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM s0 GROUP BY cid),
+c0 AS (
+  SELECT s0.cid, s0.i,
+         s0.x / (CASE WHEN s0n.nrm = 0 THEN 1 ELSE s0n.nrm END) AS cx
+  FROM s0 JOIN s0n USING (cid)
+),
+a0d AS (
+  SELECT v.vec_id, c0.cid, sum(v.x * c0.cx) AS dp
+  FROM v JOIN c0 USING (i) GROUP BY v.vec_id, c0.cid
+),
+asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a0d
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT asg0.cid, v.i, avg(v.x) AS mx
+  FROM asg0 JOIN v USING (vec_id) GROUP BY asg0.cid, v.i
+),
+mn AS (SELECT cid, sqrt(sum(mx * mx)) AS nrm FROM m GROUP BY cid),
+c1 AS (
+  SELECT m.cid, m.i,
+         m.mx / (CASE WHEN mn.nrm = 0 THEN 1 ELSE mn.nrm END) AS cx
+  FROM m JOIN mn USING (cid)
+  UNION ALL
+  SELECT c0.cid, c0.i, c0.cx FROM c0
+  WHERE c0.cid NOT IN (SELECT DISTINCT cid FROM asg0)
+),
+a1d AS (
+  SELECT v.vec_id, c1.cid, sum(v.x * c1.cx) AS dp
+  FROM v JOIN c1 USING (i) GROUP BY v.vec_id, c1.cid
+),
+asg1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM a1d
+  ) WHERE rn = 1
+)
+"""
+
+
+def _hyperplane_values_sql(bits: int, dims: int = 64) -> str:
+    """SQL VALUES rows ``(b, i, s)`` replicating ops.similarity.
+    hyperplane_signature's plan-time md5 hyperplane signs (component
+    (b, d) = +1 iff the first hex digit of md5(f"{b}:{d}") is odd) so
+    DuckDB computes the IDENTICAL LSH signature — the same trick
+    _PAIRS_CTE uses to oracle-gate the MinHash bands. ``i`` is 1-based
+    to join directly against generate_subscripts."""
+    import hashlib
+
+    rows = []
+    for b in range(bits):
+        for d in range(dims):
+            h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
+            s = "1.0" if int(h[0], 16) % 2 == 1 else "-1.0"
+            rows.append(f"({b},{d + 1},{s})")
+    return ",".join(rows)
+
+
+# shared oracle prefix: per-component view of the embeddings table plus
+# the hyperplane LSH signature (sg) per vector. Parameterized by the
+# Spark query's `bits`; ends at `sig`, consumers append with a comma.
+def _emb_sig_cte(bits: int) -> str:
+    return f"""
+WITH pl(b, i, s) AS (VALUES {_hyperplane_values_sql(bits)}),
+v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sg
+  FROM (
+    SELECT v.vec_id, pl.b, sum(v.x * pl.s) AS dp
+    FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.b
+  ) GROUP BY vec_id
+)
+"""
+
+
+# banded variant: per-(vector, band) signature. Global bit index
+# b = band*band_bits + j reuses the same md5 plane convention, so
+# ops.similarity.banded_signature and this CTE agree bit-for-bit.
+def _emb_banded_cte(n_bands: int, band_bits: int) -> str:
+    total = n_bands * band_bits
+    return f"""
+WITH pl(b, i, s) AS (VALUES {_hyperplane_values_sql(total)}),
+v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+bsig AS (
+  SELECT vec_id, b // {band_bits} AS band,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << (b % {band_bits})) ELSE 0 END) AS bv
+  FROM (
+    SELECT v.vec_id, pl.b, sum(v.x * pl.s) AS dp
+    FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.b
+  ) GROUP BY vec_id, b // {band_bits}
+),
+qb AS (SELECT band, bv FROM bsig WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT s.vec_id FROM bsig s
+  JOIN qb ON s.band = qb.band AND s.bv = qb.bv
+  WHERE s.vec_id <> 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics / pipeline queries (documents, embeddings, events, tpch)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` with the engine's ingest normalization: NULL text
+    reads as '' (a missing field must not crash a kernel or silently
+    drop the row — found by the NULL-text differential fuzz). The
+    oracle comparison harnesses (tools/check_oracle.py, the fuzz test)
+    apply the same COALESCE when registering the DuckDB view, so both
+    engines see identical input; driver testdata contains no NULLs, so
+    its comparisons are unchanged either way."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn("text", F.coalesce("text", F.lit("")))
+
+
+# signatures feed the listing query AND the band joins — build once.
+# Cache keys are (applicationId, sf_dir): stable across the session's
+# lifetime (unlike id(), which can be reused after GC) and shared by
+# sibling sessions on one context, whose JVM blocks are shared anyway.
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark, sf_dir) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_query_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist and evict the memoized shared frames (minhash
+    signatures, LSH pairs, simhash64, cdc parse barrier). With a live
+    session: unpersists that session's frames JVM-side and evicts them.
+    With None: evicts every entry without touching the JVM (for teardown
+    paths where the owning sessions are already stopped). Returns the
+    number of evicted entries. Long-lived processes that cycle sessions
+    should call this on session stop so dead persisted frames don't
+    accumulate in the driver."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    evicted = 0
+    for key in list(_LR_WEIGHTS_CACHE):
+        if app is None or key[0] == app:
+            _LR_WEIGHTS_CACHE.pop(key)
+            evicted += 1
+    for cache in (
+        _MINHASH_SIG_CACHE,
+        _PAIRS_CACHE,
+        _SIMHASH64_CACHE,
+        _SIMHASH_PAIRS_CACHE,
+        _GRAMS4_CACHE,
+        _BANDED_SIG_CACHE,
+        _IVF_ASSIGN_CACHE,
+        _PQ_CODES_CACHE,
+    ):
+        for key in list(cache):
+            if app is None or key[0] == app:
+                df = cache.pop(key)
+                evicted += 1
+                if app is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session already stopped; blocks died with it
+    for key in list(_IVF_CENTROIDS_CACHE):
+        if app is None or key[0] == app:
+            _IVF_CENTROIDS_CACHE.pop(key)
+    for key in list(_PQ_CODEBOOK_CACHE):
+        if app is None or key[0] == app:
+            _PQ_CODEBOOK_CACHE.pop(key)
+    evicted += cdc.clear_parsed_cache(spark)
+    return evicted
+
+
+def _minhash_sig_cached(spark, sf_dir):
+    key = _cache_key(spark, sf_dir)
+    if key not in _MINHASH_SIG_CACHE:
+        _MINHASH_SIG_CACHE[key] = minhash_signatures(
+            _docs(spark, sf_dir), num_hashes=4
+        ).persist()
+    return _MINHASH_SIG_CACHE[key]
+
+
+_GRAMS4_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _grams4_cached(spark, sf_dir):
+    """Shared (doc_id, pos, gram) word-4-gram explode of the whole
+    corpus — consumed by decontamination, decontam_bloom, and
+    doc_score's contamination leg, so it's built and persisted once."""
+    from ..ops.dedup import shingles_col
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _GRAMS4_CACHE:
+        _GRAMS4_CACHE[key] = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id", F.posexplode(shingles_col("text", k=4)).alias("pos", "gram")
+            )
+            .persist()
+        )
+    return _GRAMS4_CACHE[key]
+
+
+# one vectorized signature build (mapInPandas matmul) feeds the top-k,
+# the candidate count and the recall eval — memoize-and-persist like the
+# minhash/simhash shared frames
+_BANDED_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _banded_sig_cached(spark, sf_dir):
+    from ..ops.similarity import banded_signature_frame
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _BANDED_SIG_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _BANDED_SIG_CACHE[key] = banded_signature_frame(
+            emb, n_bands=12, band_bits=4
+        ).persist()
+    return _BANDED_SIG_CACHE[key]
+
+
+# the wide fingerprint build (two n_tokens*bits shuffles) feeds both the
+# fingerprint listing and the Hamming-band pair join — one materialization
+_SIMHASH64_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash64_cached(spark, sf_dir):
+    from ..ops.dedup import simhash_wide
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _SIMHASH64_CACHE:
+        _SIMHASH64_CACHE[key] = simhash_wide(_docs(spark, sf_dir), bits=60).persist()
+    return _SIMHASH64_CACHE[key]
+
+
+# the Hamming-band pair join feeds two consumers (the pair listing and
+# dedup_method_agreement) — memoize-and-persist like the MinHash pairs
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pairs_cached(spark, sf_dir):
+    from ..ops.dedup import simhash_candidate_pairs
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _SIMHASH_PAIRS_CACHE:
+        _SIMHASH_PAIRS_CACHE[key] = simhash_candidate_pairs(
+            _docs(spark, sf_dir),
+            bits=60,
+            n_bands=4,
+            max_hamming=8,
+            sig=_simhash64_cached(spark, sf_dir),
+        ).persist()
+    return _SIMHASH_PAIRS_CACHE[key]
+
+
+# One LSH candidate-pair build feeds three consumers (pair listing, word
+# Jaccard, n-gram Jaccard) — same memoize-and-persist pattern as
+# cdc_queries.parsed_messages, and the same pipeline reality: candidates
+# are computed once, verification stages fan out from them.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_pairs_cached(spark, sf_dir):
+    key = _cache_key(spark, sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = minhash_candidate_pairs(
+            _docs(spark, sf_dir),
+            num_hashes=4,
+            band_size=2,
+            sig=_minhash_sig_cached(spark, sf_dir),
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
+# one deterministic k-means assignment (the IVF build) feeds
+# semantic_dedup's pair generation — memoize-and-persist like the other
+# shared frames so repeated calls don't re-run the build or leak
+# persisted RDDs
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_CENTROIDS_CACHE: dict[tuple[str, str], "object"] = {}
+
+# the ONE n_centroids every shared-index consumer uses (build, probe
+# curve, SemDeDup, centroid shift); change it here and every query and
+# diagnostic moves together — a site passing its own literal would let
+# the shift diagnostic silently describe a different index than it claims
+IVF_N_CENTROIDS = 16
+
+
+def _ivf_build_cached(spark, sf_dir):
+    """The IVF index built ONCE per (session, sf_dir) and shared by
+    every consumer — ann_ivf, the probe curve, centroid shift, and
+    SemDeDup — returning (assigned_persisted, centroid_matrix). A
+    production deployment treats the index the same way: build is a
+    job, queries share the artifact."""
+    from ..ops.similarity import ivf_build
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _IVF_ASSIGN_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, centroids = ivf_build(
+            emb, n_centroids=IVF_N_CENTROIDS, refine_iters=1
+        )
+        _IVF_ASSIGN_CACHE[key] = assigned.persist()
+        _IVF_CENTROIDS_CACHE[key] = centroids
+    return _IVF_ASSIGN_CACHE[key], _IVF_CENTROIDS_CACHE[key]
+
+
+def _ivf_assigned_cached(spark, sf_dir):
+    return _ivf_build_cached(spark, sf_dir)[0]
+
+
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _pq_build_cached(spark, sf_dir):
+    """The PQ index (codes + codebook) built ONCE per (session, sf_dir)
+    and shared by ann_pq, the IVFADC composition, and their recall
+    evals — training and full-corpus encoding are index-build-time
+    jobs, exactly like _ivf_build_cached."""
+    from ..ops.similarity import pq_build
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _PQ_CODES_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        codes, codebook = pq_build(emb)
+        _PQ_CODES_CACHE[key] = codes.persist()
+        _PQ_CODEBOOK_CACHE[key] = codebook
+    return _PQ_CODES_CACHE[key], _PQ_CODEBOOK_CACHE[key]
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(12,2)")
+
+
+_LR_LR = 1.0  # learning rate
+_LR_ITERS = 3
+
+
+def _lr_features(docs):
+    """Shared feature projection for the quality classifier: bias +
+    scaled token count + stopword ratio + scaled avg token length."""
+    from ..ops.text import tokens_col
+
+    toks = F.size(tokens_col("text"))
+    t = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (toks / 100.0).alias("x1"),
+        F.explode(tokens_col("text")).alias("token"),
+    )
+    stop = F.col("token").isin(STOPWORDS).cast("double")
+    return t.groupBy("doc_id", "y", "x0", "x1").agg(
+        (F.sum(stop) / F.count("*")).alias("x2"),
+        (F.avg(F.length("token")) / 10.0).alias("x3"),
+    )
+
+
+# learned weights memoized per (app, sf_dir) like the shared frames —
+# plain floats, nothing persisted JVM-side, so no unpersist lifecycle
+_LR_WEIGHTS_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _lr_weights(spark, sf_dir) -> list[float]:
+    key = _cache_key(spark, sf_dir)
+    if key not in _LR_WEIGHTS_CACHE:
+        _LR_WEIGHTS_CACHE[key] = _lr_train(spark, sf_dir)
+    return _LR_WEIGHTS_CACHE[key]
+
+
+def _lr_train(spark, sf_dir) -> list[float]:
+    docs = _docs(spark, sf_dir)
+    # persist the (n_docs x 6) feature frame: every GD iteration reads
+    # it, and re-deriving it would re-run the tokenize/explode per pass
+    # (measured 9.5s -> ~3s for the 3-iteration train at sf0.01). This
+    # is the canonical cached-training-set shape at any corpus size.
+    feats = _lr_features(docs).persist()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = (
+            F.col("x0") * w[0]
+            + F.col("x1") * w[1]
+            + F.col("x2") * w[2]
+            + F.col("x3") * w[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        row = feats.agg(
+            F.avg(F.col("x0") * err).alias("g0"),
+            F.avg(F.col("x1") * err).alias("g1"),
+            F.avg(F.col("x2") * err).alias("g2"),
+            F.avg(F.col("x3") * err).alias("g3"),
+        ).collect()[0]
+        if row["g0"] is None:  # empty corpus: gradient is zero
+            break
+        w = [w[k] - _LR_LR * row[f"g{k}"] for k in range(4)]
+    feats.unpersist()
+    return [round(v, 6) for v in w]
+
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# round-5 second batch — registered via assignment (after the dict
+# literals) so the oracles can compose from already-registered oracle
+# text (_IVF_ASG_CTE, _PAIRS_CTE, quality_lr_score).
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle_sql(k: int = _MMR_K, lam: float = _MMR_LAMBDA) -> str:
+    """Replay q_emb_mmr_diverse's greedy chain as SQL CTEs: pick{s} is
+    the argmax of lam*rel - (1-lam)*max_sim_to_picked over the not-yet-
+    picked candidates. The weights are emitted with repr() so DuckDB
+    parses the IDENTICAL doubles Spark multiplies with (1 - 0.7 is
+    0.30000000000000004 in IEEE, not 0.3)."""
+    a, b = repr(lam), repr(1 - lam)
+    parts = [
+        """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+qv AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qnrm FROM qv),
+rel AS (
+  SELECT v.vec_id, sum(v.x * qv.qx) / (n.nrm * qn.qnrm) AS rel
+  FROM v JOIN qv USING (i) JOIN n ON v.vec_id = n.vec_id, qn
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id, n.nrm, qn.qnrm
+)"""
+    ]
+    for s in range(1, k + 1):
+        prior = list(range(1, s))
+        for t in prior:
+            parts.append(
+                f""",
+sim{s}_{t} AS (
+  SELECT v.vec_id, sum(v.x * sv.x) / (n.nrm * sn.nrm) AS sim
+  FROM v
+  JOIN v sv ON sv.i = v.i AND sv.vec_id = (SELECT vec_id FROM pick{t})
+  JOIN n ON n.vec_id = v.vec_id
+  JOIN n sn ON sn.vec_id = (SELECT vec_id FROM pick{t})
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id, n.nrm, sn.nrm
+)"""
+            )
+        if not prior:
+            score = f"{a} * rel.rel - {b} * 0.0"
+            joins = ""
+        else:
+            sims = ", ".join(f"sim{s}_{t}.sim" for t in prior)
+            maxsim = sims if len(prior) == 1 else f"greatest({sims})"
+            score = f"{a} * rel.rel - {b} * {maxsim}"
+            joins = "".join(
+                f"\n  JOIN sim{s}_{t} ON sim{s}_{t}.vec_id = rel.vec_id"
+                for t in prior
+            )
+        not_in = (
+            ""
+            if not prior
+            else "\n  WHERE rel.vec_id NOT IN ("
+            + " UNION ALL ".join(f"SELECT vec_id FROM pick{t}" for t in prior)
+            + ")"
+        )
+        parts.append(
+            f""",
+pick{s} AS (
+  SELECT rel.vec_id, rel.rel, {score} AS score
+  FROM rel{joins}{not_in}
+  ORDER BY score DESC, rel.vec_id
+  LIMIT 1
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS INTEGER) AS step, vec_id, round(score, 6) AS score,"
+        f" round(rel, 6) AS relevance FROM pick{s}"
+        for s in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _pagerank_oracle_sql() -> str:
+    """Replays q_graph_pagerank's 3 iterations as CTEs over the SAME
+    kNN edge oracle, in the SAME fixed-point BIGINT arithmetic
+    (units of 1e-15): integer sums are exact and order-independent,
+    so the two engines agree bit-for-bit with no rounding hazard
+    (a float formulation flipped the 9th decimal at sf0.1). The one
+    float op — the final /1e15 — divides identical integers by an
+    exactly-representable constant, so it is correctly rounded to the
+    identical double on both sides."""
+    knn = ORACLES["emb_knn_graph"].strip().rstrip(";")
+    out = [f"""
+WITH e AS MATERIALIZED (SELECT vec_id AS src, neighbor AS dst FROM ({knn}) g),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT vec_id, 1000000000000000 // nn.n AS r FROM nodes, nn
+)"""]
+    for i in range(3):
+        out.append(f""",
+d{i} AS (
+  SELECT COALESCE(sum(r{i}.r), 0) AS dang
+  FROM r{i} LEFT JOIN od ON r{i}.vec_id = od.src WHERE od.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst, sum(r{i}.r // od.outdeg) AS contrib
+  FROM e JOIN r{i} ON e.src = r{i}.vec_id JOIN od ON e.src = od.src
+  GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT nodes.vec_id,
+         (15 * 1000000000000000) // (100 * nn.n)
+         + (85 * (COALESCE(c{i}.contrib, 0) + d{i}.dang // nn.n)) // 100 AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.vec_id = c{i}.dst, nn, d{i}
+)""")
+    out.append("""
+SELECT vec_id, CAST(r AS DOUBLE) / 1000000000000000.0 AS pagerank FROM r3
+""")
+    return "".join(out)
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 2: data-layout zone-map pruning, the composed IVF+PQ
+# (IVFADC) ANN tier, and Kneser-Ney smoothed bigram scoring.
+
+
+def _zorder_terms(a: str, b: str, bits: int, idiv: str) -> str:
+    """Morton/Z-order bit interleave of two ``bits``-wide non-negative
+    ints as pure div/mod/mul arithmetic — ``a``'s bit i lands at output
+    bit 2i+1, ``b``'s at 2i. No shift operators, so the SAME generated
+    expression text runs in Spark (idiv='div') and DuckDB (idiv='//')
+    with identical semantics (both truncate toward zero on non-negative
+    operands; inputs here are bucket ids in [0, 2^bits))."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((({b} {idiv} {1 << i}) % 2) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+def _hilbert_level(s: int, idiv: str, n: int = 256) -> tuple[str, str, str]:
+    """One level of the Hilbert xy2d walk (the Wikipedia/Warren
+    formulation, flips against n-1 so every intermediate stays in
+    [0, n) — no negative operand ever reaches a div/%, which is where
+    Spark and DuckDB could disagree) as pure arithmetic + CASE over
+    running columns (hx, hy, hd). The bit-XOR (3*rx)^ry folds to
+    3*rx + ry - 2*rx*ry for bit operands, so no engine-specific XOR
+    syntax is needed; the SAME generated text runs in both engines
+    (idiv = 'div' / '//')."""
+    rx = f"((hx {idiv} {s}) % 2)"
+    ry = f"((hy {idiv} {s}) % 2)"
+    return (
+        f"hd + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})",
+        f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END",
+        f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END",
+    )
+
+
+_HILBERT_LEVELS = (128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def _hilbert_ctes(idiv: str) -> str:
+    """The 8-level Hilbert walk as a chained-CTE string (h0..h8), built
+    from the same per-level expressions the Spark query projects."""
+    parts = ["h0 AS (SELECT ub, db, ub AS hx, db AS hy, 0 AS hd FROM g)"]
+    prev = "h0"
+    for i, s in enumerate(_HILBERT_LEVELS):
+        d_e, x_e, y_e = _hilbert_level(s, idiv)
+        parts.append(
+            f"h{i + 1} AS (SELECT ub, db, ({x_e}) AS hx, ({y_e}) AS hy, "
+            f"({d_e}) AS hd FROM {prev})"
+        )
+        prev = f"h{i + 1}"
+    return ",\n".join(parts)
+
+
+def _ivf_cte_renamed(prefix: str) -> str:
+    """_IVF_ASG_CTE with every CTE name prefixed, so the IVF build
+    chain can coexist with the PQ chain (which reuses v/seeds/c0/
+    asg0/c1) inside one composed oracle. Word-boundary rename; column
+    names (vec_id, cid, i, x, dp, nrm, cx, mx) are untouched."""
+    import re
+
+    sql = _IVF_ASG_CTE
+    for n in (
+        "v", "seeds", "s0", "s0n", "c0", "a0d", "asg0",
+        "m", "mn", "c1", "a1d", "asg1",
+    ):
+        sql = re.sub(rf"\b{n}\b", f"{prefix}{n}", sql)
+    return sql
+
+
+
+
+def _communities_oracle_sql() -> str:
+    """Replays q_graph_communities' 3 synchronous LPA rounds as CTEs
+    over the same kNN edge oracle — per round, the neighbor-label vote
+    count and the (n DESC, label ASC) top-1 are exactly the Spark
+    kernel's hash-agg + window, and every quantity is an integer id or
+    count, so the engines agree exactly."""
+    knn = ORACLES["emb_knn_graph"].strip().rstrip(";")
+    out = [f"""
+WITH knn AS MATERIALIZED ({knn}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+b AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM und
+),
+l0 AS (SELECT DISTINCT node AS node, node AS label FROM b)"""]
+    for i in range(3):
+        out.append(f""",
+v{i} AS (
+  SELECT b.node, l.label, count(*) AS n
+  FROM b JOIN l{i} l ON b.nbr = l.node
+  GROUP BY b.node, l.label
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+    out.append("""
+, sizes AS (SELECT label, count(*) AS sz FROM l3 GROUP BY label)
+SELECT CAST(sz AS BIGINT) AS community_size,
+       CAST(count(*) AS BIGINT) AS n_communities
+FROM sizes GROUP BY sz
+""")
+    return "".join(out)

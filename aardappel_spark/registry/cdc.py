@@ -1,0 +1,155 @@
+"""CDC engine queries (SURVEY.md §2: S2-S4, F1-F6, A1-A6, C1-C9)."""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cdc_queries as cdc
+from ..ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from ..sources import load_events_ns
+from ..ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_banded_candidates,
+    lsh_banded_topk,
+    lsh_bucket_topk,
+)
+from ..ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
+
+from ._dicts import QUERIES, ORACLES
+from ._shared import *  # noqa: F401,F403
+
+QUERIES["cdc_parse_stats"] = cdc.q_parse_stats
+QUERIES["cdc_stale_filter"] = cdc.q_stale_filter
+QUERIES["cdc_quorum"] = cdc.q_quorum
+QUERIES["cdc_compact"] = cdc.q_compact
+QUERIES["cdc_compact_merge"] = cdc.q_compact_merge
+QUERIES["cdc_apply"] = cdc.q_apply
+QUERIES["cdc_out_of_order"] = cdc.q_out_of_order
+QUERIES["cdc_apply_orders"] = cdc.q_apply_orders
+QUERIES["cdc_keyfilter"] = cdc.q_keyfilter
+QUERIES["cdc_problem_actions"] = cdc.q_problem_actions
+ORACLES["cdc_parse_stats"] = (
+_CDC_CTE
+    + """
+SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(step) AS min_step, max(step) AS max_step
+FROM ev GROUP BY op
+"""
+)
+ORACLES["cdc_stale_filter"] = (
+_CDC_CTE
+    + f"""
+SELECT op, count(*) AS n, max(step) AS max_step
+FROM ev WHERE step >= {_CUTOFF} GROUP BY op
+"""
+)
+ORACLES["cdc_quorum"] = (
+_CDC_CTE
+    + """
+SELECT step AS quorum_step, txid AS quorum_tx,
+       (SELECT count(*) FROM pm WHERE rrn = 1) AS n_partitions
+FROM pm WHERE rrn = 1 ORDER BY step, txid LIMIT 1
+"""
+)
+ORACLES["cdc_compact"] = (
+_CDC_CTE
+    + """
+SELECT user_id, final_op, last_step, last_tx FROM fin
+"""
+)
+ORACLES["cdc_compact_merge"] = (
+_CDC_CTE
+    + """
+SELECT m.user_id, m.col_name, m.col_value
+FROM merged m JOIN fin f ON m.user_id = f.user_id
+WHERE f.final_op = 'update'
+"""
+)
+ORACLES["cdc_apply"] = (
+_CDC_CTE
+    + """
+SELECT f.user_id,
+       round(CAST(max(CASE WHEN m.col_name = 'value' THEN m.col_value END) AS DOUBLE), 2) AS value,
+       max(CASE WHEN m.col_name = 'props' THEN m.col_value END) AS props
+FROM fin f LEFT JOIN merged m ON f.user_id = m.user_id
+WHERE f.final_op = 'update'
+GROUP BY f.user_id
+"""
+)
+ORACLES["cdc_out_of_order"] = (
+_CDC_CTE
+    + """
+SELECT e.user_id % 8 AS p, count(*) AS n_late
+FROM ev e JOIN (SELECT p, step, txid FROM pm WHERE rrn = 1) h ON (e.user_id % 8) = h.p
+WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
+GROUP BY 1
+"""
+)
+ORACLES["cdc_apply_orders"] = (
+"""
+WITH oe AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS step, o_orderkey AS txid,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'erase' ELSE 'update' END AS op,
+         o_orderstatus AS s, o_totalprice AS tp, o_orderdate AS od,
+         row_number() OVER (ORDER BY epoch_us(o_orderdate), o_orderkey) AS rn
+  FROM orders
+),
+le AS (SELECT k, max(rn) AS ern FROM oe WHERE op = 'erase' GROUP BY k),
+fin AS (SELECT k, arg_max(op, rn) AS fop FROM oe GROUP BY k),
+cols AS (
+  SELECT k, 'totalprice' AS c, CAST(tp AS VARCHAR) AS v, rn FROM oe
+  WHERE op = 'update' AND s IN ('O', 'F')
+  UNION ALL
+  SELECT k, 'orderdate' AS c, CAST(od AS VARCHAR) AS v, rn FROM oe
+  WHERE op = 'update' AND s IN ('P', 'F')
+),
+m AS (
+  SELECT c2.k, c2.c, arg_max(c2.v, c2.rn) AS v
+  FROM cols c2 LEFT JOIN le ON c2.k = le.k
+  WHERE le.ern IS NULL OR c2.rn > le.ern
+  GROUP BY c2.k, c2.c
+)
+SELECT f.k AS o_custkey,
+       round(CAST(max(CASE WHEN m.c = 'totalprice' THEN m.v END) AS DOUBLE), 2) AS totalprice,
+       CAST(max(CASE WHEN m.c = 'orderdate' THEN m.v END) AS TIMESTAMP) AS orderdate
+FROM fin f LEFT JOIN m ON f.k = m.k
+WHERE f.fop = 'update' GROUP BY f.k
+"""
+)
+ORACLES["cdc_keyfilter"] = (
+_CDC_CTE + """
+SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(sum(7 + length(CAST(user_id AS VARCHAR))) AS BIGINT) AS key_bytes
+FROM ev WHERE user_id % 25 <> 0 GROUP BY op
+"""
+)
+ORACLES["cdc_problem_actions"] = (
+_CDC_CTE + """
+, h AS (SELECT p, step, txid FROM pm WHERE rrn = 1)
+SELECT e.user_id, e.step AS step, e.txid AS tx_id,
+       CASE WHEN e.txid % 14 = 0 THEN 'apply'
+            WHEN e.txid % 7 = 0 THEN (CASE WHEN e.txid % 2 = 0 THEN 'skip' ELSE 'apply' END)
+            ELSE 'none' END AS action
+FROM ev e JOIN h ON (e.user_id % 8) = h.p
+WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
+"""
+)

@@ -1,0 +1,1064 @@
+"""Deduplication family: exact, MinHash/LSH, SimHash, spans, decontamination."""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cdc_queries as cdc
+from ..ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from ..sources import load_events_ns
+from ..ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_banded_candidates,
+    lsh_banded_topk,
+    lsh_bucket_topk,
+)
+from ..ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
+
+from ._dicts import QUERIES, ORACLES
+from ._shared import *  # noqa: F401,F403
+
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return _minhash_sig_cached(spark, sf_dir)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return _minhash_pairs_cached(spark, sf_dir)
+
+
+def q_dedup_pair_degree(spark, sf_dir):
+    """Degree distribution of the near-dup candidate graph: how many
+    LSH partners each doc has, histogrammed — the shape check that
+    catches a degenerate banding (one giant bucket) before clustering.
+    Derived entirely from the shared pairs frame."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ..ops.dedup import char_ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return char_ngram_jaccard_pairs(docs, _minhash_pairs_cached(spark, sf_dir), n=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_dedup_simhash64(spark, sf_dir):
+    return _simhash64_cached(spark, sf_dir)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return _simhash_pairs_cached(spark, sf_dir)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the LSH
+    candidate pairs (min-label propagation); reuses the shared persisted
+    pairs frame like the other pair consumers."""
+    from ..ops.dedup import neardup_clusters
+
+    return neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: keep one representative per near-dup
+    cluster (the min doc id — its own cluster label), with the member
+    count it speaks for."""
+    from ..ops.dedup import neardup_clusters
+
+    clusters = neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return sizes.select(
+        F.col("cluster_id").alias("doc_id"), "n_members"
+    )
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
+    word 4-gram with the 'eval set' (doc_id < 5) — the leak check run
+    before a train split ships."""
+    from ..ops.dedup import contamination_check_grams
+
+    g = _grams4_cached(spark, sf_dir)
+    return contamination_check_grams(
+        g.filter(F.col("doc_id") >= 5), g.filter(F.col("doc_id") < 5)
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return verify_pairs_jaccard(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+
+
+def q_dedup_est_error(spark, sf_dir):
+    """MinHash quality evaluation (the dedup twin of ann_recall_eval):
+    for every LSH candidate pair, the signature-estimated Jaccard
+    (matching components / 4) against the EXACT shingle-set Jaccard,
+    with the absolute estimation error — the measurement that says
+    whether 4 hashes is enough before a production dedup cut. Reuses
+    the shared signature and pairs frames; the exact set math runs on
+    candidates only."""
+    from ..ops.dedup import shingles_col
+
+    sig = _minhash_sig_cached(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(4)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(4)]
+    )
+    est = None
+    for k in range(4):
+        eq = (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        est = eq if est is None else est + eq
+    sets = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles_col("text", k=3)).alias("s")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    # try_divide: empty-shingle-set candidate pairs have undefined
+    # exact Jaccard (NULL), mirroring the oracle's NULLIF
+    jac = F.try_divide(inter, union)
+    est_jac = est / F.lit(4.0)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(est_jac, 6).alias("est_jaccard"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(F.abs(est_jac - jac), 6).alias("abs_err"),
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-corpus dedup: drop documents of the incoming batch whose
+    bag-of-words fingerprint already exists in the reference corpus
+    (here: doc_id >= 250 arriving, < 250 reference; 34 real matches at
+    sf0.01). Anti join on the 32-byte fingerprint — shuffle keys stay
+    tiny; a small reference hash set broadcasts."""
+    docs = _docs(spark, sf_dir)
+    fp = fingerprint(docs)
+    ref = fp.filter(F.col("doc_id") < 250).select(F.col("fp").alias("h"))
+    new = fp.filter(F.col("doc_id") >= 250).select("doc_id", F.col("fp").alias("h"))
+    return new.join(ref, "h", "left_anti").select("doc_id")
+
+
+def q_dedup_edit_distance(spark, sf_dir):
+    """String-level near-dup verification: Levenshtein over the shared
+    LSH candidate pairs (bounded prefix — O(len^2) per pair never runs
+    corpus-wide)."""
+    from ..ops.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir), prefix_len=40
+    )
+
+
+def q_decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (2048-bit / 4-hash) of the corpus
+    (doc_id >= 5) against the eval set (doc_id < 5): fixed-size bitmap
+    broadcast instead of the exact gram-set join; deterministic false
+    positives, so still oracle-exact."""
+    from ..ops.dedup import bloom_contamination_check_grams
+
+    g = _grams4_cached(spark, sf_dir)
+    return bloom_contamination_check_grams(
+        g.filter(F.col("doc_id") >= 5), g.filter(F.col("doc_id") < 5)
+    )
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """Near-duplicate leakage matrix between sources: the MinHash-LSH
+    candidate pairs (shared cached frame) joined to each side's source,
+    counted per unordered source pair — the contamination census a
+    multi-source corpus runs before mixing."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    # broadcast the PAIRS side (LSH candidates are sparse); the corpus
+    # projection stays distributed — the scale-correct direction
+    joined = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment of LSH candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B| over distinct word sets — the signal that separates
+    sub-document duplication (quote, excerpt: one side near 1) from
+    symmetric near-dups (both sides high). Set arithmetic runs only on
+    the shared candidate-pair frame, never all pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    from ..ops.text import tokens_col
+
+    tok = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
+    )
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    j = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    # try_divide: an empty token set (empty/whitespace-only document)
+    # has undefined containment — NULL, not an ANSI crash
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.try_divide(inter, F.size("_ta")), 6).alias("containment_a"),
+        F.round(F.try_divide(inter, F.size("_tb")), 6).alias("containment_b"),
+    )
+
+
+def q_dedup_span(spark, sf_dir):
+    """Substring-level duplicated spans (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): maximal runs of
+    consecutive word-4-gram windows that also occur in at least one
+    OTHER document. Reuses the shared _grams4_cached explode; a gram is
+    cross-doc duplicated iff its distinct-doc frequency is >= 2, and
+    consecutive duplicated window positions merge into one span via
+    gaps-and-islands (pos - rank over pos is constant within a run).
+    Output spans of >= 2 consecutive windows, i.e. >= 5 shared tokens.
+
+    Scale shape: one gram-keyed hash-agg for doc frequencies (md5-hashed
+    60-bit keys, never gram strings — same trick as doc_boilerplate),
+    one join back, one per-doc window. No cross join; the span merge is
+    per-doc local arithmetic."""
+    from pyspark.sql.window import Window
+
+    g4 = _grams4_cached(spark, sf_dir)
+    gh = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    g = g4.select("doc_id", "pos", gh.alias("gh"))
+    df = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = g.join(df.filter(F.col("nd") >= 2), "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count("*") + F.lit(3)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= 5)
+        .select("doc_id", "span_start", "span_tokens")
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    the SAME deterministic spherical k-means the IVF index uses
+    (ops.similarity.ivf_build, n_centroids=16, refine_iters=1), then
+    dedup WITHIN clusters only — a vector is a duplicate when a
+    lower-id vector in its cluster has cosine >= 0.4 (dup_of = the
+    smallest such id; kept = no such partner). The cluster equi-join
+    bounds candidate generation to O(sum cluster_size^2) instead of
+    corpus all-pairs; at 100 TB the dial is n_centroids (pair mass
+    shrinks quadratically as clusters narrow). Oracle replays the
+    identical k-means build via _IVF_ASG_CTE and the same raw-vector
+    cosine, so cluster ids, dup links, and verdicts all hash-match."""
+    from ..ops.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb.head(1) == []:  # ivf_build seeds from data; empty corpus -> no rows
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid int, dup_of bigint, kept boolean"
+        )
+    assigned = _ivf_assigned_cached(spark, sf_dir)
+    a = assigned.select(
+        F.col("_c").alias("cid"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("_c").alias("cid"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("dup_of"))
+        .withColumnRenamed("id_a", "vec_id")
+    )
+    return (
+        assigned.select(F.col("_id").alias("vec_id"), F.col("_c").alias("cid"))
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def q_dedup_survivor_quality(spark, sf_dir):
+    """Quality-aware survivor selection: instead of dedup_survivors'
+    min-id representative, each near-dup cluster keeps its LONGEST
+    member (whitespace token count, ties -> smallest doc_id) — the
+    policy real pipelines use so dedup doesn't systematically keep
+    truncated variants. Reuses the shared LSH candidate pairs and the
+    connected-components labels; the per-cluster argmax is one
+    row_number window partitioned by cluster_id (shuffle keyed on the
+    cluster label, no global sort)."""
+    from pyspark.sql.window import Window
+
+    from ..ops.dedup import neardup_clusters
+    from ..ops.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    clusters = neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = (
+        clusters.join(toks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_tokens").alias("survivor_tokens"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold calibration: how much pair mass (and how many
+    distinct documents) a Jaccard cut at 0.5/0.6/0.7/0.8/0.9 would
+    touch, computed over the shared LSH candidate pairs (never
+    all-pairs — the curve only makes sense above LSH's own recall
+    floor). The 5-row threshold frame broadcasts against the verified
+    pairs; zero-surviving thresholds still report as 0 rows via the
+    left join, so the curve always has 5 points. Jaccard here is exact
+    small-integer division — bit-identical across engines."""
+    thr = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    # barrier: the pair verification (set math over LSH candidates) runs
+    # ONCE; both aggregations below re-read the materialized pairs
+    # instead of re-running the whole candidate pipeline
+    jac = verify_pairs_jaccard(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    hits = (
+        F.broadcast(thr)
+        .crossJoin(jac)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+    )
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        thr.join(F.broadcast(n_pairs), "threshold", "left")
+        .join(F.broadcast(n_docs), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+QUERIES["dedup_exact"] = q_dedup_exact
+QUERIES["dedup_minhash"] = q_dedup_minhash
+QUERIES["dedup_minhash_pairs"] = q_dedup_minhash_pairs
+QUERIES["dedup_pair_degree"] = q_dedup_pair_degree
+QUERIES["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+QUERIES["dedup_simhash"] = q_dedup_simhash
+QUERIES["dedup_simhash64"] = q_dedup_simhash64
+QUERIES["dedup_simhash_pairs"] = q_dedup_simhash_pairs
+QUERIES["dedup_jaccard"] = q_dedup_jaccard
+QUERIES["dedup_clusters"] = q_dedup_clusters
+QUERIES["dedup_survivors"] = q_dedup_survivors
+QUERIES["decontamination"] = q_decontamination
+QUERIES["dedup_incremental"] = q_dedup_incremental
+QUERIES["dedup_edit_distance"] = q_dedup_edit_distance
+QUERIES["decontam_bloom"] = q_decontam_bloom
+QUERIES["dedup_cross_source"] = q_dedup_cross_source
+QUERIES["dedup_containment"] = q_dedup_containment
+QUERIES["dedup_span"] = q_dedup_span
+QUERIES["dedup_est_error"] = q_dedup_est_error
+ORACLES["dedup_exact"] = (
+"""
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+)
+ORACLES["dedup_minhash"] = (
+"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+)
+SELECT doc_id,
+       min(md5('0' || token)) AS mh0, min(md5('1' || token)) AS mh1,
+       min(md5('2' || token)) AS mh2, min(md5('3' || token)) AS mh3
+FROM t GROUP BY doc_id
+"""
+)
+ORACLES["dedup_minhash_pairs"] = (
+_PAIRS_CTE + """
+SELECT doc_a, doc_b FROM pairs
+"""
+)
+ORACLES["dedup_simhash"] = (
+"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+  FROM t WHERE token <> ''
+)
+SELECT doc_id, CAST(0
++ CASE WHEN sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 64 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 128 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 256 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 512 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1024 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2048 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4096 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8192 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16384 ELSE 0 END\n+ CASE WHEN sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32768 ELSE 0 END
+ AS BIGINT) AS simhash
+FROM h GROUP BY doc_id
+"""
+)
+ORACLES["dedup_jaccard"] = (
+_PAIRS_CTE + """,
+ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.ts, b.ts))
+             / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0), 4) AS jaccard
+FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+"""
+)
+ORACLES["dedup_simhash64"] = (
+"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM t WHERE token <> ''
+),
+v AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, generate_series(0, 59) AS g(b)
+),
+s AS (SELECT doc_id, b, sum(vote) AS v FROM v GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+)
+ORACLES["dedup_simhash_pairs"] = (
+"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM t WHERE token <> ''
+),
+v AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, generate_series(0, 59) AS g(b)
+),
+s AS (SELECT doc_id, b, sum(vote) AS v FROM v GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+),
+k AS (
+  SELECT doc_id, simhash, g.b AS band_id,
+         (simhash >> (g.b * 15)) & 32767 AS band_val
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+p AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+  FROM k l JOIN k r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8
+"""
+)
+ORACLES["dedup_ngram_jaccard"] = (
+_PAIRS_CTE + """,
+gs AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(text) < 3 THEN [text]
+           ELSE list_transform(generate_series(1, len(text) - 2),
+                               i -> substr(text, i, 3)) END) AS g
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.g, b.g))
+             / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) AS ngram_jaccard
+FROM pairs p JOIN gs a ON p.doc_a = a.doc_id JOIN gs b ON p.doc_b = b.doc_id
+"""
+)
+ORACLES["dedup_clusters"] = (
+_PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM r GROUP BY node
+"""
+)
+ORACLES["dedup_survivors"] = (
+_PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (
+  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node
+)
+SELECT CAST(cluster_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+FROM lab GROUP BY cluster_id
+"""
+)
+ORACLES["decontamination"] = (
+"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END) AS gram
+  FROM d
+),
+block AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM g JOIN block USING (gram)
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
+"""
+)
+ORACLES["dedup_incremental"] = (
+"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), t -> t <> ''))), ' '), '')) AS h
+  FROM documents
+)
+SELECT n.doc_id FROM fp n
+WHERE n.doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM fp r WHERE r.doc_id < 250 AND r.h = n.h)
+"""
+)
+ORACLES["dedup_edit_distance"] = (
+_PAIRS_CTE + """,
+pref AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+SELECT pr.doc_a, pr.doc_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM pairs pr JOIN pref a ON pr.doc_a = a.doc_id JOIN pref b ON pr.doc_b = b.doc_id
+"""
+)
+ORACLES["decontam_bloom"] = (
+"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+gl AS (
+  SELECT doc_id, CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         END AS grams
+  FROM d
+),
+ks(j) AS (VALUES (0), (1), (2), (3)),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM gl WHERE doc_id < 5
+),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(j || ':' || gram), 1, 7))::BIGINT % 2048 AS bit
+  FROM bench CROSS JOIN ks
+),
+p AS (
+  SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram
+  FROM gl WHERE doc_id >= 5
+),
+pb AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(j || ':' || gram), 1, 7))::BIGINT % 2048 AS bit
+  FROM p CROSS JOIN ks
+),
+hits AS (
+  SELECT doc_id, pos, sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS ns
+  FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+FROM hits WHERE ns = 4 GROUP BY doc_id
+"""
+)
+ORACLES["dedup_cross_source"] = (
+_PAIRS_CTE + """,
+ds AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs JOIN ds a ON pairs.doc_a = a.doc_id
+           JOIN ds b ON pairs.doc_b = b.doc_id
+GROUP BY 1, 2
+"""
+)
+ORACLES["dedup_containment"] = (
+_PAIRS_CTE + """,
+ts AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(a.t, x -> list_contains(b.t, x))) AS inter,
+         len(a.t) AS na, len(b.t) AS nb
+  FROM pairs p JOIN ts a ON p.doc_a = a.doc_id JOIN ts b ON p.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / NULLIF(na, 0), 6) AS containment_a,
+       round(inter / NULLIF(nb, 0), 6) AS containment_b
+FROM j
+"""
+)
+ORACLES["dedup_span"] = (
+"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+                   ELSE array_to_string(list_slice(t, i, i + 3), ' ') END), 1, 15))::BIGINT AS gh
+  FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
+),
+dfg AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfg USING (gh) WHERE dfg.nd >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dup
+)
+SELECT doc_id, min(pos) AS span_start, CAST(count(*) + 3 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, island HAVING count(*) + 3 >= 5
+"""
+)
+ORACLES["dedup_est_error"] = (
+_PAIRS_CTE + """
+, ts AS (SELECT doc_id, list(DISTINCT token) AS s FROM t GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0, 6) AS est_jaccard,
+       round(len(list_filter(ta.s, x -> list_contains(tb.s, x)))
+             / NULLIF(len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))), 0), 6) AS jaccard,
+       round(abs(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0
+             - len(list_filter(ta.s, x -> list_contains(tb.s, x)))
+             / NULLIF(len(ta.s) + len(tb.s) - len(list_filter(ta.s, x -> list_contains(tb.s, x))), 0)), 6) AS abs_err
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+JOIN ts ta ON p.doc_a = ta.doc_id
+JOIN ts tb ON p.doc_b = tb.doc_id
+"""
+)
+ORACLES["dedup_pair_degree"] = (
+_PAIRS_CTE + """,
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1
+"""
+)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+QUERIES["dedup_survivor_quality"] = q_dedup_survivor_quality
+QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+
+# SemDeDup: the identical k-means build as ann_ivf (shared prefix), then
+# within-cluster pairs only — the equi-join on cid IS the oracle's proof
+# that no all-pairs work happens.
+ORACLES["semantic_dedup"] = _IVF_ASG_CTE + """,
+n AS (SELECT vec_id, sum(x * x) AS n2 FROM v GROUP BY vec_id),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+),
+pd AS (
+  SELECT pr.id_a, pr.id_b, sum(va.x * vb.x) AS dot
+  FROM pr JOIN v va ON va.vec_id = pr.id_a
+         JOIN v vb ON vb.vec_id = pr.id_b AND va.i = vb.i
+  GROUP BY pr.id_a, pr.id_b
+),
+dup AS (
+  SELECT pd.id_a AS vec_id, min(pd.id_b) AS dup_of
+  FROM pd JOIN n na ON pd.id_a = na.vec_id JOIN n nb ON pd.id_b = nb.vec_id
+  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4
+  GROUP BY pd.id_a
+)
+SELECT asg1.vec_id, CAST(asg1.cid AS INTEGER) AS cid,
+       CAST(dup.dup_of AS BIGINT) AS dup_of,
+       (dup.dup_of IS NULL) AS kept
+FROM asg1 LEFT JOIN dup USING (vec_id)
+"""
+
+ORACLES["dedup_survivor_quality"] = _PAIRS_CTE.replace(
+    "WITH", "WITH RECURSIVE", 1
+) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+tk AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+rk AS (
+  SELECT lab.node AS doc_id, lab.cluster_id, tk.n_tokens,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY tk.n_tokens DESC, lab.node) AS rn,
+         count(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+  FROM lab JOIN tk ON lab.node = tk.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS survivor_id,
+       n_tokens AS survivor_tokens, CAST(n_members AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+"""
+
+ORACLES["dedup_threshold_curve"] = _PAIRS_CTE + """,
+ds AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(a.ts, b.ts))
+               / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0), 4) AS jaccard
+  FROM pairs p JOIN ds a ON p.doc_a = a.doc_id JOIN ds b ON p.doc_b = b.doc_id
+),
+thr AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+        FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) AS t(threshold)),
+hits AS (
+  SELECT thr.threshold, jac.doc_a, jac.doc_b
+  FROM thr JOIN jac ON jac.jaccard >= thr.threshold
+),
+np AS (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY threshold),
+nd AS (
+  SELECT threshold, count(*) AS n_docs FROM (
+    SELECT DISTINCT threshold, d FROM (
+      SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hits
+    )
+  ) GROUP BY threshold
+)
+SELECT thr.threshold, CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs_affected
+FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+"""
+
+
+def q_dedup_cc_stats(spark, sf_dir):
+    """Cluster-size histogram of the near-dup connected components:
+    how many components have 2, 3, ... members (singletons excluded) —
+    the shape report that distinguishes a healthy pair-dominated dedup
+    from a catastrophic snowball cluster. Two tiny aggregates over the
+    shared min-label component assignment."""
+    from ..ops.dedup import neardup_clusters
+
+    clusters = neardup_clusters(
+        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.filter(F.col("sz") >= 2)
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+QUERIES["dedup_cc_stats"] = q_dedup_cc_stats
+
+ORACLES["dedup_cc_stats"] = f"""
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster_id, count(*) AS sz
+  FROM ({ORACLES["dedup_clusters"].strip().rstrip(';')}) c
+  GROUP BY cluster_id
+) WHERE sz >= 2
+GROUP BY sz
+"""
+
+
+
+def q_dedup_method_agreement(spark, sf_dir):
+    """Cross-method dedup audit: MinHash-LSH vs SimHash-band candidate
+    pairs, partitioned into both / minhash_only / simhash_only, each
+    bucket verified with exact token-set Jaccard (precision at the 0.5
+    cut) — the head-to-head a pipeline owner reads before picking a
+    fuzzy-dedup method. Both candidate frames come from the SHARED
+    cached builds; the expensive set math runs only on the (sparse)
+    union of candidates, never all pairs."""
+    from ..ops.dedup import verify_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    mh = (
+        _minhash_pairs_cached(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_mh", F.lit(1))
+    )
+    sh = (
+        _simhash_pairs_cached(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_sh", F.lit(1))
+    )
+    allp = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    jac = verify_pairs_jaccard(docs, allp.select("doc_a", "doc_b"))
+    joined = allp.join(jac, ["doc_a", "doc_b"], "left")
+    agreement = (
+        F.when(F.col("_mh").isNotNull() & F.col("_sh").isNotNull(), "both")
+        .when(F.col("_mh").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    verified = F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+    return joined.groupBy(agreement.alias("agreement")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(verified).cast("bigint").alias("n_verified"),
+        F.round(F.sum(verified) / F.count("*"), 6).alias("precision"),
+    )
+
+
+QUERIES["dedup_method_agreement"] = q_dedup_method_agreement
+
+# composed from the two gated candidate-pair oracles
+ORACLES["dedup_method_agreement"] = f"""
+WITH mh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_pairs"].strip().rstrip(';')}) x
+),
+sh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_simhash_pairs"].strip().rstrip(';')}) y
+),
+ap AS (
+  SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+         COALESCE(mh.doc_b, sh.doc_b) AS doc_b,
+         mh.doc_a IS NOT NULL AS in_mh, sh.doc_a IS NOT NULL AS in_sh
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+),
+ds AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ts
+  FROM documents
+),
+jac AS (
+  SELECT ap.doc_a, ap.doc_b, ap.in_mh, ap.in_sh,
+         round(len(list_intersect(a.ts, b.ts))
+               / NULLIF(CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 0),
+               4) AS j
+  FROM ap JOIN ds a ON ap.doc_a = a.doc_id JOIN ds b ON ap.doc_b = b.doc_id
+)
+SELECT CASE WHEN in_mh AND in_sh THEN 'both'
+            WHEN in_mh THEN 'minhash_only'
+            ELSE 'simhash_only' END AS agreement,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       round(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS precision
+FROM jac GROUP BY 1
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Dedup-aware train/test split audit: a naive per-document split
+    (md5 of doc_id) lets near-duplicate pairs straddle the boundary —
+    test-set contamination — while splitting by near-dup CLUSTER id
+    (every doc inherits its component's label) structurally cannot.
+    Output is one row: candidate-pair count, cross-split pairs under
+    each policy (cluster must be 0 — computed, not assumed), and the
+    test-side sizes showing the cluster split stays a faithful ~1/8
+    sample. This is the step a pipeline runs between dedup and
+    training: the leak count IS the eval-contamination exposure.
+
+    Plan: reuses the SHARED persisted LSH candidate-pairs frame and the
+    same min-label-propagation components as dedup_clusters; the split
+    assignment is one md5-prefix test per policy, localCheckpointed
+    (doc-count-sized) and read by the doc-level tally and both sides of
+    the pair join. Joins are doc_id equi-joins; everything downstream
+    of the components is linear in |docs| + |pairs|.
+    """
+    from ..ops.dedup import neardup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    clusters = neardup_clusters(docs, pairs)
+
+    def _is_test(c):
+        return F.substring(F.md5(c.cast("string")), 1, 1).isin("0", "1")
+
+    asg = clusters.select(
+        "doc_id",
+        _is_test(F.col("doc_id")).alias("nt"),
+        _is_test(F.col("cluster_id")).alias("ct"),
+    ).localCheckpoint(eager=False)
+    a = asg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("nt_a"),
+        F.col("ct").alias("ct_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nt_b"),
+        F.col("ct").alias("ct_b"),
+    )
+    pair_stats = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("nt_a") != F.col("nt_b")).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("naive_cross_pairs"),
+            F.coalesce(
+                F.sum((F.col("ct_a") != F.col("ct_b")).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("cluster_cross_pairs"),
+        )
+    )
+    doc_stats = asg.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("nt").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_test_naive"),
+        F.coalesce(F.sum(F.col("ct").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_test_cluster"),
+    )
+    return pair_stats.crossJoin(doc_stats)
+
+
+QUERIES["split_leakage"] = q_split_leakage
+
+ORACLES["split_leakage"] = _PAIRS_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+e AS (
+  SELECT doc_a AS s, doc_b AS dd FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.dd FROM r JOIN e ON r.reach = e.s
+),
+lab AS (
+  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node
+),
+asg AS (
+  SELECT node AS doc_id,
+         substring(md5(CAST(node AS VARCHAR)), 1, 1) IN ('0', '1') AS nt,
+         substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('0', '1') AS ct
+  FROM lab
+),
+ps AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(sum(CASE WHEN pa.nt <> pb.nt THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_cross_pairs,
+         CAST(COALESCE(sum(CASE WHEN pa.ct <> pb.ct THEN 1 ELSE 0 END), 0) AS BIGINT) AS cluster_cross_pairs
+  FROM pairs
+  JOIN asg pa ON pairs.doc_a = pa.doc_id
+  JOIN asg pb ON pairs.doc_b = pb.doc_id
+),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(CASE WHEN nt THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test_naive,
+         CAST(COALESCE(sum(CASE WHEN ct THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test_cluster
+  FROM asg
+)
+SELECT * FROM ps CROSS JOIN ds
+"""

@@ -1,0 +1,282 @@
+"""kNN-graph consumers: PageRank, triangles, communities, assortativity."""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cdc_queries as cdc
+from ..ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from ..sources import load_events_ns
+from ..ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_banded_candidates,
+    lsh_banded_topk,
+    lsh_bucket_topk,
+)
+from ..ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
+
+from ._dicts import QUERIES, ORACLES
+from ._shared import *  # noqa: F401,F403
+from .ann import q_emb_knn_graph
+
+
+
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the kNN similarity graph (d = 0.85, 3 power
+    iterations) — graph centrality IN the engine, the shape that finds
+    hub documents/embeddings worth auditing. Each iteration is one
+    edges-join-ranks + groupBy(dst) pass (data-parallel, shuffle keyed
+    on the graph, never a driver adjacency); the dangling mass is a
+    1-row aggregate collected like quality_lr_train's gradient. Ranks
+    live in FIXED-POINT BIGINT units of 1e-15: integer sums are exact
+    under any shuffle order (a float formulation flipped the 9th
+    decimal at sf0.1), and the oracle replays every iteration as CTEs
+    over the SAME banded-LSH kNN edge oracle in the same integer
+    arithmetic."""
+    from ..ops.graph import pagerank_fixed_point
+
+    edges = (
+        q_emb_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("vec_id", F.lit(0.0).alias("pagerank")).limit(0)
+    # FIXED-POINT ranks: BIGINT units of 1e-15 so every sum is exact and
+    # order-independent — float sums over different shuffle orders land
+    # within an ulp of a round() boundary and flip the 9th decimal (seen
+    # at sf0.1); integer arithmetic removes the hazard entirely. The
+    # iteration kernel is ops.graph.pagerank_fixed_point, shared with
+    # the scale probe's graph_pagerank_dialed row (same kernel on the
+    # occupancy-constant-banded graph).
+    r = pagerank_fixed_point(nodes, edges, n_nodes, iters=3, d_pct=85)
+    return r.select(
+        "vec_id",
+        (F.col("r").cast("double") / F.lit(1.0e15)).alias("pagerank"),
+    )
+QUERIES["graph_pagerank"] = q_graph_pagerank
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle census of the kNN similarity graph — the local-
+    clustering signal next to graph_pagerank and the dedup components:
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm), one BIGINT
+    row. Edges are the SAME shared banded kNN graph emb_knn_graph
+    gates (so candidate generation stays an equi-join on band buckets
+    and inherits the band-bits scale dial); the census itself is
+    degree-ordered orientation (Schank & Wagner 2005 / Suri &
+    Vassilvitskii WWW 2011, see ops.graph.triangle_stats): wedges only
+    among out-neighbors under (degree, id) order — out-degree
+    O(sqrt(m)) around any hub — and a LEFT SEMI closing-edge join, so
+    each triangle counts exactly once and nothing explodes
+    quadratically. The global clustering coefficient crosses the hash
+    as integer ppm."""
+    from ..ops.graph import triangle_stats
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    return triangle_stats(knn)
+
+
+def q_graph_communities(spark, sf_dir):
+    """Community structure of the kNN similarity graph via synchronous
+    majority-vote label propagation (Raghavan et al. 2007; see
+    ops.graph.label_propagation — deterministic min-label tie-break
+    instead of the paper's random one), reported as the community-size
+    histogram (community_size, n_communities). Three synchronous
+    rounds over the SAME shared banded kNN edges the rest of the graph
+    family consumes; each round is two vertex-keyed shuffles with the
+    label frame checkpointed between rounds, so the oracle can replay
+    every round as CTEs — integer counts and ids only, nothing
+    floats. Completes the graph family: PageRank (influence),
+    connected components (reachability), triangles (local density),
+    LPA (mesoscale communities)."""
+    from ..ops.graph import label_propagation
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    lab = label_propagation(knn, iters=3)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_communities")
+    ).select(F.col("sz").cast("bigint").alias("community_size"), "n_communities")
+
+
+QUERIES["graph_communities"] = q_graph_communities
+ORACLES["graph_communities"] = _communities_oracle_sql()
+
+QUERIES["graph_triangles"] = q_graph_triangles
+
+# composed verbatim from the gated kNN-graph oracle (the same pattern
+# emb_knn_classify uses); the oracle counts triangles by the simple
+# a<b<c triple join — orientation is a Spark-side efficiency choice,
+# the census is identical
+ORACLES["graph_triangles"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT w.n_nodes, m.n_edges, w.n_wedges, t.n_triangles,
+       CAST(CASE WHEN w.n_wedges = 0 THEN 0
+                 ELSE (1000000 * 3 * t.n_triangles) // w.n_wedges END
+         AS BIGINT) AS gcc_ppm
+FROM w, t, m
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected kNN similarity graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over all
+    directed edge stubs — negative r means hubs attach to low-degree
+    nodes (the typical kNN-graph shape), positive means a rich club.
+    Edges are the same dedup'd least/greatest orientation
+    graph_triangles uses on the shared banded graph. The sufficient
+    statistics are EXACT integers (per symmetric stub pair: M = 2m,
+    Sx = sum(du+dv), Sxy = 2*sum(du*dv), Sx2 = sum(du^2+dv^2)) from two
+    degree joins; r is then evaluated mean-first in doubles — never
+    M*Sxy - Sx^2 in integer space, whose Sx^2 overflows BIGINT at
+    ~1e10 stubs where Spark would wrap and DuckDB would raise. Both
+    engines fold the identical expression over identical integers, so
+    the rounded double is engine-exact."""
+    knn = q_emb_knn_graph(spark, sf_dir)
+    # barriers: the edge list feeds the degree union twice plus the
+    # stats join, and degrees join the edges twice — both frames are
+    # O(edges)/O(nodes) small; without them the banded top-k window
+    # subtree re-executes per consumer
+    und = (
+        knn.filter(F.col("vec_id") != F.col("neighbor"))
+        .select(
+            F.least("vec_id", "neighbor").alias("u"),
+            F.greatest("vec_id", "neighbor").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+    )
+    st = ed.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.coalesce(F.sum(F.col("da") + F.col("db")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_d"),
+        F.coalesce(F.sum(2 * F.col("da") * F.col("db")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_dxy"),
+        F.coalesce(
+            F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return st.select(
+        "n_edges",
+        "sum_d",
+        "sum_dxy",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n_edges = 0 THEN 0.0 ELSE CASE WHEN"
+            " (sum_d2 / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))) <= 0"
+            " THEN 0.0 ELSE round("
+            " (sum_dxy / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges)))"
+            " / (sum_d2 / (2 * n_edges)"
+            "  - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))), 6)"
+            " END END"
+        ).alias("assortativity"),
+    )
+
+
+QUERIES["graph_assortativity"] = q_graph_assortativity
+
+ORACLES["graph_assortativity"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+ed AS (
+  SELECT du.d AS da, dv.d AS db
+  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(COALESCE(sum(da + db), 0) AS BIGINT) AS sum_d,
+         CAST(COALESCE(sum(2 * da * db), 0) AS BIGINT) AS sum_dxy,
+         CAST(COALESCE(sum(da * da + db * db), 0) AS BIGINT) AS sum_d2
+  FROM ed
+)
+SELECT n_edges, sum_d, sum_dxy, sum_d2,
+       CASE WHEN n_edges = 0 THEN 0.0 ELSE CASE WHEN
+         (sum_d2 / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))) <= 0
+       THEN 0.0 ELSE round(
+         (sum_dxy / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges)))
+         / (sum_d2 / (2 * n_edges)
+          - (sum_d / (2 * n_edges)) * (sum_d / (2 * n_edges))), 6)
+       END END AS assortativity
+FROM st
+"""

@@ -1,0 +1,237 @@
+"""Multimodal, data-quality gate, and other cross-cutting queries."""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cdc_queries as cdc
+from ..ops.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_pairs_jaccard,
+)
+from ..sources import load_events_ns
+from ..ops.similarity import (
+    brute_force_topk,
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    lsh_banded_candidates,
+    lsh_banded_topk,
+    lsh_bucket_topk,
+)
+from ..ops.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_by_group,
+    token_stats,
+)
+
+from ._dicts import QUERIES, ORACLES
+from ._shared import *  # noqa: F401,F403
+
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-gated: documents' UTF-8 bytes stand in
+    for opaque payloads; n_bytes + md5 digest are engine-independent."""
+    from ..ops.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = (
+"""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+)
+
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing, oracle-gated end-to-end: video payloads
+    (documents' UTF-8 bytes standing in, kind = doc_id % 3 == 2) fan
+    out to every 10th frame via the Arrow-batched mapInPandas kernel
+    (ops.multimodal.sample_frames). The decode is the honest stub —
+    n_frames and the per-frame bytes derive deterministically from the
+    payload digest — so DuckDB replays the identical fan-out and
+    digests, gating the REAL part (schema, batch shape, explode
+    cardinality) while the fake part stays visibly fake."""
+    from ..ops.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    fr = sample_frames(media, every_n=10)
+    return fr.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+QUERIES["multimodal_frames"] = q_multimodal_frames
+
+ORACLES["multimodal_frames"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+),
+nf AS (
+  SELECT media_id, text,
+         1 + ('0x' || substr(md5(text), 5, 2))::INT AS n_frames
+  FROM m
+),
+fr AS (
+  SELECT media_id, text, unnest(range(0, n_frames, 10)) AS frame_no FROM nf
+)
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       md5(text || ':' || CAST(frame_no AS VARCHAR)) AS frame_hex
+FROM fr
+"""
+
+
+def q_dq_constraints(spark, sf_dir):
+    """Deequ-style data-quality admission gate (ops/dq.py; Schelter et
+    al., VLDB 2018): ten declarative constraints over orders, lineitem
+    and events, one report row each — (tbl, constraint, total,
+    violations, ok), every metric BIGINT. The execution shape is the
+    point: ALL of a table's row-local predicates, its key-uniqueness
+    check (count - count_distinct) and the row totals its RI rows
+    report fuse into ONE conditional-aggregation scan (3 tables -> 3
+    passes for 8 single-table constraints), so referential integrity
+    is the only extra work — a LEFT ANTI join per arm, broadcast for
+    the orders->customer dimension, ordinary shuffle join for the
+    big-big lineitem->orders arm. Thresholds are
+    chosen so the gate REPORTS real violations (totalprice cap,
+    quantity cap, the 'error' event type, the value cap at sf>=0.01)
+    rather than vacuously passing."""
+    from ..ops.dq import RefCheck, RowCheck, UniqueCheck, dq_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = load_events_ns(spark, sf_dir)
+
+    rep_o = dq_check(
+        orders,
+        "orders",
+        [
+            RowCheck("custkey_not_null", "o_custkey IS NOT NULL"),
+            RowCheck("status_domain", "o_orderstatus IN ('O','F','P')"),
+            RowCheck(
+                "totalprice_bounds",
+                "o_totalprice > 0 AND o_totalprice <= 300000",
+            ),
+            UniqueCheck("orderkey_unique", ("o_orderkey",)),
+            RefCheck(
+                "custkey_ri",
+                ("o_custkey",),
+                ref=customer,
+                ref_cols=("c_custkey",),
+                broadcast=True,
+            ),
+        ],
+    )
+    rep_l = dq_check(
+        lineitem,
+        "lineitem",
+        [
+            RowCheck("quantity_bounds", "l_quantity >= 1 AND l_quantity <= 45"),
+            RowCheck("shipdate_not_null", "l_shipdate IS NOT NULL"),
+            RefCheck(
+                "orderkey_ri",
+                ("l_orderkey",),
+                ref=orders,
+                ref_cols=("o_orderkey",),
+                broadcast=False,
+            ),
+        ],
+    )
+    rep_e = dq_check(
+        ev,
+        "events",
+        [
+            RowCheck(
+                "type_domain",
+                "event_type IN ('click','view','signup','purchase')",
+            ),
+            RowCheck(
+                "value_bounds",
+                "value IS NOT NULL AND value >= 0 AND value <= 400",
+            ),
+        ],
+    )
+    return rep_o.unionByName(rep_l).unionByName(rep_e)
+
+QUERIES["dq_constraints"] = q_dq_constraints
+
+ORACLES["dq_constraints"] = """
+WITH raw AS (
+  SELECT 'orders' AS tbl, 'custkey_not_null' AS c,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(COALESCE(sum(CASE WHEN o_custkey IS NOT NULL
+                                THEN 0 ELSE 1 END), 0) AS BIGINT) AS v
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'status_domain', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'totalprice_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_totalprice > 0
+                                 AND o_totalprice <= 300000
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'custkey_ri', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'quantity_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 45
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'shipdate_not_null', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN l_shipdate IS NOT NULL
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_ri', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'events', 'type_domain', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN event_type IN
+                                ('click','view','signup','purchase')
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'value_bounds', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN value IS NOT NULL AND value >= 0
+                                 AND value <= 400
+                                THEN 0 ELSE 1 END), 0) AS BIGINT)
+  FROM events
+)
+SELECT tbl, c AS "constraint", total, v AS violations,
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM raw
+"""

@@ -1378,25 +1378,22 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round7_priority():
+def test_driver_rotation_first_50_are_round8_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-7 artifact covers the right set — the
-    two r06 red rows (oracles now HUGEINT-free) re-gate first, the
-    round-7 additions follow, and the stalest driver rows (latest gate
-    r02/r03) round-robin back through the remaining slots."""
+    pin the rotation so the round-8 artifact covers the right set — the
+    round-8 additions lead (gated the round they land), and the stalest
+    driver rows (latest gate r03/r04, from the committed
+    CORRECTNESS_r01..r07 artifacts) round-robin through the remaining
+    slots. The r7 board was fully green, so there are no re-gates."""
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import _R07_PRIORITY, ORACLES
+    from aardappel_spark.registry import _R08_ADDITIONS, _R08_PRIORITY
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R07_PRIORITY
-    # the re-gates + this round's additions must lead, whatever lands
-    # later in the round
-    assert _R07_PRIORITY[:10] == [
-        "corpus_gini", "customer_pareto",
-        "orders_month_revenue", "emb_ivf_balance", "emb_band_occupancy",
-        "pack_efficiency_curve", "events_interarrival", "vocab_pmi",
-        "doc_chunk_dupmass", "split_leakage",
-    ]
+    assert list(q)[:50] == _R08_PRIORITY
+    # this round's additions must lead, whatever lands later in the round
+    assert _R08_PRIORITY[: len(_R08_ADDITIONS)] == _R08_ADDITIONS
+    # the remainder is the stale-row round-robin, oldest gate first
+    assert _R08_PRIORITY[len(_R08_ADDITIONS)] == "dedup_minhash_pairs"
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
