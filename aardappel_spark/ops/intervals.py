@@ -54,6 +54,13 @@ def interval_concurrency(
     then a single-partition cumulative window over the grid only —
     fine because the grid is O(time_range / bucket), independent of
     row count.
+
+    Raises ``ValueError`` on negative interval times: the ceil/floor
+    boundary identities above use truncating integer division, whose
+    ceil/floor correspondence only holds for non-negative operands —
+    pre-1970 epochs would silently return wrong active counts, so
+    misuse fails loudly instead (validated on the same 1-row min/max
+    agg that materializes the grid, no extra pass).
     """
     b = int(bucket)
 
@@ -78,13 +85,28 @@ def interval_concurrency(
         .groupBy("k")
         .agg(F.count("*").alias("ec"))
     )
-    grid = (
-        iv.agg(
-            F.expr(f"min(__s) div {b}").alias("k0"),
-            F.expr(f"(max(__e) + {b - 1}) div {b}").alias("k1"),
+    # 1-row agg doubles as the negative-time guard (the div identities
+    # above require non-negative operands; see docstring)
+    bounds = iv.agg(
+        F.min("__s").alias("s0"),
+        F.min("__e").alias("e0"),
+        F.max("__e").alias("e1"),
+    ).first()
+    if bounds["s0"] is None:  # empty input -> empty curve
+        return iv.select(
+            F.lit(0).cast("bigint").alias("boundary"),
+            F.lit(0).cast("bigint").alias("active"),
+        ).limit(0)
+    if bounds["s0"] < 0 or bounds["e0"] < 0:
+        raise ValueError(
+            "interval_concurrency requires non-negative interval times "
+            f"(got min start {bounds['s0']}, min end {bounds['e0']}): the "
+            "grid's truncating-div ceil/floor identities do not hold for "
+            "negative operands"
         )
-        .select(F.explode(F.sequence("k0", "k1")).alias("k"))
-    )
+    k0 = bounds["s0"] // b
+    k1 = (bounds["e1"] + b - 1) // b
+    grid = iv.sparkSession.range(k0, k1 + 1).select(F.col("id").alias("k"))
     g = (
         grid.join(sc, "k", "left")
         .join(ec, "k", "left")

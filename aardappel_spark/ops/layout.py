@@ -38,11 +38,32 @@ _ZONEMAP = "_zonemaps.json"
 def _grid_cols(df: DataFrame, dims: list[str], bits: int):
     """Normalize each clustering dimension to [0, 2^bits) against its
     observed min/max (one tiny stats pass — table stats at scale), and
-    return (projected df with g0..gk grid columns, bounds dict)."""
+    return (projected df with g0..gk grid columns, bounds dict).
+
+    Clustering dimensions must be integral columns: the grid mapping
+    uses truncating integer ``div`` on ``(value - lo) * cells``, which
+    is only the intended [0, 2^bits) binning for integer values —
+    validated here so a float/string dim fails loudly at the API
+    boundary instead of producing a silently skewed layout."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for d in dims:
+        dt = df.schema[d].dataType
+        if not isinstance(dt, integral):
+            raise ValueError(
+                f"clustering dimension {d!r} must be an integral column, "
+                f"got {dt.simpleString()}"
+            )
     aggs = []
     for d in dims:
         aggs += [F.min(d).alias(f"_lo_{d}"), F.max(d).alias(f"_hi_{d}")]
     row = df.agg(*aggs).first()
+    if any(row[f"_lo_{d}"] is None for d in dims):
+        raise ValueError(
+            "write_clustered: input table is empty (or a clustering "
+            "dimension is all-NULL) — no value range to lay out"
+        )
     bounds = {d: (row[f"_lo_{d}"], row[f"_hi_{d}"]) for d in dims}
     cells = 1 << bits
     out = df

@@ -150,6 +150,9 @@ _rotated = _R07_PRIORITY + [k for k in QUERIES if k not in set(_R07_PRIORITY)]
 # first, computed from the committed CORRECTNESS_r01..r07 artifacts) —
 # additions take slots first, stale rows fill the remainder.
 R08_ADDITION_NAMES: list[str] = [
+    # semantic change (r7 ADVICE): skew_ppm is exact max/mean again,
+    # computed in double — re-gate the round it changed
+    "events_key_skew",
 ]
 
 _R08_STALE: list[str] = [

@@ -1917,13 +1917,17 @@ def q_events_key_skew(spark, sf_dir):
         F.max("n").cast("bigint").alias("max_n"),
     ).selectExpr(
         "key_name", "n_keys", "total", "max_n",
-        # skew = max/mean in ppm, computed as 1e6*max_n div (total div
-        # n_keys) so the only product is 1e6*max_n: the naive
-        # 1e6*max_n*n_keys wraps silently in Spark (non-ANSI) while
-        # DuckDB raises — a cross-engine divergence class — once
-        # n_keys*max_n passes 9.2e12 (easily hit at 100 TB: 1e7 users
-        # x 1e6-row hot key). Remaining headroom bound: max_n < 9.2e12.
-        "(1000000 * max_n) div (total div n_keys) as skew_ppm",
+        # skew = max/mean in ppm. The naive BIGINT 1e6*max_n*n_keys
+        # wraps silently in Spark (non-ANSI) while DuckDB raises — a
+        # cross-engine divergence class — once n_keys*max_n passes
+        # 9.2e12 (easily hit at 100 TB: 1e7 users x 1e6-row hot key);
+        # the r7 truncate-the-mean-first workaround inflated small-mean
+        # skews up to ~2x. Computed in double instead (identical
+        # left-assoc IEEE ops in both engines, no overflow), rounded
+        # explicitly before the cast because DuckDB's double->BIGINT
+        # cast rounds while Spark's truncates.
+        "CAST(round((1000000.0 * max_n * n_keys) / total) AS BIGINT)"
+        " as skew_ppm",
         "(1000000 * max_n) div total as top1_share_ppm",
     )
 
@@ -2142,8 +2146,8 @@ SELECT key_name,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(n) AS BIGINT) AS total,
        CAST(max(n) AS BIGINT) AS max_n,
-       (1000000 * CAST(max(n) AS BIGINT))
-         // (CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT)) AS skew_ppm,
+       CAST(round((1000000.0 * CAST(max(n) AS BIGINT) * CAST(count(*) AS BIGINT))
+                  / CAST(sum(n) AS BIGINT)) AS BIGINT) AS skew_ppm,
        (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT) AS top1_share_ppm
 FROM counts GROUP BY key_name
 """

@@ -1800,6 +1800,21 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
     restarting from the checkpoint) composes to the identical result.
     Emits each batch's touched users with cumulative tallies (update
     mode); the corpus-level answer is the sum over users' latest rows.
+
+    PRECONDITION — per-user event-time-ordered delivery: unlike the
+    LWW/position-guarded CDC and join-view twins, the fold is
+    attribute-on-arrival, so batch parity holds only when each user's
+    events arrive in (ts, event_id) order ACROSS batches (within a
+    batch they are sorted before folding). A late touch or purchase —
+    event-time earlier than rows already folded in a prior batch —
+    would be folded at arrival position and silently mis-attribute,
+    and the cumulative tallies cannot be reconciled after the fact.
+    That matches the CDC source this twin is fed from (the reader
+    drains partitions in offset order and events carry
+    monotonically-assigned ids); feeding an out-of-order source
+    requires buffering each user's events behind a watermark before
+    the fold, which this operator deliberately does not do (it would
+    add O(lateness-window) state per user).
     """
     from pyspark.sql import functions as F
 

@@ -269,3 +269,23 @@ def test_label_propagation_matches_python_model(spark):
             for n in adj
         }
     assert got == lab
+
+
+def test_interval_concurrency_rejects_negative_times(spark):
+    """Pre-1970 interval times would break the truncating-div
+    ceil/floor identities and silently return wrong counts — the
+    operator must refuse loudly instead (r7 ADVICE)."""
+    df = spark.createDataFrame([(-100, 200), (0, 300)], "s long, e long")
+    with pytest.raises(ValueError, match="non-negative"):
+        interval_concurrency(df, "s", "e", 100)
+    # negative end alone must also refuse
+    df2 = spark.createDataFrame([(10, -5)], "s long, e long")
+    with pytest.raises(ValueError, match="non-negative"):
+        interval_concurrency(df2, "s", "e", 100)
+
+
+def test_interval_concurrency_empty_input(spark):
+    df = spark.createDataFrame([], "s long, e long")
+    out = interval_concurrency(df, "s", "e", 100)
+    assert out.columns == ["boundary", "active"]
+    assert out.count() == 0

@@ -83,3 +83,16 @@ def test_hilbert_key_matches_registry_walk(spark):
         for r in _with_curve_key(df, "hilbert", 8).collect()
     }
     assert got == {(a, b): xy2d(a, b) for a, b in pts}
+
+
+def test_write_clustered_rejects_empty_and_nonintegral(spark, tmp_path):
+    """Empty input has no value range to lay out, and float dims would
+    silently skew the truncating-div grid — both must refuse loudly
+    (r7 ADVICE)."""
+    empty = _table(spark).limit(0)
+    with pytest.raises(ValueError, match="empty"):
+        write_clustered(empty, str(tmp_path / "e"), dims=["user_id", "day"])
+    with pytest.raises(ValueError, match="integral"):
+        write_clustered(
+            _table(spark), str(tmp_path / "f"), dims=["user_id", "value"]
+        )
