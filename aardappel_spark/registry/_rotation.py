@@ -153,6 +153,9 @@ R08_ADDITION_NAMES: list[str] = [
     # semantic change (r7 ADVICE): skew_ppm is exact max/mean again,
     # computed in double — re-gate the round it changed
     "events_key_skew",
+    # real multimodal decode (r7 verdict #2): BMP/PPM/WAV header parse
+    # over genuine container bytes, oracle re-decodes the same blobs
+    "multimodal_decode",
 ]
 
 _R08_STALE: list[str] = [
