@@ -131,8 +131,13 @@ PROBE_QUERIES = [
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
 # x10) get a second, 100x point: if any had a hidden super-linear term,
-# x100 is where it shows (and where spill-thrash would start)
-X100_QUERIES = ["corpus_dsir", "doc_boilerplate", "cdc_apply"]
+# x100 is where it shows (and where spill-thrash would start). r8 adds
+# the headline pipeline operators (r7 verdict #4) — the 100 TB claim
+# rests on the x100 shape more than the x10 one.
+X100_QUERIES = [
+    "corpus_dsir", "doc_boilerplate", "cdc_apply",
+    "dedup_minhash_pairs", "dq_constraints", "sessions_concurrency",
+]
 
 # measured at FIXED parameters although the production dial scales with
 # N: LSH candidate mass is ~N²/2^bits at fixed band bits (the kNN graph
@@ -242,6 +247,12 @@ def run_probe(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, f
 
 
 def main() -> None:
+    global PROBE_QUERIES, X100_QUERIES
+    only = os.environ.get("SCALE_PROBE_ONLY", "")
+    if only:  # smoke/debug: probe a subset, e.g. SCALE_PROBE_ONLY=tpch_q1,cdc_apply
+        keep = set(only.split(","))
+        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in keep]
+        X100_QUERIES = [q for q in X100_QUERIES if q in keep]
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     root = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe"
@@ -352,56 +363,179 @@ def main() -> None:
         ),
     }
 
-    # same demonstration for the two consumers of banded candidates that
-    # still carried only the fixed-parameter annotation: PageRank on the
-    # occupancy-constant graph (same iteration kernel as the gated
-    # query, via ops.graph.pagerank_fixed_point) and the similarity
-    # histogram at occupancy-constant bits
-    from aardappel_spark.ops.graph import pagerank_fixed_point
+    # DECOMPOSED demonstration for every consumer of the shared banded
+    # kNN graph (r7 verdict #1): build the occupancy-constant graph
+    # (band_bits 4 -> 4+log2(N)) ONCE per factor, time the build as its
+    # own row, then time each consumer's OWN leg on the materialized
+    # edges — so the probe shows directly that PageRank, the triangle
+    # census, LPA, the hubness census and the assortativity stats are
+    # linear in edges, and every FUTURE consumer of the graph inherits
+    # the demonstration instead of re-annotating fixed-parameter rows.
+    from aardappel_spark.ops.graph import (
+        label_propagation,
+        pagerank_fixed_point,
+        triangle_stats,
+    )
     from aardappel_spark.ops.similarity import cosine_neardup_lsh
 
-    def pagerank_dialed(sf_dir, factor):
-        bits = 4 + max(0, int(round(math.log2(factor))))
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        edges = (
-            knn_graph_banded(emb, k=5, n_bands=12, band_bits=bits)
-            .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
-            .localCheckpoint(eager=False)
-        )
+    def dialed_bits(factor):
+        return 4 + max(0, int(round(math.log2(factor))))
+
+    def graph_consumers(emb, edges):
         nodes = emb.select("vec_id")
-        return pagerank_fixed_point(nodes, edges, nodes.count(), iters=3)
 
-    def sim_histogram_dialed(sf_dir, factor):
-        bits = 4 + max(0, int(round(math.log2(factor))))
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        pairs = cosine_neardup_lsh(emb, threshold=-1.0, bits=bits)
-        b = F.floor(F.col("sim") * 20).cast("bigint")
-        return pairs.groupBy(b.alias("bin")).agg(F.count("*").alias("n_pairs"))
+        def pagerank():
+            return pagerank_fixed_point(nodes, edges, nodes.count(), iters=3)
 
-    for dname, fn, fixed_row in (
-        ("graph_pagerank_dialed", pagerank_dialed, "graph_pagerank"),
-        ("emb_sim_histogram_dialed", sim_histogram_dialed, "emb_sim_histogram"),
-    ):
-        dd = {}
-        for factor in (1, n):
+        def triangles():
+            return triangle_stats(edges)
+
+        def communities():
+            lab = label_propagation(edges, iters=3)
+            sizes = lab.groupBy("label").agg(F.count("*").alias("sz"))
+            return sizes.groupBy("sz").agg(F.count("*").alias("n_communities"))
+
+        def hubness():
+            ind = (
+                edges.groupBy("dst")
+                .agg(F.count("*").alias("in_deg"))
+                .localCheckpoint()
+            )
+            hist = ind.groupBy("in_deg").agg(F.count("*").alias("n_vecs"))
+            nz = ind.agg(F.count("*").alias("nz"))
+            zero = (
+                emb.agg(F.count("*").alias("t"))
+                .crossJoin(nz)
+                .select(
+                    F.lit(0).alias("in_deg"),
+                    (F.col("t") - F.col("nz")).alias("n_vecs"),
+                )
+                .filter(F.col("n_vecs") > 0)
+            )
+            return hist.unionByName(zero)
+
+        def assortativity():
+            und = (
+                edges.filter(F.col("src") != F.col("dst"))
+                .select(
+                    F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"),
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            deg = (
+                und.select(F.col("u").alias("node"))
+                .unionAll(und.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+                .localCheckpoint()
+            )
+            ed = und.join(
+                deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u"
+            ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+            return ed.agg(
+                F.count("*").alias("n_edges"),
+                F.sum(F.col("da") + F.col("db")).alias("sum_d"),
+                F.sum(2 * F.col("da") * F.col("db")).alias("sum_dxy"),
+                F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias(
+                    "sum_d2"
+                ),
+            )
+
+        return {
+            "graph_pagerank_dialed": pagerank,
+            "graph_triangles_dialed": triangles,
+            "graph_communities_dialed": communities,
+            "emb_hubness_dialed": hubness,
+            "graph_assortativity_dialed": assortativity,
+        }
+
+    build_t = {}
+    consumer_t: dict[str, dict[int, float]] = {}
+    for factor in (1, n):
+        emb = spark.read.parquet(f"{dirs[factor]}/embeddings.parquet")
+        best_build, edges = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            edges = (
+                knn_graph_banded(
+                    emb, k=5, n_bands=12, band_bits=dialed_bits(factor)
+                )
+                .select(
+                    F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+                )
+                .localCheckpoint()  # eager: the build leg ends here
+            )
+            best_build = min(best_build, time.perf_counter() - t0)
+        build_t[factor] = round(best_build, 2)
+        print(
+            f"#   knn_graph_build_dialed x{factor}: {build_t[factor]}s",
+            file=sys.stderr,
+        )
+        for cname, thunk in graph_consumers(emb, edges).items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(dirs[factor], factor).collect()
+                thunk().collect()
                 best = min(best, time.perf_counter() - t0)
-            dd[factor] = round(best, 2)
-            print(f"#   {dname} x{factor}: {dd[factor]}s", file=sys.stderr)
-        results["queries"][dname] = {
+            consumer_t.setdefault(cname, {})[factor] = round(best, 2)
+            print(f"#   {cname} x{factor}: {best:.2f}s", file=sys.stderr)
+
+    results["queries"]["knn_graph_build_dialed"] = {
+        "t_x1_sec": build_t[1],
+        f"t_x{n}_sec": build_t[n],
+        "ratio": round(build_t[n] / max(build_t[1], 0.01), 2),
+        "linear_or_better": build_t[n] / max(build_t[1], 0.01) <= n * 1.2,
+        "note": (
+            "the SHARED banded kNN graph build at occupancy-constant "
+            "band bits (4 -> 4+log2(N)), materialized via checkpoint — "
+            "the build leg every *_dialed consumer row below excludes"
+        ),
+    }
+    for cname, dd in consumer_t.items():
+        results["queries"][cname] = {
             "t_x1_sec": dd[1],
             f"t_x{n}_sec": dd[n],
             "ratio": round(dd[n] / max(dd[1], 0.01), 2),
             "linear_or_better": dd[n] / max(dd[1], 0.01) <= n * 1.2,
             "note": (
-                "band bits raised 4 -> 4+log2(N) at xN (occupancy-"
-                "constant): the production dial the fixed-parameter "
-                f"{fixed_row} row documents"
+                "consumer leg ONLY, on the materialized occupancy-"
+                "constant graph (build timed separately as "
+                "knn_graph_build_dialed) — demonstrates the consumer "
+                "is linear in edges"
             ),
         }
+
+    # the similarity histogram consumes the banded PAIRS (with sims),
+    # not the kNN edge list — its dialed row stays build-inclusive,
+    # same as r6/r7
+    def sim_histogram_dialed(sf_dir, factor):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = cosine_neardup_lsh(emb, threshold=-1.0, bits=dialed_bits(factor))
+        b = F.floor(F.col("sim") * 20).cast("bigint")
+        return pairs.groupBy(b.alias("bin")).agg(F.count("*").alias("n_pairs"))
+
+    dd = {}
+    for factor in (1, n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sim_histogram_dialed(dirs[factor], factor).collect()
+            best = min(best, time.perf_counter() - t0)
+        dd[factor] = round(best, 2)
+        print(f"#   emb_sim_histogram_dialed x{factor}: {dd[factor]}s", file=sys.stderr)
+    results["queries"]["emb_sim_histogram_dialed"] = {
+        "t_x1_sec": dd[1],
+        f"t_x{n}_sec": dd[n],
+        "ratio": round(dd[n] / max(dd[1], 0.01), 2),
+        "linear_or_better": dd[n] / max(dd[1], 0.01) <= n * 1.2,
+        "note": (
+            "band bits raised 4 -> 4+log2(N) at xN (occupancy-"
+            "constant): the production dial the fixed-parameter "
+            "emb_sim_histogram row documents (build-inclusive)"
+        ),
+    }
 
     big = int(os.environ.get("SCALE_PROBE_BIG", "100"))
     if big > n:
@@ -418,6 +552,66 @@ def main() -> None:
             r[f"ratio_x{big}"] = ratio_big
             r[f"linear_or_better_x{big}"] = ratio_big <= big * 1.2
         results["x_big"] = big
+
+        # x100 points for the two DIALED operators whose production
+        # configuration scales a parameter with N: the occupancy-
+        # constant kNN graph build (band bits 4 -> 4+log2(100) ~= 11)
+        # and SemDeDup with n_centroids ∝ N (within-cluster pair mass
+        # stays ∝ N; fixed 16 centroids would be the documented
+        # quadratic misconfiguration, not growth)
+        from aardappel_spark.ops.similarity import cosine, ivf_build
+
+        def knn_build_at(sf_dir, factor):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            return knn_graph_banded(
+                emb, k=5, n_bands=12, band_bits=dialed_bits(factor)
+            )
+
+        def semantic_dedup_at(sf_dir, factor):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            assigned, _ = ivf_build(
+                emb, n_centroids=16 * factor, refine_iters=1
+            )
+            a = assigned.select(
+                F.col("_c").alias("cid"), F.col("_id").alias("id_a"),
+                F.col("_v").alias("va"),
+            )
+            b = assigned.select(
+                F.col("_c").alias("cid"), F.col("_id").alias("id_b"),
+                F.col("_v").alias("vb"),
+            )
+            return (
+                a.join(b, "cid")
+                .filter(F.col("id_b") < F.col("id_a"))
+                .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+                .groupBy("id_a")
+                .agg(F.min("id_b").alias("dup_of"))
+            )
+
+        for dname, fn in (
+            ("emb_knn_graph_dialed", knn_build_at),
+            ("semantic_dedup_dialed", semantic_dedup_at),
+        ):
+            dd = {}
+            for factor in (1, big):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(dirs.get(factor, d_big), factor).collect()
+                    best = min(best, time.perf_counter() - t0)
+                dd[factor] = round(best, 2)
+                print(f"#   {dname} x{factor}: {dd[factor]}s", file=sys.stderr)
+            row = results["queries"].setdefault(dname, {"t_x1_sec": dd[1]})
+            row[f"t_x{big}_dialed_sec"] = dd[big]
+            row["t_x1_dialed_sec"] = dd[1]
+            row[f"ratio_x{big}"] = round(dd[big] / max(dd[1], 0.01), 2)
+            row[f"linear_or_better_x{big}"] = (
+                dd[big] / max(dd[1], 0.01) <= big * 1.2
+            )
+            row["note_x100"] = (
+                "parameter dialed with N (band bits +log2(N) / "
+                "n_centroids x N): the production configuration"
+            )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
