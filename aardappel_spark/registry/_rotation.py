@@ -156,6 +156,9 @@ R08_ADDITION_NAMES: list[str] = [
     # real multimodal decode (r7 verdict #2): BMP/PPM/WAV header parse
     # over genuine container bytes, oracle re-decodes the same blobs
     "multimodal_decode",
+    # IVM third act (r7 verdict #7): batch recompute of the maintained
+    # top-k view (MaterializedTopKState's reconciliation query)
+    "cdc_view_topk",
 ]
 
 _R08_STALE: list[str] = [

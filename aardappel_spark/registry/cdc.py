@@ -153,3 +153,51 @@ FROM ev e JOIN h ON (e.user_id % 8) = h.p
 WHERE e.step < h.step OR (e.step = h.step AND e.txid < h.txid)
 """
 )
+
+
+def q_cdc_view_topk(spark, sf_dir):
+    """Top-k view over the LWW-compacted CDC state — the batch
+    recompute of the maintained top-k IVM view
+    (stateful.MaterializedTopKState consumes streaming_agg_deltas and
+    re-selects from the full per-group aggregate; this query IS that
+    reconciliation recompute, driver-gated). From the compacted
+    per-user merge (cdc_compact_merge: final 'value' column of users
+    whose final op is update), group users by user_id % 16, sum
+    half-up cents (fixed-point BIGINT — no float crosses the hash),
+    and take the top 5 groups in the SAME total deterministic order
+    topk() uses: (sum DESC, grp ASC), so ties cannot differ between
+    engines or across a restart."""
+    m = cdc.q_compact_merge(spark, sf_dir)
+    per = (
+        m.filter(F.col("col_name") == "value")
+        .filter(F.col("col_value").isNotNull())
+        .select(
+            F.pmod(F.col("user_id"), F.lit(16)).cast("bigint").alias("grp"),
+            F.expr(
+                "CAST(round(CAST(col_value AS DOUBLE) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    g = per.groupBy("grp").agg(
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    return g.orderBy(F.col("sum_cents").desc(), F.col("grp").asc()).limit(5)
+
+
+QUERIES["cdc_view_topk"] = q_cdc_view_topk
+
+# composed verbatim from the gated compact-merge oracle (same pattern
+# as dedup_cc_stats / retrieval_hybrid_rrf)
+ORACLES["cdc_view_topk"] = f"""
+SELECT grp, sum_cents, n_keys FROM (
+  SELECT user_id % 16 AS grp,
+         CAST(sum(CAST(round(CAST(col_value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM ({ORACLES["cdc_compact_merge"].strip()}) m
+  WHERE col_name = 'value' AND col_value IS NOT NULL
+  GROUP BY 1
+)
+ORDER BY sum_cents DESC, grp ASC LIMIT 5
+"""

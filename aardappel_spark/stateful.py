@@ -1542,6 +1542,64 @@ class MaterializedAggState:
         self._os.replace(tmp, self.path)
         return True
 
+class MaterializedTopKState(MaterializedAggState):
+    """Maintained TOP-K view over the delta stream — the third IVM act
+    after the grouped aggregate (``streaming_agg_deltas``) and the
+    joined view (``streaming_join_view_deltas``), consuming the SAME
+    ``MATAGG_OUTPUT_SCHEMA`` deltas.
+
+    The textbook subtlety: top-k is NOT self-maintainable under
+    deletions — a retraction that demotes a top-k member needs the
+    (k+1)th group, which a top-k-only state has already discarded
+    (Gupta & Mumick's classic IVM taxonomy). The correct fix at
+    warehouse scale is exactly what the base class already provides:
+    the maintained state is the FULL per-group aggregate (one row per
+    group — catalog-sized, orders of magnitude below the key space the
+    deltas compress away), and ``topk()`` re-selects from it after
+    each delta fold. Selection is O(groups) with a k-heap, no base
+    table is ever rescanned, and deletions/group-moves are just
+    retract-add pairs folding through — so the view is correct under
+    ANY delete pattern, not only ones that never touch the top.
+
+    Ordering is total and deterministic: (sum DESC, grp ASC), so two
+    engines (or a restart replaying from the JSON snapshot) produce
+    the identical list, ties included."""
+
+    def __init__(self, path: str, k: int = 10):
+        super().__init__(path)
+        self.k = int(k)
+
+    def topk(self) -> list[tuple[str, float, int]]:
+        import heapq
+
+        return [
+            (g, s, n)
+            for (s, _neg_g, g, n) in heapq.nlargest(
+                self.k,
+                (
+                    (s, _NegStr(g), g, n)
+                    for g, (s, n) in self.groups.items()
+                ),
+            )
+        ]
+
+
+class _NegStr:
+    """Inverts string comparison so heapq.nlargest on (sum, _NegStr(g))
+    yields sum DESC, grp ASC — a total deterministic order."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other):  # reversed
+        return self.s > other.s
+
+    def __eq__(self, other):
+        return self.s == other.s
+
+
 # ---------------------------------------------------------------------------
 # IVM over a JOINED view: orders-side ⋈ items-side grouped aggregate
 # ---------------------------------------------------------------------------

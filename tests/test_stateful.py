@@ -1620,3 +1620,138 @@ def test_streaming_dq_counters_match_batch_gate(spark, tmp_path):
     # the counters saw real violations, not a vacuous pass
     assert latest["type_domain"][1] == 2  # error + signup
     assert latest["value_bounds"][1] == 3  # 101.0, NULL, -1.0
+
+
+def test_materialized_topk_handles_demoting_deletion(spark, tmp_path):
+    """Top-k is not self-maintainable under deletions — a retraction
+    that demotes a top-k member needs the (k+1)th group. The maintained
+    state is the full per-group aggregate, so the erase of the leading
+    group's only key must surface the PREVIOUSLY-INVISIBLE third group
+    into the top-2, and a group move must re-rank, all across restarts
+    (a fresh reader per batch)."""
+    from aardappel_spark.stateful import (
+        MaterializedTopKState,
+        streaming_agg_deltas,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "topk.json")
+    os.makedirs(src, exist_ok=True)
+
+    batches = [
+        # A=100(a1), B=50(b1), C=30(c1): top2 = [A, B]
+        [("a1", "A", 100.0, "upsert", 1, 1),
+         ("b1", "B", 50.0, "upsert", 1, 2),
+         ("c1", "C", 30.0, "upsert", 1, 3)],
+        # erase a1: A vanishes -> top2 must become [B, C] (C was
+        # outside the top-2 before the deletion)
+        [("a1", None, None, "erase", 2, 1)],
+        # b1 moves B->C: C=80, B gone -> top2 = [C]
+        [("b1", "C", 50.0, "upsert", 3, 1)],
+    ]
+    schema = "key string, grp string, value double, op string, step long, tx_id long"
+    expected = [
+        [("A", 100.0, 1), ("B", 50.0, 1)],
+        [("B", 50.0, 1), ("C", 30.0, 1)],
+        [("C", 80.0, 2)],
+    ]
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for k, g, v, op, s, t in batch:
+                f.write(json.dumps({"key": k, "grp": g, "value": v,
+                                    "op": op, "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+
+        def sink(df, bid):
+            st = MaterializedTopKState(path, k=2)  # restart per batch
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_agg_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert MaterializedTopKState(path, k=2).topk() == expected[bi], bi
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_materialized_topk_random_fuzz(spark, tmp_path, seed):
+    """Randomized maintained-top-k fuzz: random upserts/erases/group
+    moves with duplicate redelivery across random micro-batch splits
+    and a restart per batch — after the stream drains, topk() must
+    equal the python model's (sum DESC, grp ASC) head over the LWW
+    survivors, ties and deletions included."""
+    import random
+
+    from aardappel_spark.stateful import (
+        MaterializedTopKState,
+        streaming_agg_deltas,
+    )
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(12)]
+    groups = ["A", "B", "C", "D", "E"]
+    positions = rng.sample(range(1, 700), 90)
+    ops = []
+    for pos in positions:
+        k = rng.choice(keys)
+        if rng.random() < 0.2:
+            ops.append((k, None, None, "erase", pos, pos * 11 % 89))
+        else:
+            # integer-valued doubles: exact retract-add folding
+            ops.append((k, rng.choice(groups), float(rng.randint(1, 40)),
+                        "upsert", pos, pos * 11 % 89))
+    arrival = ops[:]
+    rng.shuffle(arrival)
+    for d in rng.sample(arrival, 18):
+        arrival.insert(rng.randint(0, len(arrival)), d)
+    cuts = sorted(rng.sample(range(1, len(arrival)), 4))
+    batches = [arrival[a:b] for a, b in zip([0] + cuts, cuts + [len(arrival)])]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "topk.json")
+    os.makedirs(src, exist_ok=True)
+    schema = "key string, grp string, value double, op string, step long, tx_id long"
+    for bi, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.jsonl"), "w") as f:
+            for k, g, v, op, s, t in batch:
+                f.write(json.dumps({"key": k, "grp": g, "value": v,
+                                    "op": op, "step": s, "tx_id": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+
+        def sink(df, bid):
+            st = MaterializedTopKState(path, k=3)
+            st.apply_deltas([r.asDict() for r in df.collect()], bid)
+
+        q = (
+            streaming_agg_deltas(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # python model: LWW fold, group, total-order head
+    lww = {}
+    for k, g, v, op, s, t in ops:
+        if k not in lww or (s, t) > lww[k][:2]:
+            lww[k] = (s, t, g, v, op)
+    model = {}
+    for _, _, g, v, op in lww.values():
+        if op == "erase":
+            continue
+        sm, n = model.get(g, (0.0, 0))
+        model[g] = (sm + v, n + 1)
+    want = sorted(
+        ((g, s, n) for g, (s, n) in model.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:3]
+    assert MaterializedTopKState(path, k=3).topk() == want, seed
