@@ -159,6 +159,16 @@ R08_ADDITION_NAMES: list[str] = [
     # IVM third act (r7 verdict #7): batch recompute of the maintained
     # top-k view (MaterializedTopKState's reconciliation query)
     "cdc_view_topk",
+    # r8 batch 2: winnowing fingerprints (Schleimer et al.), injected
+    # code-vs-prose detector, injected URL/domain provenance census
+    "doc_winnowing", "text_code_detect", "doc_domain_stats",
+    # r8 batch 3: tokenizer coverage curve, sliding-window chunk
+    # accounting, behavioral entropy cohorts, revenue-mix shift
+    "corpus_ngram_coverage", "chunk_sliding", "events_user_entropy",
+    "orders_mix_shift",
+    # r8 batch 4: grid-quantization occupancy, undirected degree census,
+    # wire-level tx shape census
+    "emb_grid_cells", "graph_degree_hist", "cdc_tx_stats",
 ]
 
 _R08_STALE: list[str] = [

@@ -1584,3 +1584,46 @@ SELECT CAST(m AS INTEGER) AS m, n_vecs, n_codes_used, max_code_n, min_code_n,
        (1000000 * max_code_n) // n_vecs AS max_share_ppm
 FROM g
 """
+
+
+def q_emb_grid_cells(spark, sf_dir):
+    """Grid-quantization occupancy census — the spatial-binning
+    observable behind coarse-grid dedup and cell-bucketed ANN: quantize
+    the first 4 embedding dimensions to a 0.1 grid (round(x*10), a
+    row-local projection), group vectors by cell, and report the cell
+    OCCUPANCY histogram (cell_size, n_cells). A heavy tail here means
+    grid cells are too coarse for cell-local dedup (same story
+    emb_band_occupancy tells for LSH bands); the dial is the
+    resolution and the dim count. One hash-agg on the cell key; at
+    100 TB the cell key is a 4-int tuple — tiny shuffle rows. Exact
+    BIGINT everywhere; round-before-cast on both engines (DuckDB casts
+    round, Spark casts truncate — the r5 pitfall class)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cell = F.expr(
+        "array_join(transform(slice(cast(embedding as array<double>), 1, 4),"
+        " x -> cast(cast(round(x * 10) as bigint) as string)), ',')"
+    )
+    per_cell = emb.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count("*").alias("cell_size")
+    )
+    return (
+        per_cell.groupBy("cell_size")
+        .agg(F.count("*").cast("bigint").alias("n_cells"))
+        .select(F.col("cell_size").cast("bigint").alias("cell_size"), "n_cells")
+    )
+
+
+QUERIES["emb_grid_cells"] = q_emb_grid_cells
+
+ORACLES["emb_grid_cells"] = """
+WITH per_cell AS (
+  SELECT array_to_string(list_transform(list_slice(embedding, 1, 4),
+           x -> CAST(CAST(round(x::DOUBLE * 10) AS BIGINT) AS VARCHAR)), ',')
+           AS cell,
+         count(*) AS cell_size
+  FROM embeddings GROUP BY 1
+)
+SELECT CAST(cell_size AS BIGINT) AS cell_size,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM per_cell GROUP BY cell_size
+"""

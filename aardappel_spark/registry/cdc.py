@@ -201,3 +201,46 @@ SELECT grp, sum_cents, n_keys FROM (
 )
 ORDER BY sum_cents DESC, grp ASC LIMIT 5
 """
+
+
+def q_cdc_tx_stats(spark, sf_dir):
+    """Wire-level transaction shape census (§2.8 surface): per (op,
+    column-arity) cell, transaction count and distinct keys — the
+    operational view that says what the CDC stream is made of (erases
+    carry 0 columns; the wire mapping gives click/view updates 2
+    columns, purchase/signup 1). Runs on the SAME parsed frame every
+    cdc query shares (parsed_messages cache) — one hash-agg over
+    (op, size(columns)), nothing else. The oracle replays the arity
+    from the wire-construction rule itself, so a mapping drift breaks
+    the gate."""
+    from .. import cdc_queries as _cdcq
+    from ..parse import split_events
+
+    ev = split_events(_cdcq.parsed_messages(spark, sf_dir))
+    return (
+        ev.groupBy("op", F.size("columns").alias("n_cols"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tx"),
+            F.countDistinct(F.element_at("key", 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_keys"),
+        )
+        .select("op", F.col("n_cols").cast("bigint").alias("n_cols"),
+                "n_tx", "n_keys")
+    )
+
+
+QUERIES["cdc_tx_stats"] = q_cdc_tx_stats
+
+ORACLES["cdc_tx_stats"] = (
+    _CDC_CTE
+    + """
+SELECT op,
+       CAST(CASE WHEN op = 'erase' THEN 0
+                 WHEN event_type IN ('click', 'view') THEN 2
+                 ELSE 1 END AS BIGINT) AS n_cols,
+       CAST(count(*) AS BIGINT) AS n_tx,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM ev GROUP BY 1, 2
+"""
+)

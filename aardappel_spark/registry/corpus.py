@@ -1764,3 +1764,143 @@ SELECT i.source_a, i.source_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
 FROM i JOIN sz na ON i.source_a = na.source
        JOIN sz nb ON i.source_b = nb.source
 """
+
+
+def q_corpus_ngram_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-budget dial: what
+    fraction of the corpus token MASS do the top-k vocabulary entries
+    cover (k = 8/16/32 here; 32k/64k/128k in a real tokenizer build)?
+    Shape for 100 TB: one token hash-agg, a 1-row total, and a
+    DISTRIBUTED top-k (orderBy+limit = TakeOrdered partial top-k per
+    partition, never a global sort of the vocabulary) feeding a
+    window over only max(k) rows — so the single-partition cumulative
+    window is over 32 rows regardless of corpus size. Ties broken
+    totally by (count DESC, token ASC); everything BIGINT."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(32)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("rk").isin(8, 16, 32))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "CAST(rk AS BIGINT) as k",
+            "CAST(cum AS BIGINT) as covered_tokens",
+            "total",
+            "(1000000 * cum) div total as coverage_ppm",
+        )
+    )
+
+
+QUERIES["corpus_ngram_coverage"] = q_corpus_ngram_coverage
+
+ORACLES["corpus_ngram_coverage"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token) AS rk,
+         sum(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT CAST(rk AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+       total.total, (1000000 * CAST(cum AS BIGINT)) // total.total
+         AS coverage_ppm
+FROM ranked, total WHERE rk IN (8, 16, 32)
+"""
+
+
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking accounting — the context-window packing
+    knob with OVERLAP (stride < size keeps boundary context, the
+    standard RAG/pretraining chunker): size 32 tokens, stride 24, so
+    consecutive chunks share 8 tokens. Pure row-local integer
+    arithmetic (n_chunks = 1 + ceil((L-32)/24) for L > 32, chunk i
+    covers min(32, L - 24*i) tokens) fanned out by a sequence explode;
+    reports per source the chunk count, emitted token mass, corpus
+    token mass and the duplication factor in ppm (emitted/corpus —
+    the storage overhead the overlap buys). Scales: explode fan-out is
+    ~L/24 per doc, one hash-agg by source."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("L"),
+    ).filter(F.col("L") > 0)
+    fan = base.select(
+        "source",
+        "L",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("L") <= 32, F.lit(0)).otherwise(
+                    F.expr("(L - 32 + 23) div 24")
+                ),
+            )
+        ).alias("ci"),
+    )
+    per_chunk = fan.select(
+        "source",
+        F.least(F.lit(32), F.col("L") - 24 * F.col("ci")).alias("clen"),
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("clen").cast("bigint").alias("emitted_tokens"),
+        )
+        .join(
+            base.groupBy("source").agg(
+                F.sum("L").cast("bigint").alias("corpus_tokens")
+            ),
+            "source",
+        )
+        .selectExpr(
+            "source", "n_chunks", "emitted_tokens", "corpus_tokens",
+            "(1000000 * emitted_tokens) div corpus_tokens as duplication_ppm",
+        )
+    )
+
+
+QUERIES["chunk_sliding"] = q_chunk_sliding
+
+ORACLES["chunk_sliding"] = """
+WITH base AS (
+  SELECT source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS L
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+fan AS (
+  SELECT source, L, unnest(generate_series(0,
+           CASE WHEN L <= 32 THEN 0 ELSE (L - 32 + 23) // 24 END)) AS ci
+  FROM base
+),
+per_chunk AS (
+  SELECT source, least(32, L - 24 * ci) AS clen FROM fan
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(clen) AS BIGINT) AS emitted_tokens
+  FROM per_chunk GROUP BY source
+),
+corp AS (
+  SELECT source, CAST(sum(L) AS BIGINT) AS corpus_tokens
+  FROM base GROUP BY source
+)
+SELECT a.source, a.n_chunks, a.emitted_tokens, c.corpus_tokens,
+       (1000000 * a.emitted_tokens) // c.corpus_tokens AS duplication_ppm
+FROM agg a JOIN corp c USING (source)
+"""

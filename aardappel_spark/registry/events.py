@@ -2875,3 +2875,52 @@ SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, dau, new_users,
        (1000000 * new_users) // dau AS new_ppm
 FROM g
 """
+
+
+def q_events_user_entropy(spark, sf_dir):
+    """Behavioral predictability census: Shannon entropy of each user's
+    event-type distribution, reported as per-source... per-TYPE-COUNT
+    cohort means — users seen with 1 distinct type have H=0, the
+    5-type cohort approaches ln(5). Output per n_types cohort:
+    n_users and the cohort mean entropy rounded to 6 (a corpus-level
+    float aggregate over ~1e1 cohorts — the sanctioned small hash
+    surface; all counts BIGINT). Shape: one (user, type) hash-agg, one
+    per-user entropy fold (H = ln(n) - sum(c*ln(c))/n over integer
+    counts), one cohort agg — two exchanges total, no window."""
+    ev = load_events_ns(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    per_user = ut.groupBy("user_id").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    h = F.log(F.col("n")) - F.col("clogc") / F.col("n")
+    return (
+        per_user.select("n_types", h.alias("h"))
+        .groupBy("n_types")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("h"), 6).alias("mean_entropy"),
+        )
+        .select(F.col("n_types").cast("bigint").alias("n_types"),
+                "n_users", "mean_entropy")
+    )
+
+
+QUERIES["events_user_entropy"] = q_events_user_entropy
+
+ORACLES["events_user_entropy"] = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, count(*) AS n_types, sum(c) AS n,
+         sum(c * ln(c)) AS clogc
+  FROM ut GROUP BY user_id
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(ln(n) - clogc / n), 6) AS mean_entropy
+FROM per_user GROUP BY n_types
+"""

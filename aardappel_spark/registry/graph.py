@@ -280,3 +280,59 @@ SELECT n_edges, sum_d, sum_dxy, sum_d2,
        END END AS assortativity
 FROM st
 """
+
+
+def q_graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the undirected kNN similarity graph —
+    the first plot anyone makes of a graph, completing the family
+    (hubness covers the DIRECTED in-degree; this is the undirected
+    census the communities/assortativity math runs on). Same shared
+    banded kNN edges, same least/greatest dedup as graph_triangles;
+    then two integer hash-aggs: degree per node, nodes per degree.
+    Linear in edges — and covered by the decomposed dialed probe like
+    every other consumer of the shared graph."""
+    knn = q_emb_knn_graph(spark, sf_dir)
+    # barrier: the degree union consumes the edge list twice; without
+    # it the banded top-k window subtree re-executes per leg (the same
+    # checkpoint graph_assortativity carries)
+    und = (
+        knn.filter(F.col("vec_id") != F.col("neighbor"))
+        .select(
+            F.least("vec_id", "neighbor").alias("u"),
+            F.greatest("vec_id", "neighbor").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+    )
+
+
+QUERIES["graph_degree_hist"] = q_graph_degree_hist
+
+# composed verbatim from the gated kNN-graph oracle, same und/deg CTEs
+# as graph_triangles/graph_assortativity
+ORACLES["graph_degree_hist"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""

@@ -653,3 +653,69 @@ SELECT o_orderpriority,
        CAST(max(gap) AS BIGINT) AS max_days
 FROM cum GROUP BY o_orderpriority
 """
+
+
+def q_orders_mix_shift(spark, sf_dir):
+    """Month-over-month revenue-mix shift by order priority — the
+    sales-mix drilldown every revenue dashboard carries: per (month,
+    priority), revenue share of the month in ppm and the delta vs the
+    prior month (share - lag(share)), so a priority segment gaining or
+    losing share is one filtered read. All money is half-up cents
+    BIGINT; shares are integer ppm via div; the lag window partitions
+    by priority and orders by month — grid-sized (months x 5
+    priorities), never data-sized, after one fact-table hash-agg."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+            F.expr(
+                "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("month", "o_orderpriority")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    tot = m.groupBy("month").agg(
+        F.sum("rev_cents").cast("bigint").alias("month_cents")
+    )
+    shares = m.join(tot, "month").selectExpr(
+        "month", "o_orderpriority as priority", "rev_cents",
+        "(1000000 * rev_cents) div month_cents as share_ppm",
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    return shares.select(
+        "month", "priority", "rev_cents",
+        F.col("share_ppm").cast("bigint").alias("share_ppm"),
+        (F.col("share_ppm") - F.coalesce(
+            F.lag("share_ppm").over(w), F.col("share_ppm")
+        )).cast("bigint").alias("share_delta_ppm"),
+    )
+
+
+QUERIES["orders_mix_shift"] = q_orders_mix_shift
+
+ORACLES["orders_mix_shift"] = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority AS priority,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT month, CAST(sum(rev_cents) AS BIGINT) AS month_cents
+  FROM m GROUP BY month
+),
+shares AS (
+  SELECT m.month, m.priority, m.rev_cents,
+         (1000000 * m.rev_cents) // t.month_cents AS share_ppm
+  FROM m JOIN tot t USING (month)
+)
+SELECT month, priority, rev_cents, CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(share_ppm - COALESCE(
+         lag(share_ppm) OVER (PARTITION BY priority ORDER BY month),
+         share_ppm) AS BIGINT) AS share_delta_ppm
+FROM shares
+"""

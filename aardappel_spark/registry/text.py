@@ -1818,3 +1818,215 @@ SELECT source, n_docs, n_words, n_sentences, n_syllables,
              - 84.6 * (n_syllables / n_words), 4) AS flesch
 FROM g
 """
+
+
+def q_doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprint density (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    word-4-gram, slide a w=4 window over consecutive gram hashes, keep
+    the window MINIMUM as the fingerprint (guarantee: any shared run of
+    w+k-1 tokens shares >= 1 fingerprint), and report per source the
+    gram mass, selected-fingerprint mass and selection density in ppm.
+    Rides the SHARED persisted 4-gram frame (_grams4_cached — same
+    build decontamination uses); the window min is a per-doc ordered
+    window (partition-local, no global sort) and everything crossing
+    the hash is BIGINT. Scale: fingerprint density ~ 2/(w+1) regardless
+    of corpus size — the observable that says the fingerprint index
+    stays a fixed fraction of the gram mass at 100 TB."""
+    from pyspark.sql.window import Window
+
+    g4 = _grams4_cached(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    fp = (
+        g4.select("doc_id", "pos", h.alias("h"))
+        .withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("pos") >= 3)  # full windows only
+    )
+    per_doc = fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("wmin").alias("n_fp"),
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_windows").cast("bigint").alias("n_windows"),
+            F.sum("n_fp").cast("bigint").alias("n_fingerprints"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_windows", "n_fingerprints",
+            "(1000000 * n_fingerprints) div n_windows as density_ppm",
+        )
+    )
+
+
+QUERIES["doc_winnowing"] = q_doc_winnowing
+
+ORACLES["doc_winnowing"] = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(CASE WHEN len(t) < 4 THEN array_to_string(t, ' ')
+                 ELSE array_to_string(list_slice(t, i, i + 3), ' ') END),
+                 1, 15))::BIGINT AS h
+  FROM d, unnest(generate_series(1, greatest(1, len(t) - 3))) AS u(i)
+),
+wm AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_windows, count(DISTINCT wmin) AS n_fp
+  FROM wm WHERE pos >= 3 GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_windows) AS BIGINT) AS n_windows,
+       CAST(sum(p.n_fp) AS BIGINT) AS n_fingerprints,
+       (1000000 * CAST(sum(p.n_fp) AS BIGINT))
+         // CAST(sum(p.n_windows) AS BIGINT) AS density_ppm
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def q_text_code_detect(spark, sf_dir):
+    """Code-vs-prose detector census — the pretraining-pipeline router
+    that decides which quality/dedup stack a document enters. The
+    synthetic corpus has no code, so the query INJECTS deterministic
+    code documents (every doc_id % 11 == 0 gets a python-shaped twin:
+    def line, 4-space-indented body, braces and semicolons), the same
+    overlay pattern decontamination uses for planted contamination —
+    then the detector (symbol census via regexp_replace subtraction +
+    indent heuristic, all JVM expressions) must separate the classes:
+    per (label, flagged) cell counts, where injected rows flag ~1e6 ppm
+    and organic rows ~0. Detection is row-local; scales trivially."""
+    docs = _docs(spark, sf_dir)
+    organic = docs.select(
+        F.lit(0).alias("label"), F.col("text").alias("t")
+    )
+    injected = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.lit(1).alias("label"),
+        F.concat(
+            F.lit("def f_"), F.col("doc_id").cast("string"), F.lit("(x):"),
+            F.lit("\n    return x + "), (F.col("doc_id") % 97).cast("string"),
+            F.lit(";"), F.lit("\n    y = {"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("};"),
+        ).alias("t"),
+    )
+    ev = organic.unionByName(injected)
+    sym = F.length("t") - F.length(F.regexp_replace("t", "[{}();=]", ""))
+    indent = F.col("t").contains("\n    ")
+    flagged = ((sym >= F.lit(3)) | indent).cast("int")
+    return (
+        ev.select("label", flagged.alias("flagged"))
+        .groupBy("label", "flagged")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("flagged").cast("bigint").alias("flagged"),
+            "n_docs",
+        )
+    )
+
+
+QUERIES["text_code_detect"] = q_text_code_detect
+
+ORACLES["text_code_detect"] = """
+WITH ev AS (
+  SELECT 0 AS label, text AS t FROM documents
+  UNION ALL
+  SELECT 1, 'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+         || '    return x + ' || CAST(doc_id % 97 AS VARCHAR) || ';'
+         || chr(10) || '    y = {' || CAST(doc_id % 7 AS VARCHAR) || '};'
+  FROM documents WHERE doc_id % 11 = 0
+),
+f AS (
+  SELECT label,
+         CASE WHEN (length(t) - length(regexp_replace(t, '[{}();=]', '', 'g')))
+                   >= 3
+               OR contains(t, chr(10) || '    ')
+              THEN 1 ELSE 0 END AS flagged
+  FROM ev
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(flagged AS BIGINT) AS flagged,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM f GROUP BY label, flagged
+"""
+
+
+def q_doc_domain_stats(spark, sf_dir):
+    """URL/domain provenance census — the C4-style 'which domains feed
+    the corpus' accounting every web-scale pretraining set publishes.
+    The synthetic corpus carries no URLs, so the query injects a
+    deterministic URL into every doc_id % 7 == 0 document (5 rotating
+    domains), then the extractor — one regexp_extract_all + explode,
+    row-local — must recover exactly those domains: per domain, URL
+    count, distinct doc count, and share of URL-bearing docs in ppm.
+    At 100 TB this is a scan + one small hash-agg keyed by domain
+    (domain cardinality ~1e7: fine)."""
+    docs = _docs(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" visit http://d"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    urls = (
+        docs.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(aug, 'https?://([a-z0-9.-]+)/', 1)")
+            ).alias("domain"),
+        )
+    )
+    tot = urls.agg(F.countDistinct("doc_id").alias("t"))
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "domain", "n_urls", "n_docs",
+            "(1000000 * n_docs) div t as doc_share_ppm",
+        )
+    )
+
+
+QUERIES["doc_domain_stats"] = q_doc_domain_stats
+
+ORACLES["doc_domain_stats"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' visit http://d' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' now'
+              ELSE text END AS t
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)/', 1))
+           AS domain
+  FROM aug
+),
+tot AS (SELECT count(DISTINCT doc_id) AS t FROM urls)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       (1000000 * CAST(count(DISTINCT doc_id) AS BIGINT)) // tot.t
+         AS doc_share_ppm
+FROM urls, tot GROUP BY domain, tot.t
+"""

@@ -53,6 +53,15 @@ FUZZ_QUERIES = [
     "events_autocorr", "events_new_vs_returning",
     "orders_repeat_latency", "customer_cohort_retention",
     "shipping_latency",
+    # round-8: winnowing/chunking/coverage fold degenerate token
+    # shapes; the injected detectors and the payload constructor hash
+    # raw text (incl. NULL->'' and unicode); the cdc family additions
+    # exercise tied positions; grid cells ride the near-dup/antipodal
+    # vectors
+    "doc_winnowing", "chunk_sliding", "corpus_ngram_coverage",
+    "text_code_detect", "doc_domain_stats", "multimodal_decode",
+    "events_user_entropy", "emb_grid_cells", "graph_degree_hist",
+    "cdc_tx_stats", "cdc_view_topk", "orders_mix_shift",
 ]
 
 EDGE_TEXTS = [

@@ -3368,3 +3368,128 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             assert d["n_samples"] == 50 + r.media_id % 100
             assert d["duration_ms"] == d["n_samples"] * 1000 // rate
     assert seen == {0, 1, 2, 3}
+
+
+def test_doc_winnowing_matches_python_model(spark, sf_dir):
+    """Winnowing census vs a from-scratch python implementation of
+    Schleimer et al.'s scheme (4-gram md5 hashes, w=4 window minimum,
+    distinct selected values per doc) over the real testdata."""
+    import hashlib as _hl
+
+    import duckdb as _duck
+
+    from aardappel_spark.registry import QUERIES
+
+    docs = _duck.connect().execute(
+        f"SELECT doc_id, COALESCE(text,''), source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    model = {}
+    for doc_id, text, source in docs:
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < 4:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)]
+        hs = [int(_hl.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if len(hs) < 4:
+            continue  # no full window
+        wmins = [min(hs[i - 3: i + 1]) for i in range(3, len(hs))]
+        nd, nw, nf = model.get(source, (0, 0, 0))
+        model[source] = (nd + 1, nw + len(wmins), nf + len(set(wmins)))
+    got = {
+        r.source: (r.n_docs, r.n_windows, r.n_fingerprints)
+        for r in QUERIES["doc_winnowing"](spark, sf_dir).collect()
+    }
+    assert got == model
+
+
+def test_chunk_sliding_matches_python_model(spark, sf_dir):
+    """Sliding-chunk accounting vs the python closed form (size 32,
+    stride 24, last chunk truncated)."""
+    import duckdb as _duck
+
+    from aardappel_spark.registry import QUERIES
+
+    docs = _duck.connect().execute(
+        f"SELECT COALESCE(text,''), source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    model = {}
+    for text, source in docs:
+        L = len([t for t in text.split(" ") if t])
+        if L == 0:
+            continue
+        n = 1 if L <= 32 else 1 + (L - 32 + 23) // 24
+        emitted = sum(min(32, L - 24 * i) for i in range(n))
+        nc, em, ct = model.get(source, (0, 0, 0))
+        model[source] = (nc + n, em + emitted, ct + L)
+    got = {
+        r.source: (r.n_chunks, r.emitted_tokens, r.corpus_tokens)
+        for r in QUERIES["chunk_sliding"](spark, sf_dir).collect()
+    }
+    assert got == model
+    # duplication factor >= 1e6 by construction (overlap only adds)
+    for r in QUERIES["chunk_sliding"](spark, sf_dir).collect():
+        assert r.duplication_ppm >= 1000000
+
+
+def test_events_user_entropy_matches_python_model(spark, sf_dir):
+    """Entropy cohorts vs a direct python fold (H = ln(n) - sum(c ln c)/n
+    over each user's event-type counts)."""
+    import collections
+    import math as _m
+
+    import duckdb as _duck
+
+    from aardappel_spark.registry import QUERIES
+
+    rows = _duck.connect().execute(
+        f"SELECT user_id, event_type FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    per = collections.Counter(rows)
+    by_user = collections.defaultdict(list)
+    for (u, t), c in per.items():
+        by_user[u].append(c)
+    cohorts = collections.defaultdict(list)
+    for u, cs in by_user.items():
+        n = sum(cs)
+        h = _m.log(n) - sum(c * _m.log(c) for c in cs) / n
+        cohorts[len(cs)].append(h)
+    model = {
+        k: (len(v), round(sum(v) / len(v), 6)) for k, v in cohorts.items()
+    }
+    got = {
+        r.n_types: (r.n_users, round(r.mean_entropy, 6))
+        for r in QUERIES["events_user_entropy"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(model)
+    for k in model:
+        assert got[k][0] == model[k][0]
+        assert abs(got[k][1] - model[k][1]) < 2e-6, (k, got[k], model[k])
+
+
+def test_orders_mix_shift_shares_sum_and_lag(spark, sf_dir):
+    """Mix-shift invariants: per month the priority shares sum to ~1e6
+    ppm (integer-div truncation loses < n_priorities ppm), and each
+    delta equals share - previous month's share for that priority
+    (first month delta 0)."""
+    import collections
+
+    from aardappel_spark.registry import QUERIES
+
+    rows = QUERIES["orders_mix_shift"](spark, sf_dir).collect()
+    by_month = collections.defaultdict(int)
+    for r in rows:
+        by_month[r.month] += r.share_ppm
+    for m, s in by_month.items():
+        assert 1000000 - 5 <= s <= 1000000, (m, s)
+    hist = collections.defaultdict(dict)
+    for r in rows:
+        hist[r.priority][r.month] = r
+    for p, months in hist.items():
+        ordered = sorted(months)
+        assert months[ordered[0]].share_delta_ppm == 0
+        for a, b in zip(ordered, ordered[1:]):
+            assert (months[b].share_delta_ppm
+                    == months[b].share_ppm - months[a].share_ppm), (p, b)

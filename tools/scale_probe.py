@@ -127,6 +127,16 @@ PROBE_QUERIES = [
     "text_readability",
     "orders_repeat_latency",
     "corpus_vocab_overlap",
+    # round-8: winnowing window-min over the shared gram frame, chunk
+    # fan-out arithmetic, distributed top-k coverage, injected
+    # detectors, entropy cohorts, mix-shift windows, grid occupancy,
+    # wire tx census, top-k view recompute, real-payload decode, and
+    # the undirected degree census (kNN-graph consumer: fixed-param
+    # annotated, dialed twin via the decomposed graph section)
+    "doc_winnowing", "chunk_sliding", "corpus_ngram_coverage",
+    "text_code_detect", "doc_domain_stats", "events_user_entropy",
+    "orders_mix_shift", "emb_grid_cells", "cdc_tx_stats",
+    "cdc_view_topk", "multimodal_decode", "graph_degree_hist",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -155,6 +165,7 @@ FIXED_PARAM_SUPERLINEAR = {
     "graph_communities": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each LPA round is linear in edges",
     "emb_hubness": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the in-degree census is linear in edges",
     "graph_assortativity": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); degrees + stats are linear in edges",
+    "graph_degree_hist": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the degree census is linear in edges — see the decomposed *_dialed consumer rows",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,
