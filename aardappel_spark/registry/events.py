@@ -1659,8 +1659,10 @@ def q_events_wau_hll(spark, sf_dir):
         .groupBy("day", "register")
         .agg(F.max("rho").alias("max_rho"))
         # barrier: the day list and the dense grid both consume this
-        # (days x 64)-row frame; one events scan, not two
-        .localCheckpoint()
+        # (days x 64)-row frame; one events scan, not two. Lazy: an
+        # eager checkpoint would run the events scan at plan-CONSTRUCTION
+        # time, charging every caller that never executes the plan.
+        .localCheckpoint(eager=False)
     )
     days = daily.select("day").distinct()
     grid = days.crossJoin(spark.range(64).select(F.col("id").alias("register")))
@@ -1688,15 +1690,20 @@ def q_events_wau_hll(spark, sf_dir):
     du = ev.select(day.alias("day"), "user_id").distinct().withColumn(
         "_dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     )
+    # each (day, user) contributes to exactly 7 anchor days: explode the
+    # bounded offset range row-locally and equi-join — an O(7N) hash join
+    # instead of a broadcast nested-loop range join (the r8 drift fix;
+    # at 100 TB the BNLJ compares every distinct row against every day)
+    anchors = du.select(
+        F.explode(F.sequence(F.col("_dn"), F.col("_dn") + F.lit(6))).alias("_an"),
+        "user_id",
+    )
     dd = days.select(
         F.col("day").alias("anchor"),
         F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("_an"),
     )
     exact = (
-        du.join(
-            F.broadcast(dd),
-            (F.col("_dn") <= F.col("_an")) & (F.col("_dn") >= F.col("_an") - 6),
-        )
+        anchors.join(F.broadcast(dd), "_an")
         .groupBy(F.col("anchor").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau_exact"))
     )
