@@ -543,3 +543,101 @@ def bloom_contamination_check_grams(
     return hits.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_flagged_grams")
     )
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (Chaudhuri,
+    Ganti & Kaushik ICDE 2006; Xiao et al. WWW 2008 "PPJoin") — the
+    database-literature answer to near-dup candidate generation with NO
+    false negatives, next to the probabilistic MinHash/SimHash tiers:
+    a pair with token-set Jaccard >= tau MUST share at least one token
+    among each side's first ``p = n - ceil(tau*n) + 1`` tokens when
+    every document orders its tokens by ascending global document
+    frequency (rarest first). Candidates therefore come from an
+    equi-join on PREFIX tokens only — rare tokens by construction, so
+    bucket fan-out stays bounded where a naive token self-join melts on
+    stopwords. tau is the exact rational tau_num/tau_den and the verify
+    step is the integer cross-multiply ``den*|inter| >= num*|union|`` —
+    no float thresholds cross the comparison.
+
+    Returns one row per candidate pair (id_a < id_b): token counts,
+    exact intersection size, and ``verified`` (Jaccard >= tau). Scale:
+    one shuffle tokenizes + ranks (per-doc window, partition-local),
+    one equi-join on prefix tokens, one verify join carrying the two
+    bounded token arrays.
+    """
+    from pyspark.sql.window import Window
+
+    # barrier: the posting frame feeds the df census, the rank join and
+    # the verify sets — tokenize ONCE, never re-scan the corpus per
+    # consumer (scan_audit-enforced)
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            )
+        ).alias("tok"),
+    ).localCheckpoint(eager=False)
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("_id")))
+    )
+    # prefix length p = n - ceil(tau*n) + 1; ceil(num*n/den) in exact
+    # integer arithmetic so both engines agree at every n
+    p = F.col("_n") - ((F.lit(tau_num) * F.col("_n") + F.lit(tau_den - 1))
+                       .cast("bigint") / F.lit(tau_den)).cast("bigint") + 1
+    # barrier: both sides of the candidate self-join read this frame
+    prefix = (
+        ranked.filter(F.col("_rn") <= p)
+        .select("_id", "tok")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = tok.groupBy("_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("_toks"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_toks").alias("_ta"), F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_toks").alias("_tb"), F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+        )
+    )
+    return joined.select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter",
+        (
+            F.lit(tau_den) * F.col("n_inter")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("verified"),
+    )

@@ -205,3 +205,63 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .select("node", "label")
         )
     return lab
+
+
+def kcore_census(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling census (Seidman 1983; the synchronous
+    distributed formulation of Montresor, De Pellegrini & Miorandi
+    2011): round 0 is the undirected deduped input graph; each
+    subsequent round drops every node whose CURRENT degree is < k and
+    keeps only edges with both endpoints surviving. A FIXED round count
+    (not until-fixpoint) keeps the computation replayable as a finite
+    CTE chain by the SQL oracle — the same determinism contract
+    label_propagation uses. Returns one row per round:
+    (round, n_nodes, n_edges).
+
+    Scale: each round is one degree hash-agg plus two vertex-keyed
+    semi-joins — linear in surviving edges; the survivor frame is
+    checkpointed between rounds so lineage stays flat (graph_pagerank's
+    pattern). Peeling converges monotonically, so at 100 TB rounds is
+    the dial: diameter-many rounds give the exact core, few rounds give
+    the upper-bound census (each round only removes).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    cur = und
+    for r in range(rounds + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        census = deg.agg(
+            F.lit(r).cast("bigint").alias("round"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+        )
+        out = census if out is None else out.unionByName(census)
+        if r == rounds:
+            break
+        keep = deg.filter(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return out

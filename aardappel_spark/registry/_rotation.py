@@ -169,6 +169,11 @@ R08_ADDITION_NAMES: list[str] = [
     # r8 batch 4: grid-quantization occupancy, undirected degree census,
     # wire-level tx shape census
     "emb_grid_cells", "graph_degree_hist", "cdc_tx_stats",
+    # r8 batch 5: exact prefix-filtered set-similarity join (PPJoin),
+    # bounded k-core peel, CDC schema-drift census, URL canonicalization
+    # dedup, supplier revenue-concentration HHI
+    "dedup_setsim_prefix", "graph_kcore", "cdc_schema_drift",
+    "doc_url_canonical", "supplier_hhi",
 ]
 
 _R08_STALE: list[str] = [

@@ -244,3 +244,70 @@ SELECT op,
 FROM ev GROUP BY 1, 2
 """
 )
+
+
+def q_cdc_schema_drift(spark, sf_dir):
+    """Schema-drift census over the CDC update stream — the operational
+    view that catches a producer adding/dropping columns (reference
+    semantics: an ABSENT column is 'not written', never NULL — see
+    compact.py's merge contract, reference internal/processor §column
+    sets): per observed column name, update count, distinct keys,
+    FIRST offset the column was ever seen at (the drift timestamp) and
+    presence share in ppm of all updates. One explode of the payload
+    map keys + one hash-agg keyed by column name (column cardinality
+    ~1e2 even at 100 TB: trivially bounded), the 1-row update total
+    attaching via broadcast. The oracle replays presence from the wire
+    construction rule itself (purchase -> value, signup -> props,
+    click/view -> both), so a mapping drift breaks the gate."""
+    from .. import cdc_queries as _cdcq
+    from ..parse import split_events, OP_UPDATE
+
+    ev = split_events(_cdcq.parsed_messages(spark, sf_dir)).filter(
+        F.col("op") == OP_UPDATE
+    )
+    tot = ev.agg(F.count("*").alias("_t"))
+    cols = ev.select(
+        "offset",
+        F.element_at("key", 1).cast("bigint").alias("_k"),
+        F.explode(F.map_keys("columns")).alias("col_name"),
+    )
+    return (
+        cols.groupBy("col_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tx"),
+            F.countDistinct("_k").cast("bigint").alias("n_keys"),
+            F.min("offset").cast("bigint").alias("first_seen_offset"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "col_name", "n_tx", "n_keys", "first_seen_offset",
+            ((F.lit(1000000) * F.col("n_tx")) / F.col("_t"))
+            .cast("bigint")
+            .alias("presence_ppm"),
+        )
+    )
+
+
+QUERIES["cdc_schema_drift"] = q_cdc_schema_drift
+
+ORACLES["cdc_schema_drift"] = (
+    _CDC_CTE
+    + """
+, upd AS (SELECT * FROM ev WHERE op = 'update'),
+pcols AS (
+  SELECT user_id, txid,
+         unnest(CASE WHEN event_type = 'purchase' THEN ['value']
+                     WHEN event_type = 'signup' THEN ['props']
+                     ELSE ['value', 'props'] END) AS col_name
+  FROM upd
+),
+tot AS (SELECT count(*) AS _t FROM upd)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_tx,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(min(txid) AS BIGINT) AS first_seen_offset,
+       CAST((1000000 * count(*)) // tot._t AS BIGINT) AS presence_ppm
+FROM pcols, tot
+GROUP BY col_name, tot._t
+"""
+)

@@ -1062,3 +1062,72 @@ ds AS (
 )
 SELECT * FROM ps CROSS JOIN ds
 """
+
+
+def q_dedup_setsim_prefix(spark, sf_dir):
+    """Exact near-dup audit via prefix-filtered set-similarity self-join
+    (PPJoin family, Xiao et al. WWW 2008; ops.dedup.setsim_prefix_pairs)
+    — the NO-false-negative tier next to MinHash/SimHash: every pair
+    with token-Jaccard >= 4/5 must collide on a rarest-token prefix, so
+    candidate generation is an equi-join on prefix tokens (bounded
+    buckets by construction — the prefix holds each doc's LOWEST-df
+    tokens, never stopwords) and the verify step is the exact integer
+    cross-multiply. One summary row: candidate mass, verified pairs,
+    intersection totals — the observable that says how tight the prefix
+    filter is vs the probabilistic tiers on the same corpus. Scale: the
+    prefix join's fan-out is bounded by rare-token bucket sizes; the
+    dial is tau (higher tau -> shorter prefixes -> fewer candidates)."""
+    from ..ops.dedup import setsim_prefix_pairs
+
+    pairs = setsim_prefix_pairs(_docs(spark, sf_dir), tau_num=4, tau_den=5)
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("verified").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_verified"),
+        F.coalesce(F.sum("n_inter"), F.lit(0)).cast("bigint").alias("sum_inter"),
+        F.coalesce(F.max("n_inter"), F.lit(0)).cast("bigint").alias("max_inter"),
+    )
+
+
+QUERIES["dedup_setsim_prefix"] = q_dedup_setsim_prefix
+
+ORACLES["dedup_setsim_prefix"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id AS _id,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS tok
+  FROM documents
+),
+dfreq AS (SELECT tok, count(*) AS _df FROM tok GROUP BY tok),
+ranked AS (
+  SELECT t._id, t.tok,
+         row_number() OVER (PARTITION BY t._id ORDER BY d._df, t.tok) AS _rn,
+         count(*) OVER (PARTITION BY t._id) AS _n
+  FROM tok t JOIN dfreq d USING (tok)
+),
+prefix AS MATERIALIZED (
+  SELECT _id, tok FROM ranked
+  WHERE _rn <= _n - (4 * _n + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a._id < b._id
+),
+sets AS MATERIALIZED (SELECT _id, count(*) AS _n FROM tok GROUP BY _id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta._id = c.id_a
+  JOIN tok tb ON tb._id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(sum(CASE WHEN 5 * n_inter >= 4 * (sa._n + sb._n - n_inter)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+       CAST(COALESCE(sum(n_inter), 0) AS BIGINT) AS sum_inter,
+       CAST(COALESCE(max(n_inter), 0) AS BIGINT) AS max_inter
+FROM inter
+JOIN sets sa ON sa._id = inter.id_a
+JOIN sets sb ON sb._id = inter.id_b
+"""

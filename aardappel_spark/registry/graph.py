@@ -336,3 +336,62 @@ deg AS (
 SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree
 """
+
+
+def q_graph_kcore(spark, sf_dir):
+    """Bounded k-core decomposition census (k=6, 3 peeling rounds) of
+    the kNN similarity graph — the density-stratification view next to
+    triangles (local density) and LPA (mesoscale): which part of the
+    graph survives repeated pruning of weakly-connected nodes. Rides
+    the SAME shared banded kNN edges (equi-join candidate generation,
+    band-bits scale dial); each round is one degree hash-agg + two
+    vertex-keyed semi-joins, linear in surviving edges and shrinking
+    monotonically (ops.graph.kcore_census). Fixed round count keeps the
+    oracle a finite CTE chain — the label_propagation determinism
+    contract. Output: (round, n_nodes, n_edges) for rounds 0..3."""
+    from ..ops.graph import kcore_census
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    return kcore_census(knn, k=6, rounds=3)
+
+
+QUERIES["graph_kcore"] = q_graph_kcore
+
+
+def _kcore_oracle_sql(k: int = 6, rounds: int = 3) -> str:
+    """CTE chain replaying kcore_census round by round (same pattern as
+    the LPA/PageRank oracles: one CTE block per synchronous round)."""
+    parts = [
+        f"WITH knn AS MATERIALIZED ({ORACLES['emb_knn_graph'].strip()}),",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),""",
+    ]
+    for r in range(rounds + 1):
+        parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r})
+  GROUP BY node
+),
+c{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(sum(d), 0) // 2 AS BIGINT) AS n_edges
+  FROM d{r}
+),""")
+        if r < rounds:
+            parts.append(f"""k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN k{r} a ON e.u = a.node
+  JOIN k{r} b ON e.v = b.node
+),""")
+    sel = " UNION ALL ".join(f"SELECT * FROM c{r}" for r in range(rounds + 1))
+    return "\n".join(parts).rstrip(",\n") + ",\n" + f"_last AS (SELECT 1)\n{sel}"
+
+
+ORACLES["graph_kcore"] = _kcore_oracle_sql(6, 3)

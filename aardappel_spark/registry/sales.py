@@ -719,3 +719,79 @@ SELECT month, priority, rev_cents, CAST(share_ppm AS BIGINT) AS share_ppm,
          share_ppm) AS BIGINT) AS share_delta_ppm
 FROM shares
 """
+
+
+def q_supplier_hhi(spark, sf_dir):
+    """Supplier revenue-concentration (Herfindahl–Hirschman index) per
+    part brand — the supply-chain-risk census: a brand whose revenue
+    concentrates in one supplier (HHI -> 1e6 ppm) is a single point of
+    failure. Money becomes exact integer CENTS at the row level
+    (customer_pareto's idiom) so the two-level aggregation is
+    shuffle-order-proof; shares are integer ppm with truncating
+    division and HHI = sum(share_ppm^2) // 1e6 — every value crossing
+    the gate is BIGINT. Scale shape: one shuffle to (brand, supplier)
+    partials with map-side combine, then the brand totals come from a
+    window over the ~1e2-row-per-brand supplier frame (same exchange,
+    no second wide shuffle) — never a self-join of lineitem."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    per_supp = (
+        li.join(F.broadcast(pt), "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(cents).alias("_sc"))
+    )
+    w = Window.partitionBy("p_brand")
+    shares = per_supp.withColumn(
+        "_share_ppm",
+        F.expr("(1000000 * _sc) div sum(_sc) over (partition by p_brand)"),
+    ).withColumn("_brand_cents", F.sum("_sc").over(w))
+    return (
+        shares.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.max("_brand_cents").cast("bigint").alias("brand_cents"),
+            F.expr("sum(_share_ppm * _share_ppm) div 1000000")
+            .cast("bigint")
+            .alias("hhi_ppm"),
+            F.max("_share_ppm").cast("bigint").alias("top_share_ppm"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"), "n_suppliers", "brand_cents",
+            "hhi_ppm", "top_share_ppm",
+        )
+    )
+
+
+QUERIES["supplier_hhi"] = q_supplier_hhi
+
+ORACLES["supplier_hhi"] = """
+WITH per_supp AS (
+  SELECT p.p_brand, l.l_suppkey,
+         sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+             AS BIGINT)) AS _sc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT p_brand,
+         (1000000 * _sc) // sum(_sc) OVER (PARTITION BY p_brand) AS _share_ppm,
+         sum(_sc) OVER (PARTITION BY p_brand) AS _brand_cents
+  FROM per_supp
+)
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(_brand_cents) AS BIGINT) AS brand_cents,
+       CAST(sum(_share_ppm * _share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+       CAST(max(_share_ppm) AS BIGINT) AS top_share_ppm
+FROM shares
+GROUP BY 1
+"""

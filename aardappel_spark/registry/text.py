@@ -2030,3 +2030,96 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
          AS doc_share_ppm
 FROM urls, tot GROUP BY domain, tot.t
 """
+
+
+def q_doc_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup census — the CommonCrawl-style
+    pipeline stage that collapses scheme/www/tracking-param variants of
+    the same page before fetch-dedup. The synthetic corpus carries no
+    URLs, so the query injects a deterministic variant into every
+    doc_id % 7 == 0 document (4 rotating surface forms — http/https,
+    www., trailing /?utm_source — over 5 domains x 50 paths, so many
+    docs share a canonical target); the canonicalizer — a row-local
+    regexp_replace chain: strip scheme, strip leading www., strip the
+    query string, strip the trailing slash — must collapse exactly the
+    variant mass: per domain, URL count, distinct canonical count and
+    collapse share in ppm. At 100 TB this is a scan + one hash-agg
+    keyed by domain."""
+    docs = _docs(spark, sf_dir)
+    v = F.col("doc_id") % 4
+    url = F.concat(
+        F.when(v == 1, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(v == 2, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        ((F.col("doc_id") / 7).cast("bigint") % 50).cast("string"),
+        F.when(v == 3, F.lit("/?utm_source=feed")).otherwise(F.lit("")),
+    )
+    aug = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" visit "), url)
+    ).otherwise(F.col("text"))
+    urls = docs.select(F.col("doc_id"), aug.alias("aug")).select(
+        F.explode(
+            F.expr(r"regexp_extract_all(aug, 'https?://[^ ]+', 0)")
+        ).alias("u")
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("u"), r"^https?://", ""),
+                r"^www\.", "",
+            ),
+            r"\?.*$", "",
+        ),
+        "/$", "",
+    )
+    return (
+        urls.select(canon.alias("canon"))
+        .select(F.substring_index("canon", "/", 1).alias("domain"), "canon")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("canon").cast("bigint").alias("n_canonical"),
+        )
+        .selectExpr(
+            "domain", "n_urls", "n_canonical",
+            "(1000000 * (n_urls - n_canonical)) div n_urls as collapse_ppm",
+        )
+    )
+
+
+QUERIES["doc_url_canonical"] = q_doc_url_canonical
+
+ORACLES["doc_url_canonical"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' visit ' ||
+           (CASE WHEN doc_id % 4 = 1 THEN 'https://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END) ||
+           'd' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' ||
+           CAST((doc_id // 7) % 50 AS VARCHAR) ||
+           (CASE WHEN doc_id % 4 = 3 THEN '/?utm_source=feed' ELSE '' END)
+         ELSE text END AS aug
+  FROM documents
+),
+urls AS (
+  SELECT unnest(regexp_extract_all(aug, 'https?://[^ ]+')) AS u FROM aug
+),
+canon AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(u, '^https?://', ''),
+               '^www\\.', ''),
+             '\\?.*$', ''),
+           '/$', '') AS c
+  FROM urls
+)
+SELECT split_part(c, '/', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_canonical,
+       (1000000 * (count(*) - count(DISTINCT c))) // count(*) AS collapse_ppm
+FROM canon
+GROUP BY 1
+"""

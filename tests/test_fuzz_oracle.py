@@ -62,6 +62,12 @@ FUZZ_QUERIES = [
     "text_code_detect", "doc_domain_stats", "multimodal_decode",
     "events_user_entropy", "emb_grid_cells", "graph_degree_hist",
     "cdc_tx_stats", "cdc_view_topk", "orders_mix_shift",
+    # round-8 batch 5: prefix-filter postings fold the same degenerate
+    # token shapes (empty/NULL/unicode/one-huge-token docs); URL
+    # canonicalization hashes injected text; k-core rides the
+    # near-dup/antipodal vectors; schema drift rides tied positions
+    "dedup_setsim_prefix", "doc_url_canonical", "graph_kcore",
+    "cdc_schema_drift", "supplier_hhi",
 ]
 
 EDGE_TEXTS = [

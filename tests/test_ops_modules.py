@@ -3493,3 +3493,105 @@ def test_orders_mix_shift_shares_sum_and_lag(spark, sf_dir):
         for a, b in zip(ordered, ordered[1:]):
             assert (months[b].share_delta_ppm
                     == months[b].share_ppm - months[a].share_ppm), (p, b)
+
+
+def test_setsim_prefix_pairs_matches_python_model(spark):
+    """Exhaustive check on a small corpus: the prefix filter must
+    surface EVERY pair with Jaccard >= 4/5 (no false negatives — the
+    PPJoin guarantee), and the verified flags must equal a brute-force
+    python all-pairs Jaccard."""
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",       # exact dup of 1
+        3: "alpha beta gamma delta zeta",           # 4/6 jaccard vs 1
+        4: "alpha beta gamma delta epsilon zeta",   # 5/6 vs 1 -> verified
+        5: "omega psi chi",
+        6: "completely different tokens here now",
+        7: "",                                      # empty
+        8: "alpha",                                 # single shared token
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, bool(r.verified))
+        for r in setsim_prefix_pairs(docs, 4, 5).collect()
+    }
+    sets = {i: set(t.split()) - {""} for i, t in texts.items()}
+    expect_verified = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 5 * inter >= 4 * union:
+                    expect_verified.add((a, b))
+    got_verified = {p for p, (_, v) in got.items() if v}
+    assert got_verified == expect_verified, (got_verified, expect_verified)
+    assert (1, 2) in got_verified and (1, 4) in got_verified
+    assert (1, 3) not in got_verified
+    for (a, b), (inter, _) in got.items():
+        assert inter == len(sets[a] & sets[b])
+
+
+def test_setsim_prefix_join_is_bounded_by_rare_tokens(spark):
+    """The candidate join must key on LOW-df prefix tokens: a stopword
+    shared by every doc must produce no candidate pair by itself when
+    each doc also has rarer tokens filling its prefix."""
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    # 10 docs all share 'the' (df=10) but each has 4 unique tokens:
+    # prefix p = 5 - ceil(0.8*5) + 1 = 2 -> two rarest (unique) tokens,
+    # 'the' (highest df) never enters any prefix -> zero candidates
+    docs = spark.createDataFrame(
+        [(i, f"the u{i}a u{i}b u{i}c u{i}d") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert setsim_prefix_pairs(docs, 4, 5).count() == 0
+
+
+def test_kcore_census_matches_python_model(spark):
+    """Peel a known small graph and compare every round against a
+    python reference implementation."""
+    import random
+
+    from aardappel_spark.ops.graph import kcore_census
+
+    rng = random.Random(13)
+    edges = set()
+    # a dense clique of 6 (survives k=3) + a tail of degree-1/2 nodes
+    for a in range(6):
+        for b in range(a + 1, 6):
+            edges.add((a, b))
+    for i in range(6, 20):
+        edges.add((rng.randrange(0, i), i))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in kcore_census(df, k=3, rounds=3).collect()
+    }
+
+    cur = set(edges)
+    expect = {}
+    for r in range(4):
+        deg = {}
+        for (u, v) in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        expect[r] = (len(deg), len(cur))
+        keep = {n for n, d in deg.items() if d >= 3}
+        cur = {(u, v) for (u, v) in cur if u in keep and v in keep}
+    assert got == expect, (got, expect)
+    # the clique core must survive every round
+    assert got[3][0] >= 6
+
+
+def test_kcore_census_empty_graph(spark):
+    from aardappel_spark.ops.graph import kcore_census
+
+    df = spark.createDataFrame([], "src long, dst long")
+    rows = {r.round: (r.n_nodes, r.n_edges)
+            for r in kcore_census(df, k=3, rounds=2).collect()}
+    assert rows == {0: (0, 0), 1: (0, 0), 2: (0, 0)}

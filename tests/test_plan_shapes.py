@@ -984,3 +984,42 @@ def test_emb_grid_cells_prunes_to_embedding_column(spark):
     plan = _plan(spark, "emb_grid_cells")
     scan = plan[plan.index("Scan parquet"):][:600]
     assert "embedding" in scan and "vec_id" not in scan.split("ReadSchema")[-1], scan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dedup_setsim_prefix", "graph_kcore", "cdc_schema_drift",
+     "doc_url_canonical", "supplier_hhi"],
+)
+def test_round8_batch5_no_cartesian(spark, qname):
+    """Batch-5 additions: no cartesian products anywhere (the 1-row
+    total attach in cdc_schema_drift is a broadcast over ONE row)."""
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_supplier_hhi_broadcasts_part_single_wide_shuffle(spark):
+    """supplier_hhi: part joins as a broadcast (dim side), lineitem is
+    scanned once, and the scan reads only the 4 needed columns."""
+    plan = _plan(spark, "supplier_hhi")
+    assert "BroadcastHashJoin" in plan, plan
+    scan = plan[plan.index("Scan parquet"):]
+    assert "l_extendedprice" in scan and "l_comment" not in scan
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + part
+
+
+def test_doc_url_canonical_single_doc_scan(spark):
+    """doc_url_canonical: one documents scan, projection pruned to the
+    two columns the injector needs."""
+    plan = _plan(spark, "doc_url_canonical")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_setsim_prefix_candidates_are_equi_join(spark):
+    """dedup_setsim_prefix: candidate generation must be a hash
+    equi-join on the prefix token — never a nested-loop over doc
+    pairs."""
+    plan = _plan(spark, "dedup_setsim_prefix")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

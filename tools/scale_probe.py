@@ -137,6 +137,11 @@ PROBE_QUERIES = [
     "text_code_detect", "doc_domain_stats", "events_user_entropy",
     "orders_mix_shift", "emb_grid_cells", "cdc_tx_stats",
     "cdc_view_topk", "multimodal_decode", "graph_degree_hist",
+    # round-8 batch 5: prefix-filter join (rare-token buckets), k-core
+    # peel (kNN consumer: fixed-param annotated), schema drift census,
+    # URL canonicalization, supplier HHI
+    "dedup_setsim_prefix", "graph_kcore", "cdc_schema_drift",
+    "doc_url_canonical", "supplier_hhi",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -166,6 +171,7 @@ FIXED_PARAM_SUPERLINEAR = {
     "emb_hubness": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the in-degree census is linear in edges",
     "graph_assortativity": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); degrees + stats are linear in edges",
     "graph_degree_hist": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the degree census is linear in edges — see the decomposed *_dialed consumer rows",
+    "graph_kcore": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each peel round is linear in surviving edges — see the decomposed *_dialed consumer rows",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,
