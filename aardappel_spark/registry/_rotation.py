@@ -174,6 +174,11 @@ R08_ADDITION_NAMES: list[str] = [
     # dedup, supplier revenue-concentration HHI
     "dedup_setsim_prefix", "graph_kcore", "cdc_schema_drift",
     "doc_url_canonical", "supplier_hhi",
+    # r8 batch 6: snapshot diff census (VERSION AS OF told as math),
+    # rolling histogram-exact percentiles, integer keyword extraction,
+    # largest-remainder mixture budget allocation
+    "cdc_version_diff", "events_rolling_percentile", "text_top_terms",
+    "corpus_budget_allocation",
 ]
 
 _R08_STALE: list[str] = [

@@ -311,3 +311,121 @@ FROM pcols, tot
 GROUP BY col_name, tot._t
 """
 )
+
+
+def q_cdc_version_diff(spark, sf_dir):
+    """Snapshot-to-snapshot diff census — the table_changes / VERSION
+    AS OF story told as math: fold the LWW state at the CUTOFF position
+    (v1: every change strictly before the stale-filter boundary, the
+    same (step, tx) order every apply uses) and at stream end (v2),
+    then classify every key: added (live v2 only — includes
+    erase-then-reinsert), deleted (live v1 only), updated (live both,
+    merged column set differs), unchanged. States are canonicalized as
+    the '|'-joined 'col=value' string over the SORTED column map — the
+    exact content the transactional sink materializes — and both folds
+    run the SAME compact kernel the apply path gates (compact.py:55).
+    Scale: two hash-agg folds + one full-outer join keyed on user_id;
+    on a real table v1 is a committed snapshot read, not a re-fold.
+    One BIGINT census row."""
+    from ..compact import compact_changes
+    from ..parse import split_events, OP_UPDATE
+    from ..types import pos, pos_lit
+    from .. import cdc_queries as _cdcq
+
+    ev = split_events(_cdcq.parsed_messages(spark, sf_dir))
+
+    def state(frame):
+        c = compact_changes(frame).filter(F.col("op") == OP_UPDATE)
+        ser = F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys("columns")),
+                lambda k: F.concat(
+                    k, F.lit("="),
+                    F.coalesce(F.element_at(F.col("columns"), k), F.lit("")),
+                ),
+            ),
+            "|",
+        )
+        return c.select(
+            F.element_at("key", 1).cast("bigint").alias("user_id"),
+            ser.alias("sig"),
+        )
+
+    v1 = state(ev.filter(pos() < pos_lit(_cdcq.CUTOFF_US, 0))).select(
+        "user_id", F.col("sig").alias("sig1")
+    )
+    v2 = state(ev).select("user_id", F.col("sig").alias("sig2"))
+    j = v1.join(v2, "user_id", "full_outer")
+    return j.agg(
+        F.sum(F.col("sig1").isNotNull().cast("bigint")).alias("n_live_v1"),
+        F.sum(F.col("sig2").isNotNull().cast("bigint")).alias("n_live_v2"),
+        F.sum(
+            (F.col("sig1").isNull() & F.col("sig2").isNotNull()).cast("bigint")
+        ).alias("n_added"),
+        F.sum(
+            (F.col("sig1").isNotNull() & F.col("sig2").isNull()).cast("bigint")
+        ).alias("n_deleted"),
+        F.sum(
+            (F.col("sig1").isNotNull() & F.col("sig2").isNotNull()
+             & (F.col("sig1") != F.col("sig2"))).cast("bigint")
+        ).alias("n_updated"),
+        F.sum(
+            (F.col("sig1").isNotNull() & F.col("sig2").isNotNull()
+             & (F.col("sig1") == F.col("sig2"))).cast("bigint")
+        ).alias("n_unchanged"),
+    )
+
+
+QUERIES["cdc_version_diff"] = q_cdc_version_diff
+
+# v1 re-runs the gated compact fold restricted to rn <= max(rn before
+# CUTOFF) — the global (step, txid) order is monotone in rn, so the
+# position predicate IS a prefix of the stream
+_cutoff_us = cdc.CUTOFF_US
+ORACLES["cdc_version_diff"] = (
+    _CDC_CTE
+    + f"""
+, m1 AS (SELECT COALESCE(max(rn), 0) AS r FROM ev WHERE step < {_cutoff_us}),
+le1 AS (
+  SELECT user_id, max(rn) AS erase_rn FROM ev, m1
+  WHERE op = 'erase' AND rn <= m1.r GROUP BY user_id
+),
+fin1 AS (
+  SELECT user_id, arg_max(op, rn) AS final_op FROM ev, m1
+  WHERE rn <= m1.r GROUP BY user_id
+),
+merged1 AS (
+  SELECT c.user_id, c.col_name, arg_max(c.col_value, c.rn) AS col_value
+  FROM cols c LEFT JOIN le1 ON c.user_id = le1.user_id, m1
+  WHERE c.rn <= m1.r AND (le1.erase_rn IS NULL OR c.rn > le1.erase_rn)
+  GROUP BY c.user_id, c.col_name
+),
+s1 AS (
+  SELECT f.user_id,
+         string_agg(m.col_name || '=' || COALESCE(m.col_value, ''), '|'
+                    ORDER BY m.col_name) AS sig1
+  FROM fin1 f JOIN merged1 m ON f.user_id = m.user_id
+  WHERE f.final_op = 'update'
+  GROUP BY f.user_id
+),
+s2 AS (
+  SELECT f.user_id,
+         string_agg(m.col_name || '=' || COALESCE(m.col_value, ''), '|'
+                    ORDER BY m.col_name) AS sig2
+  FROM fin f JOIN merged m ON f.user_id = m.user_id
+  WHERE f.final_op = 'update'
+  GROUP BY f.user_id
+),
+j AS (
+  SELECT s1.sig1, s2.sig2
+  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+)
+SELECT CAST(COALESCE(sum(CASE WHEN sig1 IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_live_v1,
+       CAST(COALESCE(sum(CASE WHEN sig2 IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_live_v2,
+       CAST(COALESCE(sum(CASE WHEN sig1 IS NULL AND sig2 IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(sum(CASE WHEN sig1 IS NOT NULL AND sig2 IS NULL THEN 1 END), 0) AS BIGINT) AS n_deleted,
+       CAST(COALESCE(sum(CASE WHEN sig1 IS NOT NULL AND sig2 IS NOT NULL AND sig1 <> sig2 THEN 1 END), 0) AS BIGINT) AS n_updated,
+       CAST(COALESCE(sum(CASE WHEN sig1 IS NOT NULL AND sig2 IS NOT NULL AND sig1 = sig2 THEN 1 END), 0) AS BIGINT) AS n_unchanged
+FROM j
+"""
+)

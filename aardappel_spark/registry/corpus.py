@@ -1904,3 +1904,83 @@ SELECT a.source, a.n_chunks, a.emitted_tokens, c.corpus_tokens,
        (1000000 * a.emitted_tokens) // c.corpus_tokens AS duplication_ppm
 FROM agg a JOIN corp c USING (source)
 """
+
+
+def q_corpus_budget_allocation(spark, sf_dir):
+    """Training-mixture budget allocation by the largest-remainder
+    (Hamilton) method: apportion an exact 1,000,000-token sampling
+    budget across (source, lang) strata proportional to their token
+    mass, in pure integer arithmetic — base quota (B * t_i) div T, then
+    the leftover seats go to the largest remainders with a
+    deterministic (remainder DESC, source, lang) tie order. The sum of
+    final allocations is EXACTLY B (the property float-proportional
+    rounding breaks, and the reason mixture configs drift from their
+    spec at rebuild time). Scale: the fact scan reduces to one
+    hash-agg; everything after runs on the STRATA frame (sources x
+    langs ~ 1e2-1e4 rows even at 100 TB), where the global remainder
+    rank is a bounded single-partition window by design."""
+    from pyspark.sql.window import Window
+
+    B = 1_000_000
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source", "lang",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("_n"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("_n").cast("bigint").alias("tokens"))
+    )
+    wall = Window.partitionBy()
+    q = (
+        toks.withColumn("_t", F.sum("tokens").over(wall))
+        .withColumn("base_alloc", F.expr(f"({B} * tokens) div _t"))
+        .withColumn("_rem", F.expr(f"({B} * tokens) % _t"))
+        .withColumn("_left", F.lit(B) - F.sum("base_alloc").over(wall))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("_rem").desc(), F.col("source").asc(), F.col("lang").asc()
+                )
+            ),
+        )
+    )
+    return q.select(
+        "source", "lang", "tokens",
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        (F.col("base_alloc") + (F.col("_rk") <= F.col("_left")).cast("bigint"))
+        .cast("bigint")
+        .alias("final_alloc"),
+    )
+
+
+QUERIES["corpus_budget_allocation"] = q_corpus_budget_allocation
+
+ORACLES["corpus_budget_allocation"] = """
+WITH toks AS (
+  SELECT source, lang,
+         sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS tokens
+  FROM documents
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT source, lang, tokens,
+         (1000000 * tokens) // sum(tokens) OVER () AS base_alloc,
+         (1000000 * tokens) % sum(tokens) OVER () AS _rem
+  FROM toks
+),
+r AS (
+  SELECT *,
+         1000000 - sum(base_alloc) OVER () AS _left,
+         row_number() OVER (ORDER BY _rem DESC, source ASC, lang ASC) AS _rk
+  FROM q
+)
+SELECT source, lang, CAST(tokens AS BIGINT) AS tokens,
+       CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(base_alloc + CASE WHEN _rk <= _left THEN 1 ELSE 0 END AS BIGINT)
+         AS final_alloc
+FROM r
+"""

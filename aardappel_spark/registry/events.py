@@ -2931,3 +2931,105 @@ SELECT CAST(n_types AS BIGINT) AS n_types,
        round(avg(ln(n) - clogc / n), 6) AS mean_entropy
 FROM per_user GROUP BY n_types
 """
+
+
+def q_events_rolling_percentile(spark, sf_dir):
+    """Rolling 7-day exact p50/p95 of event value per day WITHOUT ever
+    sorting facts — the shipping_latency counting-histogram idea lifted
+    to a sliding window: values become integer cents, ONE hash-agg
+    builds the per-(day, cents) histogram, each histogram CELL (not
+    each event) fans out row-locally to the <= 7 anchor days it serves,
+    and the exact percentile is the smallest cents whose cumulative
+    count reaches ceil(p * n / 100) — a per-anchor ordered window over
+    the bounded cents domain. Scale: the fan-out is 7x the HISTOGRAM
+    (days x distinct cents), independent of event count; the naive
+    per-day sort re-sorts 7 days of facts per anchor. Thresholds are
+    exact integer ceil division; every value crossing the hash is
+    BIGINT."""
+    from pyspark.sql.window import Window
+
+    ev = load_events_ns(spark, sf_dir)
+    day = F.to_date(F.date_trunc("DAY", F.timestamp_micros(F.expr("ts div 1000"))))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hist = (
+        ev.select(day.alias("day"), cents.alias("cents"))
+        .groupBy("day", "cents")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "_dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        )
+        # barrier: the day list and the anchor fan-out both consume it
+        .localCheckpoint(eager=False)
+    )
+    dd = hist.select(
+        F.col("day").alias("anchor"),
+        F.col("_dn").alias("_an"),
+    ).distinct()
+    fan = hist.select(
+        F.explode(F.sequence(F.col("_dn"), F.col("_dn") + F.lit(6))).alias("_an"),
+        "cents", "c",
+    )
+    per = (
+        fan.join(F.broadcast(dd), "_an")
+        .groupBy("anchor", "cents")
+        .agg(F.sum("c").alias("n"))
+    )
+    wcum = Window.partitionBy("anchor").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("anchor")
+    cum = per.withColumn("_cum", F.sum("n").over(wcum)).withColumn(
+        "_tot", F.sum("n").over(wtot)
+    )
+    t50 = F.expr("(50 * _tot + 99) div 100")
+    t95 = F.expr("(95 * _tot + 99) div 100")
+    return (
+        cum.groupBy("anchor")
+        .agg(
+            F.max("_tot").cast("bigint").alias("n_events"),
+            F.min(F.when(F.col("_cum") >= t50, F.col("cents")))
+            .cast("bigint")
+            .alias("p50_cents"),
+            F.min(F.when(F.col("_cum") >= t95, F.col("cents")))
+            .cast("bigint")
+            .alias("p95_cents"),
+        )
+        .select(F.col("anchor").alias("day"), "n_events", "p50_cents", "p95_cents")
+    )
+
+
+QUERIES["events_rolling_percentile"] = q_events_rolling_percentile
+
+ORACLES["events_rolling_percentile"] = """
+WITH hist AS MATERIALIZED (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS c,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts)::DATE) AS dn
+  FROM events
+  GROUP BY 1, 2
+),
+dd AS (SELECT DISTINCT day AS anchor, dn AS an FROM hist),
+fan AS (
+  SELECT dn + o AS an, cents, c
+  FROM hist, unnest(generate_series(0, 6)) AS u(o)
+),
+per AS (
+  SELECT dd.anchor, fan.cents, sum(fan.c) AS n
+  FROM fan JOIN dd ON fan.an = dd.an
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT anchor, cents, n,
+         sum(n) OVER (PARTITION BY anchor ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(n) OVER (PARTITION BY anchor) AS _tot
+  FROM per
+)
+SELECT anchor AS day,
+       CAST(max(_tot) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN _cum >= (50 * _tot + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN _cum >= (95 * _tot + 99) // 100 THEN cents END) AS BIGINT) AS p95_cents
+FROM cum
+GROUP BY 1
+"""

@@ -2123,3 +2123,80 @@ SELECT split_part(c, '/', 1) AS domain,
 FROM canon
 GROUP BY 1
 """
+
+
+def q_text_top_terms(spark, sf_dir):
+    """Per-document keyword extraction census — every doc's top-3 terms
+    by (term frequency DESC, document frequency ASC, term ASC): most
+    repeated first, global rarity as the informativeness tie-break —
+    the integer-exact core of tf-idf ranking with NO floating-point
+    score crossing an engine boundary (ln() is the one expression libms
+    may round differently). Stopwords are excluded up front. The rank
+    is a per-doc window (partition-local, never a global sort) over the
+    token-count frame; the census then reports every term that is some
+    doc's #1 keyword, with how many docs it leads and its global df.
+    Scale: one tokenize shuffle to (doc, term) counts, one broadcast-
+    able df join (vocab-sized), one per-doc window — corpus-parallel
+    end to end."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        # barrier: feeds both the df census and the rank join
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    ranked = tf.join(dfreq, "term").withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rank") == 1)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_lead"),
+            F.max("df").cast("bigint").alias("df"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+        )
+        .filter(F.col("n_docs_lead") >= 2)
+    )
+
+
+QUERIES["text_top_terms"] = q_text_top_terms
+
+ORACLES["text_top_terms"] = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  )
+  WHERE term NOT IN ({{stops}})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq d USING (term)
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_docs_lead,
+       CAST(max(df) AS BIGINT) AS df,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM ranked
+WHERE rank = 1
+GROUP BY term
+HAVING count(*) >= 2
+""".format(stops=_STOP_SQL)

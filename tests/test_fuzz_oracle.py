@@ -68,6 +68,11 @@ FUZZ_QUERIES = [
     # near-dup/antipodal vectors; schema drift rides tied positions
     "dedup_setsim_prefix", "doc_url_canonical", "graph_kcore",
     "cdc_schema_drift", "supplier_hhi",
+    # round-8 batch 6: the diff census folds tied positions twice; the
+    # keyword rank and the apportionment fold degenerate token shapes;
+    # rolling percentiles ride boundary values through cents rounding
+    "cdc_version_diff", "text_top_terms", "corpus_budget_allocation",
+    "events_rolling_percentile",
 ]
 
 EDGE_TEXTS = [

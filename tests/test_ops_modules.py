@@ -3595,3 +3595,101 @@ def test_kcore_census_empty_graph(spark):
     rows = {r.round: (r.n_nodes, r.n_edges)
             for r in kcore_census(df, k=3, rounds=2).collect()}
     assert rows == {0: (0, 0), 1: (0, 0), 2: (0, 0)}
+
+
+def test_budget_allocation_sums_exactly_and_matches_model(spark, sf_dir):
+    """Largest-remainder apportionment: final allocations must sum to
+    EXACTLY the budget, and every row must match a python model."""
+    from aardappel_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_budget_allocation"](spark, sf_dir).collect()
+    B = 1_000_000
+    assert sum(r.final_alloc for r in rows) == B
+    toks = {(r.source, r.lang): r.tokens for r in rows}
+    T = sum(toks.values())
+    base = {k: (B * t) // T for k, t in toks.items()}
+    rem = {k: (B * t) % T for k, t in toks.items()}
+    left = B - sum(base.values())
+    order = sorted(toks, key=lambda k: (-rem[k], k[0], k[1]))
+    bump = set(order[:left])
+    for r in rows:
+        k = (r.source, r.lang)
+        assert r.base_alloc == base[k], k
+        assert r.final_alloc == base[k] + (1 if k in bump else 0), k
+
+
+def test_rolling_percentile_matches_python_model(spark, sf_dir):
+    """Histogram-exact rolling p50/p95 must equal the brute-force
+    python percentile over each 7-day window (ceil-rank definition)."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        r.day: (r.n_events, r.p50_cents, r.p95_cents)
+        for r in QUERIES["events_rolling_percentile"](spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts", "value"]]
+    days = pdf["ts"].dt.floor("D").dt.date
+    cents = (pdf["value"] * 100).round().astype("int64")
+    by_day = defaultdict(list)
+    for d, c in zip(days, cents):
+        by_day[d].append(c)
+    for anchor in sorted(set(days)):
+        window = []
+        for d, vals in by_day.items():
+            if 0 <= (anchor - d).days <= 6:
+                window.extend(vals)
+        window.sort()
+        n = len(window)
+        p50 = window[math.ceil(50 * n / 100) - 1]
+        p95 = window[math.ceil(95 * n / 100) - 1]
+        assert got[anchor] == (n, p50, p95), anchor
+
+
+def test_version_diff_census_invariants(spark, sf_dir):
+    """The four diff classes must partition both live sets."""
+    from aardappel_spark.registry import QUERIES
+
+    [r] = QUERIES["cdc_version_diff"](spark, sf_dir).collect()
+    assert r.n_live_v1 == r.n_deleted + r.n_updated + r.n_unchanged
+    assert r.n_live_v2 == r.n_added + r.n_updated + r.n_unchanged
+    assert r.n_live_v2 > 0
+    # the stream genuinely crosses the cutoff: v1 is a proper subset era
+    assert r.n_added > 0
+
+
+def test_top_terms_matches_python_model(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from aardappel_spark.ops.text import STOPWORDS
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        r.term: (r.n_docs_lead, r.df, r.max_tf)
+        for r in QUERIES["text_top_terms"](spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    stops = set(STOPWORDS)
+    tf = {}
+    dfreq = Counter()
+    for _, row in pdf.iterrows():
+        toks = [t for t in (row.text or "").split(" ") if t and t not in stops]
+        c = Counter(toks)
+        tf[row.doc_id] = c
+        dfreq.update(c.keys())
+    leads = defaultdict(lambda: [0, 0, 0])
+    for doc, c in tf.items():
+        if not c:
+            continue
+        term = min(c, key=lambda t: (-c[t], dfreq[t], t))
+        leads[term][0] += 1
+        leads[term][1] = dfreq[term]
+        leads[term][2] = max(leads[term][2], c[term])
+    expect = {t: tuple(v) for t, v in leads.items() if v[0] >= 2}
+    assert got == expect

@@ -1023,3 +1023,37 @@ def test_setsim_prefix_candidates_are_equi_join(spark):
     plan = _plan(spark, "dedup_setsim_prefix")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["cdc_version_diff", "events_rolling_percentile", "text_top_terms",
+     "corpus_budget_allocation"],
+)
+def test_round8_batch6_no_cartesian(spark, qname):
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_percentile_fans_out_histogram_not_facts(spark):
+    """events_rolling_percentile: the histogram barrier hides the single
+    events scan (lazy checkpoint truncates the visible plan), so assert
+    the post-barrier shape: the 7-day fan-out is a Generate over the
+    checkpointed HISTOGRAM (no second parquet scan of facts), the
+    day-list attaches as a broadcast hash join, and nothing sorts
+    facts."""
+    plan = _plan(spark, "events_rolling_percentile")
+    assert plan.count("Scan parquet") == 0, plan  # all below the barrier
+    assert "Generate explode" in plan, plan       # histogram-cell fan-out
+    assert "BroadcastHashJoin" in plan, plan      # day-list attach
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_terms_rank_is_doc_partitioned(spark):
+    """text_top_terms: the keyword rank must be a per-doc window over
+    the checkpointed token-count frame — no re-scan of documents, no
+    global sort of the corpus."""
+    plan = _plan(spark, "text_top_terms")
+    assert plan.count("Scan parquet") == 0, plan  # tf barrier owns the scan
+    assert "Window" in plan and "doc_id" in plan.split("Window", 1)[1][:600], plan
+    assert "CartesianProduct" not in plan

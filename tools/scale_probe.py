@@ -142,6 +142,10 @@ PROBE_QUERIES = [
     # URL canonicalization, supplier HHI
     "dedup_setsim_prefix", "graph_kcore", "cdc_schema_drift",
     "doc_url_canonical", "supplier_hhi",
+    # round-8 batch 6: two-fold snapshot diff, histogram-cell fan-out
+    # percentiles, keyword-rank window, strata apportionment
+    "cdc_version_diff", "events_rolling_percentile", "text_top_terms",
+    "corpus_budget_allocation",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
