@@ -179,6 +179,9 @@ R08_ADDITION_NAMES: list[str] = [
     # largest-remainder mixture budget allocation
     "cdc_version_diff", "events_rolling_percentile", "text_top_terms",
     "corpus_budget_allocation",
+    # r8 batch 7: exact radius search over a broadcast probe batch,
+    # weekday x hour activity heatmap
+    "ann_range_search", "events_heatmap",
 ]
 
 _R08_STALE: list[str] = [

@@ -1627,3 +1627,76 @@ SELECT CAST(cell_size AS BIGINT) AS cell_size,
        CAST(count(*) AS BIGINT) AS n_cells
 FROM per_cell GROUP BY cell_size
 """
+
+
+def q_ann_range_search(spark, sf_dir):
+    """Exact radius (range) search for a BATCH of query vectors — the
+    other half of the ANN surface next to top-k: every corpus vector
+    within cosine >= 0.6 / >= 0.8 of each probe, plus the exact nearest
+    neighbor, computed brute-force with the probe batch BROADCAST
+    against the corpus (the correct distributed shape when |queries| <<
+    |corpus|: one corpus scan, dot products row-local, no shuffle of
+    the corpus at all). Radius search must be exact by contract — an
+    LSH tier would silently drop in-radius points — so the scale dial
+    is the probe batch size, not candidate pruning; for corpus-x-corpus
+    radius joins use the banded/blocked pair tiers instead. Similarity
+    is rounded to 4dp BEFORE thresholding and tie-breaking (the ann
+    family's cross-engine summation contract)."""
+    from ..ops.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 67 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim_r"),
+        )
+    )
+    best = F.max(F.struct(F.col("sim_r"), (-F.col("vec_id")).alias("_nv")))
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.sum((F.col("sim_r") >= 0.6).cast("bigint")).alias("n_ge_06"),
+            F.sum((F.col("sim_r") >= 0.8).cast("bigint")).alias("n_ge_08"),
+            best.alias("_b"),
+        )
+        .select(
+            "qid", "n_ge_06", "n_ge_08",
+            F.col("_b.sim_r").alias("nn_sim"),
+            (-F.col("_b._nv")).cast("bigint").alias("nn_id"),
+        )
+    )
+
+
+QUERIES["ann_range_search"] = q_ann_range_search
+
+ORACLES["ann_range_search"] = """
+WITH p AS (
+  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id % 67 = 1
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+d AS (
+  SELECT p.qid, v.vec_id,
+         round(sum(v.x * p.qv) / (sqrt(sum(v.x * v.x)) * sqrt(sum(p.qv * p.qv))), 4) AS sim_r
+  FROM v JOIN p USING (i)
+  WHERE v.vec_id <> p.qid
+  GROUP BY 1, 2
+)
+SELECT qid,
+       CAST(sum(CASE WHEN sim_r >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_06,
+       CAST(sum(CASE WHEN sim_r >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_08,
+       max({'s': sim_r, 'nv': -vec_id}).s AS nn_sim,
+       CAST(-(max({'s': sim_r, 'nv': -vec_id}).nv) AS BIGINT) AS nn_id
+FROM d
+GROUP BY qid
+"""

@@ -3033,3 +3033,43 @@ SELECT anchor AS day,
 FROM cum
 GROUP BY 1
 """
+
+
+def q_events_heatmap(spark, sf_dir):
+    """Activity heatmap census: per (ISO weekday, hour-of-day) cell,
+    event count, distinct users and exact cents volume — the ops
+    dashboard staple (when does the workload peak) and, at 100 TB, the
+    canonical ONE-hash-agg-over-168-cells reduction: the scan reduces
+    map-side to at most 7x24 partial cells per task before any
+    exchange. Weekday is ISO (Mon=1..Sun=7) via weekday()+1 so both
+    engines agree on week start; money crosses as summed integer
+    cents."""
+    ev = load_events_ns(spark, sf_dir)
+    t = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.select(
+            (F.weekday(t) + F.lit(1)).cast("bigint").alias("isodow"),
+            F.hour(t).cast("bigint").alias("hour"),
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("_c"),
+        )
+        .groupBy("isodow", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("_c").cast("bigint").alias("cents"),
+        )
+    )
+
+
+QUERIES["events_heatmap"] = q_events_heatmap
+
+ORACLES["events_heatmap"] = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1, 2
+"""

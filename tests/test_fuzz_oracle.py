@@ -73,6 +73,10 @@ FUZZ_QUERIES = [
     # rolling percentiles ride boundary values through cents rounding
     "cdc_version_diff", "text_top_terms", "corpus_budget_allocation",
     "events_rolling_percentile",
+    # round-8 batch 7: radius search rides the near-dup/antipodal
+    # vectors (sim == 1.0 and == -1.0 boundary cells); the heatmap
+    # folds tied timestamps
+    "ann_range_search", "events_heatmap",
 ]
 
 EDGE_TEXTS = [

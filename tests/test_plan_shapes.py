@@ -1057,3 +1057,19 @@ def test_top_terms_rank_is_doc_partitioned(spark):
     assert plan.count("Scan parquet") == 0, plan  # tf barrier owns the scan
     assert "Window" in plan and "doc_id" in plan.split("Window", 1)[1][:600], plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_range_search_broadcasts_probes(spark):
+    """ann_range_search: the probe batch must broadcast (corpus never
+    shuffles); the embedding scan reads only what the dot product
+    needs."""
+    plan = _plan(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan
+
+
+def test_events_heatmap_is_single_agg(spark):
+    plan = _plan(spark, "events_heatmap")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan

@@ -146,6 +146,10 @@ PROBE_QUERIES = [
     # percentiles, keyword-rank window, strata apportionment
     "cdc_version_diff", "events_rolling_percentile", "text_top_terms",
     "corpus_budget_allocation",
+    # round-8 batch 7: probe-batch brute force (probes grow with N at
+    # fixed modulus -> quadratic at oracle parity; production dial is a
+    # FIXED query batch), heatmap 168-cell reduction
+    "ann_range_search", "events_heatmap",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -176,6 +180,7 @@ FIXED_PARAM_SUPERLINEAR = {
     "graph_assortativity": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); degrees + stats are linear in edges",
     "graph_degree_hist": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the degree census is linear in edges — see the decomposed *_dialed consumer rows",
     "graph_kcore": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each peel round is linear in surviving edges — see the decomposed *_dialed consumer rows",
+    "ann_range_search": "probe batch = vec_id % 67 at oracle parity, so probes grow with N and pair mass ~N^2/67; the production shape is a FIXED user-supplied query batch (linear in corpus)",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,
