@@ -153,6 +153,10 @@ R08_ADDITION_NAMES: list[str] = [
     # semantic change (r7 ADVICE): skew_ppm is exact max/mean again,
     # computed in double — re-gate the round it changed
     "events_key_skew",
+    # plan change (r7 verdict #6 drift fix): the 7-day exact leg is now
+    # an explode equi-join — output identical, re-gate the round the
+    # plan changed
+    "events_wau_hll",
     # real multimodal decode (r7 verdict #2): BMP/PPM/WAV header parse
     # over genuine container bytes, oracle re-decodes the same blobs
     "multimodal_decode",

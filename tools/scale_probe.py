@@ -482,18 +482,25 @@ def main() -> None:
     for factor in (1, n):
         emb = spark.read.parquet(f"{dirs[factor]}/embeddings.parquet")
         best_build, edges = float("inf"), None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            edges = (
-                knn_graph_banded(
-                    emb, k=5, n_bands=12, band_bits=dialed_bits(factor)
+        attempts = 0
+        while attempts < 3 and (edges is None or attempts < 2):
+            attempts += 1
+            try:
+                t0 = time.perf_counter()
+                edges = (
+                    knn_graph_banded(
+                        emb, k=5, n_bands=12, band_bits=dialed_bits(factor)
+                    )
+                    .select(
+                        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+                    )
+                    .localCheckpoint()  # eager: the build leg ends here
                 )
-                .select(
-                    F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
-                )
-                .localCheckpoint()  # eager: the build leg ends here
-            )
-            best_build = min(best_build, time.perf_counter() - t0)
+                best_build = min(best_build, time.perf_counter() - t0)
+            except Exception as exc:  # transient python-worker death:
+                # one crashed attempt must not lose the whole artifact
+                print(f"#   build x{factor} attempt failed: {exc}",
+                      file=sys.stderr)
         build_t[factor] = round(best_build, 2)
         print(
             f"#   knn_graph_build_dialed x{factor}: {build_t[factor]}s",
@@ -502,9 +509,15 @@ def main() -> None:
         for cname, thunk in graph_consumers(emb, edges).items():
             best = float("inf")
             for _ in range(2):
-                t0 = time.perf_counter()
-                thunk().collect()
-                best = min(best, time.perf_counter() - t0)
+                try:
+                    t0 = time.perf_counter()
+                    thunk().collect()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception as exc:
+                    print(f"#   {cname} x{factor} attempt failed: {exc}",
+                          file=sys.stderr)
+            if best == float("inf"):
+                continue
             consumer_t.setdefault(cname, {})[factor] = round(best, 2)
             print(f"#   {cname} x{factor}: {best:.2f}s", file=sys.stderr)
 
@@ -520,6 +533,9 @@ def main() -> None:
         ),
     }
     for cname, dd in consumer_t.items():
+        if 1 not in dd or n not in dd:
+            results["queries"][cname] = {"error": f"leg missing: {sorted(dd)}"}
+            continue
         results["queries"][cname] = {
             "t_x1_sec": dd[1],
             f"t_x{n}_sec": dd[n],
