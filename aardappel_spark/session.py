@@ -62,6 +62,12 @@ def get_spark(app_name: str = "aardappel-spark", master: str | None = None) -> S
         .master(master or f"local[{cpus}]")
         .config("spark.driver.memory", driver_mem)
     )
+    # tooling hook (scale_probe): "k=v,k=v" static confs that must be set
+    # before the JVM exists, e.g. spark.python.worker.reuse=false
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in {**REQUIRED_CONFS, **DEFAULT_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -311,20 +311,8 @@ def main() -> None:
         runs = [run_probe(spark, sf_dir, names) for _ in range(passes)]
         return {k: min(r[k] for r in runs) for k in names}
 
-    def respawn():
-        # fresh block manager between phases: leftover checkpoint blocks
-        # from ~50 queries x multiple passes squeezed execution memory
-        # until an x10 hash-agg died with UNABLE_TO_ACQUIRE_MEMORY (the
-        # r8 probe lost two runs to this). Same JVM, so JIT stays warm.
-        nonlocal spark
-        spark.stop()
-        spark = get_spark("scale-probe")
-        spark.sparkContext.setLogLevel("ERROR")
-
     t1 = best_of(dirs[1], PROBE_QUERIES)
-    respawn()
     tn = best_of(dirs[n], PROBE_QUERIES)
-    respawn()
 
     def best_of_noop(sf_dir, name, passes=2):
         from aardappel_spark import registry
@@ -593,7 +581,6 @@ def main() -> None:
 
     big = int(os.environ.get("SCALE_PROBE_BIG", "100"))
     if big > n:
-        respawn()
         d_big = f"{root}/x{big}"
         print(f"# building {d_big}", file=sys.stderr)
         t0 = time.perf_counter()
