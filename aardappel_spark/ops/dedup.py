@@ -551,69 +551,168 @@ def setsim_prefix_pairs(
     tau_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle: int = 1,
+    guard_max_candidates: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (Chaudhuri,
-    Ganti & Kaushik ICDE 2006; Xiao et al. WWW 2008 "PPJoin") — the
-    database-literature answer to near-dup candidate generation with NO
-    false negatives, next to the probabilistic MinHash/SimHash tiers:
-    a pair with token-set Jaccard >= tau MUST share at least one token
-    among each side's first ``p = n - ceil(tau*n) + 1`` tokens when
-    every document orders its tokens by ascending global document
-    frequency (rarest first). Candidates therefore come from an
-    equi-join on PREFIX tokens only — rare tokens by construction, so
-    bucket fan-out stays bounded where a naive token self-join melts on
-    stopwords. tau is the exact rational tau_num/tau_den and the verify
-    step is the integer cross-multiply ``den*|inter| >= num*|union|`` —
-    no float thresholds cross the comparison.
+    Ganti & Kaushik ICDE 2006) PLUS PPJoin's length and positional
+    filters (Xiao et al. WWW 2008 §3) — the database-literature answer
+    to near-dup candidate generation with NO false negatives, next to
+    the probabilistic MinHash/SimHash tiers. A pair with token-set
+    Jaccard >= tau MUST share at least one token among each side's
+    first ``p = n - ceil(tau*n) + 1`` tokens when every document orders
+    its tokens by ascending global document frequency (rarest first),
+    so candidates come from an equi-join on prefix tokens. Two exact
+    pruning filters run inside that join:
+
+      * LENGTH filter: J >= tau forces tau*max(n_a,n_b) <= min(n_a,n_b)
+        — size-incompatible pairs never leave the join;
+      * POSITIONAL filter: at a prefix-token match at 1-based ranks
+        (i, j), the overlap is bounded by ``1 + min(n_a-i, n_b-j)``;
+        J >= tau needs overlap ``(den+num)*|I| >= num*(n_a+n_b)``, so
+        matches whose bound fails are pruned. For a truly tau-similar
+        pair the FIRST common token (in global df order) sits inside
+        both prefixes and has zero overlap before it, so its match
+        always survives — pruning later matches loses nothing.
+
+    tau is the exact rational tau_num/tau_den; prefix length, both
+    filters and the verify step ``den*|inter| >= num*|union|`` are all
+    integer arithmetic (Spark ``div``) so both engines agree at every n.
+
+    ``shingle=w`` tokenizes into word w-grams (Broder's w-shingling)
+    instead of single words: the shingle space is |V|^w, which is what
+    keeps prefix tokens genuinely rare on small-vocabulary corpora.
+    Docs shorter than w words produce no shingles and drop out.
+
+    DEGENERATE-REGIME GUARD: on a token space with no rare tail (e.g.
+    unigrams over a 31-word vocabulary) every prefix token has huge df
+    and the candidate join degrades toward all-pairs. Before the join
+    runs, the prefix-bucket candidate bound ``sum_t C(df_prefix_t, 2)``
+    is measured; if it exceeds ``guard_max_candidates`` (default
+    ``max(1_000_000, 200 * n_docs)``) the kernel REFUSES with the dial
+    to turn (larger ``shingle``, higher tau) — mirroring the all-pairs
+    refusal in ``similarity.cosine_neardup_pairs``. The n^2 regime is
+    never the 100 TB path.
 
     Returns one row per candidate pair (id_a < id_b): token counts,
     exact intersection size, and ``verified`` (Jaccard >= tau). Scale:
     one shuffle tokenizes + ranks (per-doc window, partition-local),
-    one equi-join on prefix tokens, one verify join carrying the two
-    bounded token arrays.
+    one equi-join on prefix tokens with both filters applied in-join,
+    one verify join carrying the two bounded token arrays.
     """
-    from pyspark.sql.window import Window
-
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # materialize the word array BEFORE shingling: Catalyst does not
+    # CSE inside higher-order-function lambdas, so slicing the split
+    # expression directly re-tokenizes per shingle (O(tokens^2)/doc —
+    # the same trap shingles_col documents); zip_with over a
+    # pre-computed attribute is O(tokens * w)
+    wdf = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    if shingle > 1:
+        n = F.size(F.col("_w"))
+        cnt = n - (shingle - 1)
+        sh = F.slice(F.col("_w"), 1, cnt)
+        for i in range(1, shingle):
+            sh = F.zip_with(
+                sh,
+                F.slice(F.col("_w"), i + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        toks = F.when(n >= shingle, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        toks = F.col("_w")
     # barrier: the posting frame feeds the df census, the rank join and
     # the verify sets — tokenize ONCE, never re-scan the corpus per
     # consumer (scan_audit-enforced)
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-            )
-        ).alias("tok"),
+    tok = wdf.select(
+        "_id",
+        F.explode(F.array_distinct(toks)).alias("tok"),
     ).localCheckpoint(eager=False)
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
-    w = Window.partitionBy("_id").orderBy("_df", "tok")
+    # one groupBy(_id) produces the df-ascending sorted token array —
+    # the per-doc RANKS (array position), the PREFIX (array slice) and
+    # the verify SETS all project out of this single aggregation; the
+    # window-rank + separate collect_set plan spent two extra wide
+    # shuffles on the same information. struct(_df, tok) sorts by df
+    # then token, exactly the (df, tok) window order.
     ranked = (
         tok.join(dfreq, "tok")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count("*").over(Window.partitionBy("_id")))
-    )
-    # prefix length p = n - ceil(tau*n) + 1; ceil(num*n/den) in exact
-    # integer arithmetic so both engines agree at every n
-    p = F.col("_n") - ((F.lit(tau_num) * F.col("_n") + F.lit(tau_den - 1))
-                       .cast("bigint") / F.lit(tau_den)).cast("bigint") + 1
-    # barrier: both sides of the candidate self-join read this frame
-    prefix = (
-        ranked.filter(F.col("_rn") <= p)
-        .select("_id", "tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
+        .withColumn("_n", F.size("_st").cast("bigint"))
         .localCheckpoint(eager=False)
+    )
+    # prefix length p = n - ceil(tau*n) + 1; ceil(num*n/den) via integer
+    # div so both engines agree at every n (no double round-trip)
+    prefix = ranked.selectExpr(
+        "_id",
+        "_n",
+        f"slice(_st, 1, CAST(_n - (({tau_num} * _n + {tau_den - 1}) div "
+        f"{tau_den}) + 1 AS INT)) AS _pre",
+    ).select(
+        "_id",
+        "_n",
+        F.posexplode("_pre").alias("_pos", "_s"),
+    ).select(
+        "_id",
+        "_n",
+        (F.col("_pos") + 1).cast("bigint").alias("_rn"),
+        F.col("_s.tok").alias("tok"),
+    )
+    if guard_max_candidates is None or guard_max_candidates <= 0:
+        # count() on the source frame, not a distinct over postings —
+        # for a parquet scan this is a metadata-only job
+        bound = max(1_000_000, 200 * docs.count())
+    else:
+        bound = guard_max_candidates
+    mass_row = (
+        prefix.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .selectExpr("coalesce(sum(c * (c - 1) div 2), 0) AS mass")
+        .collect()
+    )
+    mass = mass_row[0]["mass"] if mass_row else 0
+    if mass > bound:
+        raise ValueError(
+            f"setsim_prefix_pairs: degenerate token space — the prefix "
+            f"buckets bound {mass} candidate pairs (> {bound}); the "
+            f"prefix filter cannot prune a vocabulary with no rare "
+            f"tail. Increase `shingle` (word w-grams grow the token "
+            f"space to |V|^w) or raise tau; the all-pairs regime is "
+            f"refused by design, mirroring cosine_neardup_pairs."
+        )
+    ub = F.lit(1) + F.least(
+        F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn")
     )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            (F.col("a._id") < F.col("b._id"))
+            # length filter: tau * max(n_a, n_b) <= min(n_a, n_b)
+            & (
+                F.lit(tau_den) * F.least(F.col("a._n"), F.col("b._n"))
+                >= F.lit(tau_num) * F.greatest(F.col("a._n"), F.col("b._n"))
+            )
+            # positional filter: overlap upper bound at this match must
+            # still admit (den+num)*|I| >= num*(n_a+n_b)
+            & (
+                F.lit(tau_den + tau_num) * ub
+                >= F.lit(tau_num) * (F.col("a._n") + F.col("b._n"))
+            )
+        )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
         .distinct()
     )
-    sets = tok.groupBy("_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("_toks"),
-        F.count("*").cast("bigint").alias("_n"),
+    # verify sets come free off the checkpointed sorted-struct frame —
+    # no second aggregation over the postings
+    sets = ranked.select(
+        "_id",
+        F.expr("transform(_st, s -> s.tok)").alias("_toks"),
+        F.col("_n"),
     )
     joined = (
         cand.join(

@@ -3552,6 +3552,128 @@ def test_setsim_prefix_join_is_bounded_by_rare_tokens(spark):
     assert setsim_prefix_pairs(docs, 4, 5).count() == 0
 
 
+def test_setsim_no_false_negatives_randomized(spark):
+    """PPJoin guarantee under the length + positional filters: on a
+    seeded random corpus, EVERY pair with token-set Jaccard >= tau must
+    appear in the output with verified=True — brute-force all-pairs is
+    the model. Mix of near-dup clusters and unrelated docs."""
+    import random
+
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    rng = random.Random(97)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    did = 0
+    for c in range(12):
+        base = rng.sample(vocab, rng.randint(5, 30))
+        for _ in range(rng.randint(1, 4)):
+            t = list(base)
+            # light edits: keep some pairs above tau, push others below
+            for _ in range(rng.randint(0, 3)):
+                op = rng.random()
+                if op < 0.5 and len(t) > 3:
+                    t.pop(rng.randrange(len(t)))
+                else:
+                    t.append(rng.choice(vocab))
+            rng.shuffle(t)
+            rows.append((did, " ".join(t)))
+            did += 1
+    for tau_num, tau_den in [(4, 5), (1, 2), (9, 10)]:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in setsim_prefix_pairs(docs, tau_num, tau_den).collect()
+            if r.verified
+        }
+        sets = {i: set(t.split()) for i, t in rows}
+        expect = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if tau_den * inter >= tau_num * union:
+                        expect.add((a, b))
+        assert got == expect, (tau_num, tau_den, got ^ expect)
+
+
+def test_setsim_length_filter_prunes_size_incompatible(spark):
+    """A pair sharing a rare prefix token but with incompatible sizes
+    (tau*max > min) must be pruned AT CANDIDATE TIME — it never reaches
+    the verify join, so it is absent from the output entirely."""
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    filler = " ".join(f"f{i}" for i in range(36))
+    docs = spark.createDataFrame(
+        [(1, "rare a b c"), (2, f"rare {filler}")],
+        "doc_id long, text string",
+    )
+    # J <= 4/40 << 4/5; sizes 4 vs 37 fail 5*4 >= 4*37
+    assert setsim_prefix_pairs(docs, 4, 5).count() == 0
+
+
+def test_setsim_shingle_mode_matches_python_model(spark):
+    """shingle=3 tokenizes into word 3-grams (w-shingling); brute-force
+    3-gram Jaccard is the model. Docs shorter than 3 words produce no
+    shingles and drop out of the join entirely."""
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        4: "a completely different sentence structure here",
+        5: "two words",       # < 3 words -> no shingles
+        6: "",                # empty
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = setsim_prefix_pairs(docs, 1, 2, shingle=3).collect()
+    got = {(r.id_a, r.id_b): (r.n_inter, bool(r.verified)) for r in out}
+
+    def sh3(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh3(t) for i, t in texts.items()}
+    for (a, b), (inter, v) in got.items():
+        assert inter == len(sets[a] & sets[b]), (a, b)
+    expect_verified = set()
+    for a in sets:
+        for b in sets:
+            if a < b and (sets[a] or sets[b]):
+                i_ = len(sets[a] & sets[b])
+                u_ = len(sets[a] | sets[b])
+                if u_ and 2 * i_ >= 1 * u_:
+                    expect_verified.add((a, b))
+    assert {p for p, (_, v) in got.items() if v} == expect_verified
+    ids_seen = {i for p in got for i in p}
+    assert 5 not in ids_seen and 6 not in ids_seen
+
+
+def test_setsim_degenerate_regime_guard_refuses(spark):
+    """On a token space with no rare tail the kernel must REFUSE before
+    launching the candidate join (the r8 fixture degenerated to 97% of
+    all pairs). The guard bound is the prefix-bucket pair mass."""
+    import pytest
+
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+
+    # 30 docs over a 5-token vocabulary: every prefix bucket is huge
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd ee") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="degenerate token space"):
+        setsim_prefix_pairs(docs, 4, 5, guard_max_candidates=10).count()
+    # explicit generous bound lets the same corpus through
+    assert setsim_prefix_pairs(
+        docs, 4, 5, guard_max_candidates=10_000
+    ).count() == 30 * 29 // 2
+
+
 def test_kcore_census_matches_python_model(spark):
     """Peel a known small graph and compare every round against a
     python reference implementation."""
