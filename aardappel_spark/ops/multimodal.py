@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode step is REAL for uncompressed container formats — a pure-stdlib
-header parse (``decode_header``): BMP (fixed-offset little-endian struct
-reads), PPM/PGM plain+raw (ASCII token scan with comment handling), and
-WAV (a genuine RIFF chunk walk, not fixed offsets, so non-canonical chunk
-order decodes too). Compressed formats (PNG/JPEG/GIF/MP4/…) still raise
-``NotImplementedError`` — decoding those needs PIL/libav, unavailable in
-this container — and ``extract_features`` reports them as
+The decode step is REAL — a pure-stdlib header parse (``decode_header``):
+BMP (fixed-offset little-endian struct reads), PPM/PGM plain+raw (ASCII
+token scan with comment handling), WAV (a genuine RIFF chunk walk, not
+fixed offsets, so non-canonical chunk order decodes too), and — header
+DIMENSIONS only, which need no codec — PNG (big-endian IHDR reads), GIF
+(little-endian logical screen descriptor) and JPEG (a real marker walk to
+the SOF frame header, so arbitrary APPn/COM/DQT segments before it are
+handled). PIXEL decode of compressed formats and MP4/WEBP stay
+``NotImplementedError`` — that genuinely needs PIL/libav, unavailable in
+this container — and ``extract_features`` reports those as
 ``format='unsupported'`` with NULL dimensions rather than fabricating
 numbers. The only remaining fake is ``sample_frames``'s frame COUNT for
 video containers (honestly labeled below).
@@ -62,13 +65,13 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-# magics we can name but not decode without PIL/libav
-_COMPRESSED_MAGICS = [
-    (b"\x89PNG", "png"),
-    (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
-    (b"RIFF", None),  # RIFF is handled below; WEBP subtype checked there
-]
+# PNG color type -> sample channels (spec: greyscale, truecolor,
+# indexed, greyscale+alpha, truecolor+alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOF0..SOF15 mark frame headers, EXCEPT DHT (C4), JPG (C8),
+# DAC (CC) which reuse the 0xCx range for other segment kinds
+_JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
 def _decode_bmp(p: bytes) -> dict:
@@ -158,6 +161,14 @@ def _decode_wav(p: bytes) -> dict:
         raise NotImplementedError(
             f"non-PCM WAV (format tag {audio_format}) needs a codec"
         )
+    if channels == 0 or bits < 8 or rate == 0:
+        # malformed-but-parseable header: a zero here would divide by
+        # zero below and kill the whole Spark task instead of degrading
+        # to format='unsupported' as the decode contract promises
+        raise ValueError(
+            f"WAV fmt chunk has zero field (channels={channels}, "
+            f"bits={bits}, rate={rate})"
+        )
     n_samples = data_size // (channels * (bits // 8))
     return {
         "format": "wav",
@@ -168,14 +179,94 @@ def _decode_wav(p: bytes) -> dict:
     }
 
 
+def _decode_png(p: bytes) -> dict:
+    """PNG dimensions live in the IHDR chunk, which the spec requires
+    FIRST: big-endian width/height at bytes 16-24, bit depth + color
+    type right after. No codec needed for dimensions; only pixel decode
+    (zlib/IDAT) would need one."""
+    if len(p) < 26:
+        raise ValueError(f"PNG truncated before IHDR: {len(p)} bytes")
+    if p[12:16] != b"IHDR":
+        raise ValueError(f"PNG first chunk is {p[12:16]!r}, not IHDR")
+    width, height = struct.unpack_from(">II", p, 16)
+    color_type = p[25]
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG has invalid color type {color_type}")
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "n_channels": _PNG_CHANNELS[color_type],
+    }
+
+
+def _decode_gif(p: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor: little-endian width/height
+    at bytes 6-10. Pixels index an RGB palette, so 3 channels."""
+    if len(p) < 10:
+        raise ValueError(f"GIF truncated: {len(p)} bytes")
+    width, height = struct.unpack_from("<HH", p, 6)
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+    }
+
+
+def _decode_jpeg(p: bytes) -> dict:
+    """Marker walk to the SOF frame header (works on real JPEGs with
+    any APPn/COM/DQT segments before it): each non-standalone segment
+    carries a big-endian length; SOFn holds precision, height, width,
+    component count."""
+    i = 2
+    while i + 2 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at offset {i}")
+        while i < len(p) and p[i] == 0xFF:  # fill bytes pad markers
+            i += 1
+        if i >= len(p):
+            break
+        marker = p[i]
+        i += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers carry no length
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > len(p):
+            raise ValueError("JPEG truncated inside segment length")
+        seg_len = struct.unpack_from(">H", p, i)[0]
+        if seg_len < 2:
+            raise ValueError(f"JPEG segment length {seg_len} < 2")
+        if marker in _JPEG_SOF:
+            if i + 8 > len(p):
+                raise ValueError("JPEG SOF header truncated")
+            height, width = struct.unpack_from(">HH", p, i + 3)
+            n_comp = p[i + 7]
+            return {
+                "format": "jpeg",
+                "width": width,
+                "height": height,
+                "n_channels": n_comp,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data; SOF must precede
+            break
+        i += seg_len
+    raise ValueError("JPEG has no SOF frame header")
+
+
 def decode_header(payload: bytes) -> dict:
     """Pure-stdlib container-header decode. Returns a dict with
     ``format`` plus the fields the container carries (width/height/
     n_channels for images, n_channels/sample_rate/n_samples/duration_ms
-    for audio). Raises ``NotImplementedError`` for formats that need a
-    real codec (PNG/JPEG/GIF/WEBP/MP4/non-PCM/compressed-BMP) and
-    ``ValueError`` for truncated or malformed headers — the caller
-    decides whether unsupported is an error or a NULL row."""
+    for audio). BMP/netpbm/WAV headers are parsed structurally;
+    PNG/GIF/JPEG dimensions come straight from the header too (IHDR /
+    logical screen descriptor / SOF marker walk — no codec needed for
+    dimensions). Raises ``NotImplementedError`` for payloads that need
+    a real codec (MP4/WEBP/non-PCM/compressed-BMP — and PIXEL decode of
+    any compressed format stays out of scope) and ``ValueError`` for
+    truncated or malformed headers — the caller decides whether
+    unsupported is an error or a NULL row."""
     if payload is None or len(payload) < 2:
         raise ValueError("payload empty or too short to sniff")
     if payload[:2] == b"BM":
@@ -184,11 +275,14 @@ def decode_header(payload: bytes) -> dict:
         return _decode_ppm(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         raise NotImplementedError("MP4/ISO-BMFF video needs libav")
-    for magic, name in _COMPRESSED_MAGICS:
-        if name and payload[: len(magic)] == magic:
-            raise NotImplementedError(f"{name} decode needs a codec (PIL)")
     raise NotImplementedError(
         f"unrecognized container magic {payload[:4]!r}"
     )
@@ -268,16 +362,31 @@ def _le_hex(expr: str, nbytes: int, div: str) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
+def _be_hex(expr: str, nbytes: int, div: str) -> str:
+    """Big-endian variant of ``_le_hex`` (PNG/JPEG store dims BE)."""
+    parts = []
+    for i in reversed(range(nbytes)):
+        b = f"(({expr}) {div} {256 ** i}) % 256" if i else f"({expr}) % 256"
+        parts.append(f"lpad(lower(hex({b})), 2, '0')")
+    return "concat(" + ", ".join(parts) + ")"
+
+
 def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
                     join_fn: str) -> str:
     """SQL producing the hex string of a real container payload per
-    documents row, cycling format by doc_id % 4: BMP (24bpp, widths
+    documents row, cycling format by doc_id % 7: BMP (24bpp, widths
     chosen so rows are already 4-byte aligned), plain PPM (P3, pure
-    ASCII), PCM WAV (canonical chunk order), and an MP4 'ftyp' stub
-    that decoders must REFUSE (the honest unsupported arm). Pixel /
-    sample bytes derive from repeat(md5(text)) so both engines build
-    identical payloads; the decode side never sees these expressions —
-    it parses the assembled bytes.
+    ASCII), PCM WAV (canonical chunk order), an MP4 'ftyp' stub that
+    decoders must REFUSE (the honest unsupported arm), and three
+    header-faithful compressed-format payloads — PNG (real magic +
+    IHDR with true BE dims/color type + IEND; IHDR CRC zeroed and no
+    IDAT, since only the header is decoded), GIF89a (real logical
+    screen descriptor + trailer), and JPEG (SOI + a real APP0/JFIF
+    segment + SOF0 with true BE dims + EOI — the APP0 forces the
+    decoder's marker WALK, not a fixed offset). Pixel / sample bytes
+    derive from repeat(md5(text)) so both engines build identical
+    payloads; the decode side never sees these expressions — it parses
+    the assembled bytes.
 
     Engine dialect knobs: ``div`` ('div'|'//'), ``transform_fn``
     ('transform'|'list_transform'), ``range_fn`` (Spark
@@ -329,25 +438,58 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
     )"""
     mp4 = ("concat('00000018', lower(hex('ftypisom')), "
            "substring(md5(text), 1, 16))")
-    return (f"CASE doc_id % 4 WHEN 0 THEN {bmp} WHEN 1 THEN {ppm} "
-            f"WHEN 2 THEN {wav} ELSE {mp4} END")
+    png_w = "(1 + doc_id % 9)"
+    png_h = "(1 + doc_id % 6)"
+    # color type cycles grey / truecolor / truecolor+alpha
+    png_ct = "(CASE doc_id % 3 WHEN 0 THEN '00' WHEN 1 THEN '02' ELSE '06' END)"
+    png = f"""concat(
+      '89504e470d0a1a0a',
+      '0000000d', lower(hex('IHDR')),
+      {_be_hex(png_w, 4, div)}, {_be_hex(png_h, 4, div)},
+      '08', {png_ct}, '000000',
+      '00000000',
+      '00000000', lower(hex('IEND')), 'ae426082'
+    )"""
+    gif_w = "(1 + doc_id % 12)"
+    gif_h = "(1 + doc_id % 10)"
+    gif = f"""concat(
+      lower(hex('GIF89a')),
+      {_le_hex(gif_w, 2, div)}, {_le_hex(gif_h, 2, div)},
+      '000000', '3b'
+    )"""
+    jpg_w = "(1 + doc_id % 13)"
+    jpg_h = "(1 + doc_id % 11)"
+    jpg = f"""concat(
+      'ffd8',
+      'ffe0', '0010', lower(hex('JFIF')), '00', '0101', '00',
+      '00010001', '0000',
+      'ffc0', '0011', '08', {_be_hex(jpg_h, 2, div)},
+      {_be_hex(jpg_w, 2, div)}, '03', '012200', '021101', '031101',
+      'ffd9'
+    )"""
+    return (f"CASE doc_id % 7 WHEN 0 THEN {bmp} WHEN 1 THEN {ppm} "
+            f"WHEN 2 THEN {wav} WHEN 3 THEN {mp4} WHEN 4 THEN {png} "
+            f"WHEN 5 THEN {gif} ELSE {jpg} END")
 
 
 def synthetic_media(docs: DataFrame) -> DataFrame:
     """Media table with REAL container payloads (BMP / plain-PPM / PCM
-    WAV / an mp4 stub that must refuse), deterministic per doc_id —
-    the fixture ``multimodal_decode`` gates end-to-end."""
+    WAV / PNG / GIF / JPEG / an mp4 stub that must refuse),
+    deterministic per doc_id — the fixture ``multimodal_decode`` gates
+    end-to-end."""
     hex_sql = payload_hex_sql(
         div="div", transform_fn="transform",
         range_fn="sequence(0, {n} - 1)", join_fn="array_join",
     )
     return docs.selectExpr(
         "doc_id AS media_id",
-        "CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image' "
-        "WHEN 2 THEN 'audio' ELSE 'video' END AS kind",
-        "CASE doc_id % 4 WHEN 0 THEN 'image/bmp' "
+        "CASE doc_id % 7 WHEN 2 THEN 'audio' WHEN 3 THEN 'video' "
+        "ELSE 'image' END AS kind",
+        "CASE doc_id % 7 WHEN 0 THEN 'image/bmp' "
         "WHEN 1 THEN 'image/x-portable-pixmap' "
-        "WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime",
+        "WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4' "
+        "WHEN 4 THEN 'image/png' WHEN 5 THEN 'image/gif' "
+        "ELSE 'image/jpeg' END AS mime",
         f"unhex({hex_sql}) AS payload",
     )
 

@@ -234,16 +234,133 @@ def test_decode_header_real_formats():
     import pytest as _pytest
 
     for bad in (
-        b"\x89PNG\r\n\x1a\n" + bytes(16),
-        b"\xff\xd8\xff\xe0" + bytes(16),
         b"\x00\x00\x00\x18ftypisom" + bytes(8),
         b"RIFF\x10\x00\x00\x00WEBPVP8 " + bytes(8),
         _bmp_bytes(4, 4, compression=1),  # BI_RLE8
     ):
         with _pytest.raises(NotImplementedError):
             decode_header(bad)
-    with _pytest.raises(ValueError):
-        decode_header(b"BM\x01\x02")  # truncated
+    for bad in (
+        b"BM\x01\x02",                       # truncated BMP
+        b"\x89PNG\r\n\x1a\n" + bytes(16),    # truncated before IHDR end
+        b"\x89PNG\r\n\x1a\n" + bytes(32),    # first chunk not IHDR
+        b"\xff\xd8\xff\xe0" + bytes(16),     # APP0 with seg_len 0
+        b"\xff\xd8\xff\xd9",                 # SOI+EOI, no SOF
+        b"GIF89a\x05",                       # truncated GIF
+    ):
+        with _pytest.raises(ValueError):
+            decode_header(bad)
+
+
+def _png_bytes(width, height, color_type=2):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND")))
+
+
+def _jpeg_bytes(width, height, n_comp=3, extra_segments=2):
+    import struct
+
+    out = b"\xff\xd8"
+    # several APPn/COM segments BEFORE the SOF — the walk must skip them
+    for k in range(extra_segments):
+        body = b"x" * (5 + 3 * k)
+        out += bytes([0xFF, 0xE1 + k]) + struct.pack(">H", 2 + len(body)) + body
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    sof = struct.pack(">BHHB", 8, height, width, n_comp) + comps
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    return out + b"\xff\xd9"
+
+
+def test_decode_header_compressed_format_dims():
+    """PNG/GIF/JPEG dimensions come straight from the header — no codec
+    (r8 verdict #7). PNG via IHDR (incl. color-type channel map), GIF
+    via the little-endian logical screen descriptor (87a and 89a), JPEG
+    via a marker walk that skips arbitrary APPn segments and fill bytes
+    to any SOFn. Also: the canonical 1x1 transparent PNG decodes."""
+    from aardappel_spark.ops.multimodal import decode_header
+
+    for ct, ch in [(0, 1), (2, 3), (3, 1), (4, 2), (6, 4)]:
+        d = decode_header(_png_bytes(640, 480, ct))
+        assert (d["format"], d["width"], d["height"], d["n_channels"]) == (
+            "png", 640, 480, ch)
+    # the well-known 1x1 transparent PNG (public fixture bytes)
+    import base64
+    one = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    d = decode_header(one)
+    assert (d["format"], d["width"], d["height"]) == ("png", 1, 1)
+
+    import struct
+
+    for ver in (b"GIF87a", b"GIF89a"):
+        g = ver + struct.pack("<HH", 320, 200) + bytes(3) + b";"
+        d = decode_header(g)
+        assert (d["format"], d["width"], d["height"], d["n_channels"]) == (
+            "gif", 320, 200, 3)
+
+    for n_comp in (1, 3):
+        for extra in (0, 1, 4):
+            d = decode_header(_jpeg_bytes(123, 45, n_comp, extra))
+            assert (d["format"], d["width"], d["height"],
+                    d["n_channels"]) == ("jpeg", 123, 45, n_comp)
+    # fill bytes between segments are legal padding
+    j = _jpeg_bytes(9, 7)
+    padded = j[:2] + b"\xff" * 3 + j[2:]
+    assert decode_header(padded)["width"] == 9
+
+
+def test_decode_wav_zero_fields_raise_valueerror():
+    """A malformed-but-parseable WAV with zero channels / bits / rate
+    must raise ValueError (caught by extract_features -> format
+    'unsupported'), not ZeroDivisionError, which would kill the whole
+    Spark task (r8 ADVICE item)."""
+    import struct
+
+    import pytest as _pytest
+
+    from aardappel_spark.ops.multimodal import decode_header, extract_features
+
+    def wav_with(channels, rate, bits):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 8) + bytes(8))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for ch, rate, bits in [(0, 8000, 16), (1, 0, 16), (1, 8000, 0)]:
+        with _pytest.raises(ValueError):
+            decode_header(wav_with(ch, rate, bits))
+
+
+def test_extract_features_degrades_on_zero_field_wav(spark):
+    """End-to-end: one corrupt zero-channel WAV in a batch must come
+    back format='unsupported' with NULL dims — never kill the task."""
+    import struct
+
+    from aardappel_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 8) + bytes(8))
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    rows = [
+        (1, "audio", "audio/wav", bytearray(bad)),
+        (2, "audio", "audio/wav", bytearray(_wav_bytes(1, 8000, 400))),
+    ]
+    out = {r.media_id: r for r in
+           extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1].format == "unsupported" and out[1].sample_rate is None
+    assert out[2].format == "wav" and out[2].n_samples == 400
 
 
 def _media(spark):
@@ -3340,7 +3457,7 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
     seen = set()
     for r in rows:
         p = bytes(r.payload)
-        arm = r.media_id % 4
+        arm = r.media_id % 7
         seen.add(arm)
         if arm == 3:
             with pytest.raises(NotImplementedError):
@@ -3361,13 +3478,36 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             # plain PPM: payload is pure ASCII with 3*w*h pixel values
             vals = p.decode("ascii").split("\n")[3].split(" ")
             assert len(vals) == 3 * d["width"] * d["height"]
-        else:
+        elif arm == 2:
             assert d["format"] == "wav"
             rate = {0: 8000, 1: 16000, 2: 44100}[r.media_id % 3]
             assert d["sample_rate"] == rate
             assert d["n_samples"] == 50 + r.media_id % 100
             assert d["duration_ms"] == d["n_samples"] * 1000 // rate
-    assert seen == {0, 1, 2, 3}
+        elif arm == 4:
+            assert d["format"] == "png"
+            assert d["width"] == 1 + r.media_id % 9
+            assert d["height"] == 1 + r.media_id % 6
+            ch = {0: 1, 1: 3, 2: 4}[r.media_id % 3]
+            assert d["n_channels"] == ch
+            # independent struct re-read: IHDR must be the first chunk
+            assert p[12:16] == b"IHDR"
+            assert struct.unpack_from(">I", p, 16)[0] == d["width"]
+        elif arm == 5:
+            assert d["format"] == "gif"
+            assert d["width"] == 1 + r.media_id % 12
+            assert d["height"] == 1 + r.media_id % 10
+            assert p[:6] == b"GIF89a" and p[-1:] == b";"
+            assert struct.unpack_from("<H", p, 6)[0] == d["width"]
+        else:
+            assert d["format"] == "jpeg"
+            assert d["width"] == 1 + r.media_id % 13
+            assert d["height"] == 1 + r.media_id % 11
+            assert d["n_channels"] == 3
+            assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+            # APP0/JFIF really sits before the SOF (the walk is forced)
+            assert p[2:4] == b"\xff\xe0" and p[6:10] == b"JFIF"
+    assert seen == {0, 1, 2, 3, 4, 5, 6}
 
 
 def test_doc_winnowing_matches_python_model(spark, sf_dir):
