@@ -1642,12 +1642,21 @@ def q_ann_range_search(spark, sf_dir):
     radius joins use the banded/blocked pair tiers instead. Similarity
     is rounded to 4dp BEFORE thresholding and tie-breaking (the ann
     family's cross-engine summation contract)."""
-    from ..ops.similarity import cosine
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") % 67 == 1).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    return range_search_kernel(emb, probes)
+
+
+def range_search_kernel(emb, probes):
+    """The radius-search execution shape, shared between the gated
+    query (probes = vec_id % 67, which GROWS with the corpus at oracle
+    parity) and the scale probe's ``ann_range_search_fixedbatch`` leg
+    (a FIXED probe batch while the corpus grows — the production
+    configuration, measured linear instead of asserted)."""
+    from ..ops.similarity import cosine
+
     pairs = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("qid"))

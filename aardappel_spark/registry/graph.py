@@ -395,3 +395,137 @@ e{r + 1} AS MATERIALIZED (
 
 
 ORACLES["graph_kcore"] = _kcore_oracle_sql(6, 3)
+
+
+# ---------------------------------------------------------------------------
+# Decomposed consumer kernels for the scale probe (r8 verdict #3).
+#
+# One entry per gated consumer of the shared banded kNN graph. Each
+# callable takes (spark, emb, edges) where ``edges`` is the PRE-BUILT
+# directed edge list (src, dst) and runs ONLY the consumer stage — the
+# part of the gated query after candidate generation. tools/scale_probe.py
+# ENUMERATES this dict to emit a ``<name>_dialed`` leg on the
+# occupancy-constant graph (band bits ∝ log N), so every future consumer
+# gets its measured scale leg by registering here instead of editing a
+# hand-kept probe list; tests assert every registry query built on
+# q_emb_knn_graph has an entry.
+# ---------------------------------------------------------------------------
+
+GRAPH_CONSUMERS: dict[str, Callable] = {}
+
+
+def _und_deg(edges):
+    """Shared undirected-edge + degree frames (the least/greatest dedup
+    every undirected consumer starts from)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    return und, deg
+
+
+def _consumer_pagerank(spark, emb, edges):
+    from ..ops.graph import pagerank_fixed_point
+
+    nodes = emb.select("vec_id")
+    return pagerank_fixed_point(nodes, edges, nodes.count(), iters=3, d_pct=85)
+
+
+def _consumer_triangles(spark, emb, edges):
+    from ..ops.graph import triangle_stats
+
+    return triangle_stats(edges)
+
+
+def _consumer_communities(spark, emb, edges):
+    from ..ops.graph import label_propagation
+
+    lab = label_propagation(edges, iters=3)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_communities"))
+
+
+def _consumer_assortativity(spark, emb, edges):
+    und, deg = _und_deg(edges)
+    ed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+    )
+    return ed.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("da") + F.col("db")).alias("sum_d"),
+        F.sum(2 * F.col("da") * F.col("db")).alias("sum_dxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias("sum_d2"),
+    )
+
+
+def _consumer_degree_hist(spark, emb, edges):
+    _und, deg = _und_deg(edges)
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+def _consumer_kcore(spark, emb, edges):
+    from ..ops.graph import kcore_census
+
+    return kcore_census(edges, k=6, rounds=3)
+
+
+def _consumer_hubness(spark, emb, edges):
+    ind = (
+        edges.groupBy(F.col("dst"))
+        .agg(F.count("*").alias("in_deg"))
+        .localCheckpoint()
+    )
+    hist = ind.groupBy("in_deg").agg(F.count("*").alias("n_vecs"))
+    nz = ind.agg(F.count("*").alias("nz"))
+    zero = (
+        emb.agg(F.count("*").alias("t"))
+        .crossJoin(nz)
+        .select(
+            F.lit(0).alias("in_deg"),
+            (F.col("t") - F.col("nz")).alias("n_vecs"),
+        )
+        .filter(F.col("n_vecs") > 0)
+    )
+    return hist.unionByName(zero)
+
+
+def _consumer_knn_classify(spark, emb, edges):
+    from pyspark.sql.window import Window
+
+    lab = emb.select("vec_id", "label")
+    seeds = lab.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("dst"), F.col("label").alias("seed_label")
+    )
+    votes = (
+        edges.filter(F.col("src") % 4 != 0)
+        .join(seeds, "dst")
+        .groupBy("src", "seed_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_votes"), F.asc("seed_label"))
+    return votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+GRAPH_CONSUMERS["graph_pagerank"] = _consumer_pagerank
+GRAPH_CONSUMERS["graph_triangles"] = _consumer_triangles
+GRAPH_CONSUMERS["graph_communities"] = _consumer_communities
+GRAPH_CONSUMERS["graph_assortativity"] = _consumer_assortativity
+GRAPH_CONSUMERS["graph_degree_hist"] = _consumer_degree_hist
+GRAPH_CONSUMERS["graph_kcore"] = _consumer_kcore
+GRAPH_CONSUMERS["emb_hubness"] = _consumer_hubness
+GRAPH_CONSUMERS["emb_knn_classify"] = _consumer_knn_classify

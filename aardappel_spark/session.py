@@ -62,13 +62,27 @@ def get_spark(app_name: str = "aardappel-spark", master: str | None = None) -> S
         .master(master or f"local[{cpus}]")
         .config("spark.driver.memory", driver_mem)
     )
+    # performance defaults first, so the tooling hook below can override
+    # them; REQUIRED (correctness) confs last, so nothing overrides those
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
     # tooling hook (scale_probe): "k=v,k=v" static confs that must be set
-    # before the JVM exists, e.g. spark.python.worker.reuse=false
+    # before the JVM exists, e.g. spark.python.worker.reuse=false.
+    # Limitation (documented): the split is a naive comma split, so
+    # values containing commas (e.g. spark.driver.extraJavaOptions with
+    # multiple flags) cannot be passed through this hook.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
     for kv in filter(None, extra.split(",")):
         k, _, v = kv.partition("=")
-        builder = builder.config(k.strip(), v.strip())
-    for k, v in {**REQUIRED_CONFS, **DEFAULT_CONFS}.items():
+        k = k.strip()
+        if k in REQUIRED_CONFS:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONFS may not override correctness-"
+                f"required conf {k!r} (engine needs "
+                f"{k}={REQUIRED_CONFS[k]!r})"
+            )
+        builder = builder.config(k, v.strip())
+    for k, v in REQUIRED_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return apply_required_confs(spark)

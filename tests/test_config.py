@@ -115,3 +115,56 @@ def test_per_side_auth_config(tmp_path):
                 {"src_static_token": "x", "src_oauth2_file": "y"}
             ).auth_config("src")
         )
+
+
+def test_extra_confs_cannot_override_required(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONFS is a tooling hook for static perf confs;
+    correctness-required confs (mapKeyDedupPolicy) must be un-overridable
+    — get_spark refuses loudly instead of silently reverting (r8 ADVICE:
+    extras were applied before the defaults, so overlapping keys were
+    silently clobbered)."""
+    import pytest
+
+    from aardappel_spark.session import get_spark
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONFS", "spark.sql.mapKeyDedupPolicy=EXCEPTION"
+    )
+    with pytest.raises(ValueError, match="correctness-required"):
+        get_spark("conf-test", master="local[1]")
+
+
+def test_extra_confs_override_defaults(monkeypatch, spark):
+    """A DEFAULT (perf) conf passed via the hook must WIN over the
+    built-in default — verified on the builder options, not a live
+    session (the session fixture already holds the JVM)."""
+    from aardappel_spark import session as S
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONFS", "spark.sql.shuffle.partitions=7"
+    )
+    seen = {}
+
+    class FakeBuilder:
+        def appName(self, *_a):
+            return self
+
+        def master(self, *_a):
+            return self
+
+        def config(self, k, v):
+            seen[k] = v
+            return self
+
+        def getOrCreate(self):
+            raise RuntimeError("stop-before-jvm")
+
+    monkeypatch.setattr(
+        S.SparkSession, "builder", FakeBuilder(), raising=False
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="stop-before-jvm"):
+        S.get_spark("conf-test")
+    assert seen["spark.sql.shuffle.partitions"] == "7"
+    assert seen["spark.sql.mapKeyDedupPolicy"] == "LAST_WIN"

@@ -3955,3 +3955,51 @@ def test_top_terms_matches_python_model(spark, sf_dir):
         leads[term][2] = max(leads[term][2], c[term])
     expect = {t: tuple(v) for t, v in leads.items() if v[0] >= 2}
     assert got == expect
+
+
+def test_every_knn_graph_consumer_has_probe_kernel():
+    """Every registry query built on the shared banded kNN graph must
+    register a decomposed consumer kernel in GRAPH_CONSUMERS — that is
+    what gives it a measured `<name>_dialed` scale-probe leg; a missing
+    entry means a consumer ships without its linear-in-edges
+    demonstration (the r8 graph_kcore gap)."""
+    import inspect
+
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.registry.graph import GRAPH_CONSUMERS
+
+    consumers = set()
+    for name, fn in QUERIES.items():
+        if name == "emb_knn_graph":
+            continue  # the build itself, timed as knn_graph_build_dialed
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "q_emb_knn_graph" in src:
+            consumers.add(name)
+    missing = consumers - set(GRAPH_CONSUMERS)
+    assert not missing, (
+        f"kNN-graph consumers without a decomposed probe kernel: "
+        f"{sorted(missing)} — register them in registry.graph.GRAPH_CONSUMERS"
+    )
+    # and the registered kernels must correspond to real queries
+    assert set(GRAPH_CONSUMERS) <= set(QUERIES)
+
+
+def test_graph_consumer_kernels_run_on_small_graph(spark):
+    """Each decomposed consumer kernel must actually execute on a tiny
+    (emb, edges) pair and return rows with its expected shape."""
+    from aardappel_spark.registry.graph import GRAPH_CONSUMERS
+
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)],
+        "src long, dst long",
+    )
+    for name, kern in GRAPH_CONSUMERS.items():
+        rows = kern(spark, emb, edges).collect()
+        assert rows, name
