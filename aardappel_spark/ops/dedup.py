@@ -397,8 +397,14 @@ def neardup_clusters(
     O(diameter) rounds; near-dup components are shallow (pairs come from
     LSH bands), so the loop exits after 2-3 rounds in practice. Lineage
     is truncated with localCheckpoint per round so plans don't nest.
-    The convergence probe joins new-vs-old labels with a limit(1) so it
-    short-circuits on the first changed row.
+
+    ONE job per round: the old label rides the union (is-old flag) so
+    the aggregation emits both the new min-label AND a changed flag,
+    and the convergence probe is a sum over the lazily-checkpointed
+    round frame — materialization and probe share a single action
+    (the separate new-vs-old probe join doubled the per-round job
+    count, which on shallow graphs IS the query's cost: label frames
+    are small, fixed job latency dominates).
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
@@ -411,18 +417,22 @@ def neardup_clusters(
             .select(F.col("src").alias("node"), "lbl")
         )
         new = (
-            labels.unionByName(nbr)
+            labels.select("node", "lbl", F.lit(1).alias("_o"))
+            .unionByName(nbr.select("node", "lbl", F.lit(0).alias("_o")))
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("lbl").alias("lbl"),
+                # every node has exactly one is-old row, so this IS the
+                # previous label — no probe join needed
+                F.min(F.when(F.col("_o") == 1, F.col("lbl"))).alias("_old"),
+            )
+            .withColumn(
+                "_chg", (F.col("lbl") != F.col("_old")).cast("bigint")
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "_old"), "node")
-            .filter(F.col("lbl") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.agg(F.coalesce(F.sum("_chg"), F.lit(0))).collect()[0][0]
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     return labels.select(
