@@ -750,3 +750,163 @@ def setsim_prefix_pairs(
             >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("verified"),
     )
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 1,
+    guard_max_candidates: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT self-join via prefix filtering — the asymmetric
+    companion to ``setsim_prefix_pairs``: find every ordered pair
+    (a, b), a != b, with ``|A ∩ B| / |A| >= tau`` — a short document
+    (quote, boilerplate block, excerpt) living inside a longer one,
+    which symmetric Jaccard structurally misses (a 50-token quote in a
+    5000-token page has Jaccard ~1%, containment 100%).
+
+    Prefix lemma for an overlap threshold ``alpha = ceil(tau * n_a)``:
+    if ``|A ∩ B| >= alpha`` then B shares at least one token with A's
+    first ``n_a - alpha + 1`` tokens in ANY fixed global order (else
+    the intersection fits inside the remaining alpha-1 tokens).
+    Candidates therefore come from an equi-join of A-side PREFIX
+    postings against the FULL posting list of the b side — exact with
+    no ordering assumption on B. Two in-join filters stay exact:
+
+      * SIZE filter: ``|A ∩ B| <= n_b``, so tau*n_a <= n_b — a doc
+        can't be tau-contained in one with too few distinct tokens;
+      * POSITIONAL filter on the A side: at a prefix match at rank i,
+        ``|A ∩ B| <= 1 + (n_a - i)`` — matches too deep in A's prefix
+        to reach alpha are pruned (the first common token in global
+        order survives for any truly contained pair).
+
+    tau is the exact rational; the verify step is the integer
+    cross-multiply ``den*|inter| >= num*n_a``. ``shingle=w`` tokenizes
+    into word w-grams like the Jaccard kernel. The same
+    degenerate-regime GUARD refuses token spaces with no rare tail
+    (prefix-bucket candidate bound over ``guard_max_candidates``,
+    default ``max(1_000_000, 200 * n_docs)``).
+
+    Returns one row per candidate ordered pair: (id_a, id_b, n_a, n_b,
+    n_inter, contained). Scale: one tokenize pass, one groupBy(_id)
+    for the sorted token frame, one prefix-vs-postings equi-join, one
+    verify join on bounded arrays — same shuffle budget as the Jaccard
+    kernel with an asymmetric candidate join.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    wdf = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    if shingle > 1:
+        n = F.size(F.col("_w"))
+        cnt = n - (shingle - 1)
+        sh = F.slice(F.col("_w"), 1, cnt)
+        for i in range(1, shingle):
+            sh = F.zip_with(
+                sh,
+                F.slice(F.col("_w"), i + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        toks = F.when(n >= shingle, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        toks = F.col("_w")
+    tok = wdf.select(
+        "_id", F.explode(F.array_distinct(toks)).alias("tok")
+    ).localCheckpoint(eager=False)
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
+        .withColumn("_n", F.size("_st").cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    # A-side prefix: p = n - alpha + 1, alpha = ceil(tau*n) (integer div)
+    prefix = ranked.selectExpr(
+        "_id",
+        "_n",
+        f"slice(_st, 1, CAST(_n - (({tau_num} * _n + {tau_den - 1}) div "
+        f"{tau_den}) + 1 AS INT)) AS _pre",
+    ).select(
+        "_id",
+        "_n",
+        F.posexplode("_pre").alias("_pos", "_s"),
+    ).select(
+        "_id",
+        "_n",
+        (F.col("_pos") + 1).cast("bigint").alias("_rn"),
+        F.col("_s.tok").alias("tok"),
+    )
+    if guard_max_candidates is None or guard_max_candidates <= 0:
+        bound = max(1_000_000, 200 * docs.count())
+    else:
+        bound = guard_max_candidates
+    # asymmetric candidate bound: prefix postings x full postings per token
+    mass_row = (
+        prefix.groupBy("tok")
+        .agg(F.count("*").alias("pc"))
+        .join(dfreq, "tok")
+        .selectExpr("coalesce(sum(pc * _df), 0) AS mass")
+        .collect()
+    )
+    mass = mass_row[0]["mass"] if mass_row else 0
+    if mass > bound:
+        raise ValueError(
+            f"containment_prefix_pairs: degenerate token space — the "
+            f"prefix-vs-postings buckets bound {mass} candidate pairs "
+            f"(> {bound}). Increase `shingle` or raise tau; the "
+            f"all-pairs regime is refused by design."
+        )
+    full_b = tok.join(
+        ranked.select(F.col("_id"), F.col("_n").alias("n_b")), "_id"
+    ).select(F.col("_id").alias("id_b"), F.col("n_b"), "tok")
+    cand = (
+        prefix.alias("a")
+        .join(full_b, "tok")
+        .filter(
+            (F.col("a._id") != F.col("id_b"))
+            # size filter: tau * n_a <= n_b
+            & (F.lit(tau_den) * F.col("n_b") >= F.lit(tau_num) * F.col("a._n"))
+            # positional filter: 1 + (n_a - rn_a) must still reach alpha
+            & (
+                F.lit(tau_den) * (F.lit(1) + F.col("a._n") - F.col("a._rn"))
+                >= F.lit(tau_num) * F.col("a._n")
+            )
+        )
+        .select(F.col("a._id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sets = ranked.select(
+        "_id",
+        F.expr("transform(_st, s -> s.tok)").alias("_toks"),
+        F.col("_n"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_toks").alias("_ta"), F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_toks").alias("_tb"), F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+        )
+    )
+    return joined.select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter",
+        (
+            F.lit(tau_den) * F.col("n_inter")
+            >= F.lit(tau_num) * F.col("n_a")
+        ).alias("contained"),
+    )

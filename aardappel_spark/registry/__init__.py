@@ -32,30 +32,31 @@ for _m in _MODULES:
 del _m, _k, _v
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation (round 8).
+# Driver-coverage rotation (round 9).
 #
-# union(CORRECTNESS_r01..r07) gave every query a driver row with zero red
-# latest rows (r7 judge-verified). Round-8 additions go straight into the
-# gated block the round they land; the remaining slots round-robin through
-# the queries whose latest driver row is OLDEST (r03-gated remainder),
-# computed from the committed CORRECTNESS artifacts. Full-registry parity
+# union(CORRECTNESS_r01..r08) covers all queries with zero red latest rows
+# (r8 judge-verified). Round-9 slots go to: the two new queries, the
+# queries whose OUTPUT changed this round (setsim shingling, multimodal
+# payload cycle), the CC-family whose PLAN changed (one-job rounds), then
+# the stalest driver rows (4 r03 + the r04 block, oldest first). The 11
+# r04 rows that do not fit lead the r10 stale block; full-registry parity
 # is additionally checked every round by tools/check_oracle.py at
-# sf0.001/0.01/0.1 (CHECK_ORACLE_r8*.json).
-_R08_ADDITIONS: list[str] = [
+# sf0.001/0.01/0.1 (CHECK_ORACLE_r9*.json).
+_R09_ADDITIONS: list[str] = [
     k
-    for k in _rotation.R08_ADDITION_NAMES
+    for k in _rotation.R09_ADDITION_NAMES
     if k in _dicts.QUERIES
 ]
 
-_R08_PRIORITY: list[str] = list(
-    dict.fromkeys(_R08_ADDITIONS + _rotation._R08_STALE)
+_R09_PRIORITY: list[str] = list(
+    dict.fromkeys(_R09_ADDITIONS + _rotation._R09_STALE)
 )[:50]
 
-assert len(_R08_PRIORITY) == 50 and len(set(_R08_PRIORITY)) == 50
-assert set(_R08_PRIORITY) <= set(_dicts.QUERIES), sorted(
-    set(_R08_PRIORITY) - set(_dicts.QUERIES)
+assert len(_R09_PRIORITY) == 50 and len(set(_R09_PRIORITY)) == 50
+assert set(_R09_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R09_PRIORITY) - set(_dicts.QUERIES)
 )
 
-_rotated = _R08_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R08_PRIORITY)]
+_rotated = _R09_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R09_PRIORITY)]
 QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
 ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

@@ -207,3 +207,47 @@ _R08_STALE: list[str] = [
     "events_lag_delta", "events_pivot", "events_rank_profile",
     "events_retention", "events_type_stats_salted",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation inputs (consumed by __init__).
+#
+# R09_ADDITION_NAMES: round-9 additions plus the queries whose OUTPUT or
+# PLAN materially changed this round — both classes gate the round they
+# change. _R09_STALE: the remaining pre-r05-gated rows (4 r03 + the r04
+# block, oldest first, computed from CORRECTNESS_r01..r08); additions
+# take slots first, stale rows fill to 50. The 11 r04 rows that do not
+# fit (tpch_q2/q3/q4/q5/q7/q8/q9/q20/q21/q22, vocab_countmin — all
+# re-verified green in the r9 3-scale sweeps) lead the r10 stale block.
+R09_ADDITION_NAMES: list[str] = [
+    # new in round 9
+    "dedup_containment_prefix",   # asymmetric containment join (quote-in-page)
+    "text_shingle_saturation",    # the shingle-dial census (r8 verdict #1)
+    # OUTPUT changed in round 9 (4-gram shingling + PPJoin filters;
+    # PNG/GIF/JPEG arms added to the payload cycle) — re-gate
+    "dedup_setsim_prefix",
+    "multimodal_decode",
+    # PLAN changed in round 9 (CC loop: one job per round, convergence
+    # folded into the round aggregate) — outputs identical, re-gate the
+    # round the plan changed (the events_wau_hll precedent)
+    "dedup_survivors", "dedup_survivor_quality", "dedup_clusters",
+    "dedup_cc_stats", "dedup_method_agreement", "dedup_threshold_curve",
+]
+
+_R09_STALE: list[str] = [
+    # latest gate r03
+    "text_lm_score", "text_quality", "text_token_stats",
+    "vocab_top_bigrams",
+    # latest gate r04, oldest-first order
+    "ann_pq", "ann_sq8", "corpus_token_budget", "decontam_bloom",
+    "dedup_cross_source", "dedup_edit_distance", "dedup_incremental",
+    "doc_boilerplate", "doc_search", "doc_shards", "doc_stratified",
+    "emb_centroids", "emb_outliers", "events_asof_order",
+    "events_funnel", "events_grouping_sets", "events_lag_delta",
+    "events_pivot", "events_rank_profile", "events_retention",
+    "events_type_stats_salted", "events_user_hll",
+    "events_value_histogram", "orders_rollup", "part_topk_per_brand",
+    "retrieval_bm25", "text_tfidf", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19",
+]

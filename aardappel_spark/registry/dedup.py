@@ -1145,3 +1145,88 @@ FROM inter
 JOIN sets sa ON sa._id = inter.id_a
 JOIN sets sb ON sb._id = inter.id_b
 """
+
+
+def q_dedup_containment_prefix(spark, sf_dir):
+    """Asymmetric containment near-dup audit (|A∩B|/|A| >= 9/10 over
+    word 4-gram shingles; ops.dedup.containment_prefix_pairs) — the
+    quote/boilerplate/excerpt detector symmetric Jaccard structurally
+    misses: a 50-token block inside a 5000-token page has Jaccard ~1%
+    but containment 100%, and training-data pipelines dedup exactly
+    that shape (Lee et al. 2022 find verbatim substrings, this finds
+    verbatim TOKEN-SET inclusion at document granularity). Candidates
+    come from an A-side rarest-prefix equi-join against FULL b-side
+    postings (exact for any B ordering), with the size filter
+    (tau*n_a <= n_b) and the A-side positional filter pruning in-join;
+    verify is the integer cross-multiply den*|inter| >= num*n_a. One
+    summary row: ordered-pair candidate mass, contained pairs,
+    intersection totals. Scale: same shuffle budget as the Jaccard
+    kernel; the pre-flight guard refuses degenerate token spaces."""
+    from ..ops.dedup import containment_prefix_pairs
+
+    pairs = containment_prefix_pairs(
+        _docs(spark, sf_dir), tau_num=9, tau_den=10, shingle=4
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("contained").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_contained"),
+        F.coalesce(F.sum("n_inter"), F.lit(0)).cast("bigint").alias("sum_inter"),
+        F.coalesce(F.max("n_inter"), F.lit(0)).cast("bigint").alias("max_inter"),
+    )
+
+
+QUERIES["dedup_containment_prefix"] = q_dedup_containment_prefix
+
+ORACLES["dedup_containment_prefix"] = """
+WITH words AS (
+  SELECT doc_id AS _id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT _id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+         ))) AS tok
+  FROM words
+  WHERE len(l) >= 4
+),
+dfreq AS (SELECT tok, count(*) AS _df FROM tok GROUP BY tok),
+ranked AS (
+  SELECT t._id, t.tok,
+         row_number() OVER (PARTITION BY t._id ORDER BY d._df, t.tok) AS _rn,
+         count(*) OVER (PARTITION BY t._id) AS _n
+  FROM tok t JOIN dfreq d USING (tok)
+),
+prefix AS MATERIALIZED (
+  SELECT _id, tok, _rn, _n FROM ranked
+  WHERE _rn <= _n - (9 * _n + 9) // 10 + 1
+),
+sets AS MATERIALIZED (SELECT _id, count(*) AS _n FROM tok GROUP BY _id),
+fullb AS MATERIALIZED (
+  SELECT t._id AS id_b, s._n AS n_b, t.tok
+  FROM tok t JOIN sets s ON s._id = t._id
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b.id_b
+  FROM prefix a JOIN fullb b ON a.tok = b.tok AND a._id <> b.id_b
+    AND 10 * b.n_b >= 9 * a._n
+    AND 10 * (1 + a._n - a._rn) >= 9 * a._n
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta._id = c.id_a
+  JOIN tok tb ON tb._id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(sum(CASE WHEN 10 * n_inter >= 9 * sa._n
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_contained,
+       CAST(COALESCE(sum(n_inter), 0) AS BIGINT) AS sum_inter,
+       CAST(COALESCE(max(n_inter), 0) AS BIGINT) AS max_inter
+FROM inter
+JOIN sets sa ON sa._id = inter.id_a
+"""

@@ -2200,3 +2200,95 @@ WHERE rank = 1
 GROUP BY term
 HAVING count(*) >= 2
 """.format(stops=_STOP_SQL)
+
+
+def q_text_shingle_saturation(spark, sf_dir):
+    """Shingle-space saturation census for w = 1..5 — the diagnostic
+    that drives the near-dup shingle dial: per width, the per-doc
+    distinct posting count, the corpus-distinct shingle count, and the
+    mean document frequency (ppm, integer div). When mean_df stops
+    falling as w grows the space has a rare tail and prefix-filter /
+    MinHash joins stay bounded; when it stays high the token space is
+    saturated and the setsim/containment kernels' degenerate-regime
+    guard WILL refuse — this query is the cheap census a pipeline runs
+    to pick w before launching the join (the r8 unigram degeneration,
+    measured as an observable instead of discovered at 24s). One docs
+    scan: each width's distinct shingles are tagged (w, shingle) and
+    concatenated row-locally, then ONE explode + one hash-agg per
+    group — never five corpus passes."""
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wdf = docs.select(words.alias("_w"))
+    arrays = []
+    for w in range(1, 6):
+        if w == 1:
+            sh = F.col("_w")
+        else:
+            n = F.size(F.col("_w"))
+            cnt = n - (w - 1)
+            sh = F.slice(F.col("_w"), 1, cnt)
+            for i in range(1, w):
+                sh = F.zip_with(
+                    sh,
+                    F.slice(F.col("_w"), i + 1, cnt),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            sh = F.when(n >= w, sh).otherwise(F.array().cast("array<string>"))
+        def _tagger(width):
+            # factory, not a default arg: a 2-arg lambda would make
+            # transform() pass the ARRAY INDEX as the second parameter
+            return lambda s: F.struct(
+                F.lit(width).cast("bigint").alias("w"), s.alias("sh")
+            )
+
+        arrays.append(F.transform(F.array_distinct(sh), _tagger(w)))
+    tagged = wdf.select(
+        F.explode(F.concat(*arrays)).alias("t")
+    ).select(F.col("t.w").alias("w"), F.col("t.sh").alias("sh"))
+    return (
+        tagged.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("sh").cast("bigint").alias("n_distinct"),
+        )
+        .selectExpr(
+            "w",
+            "n_postings",
+            "n_distinct",
+            "CAST((1000000 * n_postings) div n_distinct AS BIGINT) AS mean_df_ppm",
+        )
+    )
+
+
+QUERIES["text_shingle_saturation"] = q_text_shingle_saturation
+
+ORACLES["text_shingle_saturation"] = """
+WITH words AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+tagged AS (
+  SELECT 1 AS w, unnest(list_distinct(l)) AS sh FROM words
+  UNION ALL
+  SELECT 2, unnest(list_distinct(list_transform(range(1, len(l)),
+    i -> l[i] || ' ' || l[i+1]))) FROM words WHERE len(l) >= 2
+  UNION ALL
+  SELECT 3, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) FROM words
+  WHERE len(l) >= 3
+  UNION ALL
+  SELECT 4, unnest(list_distinct(list_transform(range(1, len(l) - 2),
+    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+  FROM words WHERE len(l) >= 4
+  UNION ALL
+  SELECT 5, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])))
+  FROM words WHERE len(l) >= 5
+)
+SELECT CAST(w AS BIGINT) AS w,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+       CAST((1000000 * count(*)) // count(DISTINCT sh) AS BIGINT) AS mean_df_ppm
+FROM tagged
+GROUP BY w
+"""

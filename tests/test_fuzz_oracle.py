@@ -77,6 +77,9 @@ FUZZ_QUERIES = [
     # vectors (sim == 1.0 and == -1.0 boundary cells); the heatmap
     # folds tied timestamps
     "ann_range_search", "events_heatmap",
+    # round 9: the containment prefix join and the shingle census fold
+    # the same degenerate token shapes as the setsim kernel
+    "dedup_containment_prefix", "text_shingle_saturation",
 ]
 
 EDGE_TEXTS = [

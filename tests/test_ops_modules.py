@@ -4003,3 +4003,100 @@ def test_graph_consumer_kernels_run_on_small_graph(spark):
     for name, kern in GRAPH_CONSUMERS.items():
         rows = kern(spark, emb, edges).collect()
         assert rows, name
+
+
+def test_containment_prefix_pairs_matches_python_model(spark):
+    """Asymmetric containment: brute-force |A∩B|/|A| >= tau over all
+    ordered pairs is the model — the quote-in-page case (small set
+    fully inside a big one) MUST surface even though its Jaccard is
+    tiny, and the reverse direction (big in small) must not."""
+    import random
+
+    from aardappel_spark.ops.dedup import containment_prefix_pairs
+
+    rng = random.Random(41)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = {}
+    big = rng.sample(vocab, 60)
+    rows[1] = " ".join(big)                      # the page
+    rows[2] = " ".join(big[10:20])               # quote: contained in 1
+    rows[3] = " ".join(big[10:19] + ["zzz"])     # 9/10 inside 1
+    rows[4] = " ".join(rng.sample(vocab, 40))    # unrelated
+    for i in range(5, 15):                       # noise docs
+        rows[i] = " ".join(rng.sample(vocab, rng.randint(5, 30)))
+    docs = spark.createDataFrame(
+        list(rows.items()), "doc_id long, text string"
+    )
+    for tau_num, tau_den in [(9, 10), (4, 5), (1, 2)]:
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_prefix_pairs(docs, tau_num, tau_den).collect()
+            if r.contained
+        }
+        sets = {i: set(t.split()) for i, t in rows.items()}
+        expect = set()
+        for a in sets:
+            for b in sets:
+                if a != b and sets[a]:
+                    if tau_den * len(sets[a] & sets[b]) >= tau_num * len(sets[a]):
+                        expect.add((a, b))
+        assert got == expect, (tau_num, tau_den, got ^ expect)
+    # the canonical asymmetry at tau=9/10: quote in page, not reverse
+    got_91 = {
+        (r.id_a, r.id_b)
+        for r in containment_prefix_pairs(docs, 9, 10).collect()
+        if r.contained
+    }
+    assert (2, 1) in got_91 and (1, 2) not in got_91
+
+
+def test_containment_guard_refuses_degenerate(spark):
+    import pytest
+
+    from aardappel_spark.ops.dedup import containment_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd ee") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="degenerate token space"):
+        containment_prefix_pairs(docs, 9, 10, guard_max_candidates=10).count()
+
+
+def test_shingle_saturation_matches_python_model(spark, sf_dir):
+    """The w=1..5 census against a from-scratch python model over the
+    real documents table."""
+    import duckdb as _duck
+
+    from aardappel_spark.registry import QUERIES
+
+    got = {
+        r.w: (r.n_postings, r.n_distinct, r.mean_df_ppm)
+        for r in QUERIES["text_shingle_saturation"](spark, sf_dir).collect()
+    }
+    con = _duck.connect()
+    texts = [
+        t[0]
+        for t in con.execute(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    for w in range(1, 6):
+        postings, distinct = 0, set()
+        for t in texts:
+            ws = [x for x in t.split(" ") if x]
+            sh = (
+                set(ws)
+                if w == 1
+                else {" ".join(ws[i:i + w]) for i in range(len(ws) - w + 1)}
+            )
+            postings += len(sh)
+            distinct |= sh
+        assert got[w] == (
+            postings,
+            len(distinct),
+            (1_000_000 * postings) // len(distinct),
+        ), w
+    # the diagnostic's point on this fixture: unigrams are saturated,
+    # 4-grams are not
+    assert got[1][2] > 100 * got[4][2]

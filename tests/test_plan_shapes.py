@@ -1073,3 +1073,22 @@ def test_events_heatmap_is_single_agg(spark):
     plan = _plan(spark, "events_heatmap")
     assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["dedup_containment_prefix", "text_shingle_saturation"]
+)
+def test_round9_additions_no_cartesian(spark, qname):
+    """Round-9 additions: candidate generation stays an equi-join
+    (containment: prefix-vs-postings hash join) and the census is
+    explode + hash-agg — no nested loops anywhere."""
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shingle_saturation_single_doc_scan(spark):
+    """text_shingle_saturation: all five widths come off ONE documents
+    scan (row-local tag + concat, one explode), never five passes."""
+    plan = _plan(spark, "text_shingle_saturation")
+    assert plan.count("Scan parquet") == 1, plan

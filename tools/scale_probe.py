@@ -150,6 +150,9 @@ PROBE_QUERIES = [
     # fixed modulus -> quadratic at oracle parity; production dial is a
     # FIXED query batch), heatmap 168-cell reduction
     "ann_range_search", "events_heatmap",
+    # round 9: asymmetric containment join (prefix-vs-postings), the
+    # w=1..5 shingle saturation census (single explode, two hash-aggs)
+    "dedup_containment_prefix", "text_shingle_saturation",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
