@@ -264,12 +264,17 @@ def run_probe(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, f
     from aardappel_spark import registry
     from aardappel_spark.registry import clear_query_caches
 
+    import gc
+
     clear_query_caches(spark)
     out = {}
     for name in names:
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).collect()
         out[name] = round(time.perf_counter() - t0, 2)
+        # outside the timed window: drop dead checkpoint blocks so later
+        # queries don't pay eviction pressure (same hygiene as bench.py)
+        gc.collect()
         print(f"#   {name}: {out[name]}s", file=sys.stderr)
     clear_query_caches(spark)
     return out
