@@ -1577,22 +1577,23 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round8_priority():
+def test_driver_rotation_first_50_are_round9_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-8 artifact covers the right set — the
-    round-8 additions lead (gated the round they land), and the stalest
-    driver rows (latest gate r03/r04, from the committed
-    CORRECTNESS_r01..r07 artifacts) round-robin through the remaining
-    slots. The r7 board was fully green, so there are no re-gates."""
+    pin the rotation so the round-9 artifact covers the right set — the
+    round-9 additions and output/plan-changed re-gates lead (gated the
+    round they change), then the stalest driver rows (latest gate
+    r03/r04, from the committed CORRECTNESS_r01..r08 artifacts) fill
+    the remaining slots."""
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import ORACLES, _R08_ADDITIONS, _R08_PRIORITY
+    from aardappel_spark.registry import ORACLES, _R09_ADDITIONS, _R09_PRIORITY
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R08_PRIORITY
-    # this round's additions must lead, whatever lands later in the round
-    assert _R08_PRIORITY[: len(_R08_ADDITIONS)] == _R08_ADDITIONS
+    assert list(q)[:50] == _R09_PRIORITY
+    # this round's additions + re-gates must lead
+    assert _R09_PRIORITY[: len(_R09_ADDITIONS)] == _R09_ADDITIONS
+    assert _R09_PRIORITY[0] == "dedup_containment_prefix"
     # the remainder is the stale-row round-robin, oldest gate first
-    assert _R08_PRIORITY[len(_R08_ADDITIONS)] == "dedup_minhash_pairs"
+    assert _R09_PRIORITY[len(_R09_ADDITIONS)] == "text_lm_score"
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
