@@ -361,6 +361,7 @@ def main() -> None:
         else:
             row["linear_or_better"] = ratio <= n * 1.2  # 20% tolerance
         results["queries"][name] = row
+    _flush_results(results)
 
     # the fixed-parameter kNN rows above measure the pinned test
     # configuration; this row DEMONSTRATES the documented dial — at xN
@@ -496,6 +497,7 @@ def main() -> None:
                 "is linear in edges; enumerated from GRAPH_CONSUMERS"
             ),
         }
+    _flush_results(results)
 
     # the similarity histogram consumes the banded PAIRS (with sims),
     # not the kNN edge list — its dialed row stays build-inclusive,
@@ -526,6 +528,7 @@ def main() -> None:
             "emb_sim_histogram row documents (build-inclusive)"
         ),
     }
+    _flush_results(results)
 
     # FIXED-BATCH radius search (r8 verdict #2): the gated
     # ann_range_search draws probes as vec_id % 67, so at oracle parity
@@ -566,6 +569,7 @@ def main() -> None:
             "now measured instead of asserted"
         ),
     }
+    _flush_results(results)
 
     # SHARED-VOCABULARY setsim legs (r8 verdict #1): the default probe
     # replicas suffix every token per replica, which structurally caps
@@ -677,6 +681,7 @@ def main() -> None:
             # outcome — record it rather than crash the artifact
             row = {"guard_refused": str(exc)[:300]}
         results["queries"][leg] = row
+        _flush_results(results)
 
     big = int(os.environ.get("SCALE_PROBE_BIG", "100"))
     if big > n:
@@ -693,6 +698,7 @@ def main() -> None:
             r[f"ratio_x{big}"] = ratio_big
             r[f"linear_or_better_x{big}"] = ratio_big <= big * 1.2
         results["x_big"] = big
+        _flush_results(results)
 
         # x100 points for the two DIALED operators whose production
         # configuration scales a parameter with N: the occupancy-
@@ -736,12 +742,33 @@ def main() -> None:
             dd = {}
             for factor in (1, big):
                 best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    fn(dirs.get(factor, d_big), factor).collect()
-                    best = min(best, time.perf_counter() - t0)
+                # best-of-2 with up to 3 tries: the x100 mapInPandas legs
+                # are where a single transient python-worker death killed
+                # the r9 first run at stage ~7000 — one crashed attempt
+                # must not lose the factor, let alone the artifact
+                successes = 0
+                for _ in range(3):
+                    try:
+                        t0 = time.perf_counter()
+                        fn(dirs.get(factor, d_big), factor).collect()
+                        best = min(best, time.perf_counter() - t0)
+                        successes += 1
+                        if successes >= 2:
+                            break
+                    except Exception as exc:
+                        print(
+                            f"#   {dname} x{factor} attempt failed: {exc}",
+                            file=sys.stderr,
+                        )
+                if best == float("inf"):
+                    results["queries"].setdefault(dname, {})[
+                        f"error_x{big}"
+                    ] = f"all attempts failed at x{factor}"
+                    break
                 dd[factor] = round(best, 2)
                 print(f"#   {dname} x{factor}: {dd[factor]}s", file=sys.stderr)
+            if 1 not in dd or big not in dd:
+                continue
             row = results["queries"].setdefault(dname, {"t_x1_sec": dd[1]})
             row[f"t_x{big}_dialed_sec"] = dd[big]
             row["t_x1_dialed_sec"] = dd[1]
@@ -753,15 +780,26 @@ def main() -> None:
                 "parameter dialed with N (band bits +log2(N) / "
                 "n_centroids x N): the production configuration"
             )
+            _flush_results(results)
+    _flush_results(results)
+    print(json.dumps(results))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _flush_results(results: dict) -> None:
+    """Write the artifact atomically NOW — called at section boundaries
+    so a crash in any later section loses at most that section, never
+    the whole run (the r9 first run measured everything and then died
+    writing nothing: the dump only lived at the end of main)."""
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
     )
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(results, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(results))
-    shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":
