@@ -78,6 +78,8 @@ __all__ = [
     '_lr_train',
     '_lr_weights',
     '_minhash_pairs_cached',
+    '_clusters_cached',
+    '_CLUSTERS_CACHE',
     '_minhash_sig_cached',
     '_mmr_oracle_sql',
     '_pagerank_oracle_sql',
@@ -325,6 +327,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lifetime (unlike id(), which can be reused after GC) and shared by
 # sibling sessions on one context, whose JVM blocks are shared anyway.
 _MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cache_key(spark, sf_dir) -> tuple[str, str]:
@@ -349,6 +352,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
     for cache in (
         _MINHASH_SIG_CACHE,
         _PAIRS_CACHE,
+        _CLUSTERS_CACHE,
         _SIMHASH64_CACHE,
         _SIMHASH_PAIRS_CACHE,
         _GRAMS4_CACHE,
@@ -474,6 +478,24 @@ def _minhash_pairs_cached(spark, sf_dir):
             sig=_minhash_sig_cached(spark, sf_dir),
         ).persist()
     return _PAIRS_CACHE[key]
+
+
+def _clusters_cached(spark, sf_dir):
+    """Shared near-dup component assignment: every CC consumer
+    (dedup_clusters, dedup_survivors, dedup_survivor_quality,
+    dedup_cc_stats, the split-leakage and health reports) derives from
+    the SAME min-label propagation over the shared LSH pairs — a real
+    pipeline runs the clustering once, and re-running the iterative
+    loop per consumer was the bench's residual CC-family cost after the
+    one-job-per-round fix (r9)."""
+    from ..ops.dedup import neardup_clusters
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = neardup_clusters(
+            _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
+        ).persist()
+    return _CLUSTERS_CACHE[key]
 
 
 # one deterministic k-means assignment (the IVF build) feeds

@@ -467,7 +467,7 @@ def q_corpus_funnel(spark, sf_dir):
     queries already build, folded into ONE conditional aggregation and
     unpivoted with stack() — a single pass over the flag frame, no
     per-stage rescans, the 100 TB-sane funnel shape."""
-    from ..ops.dedup import contamination_check_grams, neardup_clusters
+    from ..ops.dedup import contamination_check_grams
     from ..ops.text import doc_quality
 
     docs = _docs(spark, sf_dir)
@@ -478,7 +478,7 @@ def q_corpus_funnel(spark, sf_dir):
         .select("doc_id", F.lit(True).alias("f_exact"))
     )
     near = (
-        neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir))
+        _clusters_cached(spark, sf_dir)
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id", F.lit(True).alias("f_near"))
     )

@@ -87,22 +87,14 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster assignment: connected components over the LSH
     candidate pairs (min-label propagation); reuses the shared persisted
     pairs frame like the other pair consumers."""
-    from ..ops.dedup import neardup_clusters
-
-    return neardup_clusters(
-        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
-    )
+    return _clusters_cached(spark, sf_dir)
 
 
 def q_dedup_survivors(spark, sf_dir):
     """End of the dedup pipeline: keep one representative per near-dup
     cluster (the min doc id — its own cluster label), with the member
     count it speaks for."""
-    from ..ops.dedup import neardup_clusters
-
-    clusters = neardup_clusters(
-        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
-    )
+    clusters = _clusters_cached(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     return sizes.select(
         F.col("cluster_id").alias("doc_id"), "n_members"
@@ -355,11 +347,10 @@ def q_dedup_survivor_quality(spark, sf_dir):
     cluster label, no global sort)."""
     from pyspark.sql.window import Window
 
-    from ..ops.dedup import neardup_clusters
     from ..ops.text import tokens_col
 
     docs = _docs(spark, sf_dir)
-    clusters = neardup_clusters(docs, _minhash_pairs_cached(spark, sf_dir))
+    clusters = _clusters_cached(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
     )
@@ -857,11 +848,7 @@ def q_dedup_cc_stats(spark, sf_dir):
     the shape report that distinguishes a healthy pair-dominated dedup
     from a catastrophic snowball cluster. Two tiny aggregates over the
     shared min-label component assignment."""
-    from ..ops.dedup import neardup_clusters
-
-    clusters = neardup_clusters(
-        _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
-    )
+    clusters = _clusters_cached(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     return (
         sizes.filter(F.col("sz") >= 2)
@@ -976,11 +963,9 @@ def q_split_leakage(spark, sf_dir):
     the pair join. Joins are doc_id equi-joins; everything downstream
     of the components is linear in |docs| + |pairs|.
     """
-    from ..ops.dedup import neardup_clusters
-
     docs = _docs(spark, sf_dir)
     pairs = _minhash_pairs_cached(spark, sf_dir)
-    clusters = neardup_clusters(docs, pairs)
+    clusters = _clusters_cached(spark, sf_dir)
 
     def _is_test(c):
         return F.substring(F.md5(c.cast("string")), 1, 1).isin("0", "1")

@@ -120,6 +120,10 @@ def main() -> None:
         # PQ index build (codes + codebook), shared by ann_pq, the
         # IVFADC composition, and their recall evals
         "pq_build": lambda: registry._pq_build_cached(spark, sf_dir)[0],
+        # near-dup component assignment (min-label propagation over the
+        # LSH pairs), shared by dedup_clusters / survivors /
+        # survivor_quality / cc_stats / split_leakage / corpus_health
+        "neardup_clusters": lambda: registry._clusters_cached(spark, sf_dir),
     }
     warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
     print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)
