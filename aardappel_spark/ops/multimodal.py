@@ -7,12 +7,16 @@ fixed offsets, so non-canonical chunk order decodes too), and — header
 DIMENSIONS only, which need no codec — PNG (big-endian IHDR reads), GIF
 (little-endian logical screen descriptor) and JPEG (a real marker walk to
 the SOF frame header, so arbitrary APPn/COM/DQT segments before it are
-handled). PIXEL decode of compressed formats and MP4/WEBP stay
-``NotImplementedError`` — that genuinely needs PIL/libav, unavailable in
-this container — and ``extract_features`` reports those as
-``format='unsupported'`` with NULL dimensions rather than fabricating
-numbers. The only remaining fake is ``sample_frames``'s frame COUNT for
-video containers (honestly labeled below).
+handled). For the UNCOMPRESSED formats the decode goes all the way to
+the samples: ``pixel_stats`` reads every 24bpp-BMP / netpbm-P3/P6 pixel
+(stride padding, BGR order, ASCII token scan) and ``audio_stats``
+unpacks every PCM16 WAV sample — exact integer channel/amplitude sums,
+oracle-replayed byte-for-byte. PIXEL decode of entropy-coded formats
+(PNG/GIF/JPEG) and MP4/WEBP stay ``NotImplementedError`` — that
+genuinely needs PIL/libav, unavailable in this container — and the
+kernels report those as ``format='unsupported'`` / NULL stats rather
+than fabricating numbers. The only remaining fake is ``sample_frames``'s
+frame COUNT for video containers (honestly labeled below).
 
 Scale notes: payloads stay in executor memory as Arrow binary columns;
 ``mapInPandas`` streams record batches so a partition never materializes
@@ -492,6 +496,267 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
         "ELSE 'image/jpeg' END AS mime",
         f"unhex({hex_sql}) AS payload",
     )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("n_px", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("n_vals", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("max_abs", LongType(), True),
+    ]
+)
+
+
+def _pixel_stats_bmp(p: bytes) -> tuple[int, int, int, int]:
+    """REAL pixel decode of an uncompressed 24bpp BMP: walk the pixel
+    array row by row (stride pads to 4 bytes; bottom-up vs top-down
+    doesn't change channel sums), BGR byte order per the format."""
+    hdr = _decode_bmp(p)  # validates + refuses compressed
+    data_offset = struct.unpack_from("<I", p, 10)[0]
+    w, h = hdr["width"], hdr["height"]
+    if hdr["n_channels"] != 3:
+        raise NotImplementedError(
+            f"{8 * hdr['n_channels']}bpp BMP pixel decode (palette/alpha) "
+            "out of scope; 24bpp only"
+        )
+    stride = (3 * w + 3) & ~3
+    if len(p) < data_offset + stride * h:
+        raise ValueError("BMP pixel array truncated")
+    sum_r = sum_g = sum_b = 0
+    for r in range(h):
+        base = data_offset + r * stride
+        row = p[base : base + 3 * w]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+    return (w * h, sum_r, sum_g, sum_b)
+
+
+def _pixel_stats_ppm(p: bytes) -> tuple[int, int, int, int]:
+    """REAL pixel decode of plain (P3) and raw (P6) netpbm RGB: P3
+    values are whitespace-separated ASCII ints after the maxval (with
+    '#' comments legal anywhere in the header region); P6 pixel bytes
+    follow the single whitespace after maxval."""
+    magic = p[:2].decode("ascii")
+    if magic not in ("P3", "P6"):
+        raise NotImplementedError(
+            f"netpbm {magic} pixel decode (non-RGB) out of scope"
+        )
+    # token scan shared with _decode_ppm: magic, then w/h/maxval with
+    # comments; for P6 remember where the header ends
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(p):
+        c = p[i : i + 1]
+        if c == b"#":
+            while i < len(p) and p[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(p) and p[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(p[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad netpbm header byte {c!r} at offset {i}")
+    if len(tokens) < 3:
+        raise ValueError("netpbm header truncated")
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples out of scope")
+    n_px = w * h
+    if magic == "P3":
+        vals = [int(t) for t in p[i:].split()]
+        if len(vals) < 3 * n_px:
+            raise ValueError("P3 pixel values truncated")
+        vals = vals[: 3 * n_px]
+        return (
+            n_px,
+            sum(vals[0::3]),
+            sum(vals[1::3]),
+            sum(vals[2::3]),
+        )
+    # P6: exactly one whitespace byte after maxval, then raw RGB bytes
+    body = p[i + 1 : i + 1 + 3 * n_px]
+    if len(body) < 3 * n_px:
+        raise ValueError("P6 pixel bytes truncated")
+    return (n_px, sum(body[0::3]), sum(body[1::3]), sum(body[2::3]))
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode for the uncompressed image
+    formats (24bpp BMP, netpbm P3/P6): per-payload exact integer
+    channel sums — the brightness/color-cast screen a vision-data
+    pipeline runs before training. Formats whose pixels are entropy-
+    coded (PNG/GIF/JPEG) come back with NULL stats and their header
+    format name — decoding them genuinely needs a codec, and the
+    refusal is the honest contract (same as extract_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, npx, sr, sg, sb = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                fmt = "unsupported"
+                stats = None
+                try:
+                    fmt = decode_header(payload)["format"]
+                except (NotImplementedError, ValueError, KeyError):
+                    fmt = "unsupported"
+                try:
+                    if payload[:2] == b"BM":
+                        stats = _pixel_stats_bmp(payload)
+                    elif payload[:1] == b"P" and payload[1:2] in b"36":
+                        stats = _pixel_stats_ppm(payload)
+                except (NotImplementedError, ValueError, KeyError):
+                    stats = None
+                ids.append(mid)
+                fmts.append(fmt)
+                npx.append(stats[0] if stats else None)
+                sr.append(stats[1] if stats else None)
+                sg.append(stats[2] if stats else None)
+                sb.append(stats[3] if stats else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "format": fmts,
+                    "n_px": pd.array(npx, dtype="Int64"),
+                    "sum_r": pd.array(sr, dtype="Int64"),
+                    "sum_g": pd.array(sg, dtype="Int64"),
+                    "sum_b": pd.array(sb, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def _audio_stats_wav(p: bytes) -> tuple[int, int, int, int]:
+    """REAL PCM sample decode: re-walk the RIFF chunks to the data
+    chunk, then unpack little-endian int16 samples and fold exact
+    integer amplitude statistics (sum |s|, sum s², max |s|)."""
+    hdr = _decode_wav(p)  # validates WAVE/PCM, zero-field guard
+    i = 12
+    data_off = data_size = None
+    bits = None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = struct.unpack_from("<I", p, i + 4)[0]
+        if cid == b"fmt ":
+            bits = struct.unpack_from("<H", p, i + 8 + 14)[0]
+        elif cid == b"data":
+            data_off, data_size = i + 8, size
+        i += 8 + size + (size & 1)
+    if data_off is None:
+        raise ValueError("WAV missing data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM decode out of scope; 16 only")
+    if len(p) < data_off + data_size:
+        raise ValueError("WAV data chunk truncated")
+    n_vals = data_size // 2
+    sum_abs = sum_sq = max_abs = 0
+    for (s,) in struct.iter_unpack("<h", p[data_off : data_off + 2 * n_vals]):
+        a = -s if s < 0 else s
+        sum_abs += a
+        sum_sq += s * s
+        if a > max_abs:
+            max_abs = a
+    return (n_vals, sum_abs, sum_sq, max_abs)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PCM16 sample decode for WAV payloads: exact
+    integer amplitude statistics per payload (the silence/clipping
+    screen an audio-data pipeline runs before training). Non-PCM and
+    non-WAV payloads come back with NULL stats, same honest-refusal
+    contract as pixel_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, nv, sa, sq, ma = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                fmt = "unsupported"
+                stats = None
+                try:
+                    fmt = decode_header(payload)["format"]
+                except (NotImplementedError, ValueError, KeyError):
+                    fmt = "unsupported"
+                if payload[:4] == b"RIFF":
+                    try:
+                        stats = _audio_stats_wav(payload)
+                    except (NotImplementedError, ValueError, KeyError):
+                        stats = None
+                ids.append(mid)
+                fmts.append(fmt)
+                nv.append(stats[0] if stats else None)
+                sa.append(stats[1] if stats else None)
+                sq.append(stats[2] if stats else None)
+                ma.append(stats[3] if stats else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "format": fmts,
+                    "n_vals": pd.array(nv, dtype="Int64"),
+                    "sum_abs": pd.array(sa, dtype="Int64"),
+                    "sum_sq": pd.array(sq, dtype="Int64"),
+                    "max_abs": pd.array(ma, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (512, 512),
+    (640, 384),
+    (384, 640),
+    (1024, 256),
+    (256, 1024),
+)
+# lcm of the bucket heights (512, 384, 640, 256, 1024) — clears every
+# per-bucket denominator so the nearest-bucket argmin is integer-exact
+_ASPECT_LCM = 15360
+
+
+def aspect_bucket_sql(w: str, h: str) -> str:
+    """CASE expression assigning an image (``w`` x ``h``) to the nearest
+    ASPECT_BUCKETS entry by aspect-ratio distance |w/h - bw/bh| — the
+    bucketing step of resolution-bucketed vision training (the
+    variable-aspect batching idea of Patch n' Pack / NaViT, Dehghani et
+    al. 2023: group by shape so batches pack without destructive
+    square-cropping).
+
+    Exact integer arithmetic: |w/h - bw/bh| = |w*bh - h*bw| / (h*bh);
+    the common factor h cancels across buckets and the per-bucket
+    denominator bh is cleared by multiplying with LCM(heights)/bh, so
+    the argmin — and its first-listed-bucket tie-break via CASE order —
+    is bit-exact in any engine. abs/least/CASE only, portable SQL."""
+    keys = [
+        f"(abs(({w}) * {bh} - ({h}) * {bw}) * {_ASPECT_LCM // bh})"
+        for bw, bh in ASPECT_BUCKETS
+    ]
+    m = f"least({', '.join(keys)})"
+    arms = " ".join(
+        f"WHEN {k} = {m} THEN '{bw}x{bh}'"
+        for k, (bw, bh) in zip(keys, ASPECT_BUCKETS)
+    )
+    return f"CASE {arms} END"
 
 
 def _fake_frame_count(payload: bytes) -> int:

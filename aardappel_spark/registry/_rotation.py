@@ -216,13 +216,26 @@ _R08_STALE: list[str] = [
 # PLAN materially changed this round — both classes gate the round they
 # change. _R09_STALE: the remaining pre-r05-gated rows (4 r03 + the r04
 # block, oldest first, computed from CORRECTNESS_r01..r08); additions
-# take slots first, stale rows fill to 50. The 11 r04 rows that do not
-# fit (tpch_q2/q3/q4/q5/q7/q8/q9/q20/q21/q22, vocab_countmin — all
-# re-verified green in the r9 3-scale sweeps) lead the r10 stale block.
+# take slots first, stale rows fill to 50. The 23 r04 rows that do not
+# fit (part_topk_per_brand, retrieval_bm25, text_tfidf,
+# tpch_q2-q5/q7-q17/q19-q22, vocab_countmin — all re-verified green in
+# the r9 3-scale sweeps) lead the r10 stale block.
 R09_ADDITION_NAMES: list[str] = [
     # new in round 9
     "dedup_containment_prefix",   # asymmetric containment join (quote-in-page)
     "text_shingle_saturation",    # the shingle-dial census (r8 verdict #1)
+    # new in round 9, batch 2
+    "graph_clustering_coeff",     # per-vertex Watts-Strogatz census
+    "ann_mrl_recall",             # Matryoshka truncation recall eval
+    "multimodal_aspect_buckets",  # NaViT-style aspect bucketing on real dims
+    "dedup_lsh_band_sweep",       # empirical (b,r) S-curve off one signature
+    # new in round 9, batch 3 — the decode goes past the header: every
+    # uncompressed pixel / PCM16 sample read for real, oracle-replayed
+    "multimodal_pixel_stats",     # BMP/PPM per-pixel channel sums
+    "multimodal_audio_stats",     # WAV per-sample amplitude stats
+    # new in round 9, batch 4
+    "dedup_minhash_bbit",         # b-bit signature estimation-error census
+    "text_langid_margin",         # language-ID confidence margin census
     # OUTPUT changed in round 9 (4-gram shingling + PPJoin filters;
     # PNG/GIF/JPEG arms added to the payload cycle) — re-gate
     "dedup_setsim_prefix",

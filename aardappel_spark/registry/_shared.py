@@ -81,6 +81,8 @@ __all__ = [
     '_clusters_cached',
     '_CLUSTERS_CACHE',
     '_minhash_sig_cached',
+    '_SIG12_CACHE',
+    '_sig12_cached',
     '_mmr_oracle_sql',
     '_pagerank_oracle_sql',
     '_pq_build_cached',
@@ -351,6 +353,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
             evicted += 1
     for cache in (
         _MINHASH_SIG_CACHE,
+        _SIG12_CACHE,
         _PAIRS_CACHE,
         _CLUSTERS_CACHE,
         _SIMHASH64_CACHE,
@@ -386,6 +389,22 @@ def _minhash_sig_cached(spark, sf_dir):
             _docs(spark, sf_dir), num_hashes=4
         ).persist()
     return _MINHASH_SIG_CACHE[key]
+
+
+_SIG12_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sig12_cached(spark, sf_dir):
+    """Shared 12-permutation MinHash signature (mh0..mh11 over 3-word
+    shingles) — consumed by the (b, r) band sweep and the b-bit
+    estimation census, so the explode + 12-way min aggregate runs
+    once."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _SIG12_CACHE:
+        _SIG12_CACHE[key] = minhash_signatures(
+            _docs(spark, sf_dir), num_hashes=12
+        ).persist()
+    return _SIG12_CACHE[key]
 
 
 _GRAMS4_CACHE: dict[tuple[str, str], DataFrame] = {}

@@ -490,6 +490,79 @@ SELECT vec_id, label, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS sim
 FROM d, qn ORDER BY sim DESC, vec_id LIMIT 10
 """
 )
+def q_ann_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval eval (Kusupati et al., NeurIPS
+    2022): recall@10 of exact cosine top-k computed on only the FIRST d
+    embedding dimensions against the full-width top-k, for d in
+    8/16/32/64 — the measurement that decides how far a
+    matryoshka-trained index can truncate its vectors (and cut its
+    memory/IO 8x) before retrieval quality collapses. Every tier is the
+    deterministic brute-force kernel (rounded sim, vec_id tie-break),
+    so even this eval hash-gates; the d=64 control row must come back
+    recall 1.0 by construction. Four scans over the embeddings table,
+    one broadcast each — no shuffle grows with d."""
+    bf = q_ann_cosine(spark, sf_dir).select("vec_id").localCheckpoint(eager=False)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = None
+    for d in (8, 16, 32, 64):
+        t = brute_force_topk(
+            emb.select(
+                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+            ),
+            query_id=0,
+            k=10,
+        ).select("vec_id")
+        leg = bf.join(t, "vec_id").agg(
+            F.lit(d).cast("bigint").alias("dims"),
+            F.lit(10).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_hit"),
+            F.round(F.count("*") / 10.0, 6).alias("recall"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+QUERIES["ann_mrl_recall"] = q_ann_mrl_recall
+
+
+def _mrl_leg_sql(d: int) -> str:
+    # the ann_cosine oracle with the vectors truncated to their first d
+    # dims; ordering parity with brute_force_topk (round to 4, then
+    # vec_id tie-break) is what keeps the leg engine-exact
+    return f"""
+SELECT CAST({d} AS BIGINT) AS dims, CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       round(count(*) / 10.0, 6) AS recall
+FROM ({ORACLES["ann_cosine"].strip()}) bf
+JOIN (
+  WITH tq AS (
+    SELECT generate_subscripts(list_slice(embedding, 1, {d}), 1) AS i,
+           unnest(list_slice(embedding, 1, {d}))::DOUBLE AS qv
+    FROM embeddings WHERE vec_id = 0
+  ),
+  tv AS (
+    SELECT vec_id, generate_subscripts(list_slice(embedding, 1, {d}), 1) AS i,
+           unnest(list_slice(embedding, 1, {d}))::DOUBLE AS x
+    FROM embeddings WHERE vec_id <> 0
+  ),
+  td AS (
+    SELECT tv.vec_id, sum(tv.x * tq.qv) AS dot, sum(tv.x * tv.x) AS n2
+    FROM tv JOIN tq USING (i) GROUP BY tv.vec_id
+  ),
+  tqn AS (SELECT sum(qv * qv) AS qn2 FROM tq)
+  SELECT vec_id
+  FROM td, tqn
+  ORDER BY round(dot / (sqrt(n2) * sqrt(qn2)), 4) DESC, vec_id
+  LIMIT 10
+) tr USING (vec_id)
+"""
+
+
+ORACLES["ann_mrl_recall"] = " UNION ALL ".join(
+    _mrl_leg_sql(d) for d in (8, 16, 32, 64)
+)
+
+
 ORACLES["ann_lsh"] = (
 _emb_sig_cte(6) + """,
 q AS (SELECT sg FROM sig WHERE vec_id = 0),

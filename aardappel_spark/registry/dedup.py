@@ -1215,3 +1215,314 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
 FROM inter
 JOIN sets sa ON sa._id = inter.id_a
 """
+
+
+def q_dedup_lsh_band_sweep(spark, sf_dir):
+    """Empirical LSH banding S-curve (the (b, r) tuning table of
+    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3,
+    measured rather than predicted): one 12-permutation MinHash
+    signature is built once, and every aligned factorization
+    (b=6,r=2) (4,3) (3,4) (2,6) (1,12) is evaluated on the SAME pooled
+    candidate universe — the pairs colliding in any aligned 2-hash
+    band, which provably contains every aligned detection of the wider
+    configs (any r>=2 consecutive positions include a 2-aligned band).
+    Per config: empirical candidate mass, hits against the exact
+    token-Jaccard>=1/2 truth cut (integer cross-multiplication — no
+    float on the gate), pooled truth size, recall and precision. This
+    is the query an operator runs BEFORE picking the production (b, r)
+    dial: detection is re-derived from the signature columns pair-wise
+    (pure boolean algebra, zero extra joins beyond the one universe).
+    """
+    from ..ops.dedup import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    sig = _sig12_cached(spark, sf_dir)
+    pairs = minhash_candidate_pairs(docs, num_hashes=12, band_size=2, sig=sig)
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
+    )
+    j = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb")),
+            "doc_b",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                *[F.col(f"mh{k}").alias(f"a{k}") for k in range(12)],
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"mh{k}").alias(f"b{k}") for k in range(12)],
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+
+    def det(r: int) -> F.Column:
+        return F.expr(
+            " OR ".join(
+                "("
+                + " AND ".join(f"a{i} = b{i}" for i in range(s, s + r))
+                + ")"
+                for s in range(0, 12, r)
+            )
+        )
+
+    flagged = j.select(
+        ((union > F.lit(0)) & (F.lit(2) * inter >= union)).alias("truth"),
+        *[det(r).alias(f"det_r{r}") for r in (2, 3, 4, 6, 12)],
+    )
+    ex = flagged.select(
+        "truth",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(12 // r).cast("bigint").alias("n_bands"),
+                        F.lit(r).cast("bigint").alias("rows_per_band"),
+                        F.col(f"det_r{r}").alias("detected"),
+                    )
+                    for r in (2, 3, 4, 6, 12)
+                ]
+            )
+        ).alias("c"),
+    ).select("truth", "c.*")
+    agg = ex.groupBy("n_bands", "rows_per_band").agg(
+        F.sum(F.col("detected").cast("bigint")).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("detected") & F.col("truth")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.sum(F.col("truth").cast("bigint")).cast("bigint").alias("n_truth"),
+    )
+    return agg.select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_hits",
+        "n_truth",
+        F.when(
+            F.col("n_truth") > 0, F.round(F.col("n_hits") / F.col("n_truth"), 6)
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6),
+        ).alias("precision"),
+    )
+
+
+QUERIES["dedup_lsh_band_sweep"] = q_dedup_lsh_band_sweep
+
+
+def _band_sweep_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{k}' || token)) AS mh{k}" for k in range(12)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
+        f"ON l.mh{s} = r.mh{s} AND l.mh{s + 1} = r.mh{s + 1} "
+        f"AND l.doc_id < r.doc_id"
+        for s in range(0, 12, 2)
+    )
+
+    def det(r: int, la: str = "sa", lb: str = "sb") -> str:
+        return " OR ".join(
+            "("
+            + " AND ".join(
+                f"{la}.mh{i} = {lb}.mh{i}" for i in range(s, s + r)
+            )
+            + ")"
+            for s in range(0, 12, r)
+        )
+
+    legs = " UNION ALL ".join(
+        f"""
+SELECT CAST({12 // r} AS BIGINT) AS n_bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(sum(CASE WHEN det_r{r} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN det_r{r} AND truth THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CASE WHEN sum(CASE WHEN truth THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(sum(CASE WHEN det_r{r} AND truth THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN truth THEN 1 ELSE 0 END), 6) END AS recall,
+       CASE WHEN sum(CASE WHEN det_r{r} THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(sum(CASE WHEN det_r{r} AND truth THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN det_r{r} THEN 1 ELSE 0 END), 6) END AS precision
+FROM j HAVING count(*) > 0
+"""
+        for r in (2, 3, 4, 6, 12)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({bands})),
+tok AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+j AS MATERIALIZED (
+  SELECT
+    (len(ta.ts) + len(tb.ts)
+       - len(list_filter(ta.ts, x -> list_contains(tb.ts, x))) > 0)
+    AND (2 * len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))
+       >= len(ta.ts) + len(tb.ts)
+          - len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))) AS truth,
+    {', '.join(f'({det(r)}) AS det_r{r}' for r in (2, 3, 4, 6, 12))}
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.doc_a
+  JOIN tok tb ON tb.doc_id = p.doc_b
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+{legs}
+"""
+
+
+ORACLES["dedup_lsh_band_sweep"] = _band_sweep_oracle()
+
+
+def q_dedup_minhash_bbit(spark, sf_dir):
+    """b-bit MinHash estimation-error census (Li & Konig, CACM 2011):
+    storing only the lowest b=4 bits of each of the k=12 MinHash values
+    cuts signature storage 32x, at the cost of accidental collisions
+    the estimator must correct: E[m/k] = J + (1-J)/2^b, so
+    J_hat = (m/k - 1/16)*(16/15) = (4m-3)/45 — a RATIONAL in the match
+    count m, which is what keeps this gate float-free: the absolute
+    estimation error vs the exact token Jaccard i/u is
+    |(4m-3)u - 45i| / (45u), and its tenths bucket is pure integer
+    division. One row per error decile over the pooled 2-band candidate
+    universe: the table an operator reads to decide whether 4-bit
+    signatures are accurate enough to ship. Reuses the shared
+    12-permutation signature (one build serves this census and the
+    (b,r) band sweep) and adds zero joins beyond the universe's."""
+    from ..ops.dedup import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    sig = _sig12_cached(spark, sf_dir)
+    pairs = minhash_candidate_pairs(docs, num_hashes=12, band_size=2, sig=sig)
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
+    )
+    j = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb")),
+            "doc_b",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                *[F.col(f"mh{k}").alias(f"a{k}") for k in range(12)],
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"mh{k}").alias(f"b{k}") for k in range(12)],
+            ),
+            "doc_b",
+        )
+    )
+    # lowest 4 bits of a 128-bit md5 = its last hex digit
+    m = sum(
+        F.expr(f"CAST(substring(a{k}, 32, 1) = substring(b{k}, 32, 1) AS BIGINT)")
+        for k in range(12)
+    )
+    stats = j.select(
+        m.alias("m"),
+        F.size(F.array_intersect("_ta", "_tb")).cast("bigint").alias("i"),
+        F.size(F.array_union("_ta", "_tb")).cast("bigint").alias("u"),
+    ).filter(F.col("u") > 0)
+    return (
+        stats.groupBy(
+            F.expr("(10 * abs((4 * m - 3) * u - 45 * i)) div (45 * u)")
+            .cast("bigint")
+            .alias("err_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("m").cast("bigint").alias("sum_matches"),
+            F.sum("u").cast("bigint").alias("sum_union"),
+        )
+    )
+
+
+QUERIES["dedup_minhash_bbit"] = q_dedup_minhash_bbit
+
+
+def _bbit_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{k}' || token)) AS mh{k}" for k in range(12)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
+        f"ON l.mh{s} = r.mh{s} AND l.mh{s + 1} = r.mh{s + 1} "
+        f"AND l.doc_id < r.doc_id"
+        for s in range(0, 12, 2)
+    )
+    m = " + ".join(
+        f"CASE WHEN substring(sa.mh{k}, 32, 1) = substring(sb.mh{k}, 32, 1) "
+        f"THEN 1 ELSE 0 END"
+        for k in range(12)
+    )
+    inter = "len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))"
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({bands})),
+tok AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+stats AS (
+  SELECT ({m}) AS m,
+         {inter} AS i,
+         len(ta.ts) + len(tb.ts) - {inter} AS u
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.doc_a
+  JOIN tok tb ON tb.doc_id = p.doc_b
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT CAST((10 * abs((4 * m - 3) * u - 45 * i)) // (45 * u) AS BIGINT) AS err_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(m) AS BIGINT) AS sum_matches,
+       CAST(sum(u) AS BIGINT) AS sum_union
+FROM stats WHERE u > 0 GROUP BY err_bucket
+"""
+
+
+ORACLES["dedup_minhash_bbit"] = _bbit_oracle()

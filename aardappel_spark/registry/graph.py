@@ -171,6 +171,72 @@ FROM w, t, m
 """
 
 
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient census of the kNN similarity graph
+    (Watts & Strogatz 1998) — the per-vertex companion to
+    graph_triangles' single global census: every degree>=2 vertex's
+    c_v = 2*T_v/(d_v*(d_v-1)) bucketed into eleven integer cells
+    (cc_bucket = (20*T_v) div (d_v*(d_v-1))), reported as
+    (cc_bucket, n_vertices, sum_triangles, sum_wedges). The bucket edge
+    is integer division on exact integer counts, so no float ever
+    touches the hash. Triangle enumeration is the same degree-ordered
+    orientation as triangle_stats (wedges only among out-neighbors,
+    O(sqrt(m)) out-degree around hubs) with the wedge apex retained —
+    see ops.graph.local_clustering_census; edges are the SAME shared
+    banded kNN graph every other graph consumer reads, so candidate
+    generation stays an equi-join on band buckets and inherits the
+    occupancy-constant band-bits dial."""
+    from ..ops.graph import local_clustering_census
+
+    knn = q_emb_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    )
+    return local_clustering_census(knn, buckets=10)
+
+
+QUERIES["graph_clustering_coeff"] = q_graph_clustering_coeff
+
+# composed verbatim from the gated kNN-graph oracle; the oracle
+# enumerates triangles by the simple a<b<c triple join and explodes the
+# three vertices — orientation is a Spark-side efficiency choice, the
+# per-vertex census is identical
+ORACLES["graph_clustering_coeff"] = f"""
+WITH knn AS MATERIALIZED ({ORACLES["emb_knn_graph"].strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor) AS u,
+                  greatest(vec_id, neighbor) AS v
+  FROM knn WHERE vec_id <> neighbor
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tv AS (
+  SELECT node, count(*) AS t
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+),
+j AS (
+  SELECT deg.node, deg.d, COALESCE(tv.t, 0) AS t
+  FROM deg LEFT JOIN tv USING (node)
+  WHERE deg.d >= 2
+)
+SELECT CAST((20 * t) // (d * (d - 1)) AS BIGINT) AS cc_bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(t) AS BIGINT) AS sum_triangles,
+       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS sum_wedges
+FROM j GROUP BY cc_bucket
+"""
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity of the undirected kNN similarity graph
     (Newman 2002): the Pearson correlation of endpoint degrees over all
@@ -484,6 +550,12 @@ def _consumer_kcore(spark, emb, edges):
     return kcore_census(edges, k=6, rounds=3)
 
 
+def _consumer_clustering_coeff(spark, emb, edges):
+    from ..ops.graph import local_clustering_census
+
+    return local_clustering_census(edges, buckets=10)
+
+
 def _consumer_hubness(spark, emb, edges):
     ind = (
         edges.groupBy(F.col("dst"))
@@ -527,5 +599,6 @@ GRAPH_CONSUMERS["graph_communities"] = _consumer_communities
 GRAPH_CONSUMERS["graph_assortativity"] = _consumer_assortativity
 GRAPH_CONSUMERS["graph_degree_hist"] = _consumer_degree_hist
 GRAPH_CONSUMERS["graph_kcore"] = _consumer_kcore
+GRAPH_CONSUMERS["graph_clustering_coeff"] = _consumer_clustering_coeff
 GRAPH_CONSUMERS["emb_hubness"] = _consumer_hubness
 GRAPH_CONSUMERS["emb_knn_classify"] = _consumer_knn_classify

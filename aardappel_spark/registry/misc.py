@@ -370,3 +370,226 @@ FROM dec
 
 
 ORACLES["multimodal_decode"] = _multimodal_decode_oracle()
+
+
+def q_multimodal_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing census over REAL header-decoded image
+    dimensions — the batching prep step of resolution-bucketed vision
+    training (Patch n' Pack / NaViT, Dehghani et al. 2023): every
+    decoded image (BMP/PPM/PNG/GIF/JPEG arms of the payload cycle;
+    WAV and the refused mp4 stub carry NULL dims and drop out) is
+    assigned to the nearest of five canonical aspect buckets
+    (1:1, 5:3, 3:5, 4:1, 1:4) by EXACT integer arithmetic — see
+    ops.multimodal.aspect_bucket_sql: the ratio-distance argmin clears
+    all denominators via the bucket-height LCM, so the assignment and
+    its tie-break are bit-identical across engines. One decode pass +
+    one hash-agg; at 100 TB the census is a map-side partial over
+    whatever partitioning the media table already has."""
+    from ..ops.multimodal import (
+        aspect_bucket_sql,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    f = extract_features(media).filter(
+        F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
+    return f.groupBy(
+        F.expr(aspect_bucket_sql("width", "height")).alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+    )
+
+
+QUERIES["multimodal_aspect_buckets"] = q_multimodal_aspect_buckets
+
+
+def _multimodal_aspect_buckets_oracle() -> str:
+    from ..ops.multimodal import aspect_bucket_sql
+
+    return f"""
+WITH dec AS MATERIALIZED ({_multimodal_decode_oracle().strip()}),
+img AS (
+  SELECT width, height FROM dec
+  WHERE width IS NOT NULL AND height IS NOT NULL
+    AND width > 0 AND height > 0
+)
+SELECT {aspect_bucket_sql('width', 'height')} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height
+FROM img GROUP BY bucket
+"""
+
+
+ORACLES["multimodal_aspect_buckets"] = _multimodal_aspect_buckets_oracle()
+
+
+def q_multimodal_pixel_stats(spark, sf_dir):
+    """REAL pixel decode, oracle-gated per sample: every pixel of the
+    uncompressed image arms (24bpp BMP with proper stride handling,
+    plain-PPM P3 ASCII values) is read in the Arrow-batched kernel and
+    folded into exact integer channel sums — the brightness/color-cast
+    screen of a vision-data pipeline. The DuckDB oracle independently
+    re-decodes the SAME payload bytes with hex-slice arithmetic
+    (byte-accurate BMP stride walk, P3 body token split), so every
+    sum_r/sum_g/sum_b crosses the hash as a cross-engine fact about the
+    pixel bytes. Entropy-coded formats stay honestly refused (NULL
+    stats, filtered here); see ops.multimodal.pixel_stats."""
+    from ..ops.multimodal import pixel_stats, synthetic_media
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    return pixel_stats(media).filter(F.col("n_px").isNotNull()).select(
+        "media_id", "format", "n_px", "sum_r", "sum_g", "sum_b"
+    )
+
+
+QUERIES["multimodal_pixel_stats"] = q_multimodal_pixel_stats
+
+
+def _multimodal_pixel_stats_oracle() -> str:
+    from ..ops.multimodal import payload_hex_sql
+
+    hex_sql = payload_hex_sql(
+        div="//", transform_fn="list_transform",
+        range_fn="range(0, {n})", join_fn="array_to_string",
+    )
+
+    def byte(o: str) -> str:
+        # 1-based byte offset expression -> unsigned value via hex slice
+        return f"CAST('0x' || substring(hx, 2 * ({o}) - 1, 2) AS BIGINT)"
+
+    def le32(o: int) -> str:
+        b = lambda k: byte(str(k))  # noqa: E731
+        return (f"({b(o)} + 256 * {b(o + 1)} + 65536 * {b(o + 2)}"
+                f" + 16777216 * {b(o + 3)})")
+
+    # BMP: data offset / width / height parsed from the bytes; the
+    # channel sums walk rows with the REAL stride (3w padded to 4)
+    bmp_sum = lambda ch: (  # noqa: E731  ch: 0=B, 1=G, 2=R
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        f"CAST('0x' || substring(hx, 2 * (off + (p // w) * stride + 3 * (p % w) + {ch}) + 1, 2) AS BIGINT)"
+        "), 'sum')"
+    )
+    # P3: whitespace-split body values, RGB order, 1-based list index
+    ppm_sum = lambda c: (  # noqa: E731  c: 1=R, 2=G, 3=B
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        f"CAST(vals[3 * p + {c}] AS BIGINT)), 'sum')"
+    )
+    return f"""
+WITH media AS MATERIALIZED (
+  SELECT doc_id AS media_id, unhex({hex_sql}) AS payload FROM documents
+),
+hxb AS (
+  SELECT media_id, payload, lower(hex(payload)) AS hx FROM media
+),
+bmp AS (
+  SELECT media_id, 'bmp' AS format, {le32(11)} AS off,
+         {le32(19)} AS w, {le32(23)} AS h,
+         ((3 * {le32(19)} + 3) // 4) * 4 AS stride, hx
+  FROM hxb WHERE substring(hx, 1, 4) = '424d'
+),
+bmp_stats AS (
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({bmp_sum(2)} AS BIGINT) AS sum_r,
+         CAST({bmp_sum(1)} AS BIGINT) AS sum_g,
+         CAST({bmp_sum(0)} AS BIGINT) AS sum_b
+  FROM bmp
+),
+ppm AS (
+  SELECT media_id, 'ppm' AS format,
+         CAST(regexp_extract(decode(payload), 'P3\n(\\d+) (\\d+)\n', 1) AS BIGINT) AS w,
+         CAST(regexp_extract(decode(payload), 'P3\n(\\d+) (\\d+)\n', 2) AS BIGINT) AS h,
+         string_split(split_part(decode(payload), chr(10), 4), ' ') AS vals
+  FROM hxb WHERE substring(hx, 1, 4) = '5033'
+),
+ppm_stats AS (
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({ppm_sum(1)} AS BIGINT) AS sum_r,
+         CAST({ppm_sum(2)} AS BIGINT) AS sum_g,
+         CAST({ppm_sum(3)} AS BIGINT) AS sum_b
+  FROM ppm
+)
+SELECT * FROM bmp_stats UNION ALL SELECT * FROM ppm_stats
+"""
+
+
+ORACLES["multimodal_pixel_stats"] = _multimodal_pixel_stats_oracle()
+
+
+def q_multimodal_audio_stats(spark, sf_dir):
+    """REAL PCM16 sample decode, oracle-gated per sample: every
+    little-endian int16 of the WAV arm's data chunk is unpacked in the
+    Arrow-batched kernel and folded into exact integer amplitude
+    statistics (sum |s|, sum s², max |s|) — the silence/clipping screen
+    of an audio-data pipeline. The DuckDB oracle re-decodes the same
+    bytes with hex-slice arithmetic including the two's-complement
+    sign fold, so every statistic is a cross-engine fact about the
+    sample bytes; see ops.multimodal.audio_stats."""
+    from ..ops.multimodal import audio_stats, synthetic_media
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    return audio_stats(media).filter(F.col("n_vals").isNotNull()).select(
+        "media_id", "format", "n_vals", "sum_abs", "sum_sq", "max_abs"
+    )
+
+
+QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
+
+
+def _multimodal_audio_stats_oracle() -> str:
+    from ..ops.multimodal import payload_hex_sql
+
+    hex_sql = payload_hex_sql(
+        div="//", transform_fn="list_transform",
+        range_fn="range(0, {n})", join_fn="array_to_string",
+    )
+
+    def byte(o: int) -> str:
+        return f"CAST('0x' || substring(hx, {2 * o - 1}, 2) AS BIGINT)"
+
+    def le32(o: int) -> str:
+        return (f"({byte(o)} + 256 * {byte(o + 1)} + 65536 * {byte(o + 2)}"
+                f" + 16777216 * {byte(o + 3)})")
+
+    # signed int16 at value index p (0-based), data chunk at canonical
+    # byte 44 (the stub layout is deterministic; the Spark side still
+    # walks the chunks): low byte 1-based 45+2p, high 46+2p
+    signed = (
+        "(CASE WHEN CAST('0x' || substring(hx, 89 + 4 * p, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substring(hx, 91 + 4 * p, 2) AS BIGINT) >= 32768"
+        " THEN CAST('0x' || substring(hx, 89 + 4 * p, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substring(hx, 91 + 4 * p, 2) AS BIGINT) - 65536"
+        " ELSE CAST('0x' || substring(hx, 89 + 4 * p, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substring(hx, 91 + 4 * p, 2) AS BIGINT) END)"
+    )
+    fold = lambda expr, how: (  # noqa: E731
+        f"list_aggregate(list_transform(range(0, n_vals), p -> {expr}), '{how}')"
+    )
+    return f"""
+WITH media AS MATERIALIZED (
+  SELECT doc_id AS media_id, unhex({hex_sql}) AS payload FROM documents
+),
+hxb AS (
+  SELECT media_id, lower(hex(payload)) AS hx FROM media
+),
+wav AS (
+  SELECT media_id, 'wav' AS format, {le32(41)} // 2 AS n_vals, hx
+  FROM hxb
+  WHERE substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645'
+)
+SELECT media_id, format, CAST(n_vals AS BIGINT) AS n_vals,
+       CAST({fold(f'abs({signed})', 'sum')} AS BIGINT) AS sum_abs,
+       CAST({fold(f'{signed} * {signed}', 'sum')} AS BIGINT) AS sum_sq,
+       CAST({fold(f'abs({signed})', 'max')} AS BIGINT) AS max_abs
+FROM wav
+"""
+
+
+ORACLES["multimodal_audio_stats"] = _multimodal_audio_stats_oracle()

@@ -2292,3 +2292,90 @@ SELECT CAST(w AS BIGINT) AS w,
 FROM tagged
 GROUP BY w
 """
+
+
+def _langid_margin_exprs() -> tuple[str, str]:
+    """(pred_case, margin) SQL expression texts over the score columns
+    s_<lang> — ONE string serves both engines, so the tie-break chain
+    and the sorted-score margin can never drift between the Spark query
+    and the DuckDB oracle."""
+    langs = list(LANG_PROFILES)
+    arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        ]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    pred_case = f"CASE {' '.join(arms)} ELSE 'und' END"
+    cols = ", ".join(f"s_{lang}" for lang in langs)
+    n = len(langs)
+    margin = (
+        f"(list_sort([{cols}])[{n}] - list_sort([{cols}])[{n - 1}])"
+    )
+    return pred_case, margin
+
+
+def q_text_langid_margin(spark, sf_dir):
+    """Language-ID confidence margin census: for every document, the
+    marker-hit score gap between the winning language and the runner-up
+    (two exact integers off one token explode — margin 0 means the call
+    was a coin flip, and a pipeline routing docs by language would send
+    low-margin docs to a heavier classifier). Reported as
+    (pred_lang, margin, n_docs); prediction uses the IDENTICAL
+    tie-break chain as text_langid (same generated CASE text), and the
+    margin is element -1 minus element -2 of the sorted score array —
+    integer end-to-end, engine-exact."""
+    from ..ops.text import tokenize
+
+    t = tokenize(_docs(spark, sf_dir))
+    aggs = [
+        F.sum(F.col("token").isin(words).cast("long")).alias(f"s_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    s = t.groupBy("doc_id").agg(*aggs)
+    pred_case, margin = _langid_margin_exprs()
+    # Spark spells list_sort/[] as array_sort/element_at
+    n = len(LANG_PROFILES)
+    cols = ", ".join(f"s_{lang}" for lang in LANG_PROFILES)
+    margin_spark = (
+        f"(element_at(array_sort(array({cols})), {n})"
+        f" - element_at(array_sort(array({cols})), {n - 1}))"
+    )
+    return (
+        s.selectExpr(
+            f"{pred_case} AS pred_lang",
+            f"CAST({margin_spark} AS BIGINT) AS margin",
+        )
+        .groupBy("pred_lang", "margin")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+QUERIES["text_langid_margin"] = q_text_langid_margin
+
+
+def _langid_margin_oracle() -> str:
+    pred_case, margin = _langid_margin_exprs()
+    scores = ",\n       ".join(
+        "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_PROFILES.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+s AS (
+  SELECT doc_id,
+       {scores}
+  FROM t WHERE token <> '' GROUP BY doc_id
+)
+SELECT {pred_case} AS pred_lang,
+       CAST({margin} AS BIGINT) AS margin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY pred_lang, margin
+"""
+
+
+ORACLES["text_langid_margin"] = _langid_margin_oracle()

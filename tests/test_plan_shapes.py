@@ -1092,3 +1092,64 @@ def test_shingle_saturation_single_doc_scan(spark):
     scan (row-local tag + concat, one explode), never five passes."""
     plan = _plan(spark, "text_shingle_saturation")
     assert plan.count("Scan parquet") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "graph_clustering_coeff", "ann_mrl_recall",
+        "multimodal_aspect_buckets", "dedup_lsh_band_sweep",
+    ],
+)
+def test_round9_batch2_no_cartesian(spark, qname):
+    """Round-9 batch-2 additions: wedge generation, candidate pooling
+    and truncation tiers all stay equi-joins (the only nested loop
+    anywhere is brute_force_topk's broadcast of a single query row) —
+    no CartesianProduct in any plan."""
+    plan = _plan(spark, qname)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_aspect_buckets_is_scan_plus_single_agg(spark):
+    """multimodal_aspect_buckets: one decode pass over one documents
+    scan feeding one hash-agg — the census must never join."""
+    plan = _plan(spark, "multimodal_aspect_buckets")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_band_sweep_reuses_one_signature_no_extra_joins(spark):
+    """dedup_lsh_band_sweep: detection for every (b, r) config is
+    boolean algebra over the already-joined signature columns — the
+    plan carries exactly the universe's band equi-joins plus the four
+    per-pair attachment joins (tokens a/b, signatures a/b), and the
+    config fan-out is a row-local explode, never another join."""
+    plan = _plan(spark, "dedup_lsh_band_sweep")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["multimodal_pixel_stats", "multimodal_audio_stats"]
+)
+def test_sample_decode_is_single_scan_no_join(spark, qname):
+    """Full-sample decode: one documents scan into one mapInPandas pass,
+    never a join — the cost is O(payload bytes) per row."""
+    plan = _plan(spark, qname)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_minhash_bbit_no_cartesian_single_explode_universe(spark):
+    """dedup_minhash_bbit: candidate pooling is the aligned 2-band
+    equi-join; the b-bit match count is boolean algebra over joined
+    signature columns — no nested loop, no extra shuffle family."""
+    plan = _plan(spark, "dedup_minhash_bbit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_langid_margin_single_scan_two_aggs(spark):
+    plan = _plan(spark, "text_langid_margin")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan

@@ -153,6 +153,20 @@ PROBE_QUERIES = [
     # round 9: asymmetric containment join (prefix-vs-postings), the
     # w=1..5 shingle saturation census (single explode, two hash-aggs)
     "dedup_containment_prefix", "text_shingle_saturation",
+    # round 9 batch 2: per-vertex clustering census (kNN consumer:
+    # fixed-band annotated, dialed leg auto-enumerated), Matryoshka
+    # truncation recall (4 brute-force scans, probe fixed at vec 0),
+    # aspect bucketing (decode pass + hash-agg), the (b,r) band sweep
+    # (one 12-hash signature + the aligned 2-band pooled universe)
+    "graph_clustering_coeff", "ann_mrl_recall",
+    "multimodal_aspect_buckets", "dedup_lsh_band_sweep",
+    # round 9 batch 3: full uncompressed-sample decode (one mapInPandas
+    # pass each, O(payload bytes) per row, no join anywhere)
+    "multimodal_pixel_stats", "multimodal_audio_stats",
+    # round 9 batch 4: b-bit estimation census (pooled 2-band universe,
+    # boolean algebra over the shared signature), langid margin census
+    # (one explode + two hash-aggs)
+    "dedup_minhash_bbit", "text_langid_margin",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
@@ -184,6 +198,7 @@ FIXED_PARAM_SUPERLINEAR = {
     "graph_degree_hist": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the degree census is linear in edges — see the decomposed *_dialed consumer rows",
     "graph_kcore": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); each peel round is linear in surviving edges — see the decomposed *_dialed consumer rows",
     "ann_range_search": "probe batch = vec_id % 67 at oracle parity, so probes grow with N and pair mass ~N^2/67; the production shape is a FIXED user-supplied query batch — MEASURED as ann_range_search_fixedbatch (r8 verdict #2)",
+    "graph_clustering_coeff": "runs on the kNN graph's edges (same fixed-band candidate arithmetic as emb_knn_graph); the oriented-wedge census is linear in wedges — see the decomposed *_dialed consumer rows",
 }
 
 # Queries whose OUTPUT is detail-granularity (one row per input event,

@@ -45,6 +45,10 @@ ALLOW = {
     "corpus_contam_overlap", "corpus_signal_corr", "ann_lsh_banded",
     "ann_recall_eval", "ann_recall_banded", "ann_recall_ivf",
     "ann_recall_sq8", "ann_recall_pq", "ann_recall_ivfpq",
+    # 4 deliberate truncation tiers + the full-width control, each an
+    # independent brute-force scan of the (small) embeddings table —
+    # the same eval shape as the ann_recall_* family above
+    "ann_mrl_recall",
     "emb_knn_graph", "emb_knn_classify",
     "retrieval_hybrid_rrf", "events_retention",
     # persists-and-materializes its basket frame inside the query (the
