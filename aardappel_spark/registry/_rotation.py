@@ -216,8 +216,8 @@ _R08_STALE: list[str] = [
 # PLAN materially changed this round — both classes gate the round they
 # change. _R09_STALE: the remaining pre-r05-gated rows (4 r03 + the r04
 # block, oldest first, computed from CORRECTNESS_r01..r08); additions
-# take slots first, stale rows fill to 50. The 23 r04 rows that do not
-# fit (part_topk_per_brand, retrieval_bm25, text_tfidf,
+# take slots first, stale rows fill to 50. The 24 r04 rows that do not
+# fit (orders_rollup, part_topk_per_brand, retrieval_bm25, text_tfidf,
 # tpch_q2-q5/q7-q17/q19-q22, vocab_countmin — all re-verified green in
 # the r9 3-scale sweeps) lead the r10 stale block.
 R09_ADDITION_NAMES: list[str] = [
@@ -236,6 +236,7 @@ R09_ADDITION_NAMES: list[str] = [
     # new in round 9, batch 4
     "dedup_minhash_bbit",         # b-bit signature estimation-error census
     "text_langid_margin",         # language-ID confidence margin census
+    "orders_benford",             # Benford first-digit DQ screen, all-integer
     # OUTPUT changed in round 9 (4-gram shingling + PPJoin filters;
     # PNG/GIF/JPEG arms added to the payload cycle) — re-gate
     "dedup_setsim_prefix",

@@ -795,3 +795,74 @@ SELECT p_brand AS brand,
 FROM shares
 GROUP BY 1
 """
+
+
+# Benford first-significant-digit expectation, ppm, d=1..9: round(1e6 *
+# log10(1 + 1/d)). The rounded values sum to EXACTLY 1,000,000, which is
+# what lets the deviation column stay in integer arithmetic.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_orders_benford(spark, sf_dir):
+    """Benford's-law first-digit screen over order totals (Benford 1938;
+    the fraud/synthetic-data smell test of Nigrini's forensic accounting
+    line): the first significant digit of o_totalprice (via exact cents,
+    x100 preserves the leading digit) against the log10(1+1/d)
+    expectation. Everything crossing the hash is integer: per-digit
+    counts, the ppm expectation literals (they sum to exactly 1e6), and
+    the signed deviation (1e6*n) div N - expected_ppm. One fact scan
+    into a 9-cell hash-agg — map-side partials bounded at 9 rows per
+    task, the events_heatmap shape. TPC-H totals are sums of uniform
+    prices, so the census SHOWS the non-Benford hump (deviations are
+    the point, not a defect)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    # the 9-row census feeds both the output and its own total — cut the
+    # lineage so the fact scan runs once, not once per consumer
+    digits = (
+        o.selectExpr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .localCheckpoint(eager=False)
+    )
+    total = digits.agg(F.sum("n_orders").alias("_n"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n_orders",
+            f"CAST({exp_case} AS BIGINT) AS expected_ppm",
+            f"CAST((1000000 * n_orders) div _n - {exp_case} AS BIGINT)"
+            " AS deviation_ppm",
+        )
+    )
+
+
+QUERIES["orders_benford"] = q_orders_benford
+
+ORACLES["orders_benford"] = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY digit),
+t AS (SELECT sum(n_orders) AS _n FROM c),
+e AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) AS v(digit, ppm)
+)
+SELECT c.digit, c.n_orders,
+       CAST(e.ppm AS BIGINT) AS expected_ppm,
+       CAST((1000000 * c.n_orders) // t._n - e.ppm AS BIGINT) AS deviation_ppm
+FROM c JOIN e USING (digit), t
+"""

@@ -1153,3 +1153,12 @@ def test_langid_margin_single_scan_two_aggs(spark):
     plan = _plan(spark, "text_langid_margin")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_orders_benford_is_single_scan_nine_cells(spark):
+    """orders_benford: one fact scan into a bounded hash-agg; the total
+    joins back as a broadcast of one row — no wide join, no sort."""
+    plan = _plan(spark, "orders_benford")
+    assert plan.count("Scan parquet") <= 2, plan  # digits agg + its total
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -355,3 +355,30 @@ def test_langid_margin_matches_python_model(spark, sf_dir):
         for r in QUERIES["text_langid_margin"](spark, sf_dir).collect()
     }
     assert got == model
+
+
+def test_orders_benford_matches_python_model(spark, sf_dir):
+    """Benford census vs a python model over the real orders fixture:
+    exact cents leading digit, ppm expectation literals, integer
+    deviation."""
+    from aardappel_spark.registry import QUERIES
+    from aardappel_spark.registry.sales import _BENFORD_PPM
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    totals = duckdb.connect().execute(
+        f"SELECT o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    counts = {}
+    for (v,) in totals:
+        d = int(str(int(round(v * 100)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = sum(counts.values())
+    model = {
+        d: (c, _BENFORD_PPM[d], (1_000_000 * c) // n - _BENFORD_PPM[d])
+        for d, c in counts.items()
+    }
+    got = {
+        r.digit: (r.n_orders, r.expected_ppm, r.deviation_ppm)
+        for r in QUERIES["orders_benford"](spark, sf_dir).collect()
+    }
+    assert got == model

@@ -165,8 +165,9 @@ PROBE_QUERIES = [
     "multimodal_pixel_stats", "multimodal_audio_stats",
     # round 9 batch 4: b-bit estimation census (pooled 2-band universe,
     # boolean algebra over the shared signature), langid margin census
-    # (one explode + two hash-aggs)
-    "dedup_minhash_bbit", "text_langid_margin",
+    # (one explode + two hash-aggs), Benford first-digit screen (one
+    # fact scan into a 9-cell hash-agg)
+    "dedup_minhash_bbit", "text_langid_margin", "orders_benford",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
