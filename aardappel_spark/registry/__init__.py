@@ -38,7 +38,7 @@ del _m, _k, _v
 # (r8 judge-verified). Round-9 slots go to: the two new queries, the
 # queries whose OUTPUT changed this round (setsim shingling, multimodal
 # payload cycle), the CC-family whose PLAN changed (one-job rounds), then
-# the stalest driver rows (4 r03 + the r04 block, oldest first). The 24
+# the stalest driver rows (4 r03 + the r04 block, oldest first). The 21
 # r04 rows that do not fit lead the r10 stale block; full-registry parity
 # is additionally checked every round by tools/check_oracle.py at
 # sf0.001/0.01/0.1 (CHECK_ORACLE_r9*.json).

@@ -216,10 +216,10 @@ _R08_STALE: list[str] = [
 # PLAN materially changed this round — both classes gate the round they
 # change. _R09_STALE: the remaining pre-r05-gated rows (4 r03 + the r04
 # block, oldest first, computed from CORRECTNESS_r01..r08); additions
-# take slots first, stale rows fill to 50. The 24 r04 rows that do not
-# fit (orders_rollup, part_topk_per_brand, retrieval_bm25, text_tfidf,
-# tpch_q2-q5/q7-q17/q19-q22, vocab_countmin — all re-verified green in
-# the r9 3-scale sweeps) lead the r10 stale block.
+# take slots first, stale rows fill to 50. With the 20 round-9
+# additions, 30 stale rows fit; the 21 r04 rows that do not
+# (text_tfidf, tpch_q2-q5/q7-q17/q19-q22, vocab_countmin — all
+# re-verified green in the r9 3-scale sweeps) lead the r10 stale block.
 R09_ADDITION_NAMES: list[str] = [
     # new in round 9
     "dedup_containment_prefix",   # asymmetric containment join (quote-in-page)
@@ -265,3 +265,4 @@ _R09_STALE: list[str] = [
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q19",
 ]
+R09_ADDITION_NAMES.append("customer_kanon")  # k-anonymity census (batch 4)

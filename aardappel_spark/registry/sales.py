@@ -866,3 +866,46 @@ SELECT c.digit, c.n_orders,
        CAST((1000000 * c.n_orders) // t._n - e.ppm AS BIGINT) AS deviation_ppm
 FROM c JOIN e USING (digit), t
 """
+
+
+def q_customer_kanon(spark, sf_dir):
+    """k-anonymity census over the customer quasi-identifiers (Sweeney
+    2002): rows are grouped by the attacker-linkable attribute tuple
+    (nation, market segment, thousand-dollar balance bucket) and the
+    distribution of equivalence-class sizes k is reported — the privacy
+    screen a pipeline runs BEFORE releasing or training on user-keyed
+    data (classes with small k are re-identifiable; k=1 is a unique
+    fingerprint). Two hash-aggs, all-integer: the balance bucket is
+    exact-cents truncating division (Spark div and DuckDB // both
+    truncate toward zero, verified on negatives), so no float touches
+    a class boundary or the hash."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    classes = (
+        c.selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000 AS bal_bucket",
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    return classes.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        (F.count("*") * F.col("k")).cast("bigint").alias("n_rows"),
+    )
+
+
+QUERIES["customer_kanon"] = q_customer_kanon
+
+ORACLES["customer_kanon"] = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) * k AS BIGINT) AS n_rows
+FROM classes GROUP BY k
+"""

@@ -1162,3 +1162,9 @@ def test_orders_benford_is_single_scan_nine_cells(spark):
     assert plan.count("Scan parquet") <= 2, plan  # digits agg + its total
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_customer_kanon_two_hash_aggs_no_join(spark):
+    plan = _plan(spark, "customer_kanon")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan

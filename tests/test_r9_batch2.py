@@ -382,3 +382,31 @@ def test_orders_benford_matches_python_model(spark, sf_dir):
         for r in QUERIES["orders_benford"](spark, sf_dir).collect()
     }
     assert got == model
+
+
+def test_customer_kanon_matches_python_model(spark, sf_dir):
+    """k-anonymity class-size histogram vs a python model over the real
+    customer fixture (truncating cents bucket, incl. negative
+    balances)."""
+    from aardappel_spark.registry import QUERIES
+
+    rows = duckdb.connect().execute(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    classes = {}
+    for nk, seg, bal in rows:
+        cents = int(round(bal * 100))
+        bucket = int(cents / 100000)  # truncation toward zero
+        key = (nk, seg, bucket)
+        classes[key] = classes.get(key, 0) + 1
+    model = {}
+    for k in classes.values():
+        nc, nr = model.get(k, (0, 0))
+        model[k] = (nc + 1, nr + k)
+    got = {
+        r.k: (r.n_classes, r.n_rows)
+        for r in QUERIES["customer_kanon"](spark, sf_dir).collect()
+    }
+    assert got == model
+    assert any(bal < 0 for _, _, bal in rows)  # negatives really exercised

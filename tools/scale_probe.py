@@ -168,6 +168,8 @@ PROBE_QUERIES = [
     # (one explode + two hash-aggs), Benford first-digit screen (one
     # fact scan into a 9-cell hash-agg)
     "dedup_minhash_bbit", "text_langid_margin", "orders_benford",
+    # k-anonymity census: two hash-aggs over customer
+    "customer_kanon",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
