@@ -528,6 +528,11 @@ def _pixel_stats_bmp(p: bytes) -> tuple[int, int, int, int]:
     hdr = _decode_bmp(p)  # validates + refuses compressed
     data_offset = struct.unpack_from("<I", p, 10)[0]
     w, h = hdr["width"], hdr["height"]
+    if w <= 0 or h <= 0:
+        # negative width is malformed (only height may be negative =
+        # top-down, and _decode_bmp already absolutes it); a naive
+        # stride walk would silently produce a negative pixel count
+        raise ValueError(f"BMP has non-positive dimensions {w}x{h}")
     if hdr["n_channels"] != 3:
         raise NotImplementedError(
             f"{8 * hdr['n_channels']}bpp BMP pixel decode (palette/alpha) "
@@ -624,7 +629,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                         stats = _pixel_stats_bmp(payload)
                     elif payload[:1] == b"P" and payload[1:2] in b"36":
                         stats = _pixel_stats_ppm(payload)
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError, struct.error):
                     stats = None
                 ids.append(mid)
                 fmts.append(fmt)

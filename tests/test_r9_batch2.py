@@ -410,3 +410,18 @@ def test_customer_kanon_matches_python_model(spark, sf_dir):
     }
     assert got == model
     assert any(bal < 0 for _, _, bal in rows)  # negatives really exercised
+
+
+def test_pixel_stats_refuses_negative_width_bmp():
+    """A malformed BMP with negative WIDTH (only height may legally be
+    negative) must raise, not emit a negative pixel count."""
+    import struct as _st
+
+    import pytest as _pt
+
+    from aardappel_spark.ops.multimodal import _pixel_stats_bmp
+
+    p = _bmp24(3, 2, [[(0, 0, 0)] * 3] * 2)
+    bad = p[:18] + _st.pack("<i", -3) + p[22:]
+    with _pt.raises(ValueError):
+        _pixel_stats_bmp(bad)
