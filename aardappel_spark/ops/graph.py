@@ -64,31 +64,20 @@ def pagerank_fixed_point(
     return r
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Exact triangle census of the undirected graph under ``edges``:
-    one row — (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm), all
-    BIGINT (gcc = 3*triangles/wedges as fixed-point ppm, 0 when
-    wedge-free).
+def _oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Shared degree-ordered orientation (Schank & Wagner 2005): dedup
+    the undirected edge list, compute degrees, and direct every edge
+    from its (degree, id)-smaller endpoint to the larger. Returns
+    (und, deg, o) where ``o`` has columns (a, b, db). Both the global
+    triangle census and the per-vertex clustering census consume this
+    ONE implementation, so the orientation (tie-break, checkpoint
+    policy) can never diverge between them.
 
-    Algorithm: degree-ordered edge orientation (Schank & Wagner 2005;
-    the MapReduce form is Suri & Vassilvitskii, WWW 2011). Every edge
-    is directed from its (degree, id)-smaller endpoint to the larger;
-    wedges are generated ONLY among a node's out-neighbors, and a
-    node's out-degree under this orientation is O(sqrt(m)) for any
-    graph — so wedge generation is bounded even around celebrity hubs,
-    where the naive "join edges on the shared endpoint" explodes
-    quadratically in the hub degree. The closing-edge check is a
-    LEFT SEMI join (each wedge at most once, no post-dedup). Every
-    triangle is counted exactly once: its three vertices have a unique
-    (degree, id) order.
-
-    Shapes: dedup + degree count (two hash-aggs), one self-join on the
-    orientation source, one semi join — all equi-joins on vertex ids;
-    AQE handles residual skew.
-    """
-    # the deduped edge list feeds three consumers (degrees, orientation,
-    # edge count) and its upstream is typically an expensive candidate
-    # generation — materialize the 16-byte pairs once
+    The deduped edge list feeds several consumers (degrees, orientation,
+    edge count) and its upstream is typically an expensive candidate
+    generation — materialize the 16-byte pairs once; oriented edges are
+    read three times (both wedge legs + closing) — materialize instead
+    of recomputing the degree joins per consumer."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -111,13 +100,37 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     fwd = F.struct(F.col("du").alias("kd"), F.col("u").alias("kn")) < F.struct(
         F.col("dv").alias("kd"), F.col("v").alias("kn")
     )
-    # oriented edges are read three times (both wedge legs + closing);
-    # materialize instead of recomputing the degree joins per consumer
     o = e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
     ).localCheckpoint()
+    return und, deg, o
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census of the undirected graph under ``edges``:
+    one row — (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm), all
+    BIGINT (gcc = 3*triangles/wedges as fixed-point ppm, 0 when
+    wedge-free).
+
+    Algorithm: degree-ordered edge orientation (Schank & Wagner 2005;
+    the MapReduce form is Suri & Vassilvitskii, WWW 2011). Every edge
+    is directed from its (degree, id)-smaller endpoint to the larger;
+    wedges are generated ONLY among a node's out-neighbors, and a
+    node's out-degree under this orientation is O(sqrt(m)) for any
+    graph — so wedge generation is bounded even around celebrity hubs,
+    where the naive "join edges on the shared endpoint" explodes
+    quadratically in the hub degree. The closing-edge check is a
+    LEFT SEMI join (each wedge at most once, no post-dedup). Every
+    triangle is counted exactly once: its three vertices have a unique
+    (degree, id) order.
+
+    Shapes: dedup + degree count (two hash-aggs), one self-join on the
+    orientation source, one semi join — all equi-joins on vertex ids;
+    AQE handles residual skew.
+    """
+    und, deg, o = _oriented_edges(edges, src, dst)
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedge = e1.join(
         e2,
@@ -292,34 +305,9 @@ def local_clustering_census(
     per-vertex census costs one extra explode + hash-agg over the
     triangle list — linear in triangles, never in pairs.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint()
-    )
-    e = (
-        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    fwd = F.struct(F.col("du").alias("kd"), F.col("u").alias("kn")) < F.struct(
-        F.col("dv").alias("kd"), F.col("v").alias("kn")
-    )
-    o = e.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint()
+    und, deg, o = _oriented_edges(edges, src, dst)
+    # deg is read twice here (filter + census) — pin it like o/und
+    deg = deg.localCheckpoint()
     e1, e2 = o.alias("e1"), o.alias("e2")
     # the apex rides the wedge (unlike triangle_stats, which only needs
     # the closing count) so the semi-joined survivors are full triangles

@@ -29,6 +29,7 @@ O(bytes).
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -100,17 +101,13 @@ def _decode_bmp(p: bytes) -> dict:
     }
 
 
-def _decode_ppm(p: bytes) -> dict:
-    """Plain (P1-P3) and raw (P4-P6) netpbm: ASCII header tokens with
-    '#' comments, magic -> channel count."""
-    magic = p[:2].decode("ascii")
-    channels = {"P1": 1, "P2": 1, "P3": 3, "P4": 1, "P5": 1, "P6": 3}[magic]
-    fmt = {"P1": "pbm", "P2": "pgm", "P3": "ppm", "P4": "pbm", "P5": "pgm",
-           "P6": "ppm"}[magic]
-    # token scan over the header region (dims always land well inside 256B)
+def _netpbm_header_tokens(p: bytes, need: int) -> tuple[list[int], int]:
+    """The netpbm header token scan (ASCII ints with '#'-to-EOL
+    comments, any whitespace separators), shared by the header decode
+    and the pixel kernel so a parsing fix can never diverge between
+    them. Returns (tokens, offset-just-past-the-last-token)."""
     tokens: list[int] = []
     i = 2
-    need = 2 if magic in ("P1", "P4") else 3  # bitmaps carry no maxval
     while len(tokens) < need and i < len(p):
         c = p[i: i + 1]
         if c == b"#":  # comment to end of line
@@ -128,6 +125,19 @@ def _decode_ppm(p: bytes) -> dict:
             raise ValueError(f"bad netpbm header byte {c!r} at offset {i}")
     if len(tokens) < need:
         raise ValueError("netpbm header truncated")
+    return tokens, i
+
+
+def _decode_ppm(p: bytes) -> dict:
+    """Plain (P1-P3) and raw (P4-P6) netpbm: ASCII header tokens with
+    '#' comments, magic -> channel count."""
+    magic = p[:2].decode("ascii")
+    channels = {"P1": 1, "P2": 1, "P3": 3, "P4": 1, "P5": 1, "P6": 3}[magic]
+    fmt = {"P1": "pbm", "P2": "pgm", "P3": "ppm", "P4": "pbm", "P5": "pgm",
+           "P6": "ppm"}[magic]
+    # dims always land well inside the header region
+    need = 2 if magic in ("P1", "P4") else 3  # bitmaps carry no maxval
+    tokens, _ = _netpbm_header_tokens(p, need)
     return {
         "format": fmt,
         "width": tokens[0],
@@ -136,26 +146,37 @@ def _decode_ppm(p: bytes) -> dict:
     }
 
 
-def _decode_wav(p: bytes) -> dict:
-    """Genuine RIFF chunk walk: find 'fmt ' and 'data' wherever they
-    sit (chunks pad to even length per the RIFF rule), refuse
-    non-PCM."""
+def _riff_chunks(p: bytes) -> list[tuple[bytes, int, int]]:
+    """The RIFF/WAVE chunk walk (chunks pad to even length per the RIFF
+    rule), shared by the header decode and the sample kernel so the two
+    can never disagree about where a chunk sits. Returns
+    [(chunk_id, payload_offset, declared_size)] in file order; raises
+    for non-WAVE RIFF containers."""
     if len(p) < 12 or p[8:12] != b"WAVE":
         sub = p[8:12].decode("ascii", "replace")
         if sub == "WEBP":
             raise NotImplementedError("WEBP image needs a codec")
         raise ValueError(f"RIFF but not WAVE (subtype {sub!r})")
-    fmt_chunk = None
-    data_size = None
+    out = []
     i = 12
     while i + 8 <= len(p):
         cid = p[i: i + 4]
         size = struct.unpack_from("<I", p, i + 4)[0]
+        out.append((cid, i + 8, size))
+        i += 8 + size + (size & 1)  # RIFF chunks pad to even length
+    return out
+
+
+def _decode_wav(p: bytes) -> dict:
+    """Genuine RIFF chunk walk: find 'fmt ' and 'data' wherever they
+    sit, refuse non-PCM."""
+    fmt_chunk = None
+    data_size = None
+    for cid, off, size in _riff_chunks(p):
         if cid == b"fmt ":
-            fmt_chunk = p[i + 8: i + 8 + size]
+            fmt_chunk = p[off: off + size]
         elif cid == b"data":
             data_size = size
-        i += 8 + size + (size & 1)  # RIFF chunks pad to even length
     if fmt_chunk is None or len(fmt_chunk) < 16 or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, block_align, bits = (
@@ -561,27 +582,8 @@ def _pixel_stats_ppm(p: bytes) -> tuple[int, int, int, int]:
         raise NotImplementedError(
             f"netpbm {magic} pixel decode (non-RGB) out of scope"
         )
-    # token scan shared with _decode_ppm: magic, then w/h/maxval with
-    # comments; for P6 remember where the header ends
-    tokens: list[int] = []
-    i = 2
-    while len(tokens) < 3 and i < len(p):
-        c = p[i : i + 1]
-        if c == b"#":
-            while i < len(p) and p[i : i + 1] not in (b"\n", b"\r"):
-                i += 1
-        elif c.isspace():
-            i += 1
-        elif c.isdigit():
-            j = i
-            while j < len(p) and p[j : j + 1].isdigit():
-                j += 1
-            tokens.append(int(p[i:j]))
-            i = j
-        else:
-            raise ValueError(f"bad netpbm header byte {c!r} at offset {i}")
-    if len(tokens) < 3:
-        raise ValueError("netpbm header truncated")
+    # the same scanner decode_header uses; i = offset just past maxval
+    tokens, i = _netpbm_header_tokens(p, 3)
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm samples out of scope")
@@ -652,21 +654,17 @@ def pixel_stats(media: DataFrame) -> DataFrame:
 
 
 def _audio_stats_wav(p: bytes) -> tuple[int, int, int, int]:
-    """REAL PCM sample decode: re-walk the RIFF chunks to the data
-    chunk, then unpack little-endian int16 samples and fold exact
+    """REAL PCM sample decode: locate the data chunk via the shared
+    RIFF walk, then unpack little-endian int16 samples and fold exact
     integer amplitude statistics (sum |s|, sum s², max |s|)."""
-    hdr = _decode_wav(p)  # validates WAVE/PCM, zero-field guard
-    i = 12
+    _decode_wav(p)  # validates WAVE/PCM/fmt-length, zero-field guard
     data_off = data_size = None
     bits = None
-    while i + 8 <= len(p):
-        cid = p[i : i + 4]
-        size = struct.unpack_from("<I", p, i + 4)[0]
+    for cid, off, size in _riff_chunks(p):
         if cid == b"fmt ":
-            bits = struct.unpack_from("<H", p, i + 8 + 14)[0]
+            bits = struct.unpack_from("<H", p, off + 14)[0]
         elif cid == b"data":
-            data_off, data_size = i + 8, size
-        i += 8 + size + (size & 1)
+            data_off, data_size = off, size
     if data_off is None:
         raise ValueError("WAV missing data chunk")
     if bits != 16:
@@ -705,7 +703,8 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 if payload[:4] == b"RIFF":
                     try:
                         stats = _audio_stats_wav(payload)
-                    except (NotImplementedError, ValueError, KeyError):
+                    except (NotImplementedError, ValueError, KeyError,
+                            struct.error):
                         stats = None
                 ids.append(mid)
                 fmts.append(fmt)
@@ -734,9 +733,10 @@ ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
     (1024, 256),
     (256, 1024),
 )
-# lcm of the bucket heights (512, 384, 640, 256, 1024) — clears every
-# per-bucket denominator so the nearest-bucket argmin is integer-exact
-_ASPECT_LCM = 15360
+# lcm of the bucket heights — clears every per-bucket denominator so
+# the nearest-bucket argmin is integer-exact; COMPUTED so adding a
+# bucket can never silently mis-scale a distance key
+_ASPECT_LCM = math.lcm(*(bh for _, bh in ASPECT_BUCKETS))
 
 
 def aspect_bucket_sql(w: str, h: str) -> str:

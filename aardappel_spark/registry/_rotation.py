@@ -237,6 +237,7 @@ R09_ADDITION_NAMES: list[str] = [
     "dedup_minhash_bbit",         # b-bit signature estimation-error census
     "text_langid_margin",         # language-ID confidence margin census
     "orders_benford",             # Benford first-digit DQ screen, all-integer
+    "customer_kanon",             # k-anonymity equivalence-class census
     # OUTPUT changed in round 9 (4-gram shingling + PPJoin filters;
     # PNG/GIF/JPEG arms added to the payload cycle) — re-gate
     "dedup_setsim_prefix",
@@ -265,4 +266,3 @@ _R09_STALE: list[str] = [
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q19",
 ]
-R09_ADDITION_NAMES.append("customer_kanon")  # k-anonymity census (batch 4)

@@ -81,8 +81,9 @@ __all__ = [
     '_clusters_cached',
     '_CLUSTERS_CACHE',
     '_minhash_sig_cached',
-    '_SIG12_CACHE',
+    '_SIG12_PAIRS_CACHE',
     '_sig12_cached',
+    '_sig12_pairs_cached',
     '_mmr_oracle_sql',
     '_pagerank_oracle_sql',
     '_pq_build_cached',
@@ -353,7 +354,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
             evicted += 1
     for cache in (
         _MINHASH_SIG_CACHE,
-        _SIG12_CACHE,
+        _SIG12_PAIRS_CACHE,
         _PAIRS_CACHE,
         _CLUSTERS_CACHE,
         _SIMHASH64_CACHE,
@@ -382,29 +383,39 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
     return evicted
 
 
-def _minhash_sig_cached(spark, sf_dir):
-    key = _cache_key(spark, sf_dir)
+def _minhash_sig_cached(spark, sf_dir, num_hashes: int = 4):
+    """Shared MinHash signature frame, ONE cache for every width (the
+    key carries num_hashes): the 4-perm signature feeds the near-dup
+    pair family, the 12-perm one the (b, r) band sweep and the b-bit
+    estimation census."""
+    key = (*_cache_key(spark, sf_dir), num_hashes)
     if key not in _MINHASH_SIG_CACHE:
         _MINHASH_SIG_CACHE[key] = minhash_signatures(
-            _docs(spark, sf_dir), num_hashes=4
+            _docs(spark, sf_dir), num_hashes=num_hashes
         ).persist()
     return _MINHASH_SIG_CACHE[key]
 
 
-_SIG12_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _sig12_cached(spark, sf_dir):
-    """Shared 12-permutation MinHash signature (mh0..mh11 over 3-word
-    shingles) — consumed by the (b, r) band sweep and the b-bit
-    estimation census, so the explode + 12-way min aggregate runs
-    once."""
+    return _minhash_sig_cached(spark, sf_dir, num_hashes=12)
+
+
+_SIG12_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sig12_pairs_cached(spark, sf_dir):
+    """Shared pooled candidate universe for the 12-permutation family:
+    the aligned 2-band LSH pairs (the dominant shuffle of the band
+    sweep AND the b-bit census) built and persisted once."""
     key = _cache_key(spark, sf_dir)
-    if key not in _SIG12_CACHE:
-        _SIG12_CACHE[key] = minhash_signatures(
-            _docs(spark, sf_dir), num_hashes=12
+    if key not in _SIG12_PAIRS_CACHE:
+        _SIG12_PAIRS_CACHE[key] = minhash_candidate_pairs(
+            _docs(spark, sf_dir),
+            num_hashes=12,
+            band_size=2,
+            sig=_sig12_cached(spark, sf_dir),
         ).persist()
-    return _SIG12_CACHE[key]
+    return _SIG12_PAIRS_CACHE[key]
 
 
 _GRAMS4_CACHE: dict[tuple[str, str], DataFrame] = {}

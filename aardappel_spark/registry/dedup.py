@@ -1217,31 +1217,23 @@ JOIN sets sa ON sa._id = inter.id_a
 """
 
 
-def q_dedup_lsh_band_sweep(spark, sf_dir):
-    """Empirical LSH banding S-curve (the (b, r) tuning table of
-    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3,
-    measured rather than predicted): one 12-permutation MinHash
-    signature is built once, and every aligned factorization
-    (b=6,r=2) (4,3) (3,4) (2,6) (1,12) is evaluated on the SAME pooled
-    candidate universe — the pairs colliding in any aligned 2-hash
-    band, which provably contains every aligned detection of the wider
-    configs (any r>=2 consecutive positions include a 2-aligned band).
-    Per config: empirical candidate mass, hits against the exact
-    token-Jaccard>=1/2 truth cut (integer cross-multiplication — no
-    float on the gate), pooled truth size, recall and precision. This
-    is the query an operator runs BEFORE picking the production (b, r)
-    dial: detection is re-derived from the signature columns pair-wise
-    (pure boolean algebra, zero extra joins beyond the one universe).
-    """
+def _sig12_universe(spark, sf_dir):
+    """The joined 12-permutation candidate universe BOTH sig12
+    consumers (band sweep, b-bit census) read: the shared persisted
+    aligned-2-band pairs frame with token arrays (_ta/_tb) and both
+    signatures (a0..a11 / b0..b11) attached. One definition, so the
+    universe can never diverge between the two censuses; the dominant
+    shuffle (the band self-joins) is built once per session via
+    _sig12_pairs_cached."""
     from ..ops.dedup import tokens_col
 
     docs = _docs(spark, sf_dir)
     sig = _sig12_cached(spark, sf_dir)
-    pairs = minhash_candidate_pairs(docs, num_hashes=12, band_size=2, sig=sig)
+    pairs = _sig12_pairs_cached(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
     )
-    j = (
+    return (
         pairs.join(
             toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")),
             "doc_a",
@@ -1265,6 +1257,59 @@ def q_dedup_lsh_band_sweep(spark, sf_dir):
             "doc_b",
         )
     )
+
+
+def _sig12_oracle_prefix() -> str:
+    """Shared DuckDB CTE prefix replaying the sig12 universe (shingle
+    explode, 12 salted-md5 mins, aligned 2-band pairs, distinct token
+    sets) — used verbatim by both sig12 consumers' oracles so query and
+    oracle can never drift apart."""
+    mins = ", ".join(
+        f"min(md5('{k}' || token)) AS mh{k}" for k in range(12)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
+        f"ON l.mh{s} = r.mh{s} AND l.mh{s + 1} = r.mh{s + 1} "
+        f"AND l.doc_id < r.doc_id"
+        for s in range(0, 12, 2)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END) AS token
+  FROM d
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({bands})),
+tok AS (SELECT doc_id, list_distinct(t) AS ts FROM d)"""
+
+
+def q_dedup_lsh_band_sweep(spark, sf_dir):
+    """Empirical LSH banding S-curve (the (b, r) tuning table of
+    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3,
+    measured rather than predicted): one 12-permutation MinHash
+    signature is built once, and every aligned factorization
+    (b=6,r=2) (4,3) (3,4) (2,6) (1,12) is evaluated on the SAME pooled
+    candidate universe — the pairs colliding in any aligned 2-hash
+    band, which provably contains every aligned detection of the wider
+    configs (any r>=2 consecutive positions include a 2-aligned band).
+    Per config: empirical candidate mass, hits against the exact
+    token-Jaccard>=1/2 truth cut (integer cross-multiplication — no
+    float on the gate), pooled truth size, recall and precision. This
+    is the query an operator runs BEFORE picking the production (b, r)
+    dial: detection is re-derived from the signature columns pair-wise
+    (pure boolean algebra, zero extra joins beyond the one universe).
+    """
+    j = _sig12_universe(spark, sf_dir)
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size(F.array_union("_ta", "_tb"))
 
@@ -1324,16 +1369,6 @@ QUERIES["dedup_lsh_band_sweep"] = q_dedup_lsh_band_sweep
 
 
 def _band_sweep_oracle() -> str:
-    mins = ", ".join(
-        f"min(md5('{k}' || token)) AS mh{k}" for k in range(12)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
-        f"ON l.mh{s} = r.mh{s} AND l.mh{s + 1} = r.mh{s + 1} "
-        f"AND l.doc_id < r.doc_id"
-        for s in range(0, 12, 2)
-    )
-
     def det(r: int, la: str = "sa", lb: str = "sb") -> str:
         return " OR ".join(
             "("
@@ -1362,23 +1397,7 @@ FROM j HAVING count(*) > 0
         for r in (2, 3, 4, 6, 12)
     )
     return f"""
-WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END) AS token
-  FROM d
-),
-sig AS MATERIALIZED (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
-),
-pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({bands})),
-tok AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+{_sig12_oracle_prefix()},
 j AS MATERIALIZED (
   SELECT
     (len(ta.ts) + len(tb.ts)
@@ -1414,38 +1433,7 @@ def q_dedup_minhash_bbit(spark, sf_dir):
     signatures are accurate enough to ship. Reuses the shared
     12-permutation signature (one build serves this census and the
     (b,r) band sweep) and adds zero joins beyond the universe's."""
-    from ..ops.dedup import tokens_col
-
-    docs = _docs(spark, sf_dir)
-    sig = _sig12_cached(spark, sf_dir)
-    pairs = minhash_candidate_pairs(docs, num_hashes=12, band_size=2, sig=sig)
-    toks = docs.select(
-        "doc_id", F.array_distinct(tokens_col("text")).alias("_t")
-    )
-    j = (
-        pairs.join(
-            toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")),
-            "doc_a",
-        )
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb")),
-            "doc_b",
-        )
-        .join(
-            sig.select(
-                F.col("doc_id").alias("doc_a"),
-                *[F.col(f"mh{k}").alias(f"a{k}") for k in range(12)],
-            ),
-            "doc_a",
-        )
-        .join(
-            sig.select(
-                F.col("doc_id").alias("doc_b"),
-                *[F.col(f"mh{k}").alias(f"b{k}") for k in range(12)],
-            ),
-            "doc_b",
-        )
-    )
+    j = _sig12_universe(spark, sf_dir)
     # lowest 4 bits of a 128-bit md5 = its last hex digit
     m = sum(
         F.expr(f"CAST(substring(a{k}, 32, 1) = substring(b{k}, 32, 1) AS BIGINT)")
@@ -1474,15 +1462,6 @@ QUERIES["dedup_minhash_bbit"] = q_dedup_minhash_bbit
 
 
 def _bbit_oracle() -> str:
-    mins = ", ".join(
-        f"min(md5('{k}' || token)) AS mh{k}" for k in range(12)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
-        f"ON l.mh{s} = r.mh{s} AND l.mh{s + 1} = r.mh{s + 1} "
-        f"AND l.doc_id < r.doc_id"
-        for s in range(0, 12, 2)
-    )
     m = " + ".join(
         f"CASE WHEN substring(sa.mh{k}, 32, 1) = substring(sb.mh{k}, 32, 1) "
         f"THEN 1 ELSE 0 END"
@@ -1490,23 +1469,7 @@ def _bbit_oracle() -> str:
     )
     inter = "len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))"
     return f"""
-WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END) AS token
-  FROM d
-),
-sig AS MATERIALIZED (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
-),
-pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({bands})),
-tok AS (SELECT doc_id, list_distinct(t) AS ts FROM d),
+{_sig12_oracle_prefix()},
 stats AS (
   SELECT ({m}) AS m,
          {inter} AS i,
