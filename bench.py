@@ -124,9 +124,12 @@ def main() -> None:
         # LSH pairs), shared by dedup_clusters / survivors /
         # survivor_quality / cc_stats / split_leakage / corpus_health
         "neardup_clusters": lambda: registry._clusters_cached(spark, sf_dir),
-        # 12-permutation signature, shared by dedup_lsh_band_sweep and
-        # dedup_minhash_bbit
+        # 12-permutation signature + its aligned-2-band pooled pairs,
+        # shared by dedup_lsh_band_sweep and dedup_minhash_bbit
         "minhash_sig12": lambda: registry._sig12_cached(spark, sf_dir),
+        "minhash_sig12_pairs": lambda: registry._sig12_pairs_cached(
+            spark, sf_dir
+        ),
     }
     warmup: dict[str, float] = {"jvm_cold_start": warmup_cold_start}
     print(f"# warmup jvm_cold_start: {warmup_cold_start}s", file=sys.stderr)
