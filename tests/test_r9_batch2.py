@@ -425,3 +425,58 @@ def test_pixel_stats_refuses_negative_width_bmp():
     bad = p[:18] + _st.pack("<i", -3) + p[22:]
     with _pt.raises(ValueError):
         _pixel_stats_bmp(bad)
+
+
+def test_decode_kernels_roundtrip_randomized():
+    """Randomized round-trip fuzz: assemble random-but-valid BMP / P3 /
+    P6 / WAV payloads, decode with the real kernels, and check the
+    exact sums against the generating pixel/sample lists (20 seeds per
+    format, padded and unpadded widths)."""
+    import struct as _st
+
+    from aardappel_spark.ops.multimodal import (
+        _audio_stats_wav,
+        _pixel_stats_bmp,
+        _pixel_stats_ppm,
+    )
+
+    rng = random.Random(160816)
+    for trial in range(20):
+        w = rng.randint(1, 9)   # odd widths exercise BMP stride padding
+        h = rng.randint(1, 7)
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        rows = [px[r * w : (r + 1) * w] for r in range(h)]
+        bmp = _bmp24(w, h, [[(b, g, r) for (r, g, b) in row] for row in rows])
+        want = (
+            w * h,
+            sum(p[0] for p in px),
+            sum(p[1] for p in px),
+            sum(p[2] for p in px),
+        )
+        assert _pixel_stats_bmp(bmp) == want, (trial, w, h)
+
+        p3 = ("P3\n%d %d\n255\n" % (w, h)).encode() + " ".join(
+            " ".join(map(str, p)) for p in px
+        ).encode()
+        assert _pixel_stats_ppm(p3) == want, (trial, w, h)
+        p6 = b"P6\n%d %d\n255\n" % (w, h) + b"".join(bytes(p) for p in px)
+        assert _pixel_stats_ppm(p6) == want, (trial, w, h)
+
+        n = rng.randint(1, 60)
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        data = b"".join(_st.pack("<h", s) for s in samples)
+        wav = (
+            b"RIFF" + _st.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _st.pack("<I", 16)
+            + _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + _st.pack("<I", len(data)) + data
+        )
+        assert _audio_stats_wav(wav) == (
+            n,
+            sum(abs(s) for s in samples),
+            sum(s * s for s in samples),
+            max(abs(s) for s in samples),
+        ), trial
