@@ -1168,3 +1168,24 @@ def test_customer_kanon_two_hash_aggs_no_join(spark):
     plan = _plan(spark, "customer_kanon")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_scan_audit_clean(spark):
+    """The repo's duplicate-scan gate, as a test: tools/scan_audit.audit
+    must return zero unadjudicated FLAGs over the full registry. This is
+    the r9 lesson — two sig12 consumers shipped FLAGged because the gate
+    only ran by hand; now an un-adjudicated multi-scan plan fails CI."""
+    import tools.scan_audit as sa
+
+    bad = sa.audit(spark, SF_DIR, threshold=4)
+    assert bad == [], f"unadjudicated multi-scan queries: {bad}"
+
+
+def test_scan_audit_allowlist_entries_exist(spark):
+    """Every ALLOW entry must name a live registry query — a renamed or
+    deleted query must not leave a stale adjudication behind."""
+    import tools.scan_audit as sa
+
+    assert set(sa.ALLOW) <= set(registry.QUERIES), sorted(
+        set(sa.ALLOW) - set(registry.QUERIES)
+    )
