@@ -240,10 +240,11 @@ FROM raw
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode, oracle-gated end-to-end: synthetic_media
     builds genuine container payloads (24bpp BMP, plain-PPM P3, PCM WAV,
-    header-faithful PNG / GIF89a / JPEG — real magics, real BE/LE
-    dimension fields, a real APP0 segment forcing the JPEG marker WALK —
-    plus an mp4 'ftyp' stub that must come back 'unsupported' with NULL
-    dims) engine-portably from the documents table, and
+    PNG with a real inflatable IDAT, header-faithful GIF89a / JPEG —
+    real magics, real BE/LE dimension fields, a real APP0 segment
+    forcing the JPEG marker WALK — plus an mp4 'ftyp' stub that must
+    come back 'unsupported' with NULL dims) engine-portably from the
+    documents table, and
     ops.multimodal.decode_header parses the assembled BYTES — struct
     reads for BMP, an ASCII token scan for PPM, a true RIFF chunk walk
     for WAV, IHDR / logical-screen / SOF-walk dimension reads for
@@ -280,6 +281,11 @@ def _multimodal_decode_oracle() -> str:
     hex_sql = payload_hex_sql(
         div="//", transform_fn="list_transform",
         range_fn="range(0, {n})", join_fn="array_to_string",
+        hex2int_fn="CAST('0x' || ({h}) AS BIGINT)",
+        listsum_fn=(
+            "list_aggregate(list_transform(range(0, {n}), "
+            "k -> CAST({expr} AS BIGINT)), 'sum')"
+        ),
     )
 
     def byte(o: int) -> str:
@@ -433,15 +439,19 @@ ORACLES["multimodal_aspect_buckets"] = _multimodal_aspect_buckets_oracle()
 
 def q_multimodal_pixel_stats(spark, sf_dir):
     """REAL pixel decode, oracle-gated per sample: every pixel of the
-    uncompressed image arms (24bpp BMP with proper stride handling,
-    plain-PPM P3 ASCII values) is read in the Arrow-batched kernel and
-    folded into exact integer channel sums — the brightness/color-cast
-    screen of a vision-data pipeline. The DuckDB oracle independently
-    re-decodes the SAME payload bytes with hex-slice arithmetic
-    (byte-accurate BMP stride walk, P3 body token split), so every
-    sum_r/sum_g/sum_b crosses the hash as a cross-engine fact about the
-    pixel bytes. Entropy-coded formats stay honestly refused (NULL
-    stats, filtered here); see ops.multimodal.pixel_stats."""
+    24bpp BMP (proper stride handling), plain-PPM P3 (ASCII values)
+    and PNG arms is read in the Arrow-batched kernel and folded into
+    exact integer channel sums — the brightness/color-cast screen of a
+    vision-data pipeline. The PNG arm is the r10 addition: the payload
+    carries a genuine zlib IDAT stream (stored-deflate, correct
+    adler32) that the kernel INFLATES with stdlib zlib and unfilters,
+    while the DuckDB oracle re-reads the same raw scanline bytes by
+    hex-slice arithmetic (sound because the stored stub is filter-0;
+    the kernel handles all five filters, pytest-fuzzed). BMP stride
+    walk and P3 token split replay likewise, so every sum_r/sum_g/sum_b
+    crosses the hash as a cross-engine fact about the pixel bytes.
+    GIF/JPEG stay honestly refused (NULL stats, filtered here); see
+    ops.multimodal.pixel_stats."""
     from ..ops.multimodal import pixel_stats, synthetic_media
 
     media = synthetic_media(_docs(spark, sf_dir))
@@ -459,6 +469,11 @@ def _multimodal_pixel_stats_oracle() -> str:
     hex_sql = payload_hex_sql(
         div="//", transform_fn="list_transform",
         range_fn="range(0, {n})", join_fn="array_to_string",
+        hex2int_fn="CAST('0x' || ({h}) AS BIGINT)",
+        listsum_fn=(
+            "list_aggregate(list_transform(range(0, {n}), "
+            "k -> CAST({expr} AS BIGINT)), 'sum')"
+        ),
     )
 
     def byte(o: str) -> str:
@@ -481,6 +496,18 @@ def _multimodal_pixel_stats_oracle() -> str:
     ppm_sum = lambda c: (  # noqa: E731  c: 1=R, 2=G, 3=B
         "list_aggregate(list_transform(range(0, w * h), p -> "
         f"CAST(vals[3 * p + {c}] AS BIGINT)), 'sum')"
+    )
+    # PNG: the synthetic layout is sig(8) + IHDR(25) + IDAT header(8) +
+    # zlib hdr(2) + stored-block hdr(5) = 48 bytes before the raw
+    # scanline stream (the Spark side still walks chunks and INFLATES —
+    # fixed offsets are sound here only because the stored-deflate stub
+    # layout is deterministic). Pixel p's channel-c sample sits at raw
+    # offset (p//w)*(1+w*ch) + 1 + (p%w)*ch + c (filter byte per row);
+    # the cg/cb columns collapse grey to R=G=B like the kernel.
+    png_sum = lambda c: (  # noqa: E731  c: a 0-based channel expr
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        "CAST('0x' || substring(hx, 97 + 2 * ((p // w) * (1 + w * ch) "
+        f"+ 1 + (p % w) * ch + {c}), 2) AS BIGINT)), 'sum')"
     )
     return f"""
 WITH media AS MATERIALIZED (
@@ -515,8 +542,28 @@ ppm_stats AS (
          CAST({ppm_sum(2)} AS BIGINT) AS sum_g,
          CAST({ppm_sum(3)} AS BIGINT) AS sum_b
   FROM ppm
+),
+png AS (
+  SELECT media_id, 'png' AS format,
+         (16777216 * {byte('17')} + 65536 * {byte('18')}
+          + 256 * {byte('19')} + {byte('20')}) AS w,
+         (16777216 * {byte('21')} + 65536 * {byte('22')}
+          + 256 * {byte('23')} + {byte('24')}) AS h,
+         CASE {byte('26')} WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS ch,
+         CASE WHEN {byte('26')} = 0 THEN 0 ELSE 1 END AS cg,
+         CASE WHEN {byte('26')} = 0 THEN 0 ELSE 2 END AS cb,
+         hx
+  FROM hxb WHERE substring(hx, 1, 16) = '89504e470d0a1a0a'
+),
+png_stats AS (
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({png_sum('0')} AS BIGINT) AS sum_r,
+         CAST({png_sum('cg')} AS BIGINT) AS sum_g,
+         CAST({png_sum('cb')} AS BIGINT) AS sum_b
+  FROM png
 )
 SELECT * FROM bmp_stats UNION ALL SELECT * FROM ppm_stats
+UNION ALL SELECT * FROM png_stats
 """
 
 
@@ -549,6 +596,11 @@ def _multimodal_audio_stats_oracle() -> str:
     hex_sql = payload_hex_sql(
         div="//", transform_fn="list_transform",
         range_fn="range(0, {n})", join_fn="array_to_string",
+        hex2int_fn="CAST('0x' || ({h}) AS BIGINT)",
+        listsum_fn=(
+            "list_aggregate(list_transform(range(0, {n}), "
+            "k -> CAST({expr} AS BIGINT)), 'sum')"
+        ),
     )
 
     def byte(o: int) -> str:

@@ -1,0 +1,222 @@
+"""Round-10 multimodal coverage: REAL PNG pixel decode (stdlib zlib +
+the five scanline filters), the P6 maxval-whitespace guard, and the
+BIGINT-safe aspect-bucket keys (the two r9 ADVICE items).
+
+The encoder here is an independent test-side model: it applies the
+FORWARD filters (spec 9.2) and real deflate via zlib.compress with
+correct CRCs, so the kernel's inverse filters + chunk walk + inflate
+are exercised against genuine compressed streams — not the fixture's
+stored-deflate layout.
+"""
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from aardappel_spark.ops.multimodal import (
+    _pixel_stats_png,
+    _pixel_stats_ppm,
+    decode_header,
+)
+
+_CT_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette: 1 index byte/px
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8):
+    """Model encoder: px is a flat list of h*w*ch sample bytes; filters
+    is one filter type per row, applied FORWARD per the spec."""
+    ch = _CT_CH[ct]
+    rowb = w * ch
+    raw = bytearray()
+    for r, ftype in enumerate(filters):
+        base = r * rowb
+        prev = base - rowb
+        raw.append(ftype)
+        for x in range(rowb):
+            v = px[base + x]
+            a = px[base + x - ch] if x >= ch else 0
+            b = px[prev + x] if r > 0 else 0
+            c = px[prev + x - ch] if (r > 0 and x >= ch) else 0
+            if ftype == 0:
+                f = v
+            elif ftype == 1:
+                f = v - a
+            elif ftype == 2:
+                f = v - b
+            elif ftype == 3:
+                f = v - (a + b) // 2
+            else:
+                f = v - _paeth(a, b, c)
+            raw.append(f & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _expected(w, h, ct, px):
+    ch = _CT_CH[ct]
+    if ct in (0, 4):
+        s = sum(px[0::ch])
+        return (w * h, s, s, s)
+    return (w * h, sum(px[0::ch]), sum(px[1::ch]), sum(px[2::ch]))
+
+
+@pytest.mark.parametrize("ct", [0, 2, 4, 6])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_round_trips(ct, ftype):
+    rng = random.Random(1000 * ct + ftype)
+    w, h = 5, 4
+    px = [rng.randrange(256) for _ in range(w * h * _CT_CH[ct])]
+    p = _encode_png(w, h, ct, px, [ftype] * h)
+    assert _pixel_stats_png(p) == _expected(w, h, ct, px)
+
+
+def test_png_mixed_filters_randomized_round_trip():
+    """200 random images across sizes/color types with per-row random
+    filter types — the inverse-filter kernel vs the forward model."""
+    rng = random.Random(20260816)
+    for _ in range(200):
+        ct = rng.choice([0, 2, 4, 6])
+        w, h = rng.randrange(1, 9), rng.randrange(1, 9)
+        px = [rng.randrange(256) for _ in range(w * h * _CT_CH[ct])]
+        filters = [rng.randrange(5) for _ in range(h)]
+        p = _encode_png(w, h, ct, px, filters)
+        assert _pixel_stats_png(p) == _expected(w, h, ct, px), (
+            w, h, ct, filters,
+        )
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    """The zlib stream may be split across IDAT chunks at any byte
+    boundary; the chunk walk must concatenate before inflating."""
+    rng = random.Random(7)
+    w, h, ct = 6, 5, 2
+    px = [rng.randrange(256) for _ in range(w * h * 3)]
+    whole = _encode_png(w, h, ct, px, [4] * h)
+    # re-split its IDAT into 3-byte chunks
+    size = struct.unpack_from(">I", whole, 33)[0]
+    idat = whole[41 : 41 + size]
+    head, tail = whole[:33], whole[41 + size + 4 :]
+    split = head + b"".join(
+        _chunk(b"IDAT", idat[i : i + 3]) for i in range(0, len(idat), 3)
+    ) + tail
+    assert _pixel_stats_png(split) == _expected(w, h, ct, px)
+
+
+def test_png_honest_refusals():
+    rng = random.Random(3)
+    px = [rng.randrange(256) for _ in range(4 * 3 * 3)]
+    good = _encode_png(4, 3, 2, px, [0, 1, 2])
+    assert _pixel_stats_png(good) == _expected(4, 3, 2, px)
+
+    with pytest.raises(NotImplementedError):  # Adam7
+        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=1))
+    with pytest.raises(NotImplementedError):  # 16-bit samples
+        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=16))
+    with pytest.raises((NotImplementedError, ValueError)):  # palette
+        _pixel_stats_png(_encode_png(4, 3, 3, px[: 4 * 3], [0, 1, 2]))
+
+    # corrupted deflate byte -> ValueError (zlib adler/stream check),
+    # never a silent wrong sum
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0xFF
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bytes(corrupt))
+
+    # IDAT missing entirely
+    no_idat = good[:33] + good[-12:]
+    with pytest.raises(ValueError):
+        _pixel_stats_png(no_idat)
+
+    # header still decodes fine for all of these (dims need no codec)
+    assert decode_header(good)["width"] == 4
+
+
+def test_png_wrong_raw_length_raises():
+    """An inflated stream whose length disagrees with h*(1+rowb) must
+    raise, not mis-slice rows."""
+    rng = random.Random(9)
+    px = [rng.randrange(256) for _ in range(3 * 2 * 3)]
+    p = _encode_png(3, 2, 2, px, [0, 0])
+    # claim one extra row in IHDR (height 3): raw stream is now short
+    bad = bytearray(p)
+    struct.pack_into(">I", bad, 20, 3)
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bytes(bad))
+
+
+def test_p6_maxval_must_be_followed_by_whitespace():
+    """r9 ADVICE item: a non-whitespace byte right after maxval (e.g. a
+    '#' comment) must be a decode error, not a one-byte raster shift."""
+    good = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert _pixel_stats_ppm(good) == (2, 1 + 4, 2 + 5, 3 + 6)
+    bad = b"P6\n2 1\n255#c\n" + bytes([1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError):
+        _pixel_stats_ppm(bad)
+
+
+def test_aspect_bucket_keys_survive_int32_width(spark):
+    """r9 ADVICE item: on INT columns, widths ~140k used to push
+    w*bh*(LCM/bh) past 2^31 and silently wrap in non-ANSI Spark; the
+    BIGINT casts make the argmin exact. Model check via Fraction."""
+    from fractions import Fraction
+
+    from aardappel_spark.ops.multimodal import ASPECT_BUCKETS, aspect_bucket_sql
+
+    dims = [(140000, 1), (150000, 7), (1, 140000), (2000000, 3),
+            (139264, 139264)]
+    df = spark.createDataFrame(dims, "width int, height int")
+    got = {
+        (r.width, r.height): r.bucket
+        for r in df.selectExpr(
+            "width", "height",
+            f"{aspect_bucket_sql('width', 'height')} AS bucket",
+        ).collect()
+    }
+    for w, h in dims:
+        ratio = Fraction(w, h)
+        best = min(
+            ASPECT_BUCKETS, key=lambda b: (abs(ratio - Fraction(b[0], b[1])),)
+        )
+        assert got[(w, h)] == f"{best[0]}x{best[1]}", (w, h)
+
+
+def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
+    """The fixture's stored-deflate IDAT must be a VALID zlib stream
+    (adler32 verified by stdlib zlib) and every PNG row of pixel_stats
+    must carry non-NULL sums now."""
+    from aardappel_spark.ops.multimodal import pixel_stats, synthetic_media
+    from aardappel_spark.registry._shared import _docs
+
+    media = synthetic_media(_docs(spark, sf_dir).limit(140))
+    png = media.filter("media_id % 7 = 4").select("payload").collect()
+    assert png
+    for row in png:
+        p = bytes(row.payload)
+        size = struct.unpack_from(">I", p, 33)[0]
+        assert p[37:41] == b"IDAT"
+        raw = zlib.decompress(p[41 : 41 + size])  # raises if adler wrong
+        assert raw[0] == 0  # filter-0 scanlines
+    out = pixel_stats(media).filter("format = 'png'").collect()
+    assert out and all(r.n_px is not None for r in out)
