@@ -32,31 +32,32 @@ for _m in _MODULES:
 del _m, _k, _v
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation (round 9).
+# Driver-coverage rotation (round 10).
 #
-# union(CORRECTNESS_r01..r08) covers all queries with zero red latest rows
-# (r8 judge-verified). Round-9 slots go to: the two new queries, the
-# queries whose OUTPUT changed this round (setsim shingling, multimodal
-# payload cycle), the CC-family whose PLAN changed (one-job rounds), then
-# the stalest driver rows (4 r03 + the r04 block, oldest first). The 21
-# r04 rows that do not fit lead the r10 stale block; full-registry parity
-# is additionally checked every round by tools/check_oracle.py at
-# sf0.001/0.01/0.1 (CHECK_ORACLE_r9*.json).
-_R09_ADDITIONS: list[str] = [
+# union(CORRECTNESS_r01..r09) covers all 258 queries with zero red latest
+# rows (r9 judge-verified). Round-10 slots go to: the queries whose
+# OUTPUT or expression changed this round (the PNG arm's real IDAT, the
+# BIGINT aspect keys) plus new round-10 queries, then the 21 rows whose
+# latest driver gate is r04 (the judge's #2 item: max staleness back to
+# <=4 rounds), then the r05 block in name order. r05 rows that do not
+# fit lead the r11 stale block; full-registry parity is additionally
+# checked every round by tools/check_oracle.py at sf0.001/0.01/0.1
+# (CHECK_ORACLE_r10*.json).
+_R10_ADDITIONS: list[str] = [
     k
-    for k in _rotation.R09_ADDITION_NAMES
+    for k in _rotation.R10_ADDITION_NAMES
     if k in _dicts.QUERIES
 ]
 
-_R09_PRIORITY: list[str] = list(
-    dict.fromkeys(_R09_ADDITIONS + _rotation._R09_STALE)
+_R10_PRIORITY: list[str] = list(
+    dict.fromkeys(_R10_ADDITIONS + _rotation._R10_STALE)
 )[:50]
 
-assert len(_R09_PRIORITY) == 50 and len(set(_R09_PRIORITY)) == 50
-assert set(_R09_PRIORITY) <= set(_dicts.QUERIES), sorted(
-    set(_R09_PRIORITY) - set(_dicts.QUERIES)
+assert len(_R10_PRIORITY) == 50 and len(set(_R10_PRIORITY)) == 50
+assert set(_R10_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R10_PRIORITY) - set(_dicts.QUERIES)
 )
 
-_rotated = _R09_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R09_PRIORITY)]
+_rotated = _R10_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R10_PRIORITY)]
 QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
 ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

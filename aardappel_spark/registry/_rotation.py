@@ -266,3 +266,52 @@ _R09_STALE: list[str] = [
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q19",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation inputs (consumed by __init__).
+#
+# R10_ADDITION_NAMES: queries whose OUTPUT or PLAN materially changed in
+# round 10 — the PNG arm of the synthetic payload cycle gained a real
+# inflatable IDAT (multimodal_decode n_bytes changed; pixel_stats gained
+# 71 PNG rows) and the aspect-bucket keys gained BIGINT casts — plus any
+# new round-10 queries. _R10_STALE: every row whose latest driver gate is
+# r04 (the 21 rows the r9 rotation comment promised would lead this
+# block: judge-verified green in the r9 3-scale sweeps) followed by the
+# full r05 block in name order; additions take slots first, stale rows
+# fill to 50. r05 rows that do not fit lead the r11 stale block.
+R10_ADDITION_NAMES: list[str] = [
+    # OUTPUT changed in round 10 (real stored-deflate IDAT in the PNG
+    # arm; PNG pixel rows now carry non-NULL channel sums)
+    "multimodal_decode", "multimodal_pixel_stats",
+    # expression changed in round 10 (BIGINT casts in the bucket keys;
+    # output identical on the fixture dims — re-gate the round the
+    # expression changed, the events_wau_hll precedent)
+    "multimodal_aspect_buckets",
+]
+
+_R10_STALE: list[str] = [
+    # latest gate r04 (all 21 of them — max staleness back under 4)
+    "text_tfidf", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "vocab_countmin",
+    # latest gate r05, name order; the tail that does not fit leads r11
+    "ann_lsh_banded", "ann_recall_banded", "ann_recall_eval",
+    "ann_recall_ivf", "corpus_contam_overlap", "corpus_dsir",
+    "corpus_funnel", "corpus_health", "corpus_temperature",
+    "dedup_containment", "dedup_est_error", "dedup_pair_degree",
+    "dedup_span", "doc_dup_coverage", "doc_len_profile_by_lang",
+    "doc_ngram_novelty", "doc_normalize", "doc_ppl_buckets",
+    "doc_simhash_hamming_hist", "doc_vocab_growth", "doc_weighted_sample",
+    "doc_zipf_tail", "emb_knn_graph", "emb_mmr_diverse",
+    "emb_pca_project", "events_anomaly", "events_cusum", "events_ewma",
+    "events_hdr_quantiles", "events_json_stats", "events_mad_outliers",
+    "events_paths", "events_psi_drift", "events_running_sum",
+    "events_sliding", "events_theta_union", "events_user_hll_daily",
+    "events_user_hll_estimate", "events_znorm", "langid_eval",
+    "orders_window_topn", "quality_calibration", "quality_lr_score",
+    "quality_lr_train", "semantic_dedup", "text_bigram_nll",
+    "vocab_postings",
+]
