@@ -555,6 +555,42 @@ def bloom_contamination_check_grams(
     )
 
 
+def distinct_shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 1,
+) -> DataFrame:
+    """(_id, _toks): each document's DISTINCT word w-gram set (Broder
+    w-shingling; ``shingle=1`` is plain words; docs shorter than w words
+    get an empty array). Shared by the batch prefix-filter kernels and
+    the streaming twin so tokenization can never diverge between them.
+
+    The word array is materialized BEFORE shingling: Catalyst does not
+    CSE inside higher-order-function lambdas, so slicing the split
+    expression directly re-tokenizes per shingle (O(tokens^2)/doc — the
+    same trap shingles_col documents); zip_with over a pre-computed
+    attribute is O(tokens * w)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    wdf = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    if shingle > 1:
+        n = F.size(F.col("_w"))
+        cnt = n - (shingle - 1)
+        sh = F.slice(F.col("_w"), 1, cnt)
+        for i in range(1, shingle):
+            sh = F.zip_with(
+                sh,
+                F.slice(F.col("_w"), i + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        toks = F.when(n >= shingle, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        toks = F.col("_w")
+    return wdf.select("_id", F.array_distinct(toks).alias("_toks"))
+
+
 def setsim_prefix_pairs(
     docs: DataFrame,
     tau_num: int = 4,
@@ -610,35 +646,14 @@ def setsim_prefix_pairs(
     one equi-join on prefix tokens with both filters applied in-join,
     one verify join carrying the two bounded token arrays.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    # materialize the word array BEFORE shingling: Catalyst does not
-    # CSE inside higher-order-function lambdas, so slicing the split
-    # expression directly re-tokenizes per shingle (O(tokens^2)/doc —
-    # the same trap shingles_col documents); zip_with over a
-    # pre-computed attribute is O(tokens * w)
-    wdf = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
-    if shingle > 1:
-        n = F.size(F.col("_w"))
-        cnt = n - (shingle - 1)
-        sh = F.slice(F.col("_w"), 1, cnt)
-        for i in range(1, shingle):
-            sh = F.zip_with(
-                sh,
-                F.slice(F.col("_w"), i + 1, cnt),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        toks = F.when(n >= shingle, sh).otherwise(
-            F.array().cast("array<string>")
-        )
-    else:
-        toks = F.col("_w")
     # barrier: the posting frame feeds the df census, the rank join and
     # the verify sets — tokenize ONCE, never re-scan the corpus per
     # consumer (scan_audit-enforced)
-    tok = wdf.select(
-        "_id",
-        F.explode(F.array_distinct(toks)).alias("tok"),
-    ).localCheckpoint(eager=False)
+    tok = (
+        distinct_shingle_sets(docs, id_col, text_col, shingle)
+        .select("_id", F.explode("_toks").alias("tok"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
     # one groupBy(_id) produces the df-ascending sorted token array —
     # the per-doc RANKS (array position), the PREFIX (array slice) and
@@ -796,26 +811,11 @@ def containment_prefix_pairs(
     verify join on bounded arrays — same shuffle budget as the Jaccard
     kernel with an asymmetric candidate join.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    wdf = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
-    if shingle > 1:
-        n = F.size(F.col("_w"))
-        cnt = n - (shingle - 1)
-        sh = F.slice(F.col("_w"), 1, cnt)
-        for i in range(1, shingle):
-            sh = F.zip_with(
-                sh,
-                F.slice(F.col("_w"), i + 1, cnt),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        toks = F.when(n >= shingle, sh).otherwise(
-            F.array().cast("array<string>")
-        )
-    else:
-        toks = F.col("_w")
-    tok = wdf.select(
-        "_id", F.explode(F.array_distinct(toks)).alias("tok")
-    ).localCheckpoint(eager=False)
+    tok = (
+        distinct_shingle_sets(docs, id_col, text_col, shingle)
+        .select("_id", F.explode("_toks").alias("tok"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = (
         tok.join(dfreq, "tok")

@@ -782,6 +782,203 @@ def incremental_dedup_batch(
     return fn
 
 
+def incremental_setsim_batch(
+    store_dir: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    shingle: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sink=None,
+    guard_max_candidates: int | None = None,
+):
+    """foreachBatch factory for STREAMING prefix-filter set-similarity
+    dedup — the incremental twin of ``ops.dedup.setsim_prefix_pairs``
+    (r9 verdict #8): each arriving document is checked for token-set
+    Jaccard >= tau_num/tau_den against the FULL historical corpus and
+    the rest of its own micro-batch, and every verified near-dup pair
+    is emitted exactly once, when its second member arrives.
+
+    The batch kernel orders tokens by ascending global document
+    frequency — an order that SHIFTS as documents arrive, so a prefix
+    frozen at ingest time would silently lose the no-false-negative
+    guarantee. The twin instead uses a FIXED universal order, md5(tok):
+    the prefix lemma (Chaudhuri, Ganti & Kaushik ICDE 2006) is exact
+    under ANY shared total order — df order is only the best-pruning
+    heuristic — and a hash order never changes after the fact, so a
+    document's prefix postings are write-once. The PPJoin length and
+    positional filters (Xiao et al. WWW 2008) remain exact under the
+    same reasoning and run inside the candidate join, and the
+    degenerate-regime guard is re-measured EVERY batch: the bound is
+    sum_t df_batch(t) * df_all(t) over prefix postings — the join's
+    output bound — and the batch is refused with the same
+    dial-to-turn message when it exceeds ``guard_max_candidates``
+    (default ``max(1_000_000, 200 * corpus_docs)``).
+
+    State is two parquet stores under ``store_dir`` (the
+    ``incremental_dedup_batch`` pattern — the store, not the streaming
+    checkpoint, carries the corpus memory, so restarts and reprocessing
+    compose): ``postings/`` holds each historical doc's PREFIX postings
+    (tok, id, n, rn) — only the prefix, which is what the lemma needs
+    from the archived side — and ``sets/`` holds (id, toks, n) for the
+    verify join. Replays are idempotent: arriving ids already present
+    in ``sets/`` are anti-joined away before anything else, so a
+    re-delivered batch emits nothing and appends nothing. At 100 TB
+    both stores can be bucketed (postings by tok, sets by id) so the
+    candidate and verify joins co-locate; per batch the shuffled data
+    is the micro-batch's own postings plus matched store postings, not
+    the corpus.
+
+    Emits to ``sink(df, batch_id)`` the same shape as the batch kernel:
+    (id_a, id_b, n_a, n_b, n_inter, verified) with id_a < id_b —
+    verified pairs are exactly the batch kernel's verified pairs over
+    the union corpus (parity-pinned in tests; candidate sets differ
+    between token orders, detections cannot).
+    """
+    from pyspark.sql import functions as F
+
+    post_path = f"{store_dir}/postings"
+    sets_path = f"{store_dir}/sets"
+
+    def fn(batch_df, batch_id):
+        from .ops.dedup import distinct_shingle_sets
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        try:
+            old_sets = spark.read.parquet(sets_path)
+        except Exception:
+            old_sets = spark.createDataFrame(
+                [], "id long, toks array<string>, n long"
+            )
+        try:
+            old_post = spark.read.parquet(post_path)
+        except Exception:
+            old_post = spark.createDataFrame(
+                [], "tok string, id long, n long, rn long"
+            )
+        # replay idempotence: a re-delivered doc is already corpus
+        batch = batch.join(
+            old_sets.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+        # fixed-universal-order sorted token frame: struct(md5, tok)
+        # sorts by hash then token, the twin's canonical order
+        ranked = (
+            distinct_shingle_sets(batch, id_col, text_col, shingle)
+            .select(
+                "_id",
+                F.expr(
+                    "array_sort(transform(_toks, t -> struct(md5(t) AS _h,"
+                    " t AS tok)))"
+                ).alias("_st"),
+            )
+            .withColumn("_n", F.size("_st").cast("bigint"))
+            .filter(F.col("_n") >= 1)
+            .localCheckpoint()  # one tokenize; feeds postings+sets+verify
+        )
+        new_post = ranked.selectExpr(
+            "_id AS id",
+            "_n AS n",
+            f"slice(_st, 1, CAST(_n - (({tau_num} * _n + {tau_den - 1}) div "
+            f"{tau_den}) + 1 AS INT)) AS _pre",
+        ).select(
+            "id", "n", F.posexplode("_pre").alias("_pos", "_s")
+        ).select(
+            "id",
+            "n",
+            (F.col("_pos") + 1).cast("bigint").alias("rn"),
+            F.col("_s.tok").alias("tok"),
+        ).localCheckpoint()
+        all_post = old_post.unionByName(new_post)
+        # per-batch degenerate-regime guard: join output bound
+        n_corpus = old_sets.count() + ranked.count()
+        bound = (
+            guard_max_candidates
+            if guard_max_candidates and guard_max_candidates > 0
+            else max(1_000_000, 200 * n_corpus)
+        )
+        mass_row = (
+            new_post.groupBy("tok").agg(F.count("*").alias("cb"))
+            .join(
+                all_post.groupBy("tok").agg(F.count("*").alias("ca")), "tok"
+            )
+            .selectExpr("coalesce(sum(cb * ca), 0) AS mass")
+            .collect()
+        )
+        mass = mass_row[0]["mass"] if mass_row else 0
+        if mass > bound:
+            raise ValueError(
+                f"incremental_setsim_batch: degenerate token space — the "
+                f"prefix postings bound {mass} candidate pairs this batch "
+                f"(> {bound}); increase `shingle` or raise tau, same "
+                f"refusal contract as the batch kernel."
+            )
+        ub = F.lit(1) + F.least(
+            F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+        )
+        cand = (
+            new_post.alias("a")
+            .join(all_post.alias("b"), "tok")
+            .filter(
+                (F.col("a.id") != F.col("b.id"))
+                & (
+                    F.lit(tau_den) * F.least(F.col("a.n"), F.col("b.n"))
+                    >= F.lit(tau_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+                )
+                & (
+                    F.lit(tau_den + tau_num) * ub
+                    >= F.lit(tau_num) * (F.col("a.n") + F.col("b.n"))
+                )
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        new_sets = ranked.select(
+            F.col("_id").alias("id"),
+            F.expr("transform(_st, s -> s.tok)").alias("toks"),
+            F.col("_n").alias("n"),
+        ).localCheckpoint()
+        sets = old_sets.unionByName(new_sets)
+        out = (
+            cand.join(
+                sets.select(
+                    F.col("id").alias("id_a"),
+                    F.col("toks").alias("_ta"), F.col("n").alias("n_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sets.select(
+                    F.col("id").alias("id_b"),
+                    F.col("toks").alias("_tb"), F.col("n").alias("n_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "n_inter",
+                F.size(F.array_intersect("_ta", "_tb")).cast("bigint"),
+            )
+            .select(
+                "id_a", "id_b", "n_a", "n_b", "n_inter",
+                (
+                    F.lit(tau_den) * F.col("n_inter")
+                    >= F.lit(tau_num)
+                    * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                ).alias("verified"),
+            )
+            .localCheckpoint()  # pin BEFORE the stores grow
+        )
+        if sink is not None:
+            sink(out, batch_id)
+        new_post.write.mode("append").parquet(post_path)
+        new_sets.write.mode("append").parquet(sets_path)
+
+    return fn
+
+
 KMV_K = 64
 
 KMV_OUTPUT_SCHEMA = StructType(

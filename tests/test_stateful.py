@@ -1755,3 +1755,112 @@ def test_materialized_topk_random_fuzz(spark, tmp_path, seed):
         key=lambda r: (-r[1], r[0]),
     )[:3]
     assert MaterializedTopKState(path, k=3).topk() == want, seed
+
+
+def test_incremental_setsim_matches_batch_kernel_and_model(spark, tmp_path):
+    """The streaming prefix-filter setsim twin over three micro-batches
+    must emit exactly the batch kernel's verified pairs over the union
+    corpus (candidate sets differ between the twin's hash order and the
+    batch kernel's df order; DETECTIONS cannot — both are exact), and
+    both must equal the brute-force Jaccard model. Redelivery of every
+    document through a fresh checkpoint must emit nothing new."""
+    import json
+
+    from aardappel_spark.ops.dedup import setsim_prefix_pairs
+    from aardappel_spark.stateful import incremental_setsim_batch
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "pack my box with five dozen brown liquor jugs"),
+        (4, "pack my box with five dozen brown liquor jugs"),
+        (5, "streaming joins maintain postings state across batches"),
+        (6, "completely unrelated words about gardening and tulips"),
+        (7, "the quick brown fox jumps over the lazy dog tonight"),
+        (8, "pack my box with five dozen brown liquor mugs"),
+        (9, "tiny doc"),
+        (10, "streaming joins maintain postings state across restarts"),
+    ]
+    tau_num, tau_den, w = 1, 2, 2
+
+    def sh2(text):
+        ws = [x for x in text.split() if x]
+        return {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}
+
+    model = set()
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            a, b = sh2(ta), sh2(tb)
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if tau_den * inter >= tau_num * (len(a) + len(b) - inter):
+                model.add((ia, ib))
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    kernel = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_inter)
+        for r in setsim_prefix_pairs(
+            batch_df, tau_num=tau_num, tau_den=tau_den, shingle=w
+        ).filter("verified").collect()
+    }
+    assert set(kernel) == model
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    store = str(tmp_path / "store")
+    emitted = []
+    fn = incremental_setsim_batch(
+        store, tau_num=tau_num, tau_den=tau_den, shingle=w,
+        sink=lambda df, bid: emitted.extend(df.collect()),
+    )
+
+    def run(name, rows, ckpt):
+        with open(os.path.join(src, name), "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("b1.jsonl", docs[:4], "ckpt")
+    run("b2.jsonl", docs[4:7], "ckpt")
+    run("b3.jsonl", docs[7:], "ckpt")
+
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_inter)
+        for r in emitted
+        if r.verified
+    }
+    assert got == kernel  # pairs AND their exact counts
+    # each pair emitted exactly once across the whole feed
+    keys = [(r.id_a, r.id_b) for r in emitted]
+    assert len(keys) == len(set(keys))
+
+    # redelivery: a fresh checkpoint re-reads every file; the sets-store
+    # anti-join must drop all of it — nothing emitted, stores unchanged
+    n_post = spark.read.parquet(f"{store}/postings").count()
+    before = len(emitted)
+    run("b4.jsonl", [], "ckpt2")
+    assert len(emitted) == before
+    assert spark.read.parquet(f"{store}/postings").count() == n_post
+
+
+def test_incremental_setsim_guard_refuses_degenerate_batch(spark, tmp_path):
+    """The per-batch candidate-mass guard must refuse a token space
+    with no rare tail, same contract as the batch kernel."""
+    from aardappel_spark.stateful import incremental_setsim_batch
+
+    rows = [(i, "a b a b a b a b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fn = incremental_setsim_batch(
+        str(tmp_path / "store"), tau_num=1, tau_den=2, shingle=1,
+        guard_max_candidates=10,
+    )
+    with pytest.raises(ValueError, match="degenerate token space"):
+        fn(df, 0)
