@@ -43,6 +43,7 @@ def compact_line(
     warmup: dict[str, float],
     sf: float,
     budget: int = LINE_BUDGET,
+    spread_sec: float | None = None,
 ) -> str:
     """One JSON line <= budget chars. Most-expensive queries keep their
     own entry; if needed the cheap tail folds into other_sec/other_n."""
@@ -55,6 +56,11 @@ def compact_line(
         "warmup_sec": round(sum(warmup.values()), 2),
         "detail": "BENCH_DETAIL.json",
     }
+    if spread_sec is not None:
+        # provenance stamp: best-of-2 recorded; this is the summed gap
+        # between the two passes — the ambient load the run actually saw
+        base["runs"] = 2
+        base["spread_sec"] = round(spread_sec, 2)
     by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     for keep in range(len(by_cost), -1, -1):
         kept = dict(sorted((k, round(v, 2)) for k, v in by_cost[:keep]))
@@ -148,15 +154,20 @@ def main() -> None:
     # on a shared VM is strictly additive.
     import gc
 
+    loadavg_start = os.getloadavg()
+    started_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        best, n = float("inf"), 0
+        best, worst, n = float("inf"), 0.0, 0
         for _ in range(2):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             n = len(rows)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best, worst = min(best, dt), max(worst, dt)
         timings[name] = round(best, 3)
+        spreads[name] = round(worst - best, 3)
         # collect unreferenced per-query DataFrames OUTSIDE the timed
         # window: python GC is lazy, so without this the block manager
         # accumulates hundreds of dead localCheckpoint blocks across the
@@ -169,6 +180,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()) + sum(warmup.values()), 3)
+    spread_max_q = max(spreads, key=spreads.get) if spreads else None
     detail = {
         "metric": "total_query_seconds",
         "value": total,
@@ -176,6 +188,21 @@ def main() -> None:
         "queries": timings,
         "warmup": warmup,
         "sf": float(sf),
+        # load/provenance stamp (r9 verdict #3): future drift
+        # adjudications need to know HOW this number was taken — run
+        # count, the ambient spread the two passes actually saw, and
+        # the machine load around the run — so a committed artifact is
+        # distinguishable from an earlier run's values
+        "provenance": {
+            "runs_per_query": 2,
+            "recorded": "min of the runs (steady-state plan cost)",
+            "spread_sec": round(sum(spreads.values()), 2),
+            "spread_sec_max": spreads.get(spread_max_q, 0.0),
+            "spread_query_max": spread_max_q,
+            "loadavg_start": [round(x, 2) for x in loadavg_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "started_utc": started_utc,
+        },
         "notes": {
             "warmup": (
                 "one-time shared materializations (cdc parse barrier, "
@@ -205,7 +232,12 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=False)
         fh.write("\n")
-    print(compact_line(total, timings, warmup, float(sf)))
+    print(
+        compact_line(
+            total, timings, warmup, float(sf),
+            spread_sec=sum(spreads.values()),
+        )
+    )
 
 
 if __name__ == "__main__":
