@@ -447,10 +447,14 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     adler32) that the kernel INFLATES with stdlib zlib and unfilters,
     while the DuckDB oracle re-reads the same raw scanline bytes by
     hex-slice arithmetic (sound because the stored stub is filter-0;
-    the kernel handles all five filters, pytest-fuzzed). BMP stride
-    walk and P3 token split replay likewise, so every sum_r/sum_g/sum_b
-    crosses the hash as a cross-engine fact about the pixel bytes.
-    GIF/JPEG stay honestly refused (NULL stats, filtered here); see
+    the kernel handles all five filters, pytest-fuzzed). The GIF arm
+    carries a REAL LZW stream (one CLEAR + 9-bit literal codes + EOI
+    over a 256-entry palette): the kernel runs the full variable-width
+    LZW decode, the oracle unpacks the same 9-bit codes and palette
+    bytes from the payload by bit arithmetic. BMP stride walk and P3
+    token split replay likewise, so every sum_r/sum_g/sum_b crosses
+    the hash as a cross-engine fact about the pixel bytes. JPEG stays
+    honestly refused (NULL stats, filtered here); see
     ops.multimodal.pixel_stats."""
     from ..ops.multimodal import pixel_stats, synthetic_media
 
@@ -509,6 +513,28 @@ def _multimodal_pixel_stats_oracle() -> str:
         "CAST('0x' || substring(hx, 97 + 2 * ((p // w) * (1 + w * ch) "
         f"+ 1 + (p % w) * ch + {c}), 2) AS BIGINT)), 'sum')"
     )
+    # GIF: REAL replay of the 9-bit LZW literal stream from the payload
+    # bytes — pixel p's palette index is code p+1 of the stream (code 0
+    # is CLEAR, the last is EOI), i.e. bits [9(p+1), 9(p+1)+9) of the
+    # image data (1-based byte 794 onward: 6 hdr + 7 LSD + 768 palette
+    # + 10 descriptor + 1 mcs + 1 sub-block len), LSB-first; the index
+    # then selects the payload's own 256-entry palette at byte 14+3v.
+    # The Spark kernel runs the full variable-width LZW decode on the
+    # same bytes; the fixed-width replay is sound here only because the
+    # stub stream is all-literal with one CLEAR.
+    gif_dbyte = lambda j: (  # noqa: E731  j: 0-based data byte expr
+        f"CAST('0x' || substring(hx, 2 * (794 + ({j})) - 1, 2) AS BIGINT)"
+    )
+    gif_v = "(" + " + ".join(
+        f"((({gif_dbyte(f'(9 * (p + 1) + {r}) // 8')}) // "
+        f"CAST(power(2, (9 * (p + 1) + {r}) % 8) AS BIGINT)) % 2) * {1 << r}"
+        for r in range(9)
+    ) + ")"
+    gif_sum = lambda off: (  # noqa: E731  off: palette channel 0/1/2
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        f"CAST('0x' || substring(hx, 2 * (14 + 3 * {gif_v} + {off}) - 1, 2)"
+        " AS BIGINT)), 'sum')"
+    )
     return f"""
 WITH media AS MATERIALIZED (
   SELECT doc_id AS media_id, unhex({hex_sql}) AS payload FROM documents
@@ -561,9 +587,24 @@ png_stats AS (
          CAST({png_sum('cg')} AS BIGINT) AS sum_g,
          CAST({png_sum('cb')} AS BIGINT) AS sum_b
   FROM png
+),
+gif AS (
+  SELECT media_id, 'gif' AS format,
+         ({byte('7')} + 256 * {byte('8')}) AS w,
+         ({byte('9')} + 256 * {byte('10')}) AS h,
+         hx
+  FROM hxb
+  WHERE substring(hx, 1, 12) IN ('474946383961', '474946383761')
+),
+gif_stats AS (
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({gif_sum(0)} AS BIGINT) AS sum_r,
+         CAST({gif_sum(1)} AS BIGINT) AS sum_g,
+         CAST({gif_sum(2)} AS BIGINT) AS sum_b
+  FROM gif
 )
 SELECT * FROM bmp_stats UNION ALL SELECT * FROM ppm_stats
-UNION ALL SELECT * FROM png_stats
+UNION ALL SELECT * FROM png_stats UNION ALL SELECT * FROM gif_stats
 """
 
 
