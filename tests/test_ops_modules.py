@@ -1577,23 +1577,33 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round9_priority():
+def test_driver_rotation_first_50_are_round10_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-9 artifact covers the right set — the
-    round-9 additions and output/plan-changed re-gates lead (gated the
-    round they change), then the stalest driver rows (latest gate
-    r03/r04, from the committed CORRECTNESS_r01..r08 artifacts) fill
-    the remaining slots."""
+    pin the rotation so the round-10 artifact covers the right set —
+    the queries whose output/expression changed this round lead (gated
+    the round they change), then ALL 21 rows whose latest driver gate
+    is r04 (max staleness back under four rounds, the r9 verdict's
+    item #2), then the r05 block in name order fills the remaining
+    slots."""
+    import json
+
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import ORACLES, _R09_ADDITIONS, _R09_PRIORITY
+    from aardappel_spark.registry import ORACLES, _R10_ADDITIONS, _R10_PRIORITY
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R09_PRIORITY
-    # this round's additions + re-gates must lead
-    assert _R09_PRIORITY[: len(_R09_ADDITIONS)] == _R09_ADDITIONS
-    assert _R09_PRIORITY[0] == "dedup_containment_prefix"
-    # the remainder is the stale-row round-robin, oldest gate first
-    assert _R09_PRIORITY[len(_R09_ADDITIONS)] == "text_lm_score"
+    assert list(q)[:50] == _R10_PRIORITY
+    # this round's re-gates must lead
+    assert _R10_PRIORITY[: len(_R10_ADDITIONS)] == _R10_ADDITIONS
+    assert _R10_PRIORITY[0] == "multimodal_decode"
+    # every r04-stale row (computed from the committed artifacts) must
+    # be inside this round's gate — the staleness promise, enforced
+    latest = {}
+    for r in range(1, 10):
+        with open(f"CORRECTNESS_r{r:02d}.json") as fh:
+            for k in json.load(fh):
+                latest[k] = max(latest.get(k, 0), r)
+    r04 = {k for k, v in latest.items() if v == 4}
+    assert r04 <= set(_R10_PRIORITY), sorted(r04 - set(_R10_PRIORITY))
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 

@@ -1174,9 +1174,18 @@ def test_scan_audit_clean(spark):
     """The repo's duplicate-scan gate, as a test: tools/scan_audit.audit
     must return zero unadjudicated FLAGs over the full registry. This is
     the r9 lesson — two sig12 consumers shipped FLAGged because the gate
-    only ran by hand; now an un-adjudicated multi-scan plan fails CI."""
-    import tools.scan_audit as sa
+    only ran by hand; now an un-adjudicated multi-scan plan fails CI.
 
+    Caches are cleared first so the audit sees the same COLD state the
+    CLI process does: a MATERIALIZED InMemoryRelation prints its build
+    subtree several times in the plan text (measured: the single-scan
+    dedup_simhash64 shows documents x4 once another test has collected
+    the shared frame), which is text inflation, not re-derivation —
+    exactly the artifact the ALLOW docstring describes."""
+    import tools.scan_audit as sa
+    from aardappel_spark import registry
+
+    registry.clear_query_caches(spark)
     bad = sa.audit(spark, SF_DIR, threshold=4)
     assert bad == [], f"unadjudicated multi-scan queries: {bad}"
 
