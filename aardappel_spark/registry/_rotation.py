@@ -281,8 +281,11 @@ _R09_STALE: list[str] = [
 # full r05 block in name order; additions take slots first, stale rows
 # fill to 50. r05 rows that do not fit lead the r11 stale block.
 R10_ADDITION_NAMES: list[str] = [
+    # new in round 10: real stsz frame count over the ISO-BMFF arm
+    "multimodal_video_frames",
     # OUTPUT changed in round 10 (real stored-deflate IDAT in the PNG
-    # arm; PNG pixel rows now carry non-NULL channel sums)
+    # arm + real LZW in the GIF arm + real box tree in the mp4 arm;
+    # PNG/GIF pixel rows now carry non-NULL channel sums)
     "multimodal_decode", "multimodal_pixel_stats",
     # expression changed in round 10 (BIGINT casts in the bucket keys;
     # output identical on the fixture dims — re-gate the round the

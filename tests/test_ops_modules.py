@@ -234,13 +234,16 @@ def test_decode_header_real_formats():
     import pytest as _pytest
 
     for bad in (
-        b"\x00\x00\x00\x18ftypisom" + bytes(8),
         b"RIFF\x10\x00\x00\x00WEBPVP8 " + bytes(8),
         _bmp_bytes(4, 4, compression=1),  # BI_RLE8
     ):
         with _pytest.raises(NotImplementedError):
             decode_header(bad)
     for bad in (
+        # metadata-less ftyp stub: the declared box size overruns the
+        # payload (r10: ISO-BMFF is now parsed for real, so a truncated
+        # container is a malformed-input error, not a codec refusal)
+        b"\x00\x00\x00\x18ftypisom" + bytes(8),
         b"BM\x01\x02",                       # truncated BMP
         b"\x89PNG\r\n\x1a\n" + bytes(16),    # truncated before IHDR end
         b"\x89PNG\r\n\x1a\n" + bytes(32),    # first chunk not IHDR
