@@ -335,6 +335,8 @@ def _decode_mp4(p: bytes) -> dict:
     ms, me = _mp4_child(p, top, b"moov")
     moov = _mp4_boxes(p, ms, me)
     hs, he = _mp4_child(p, moov, b"mvhd")
+    if hs >= he:
+        raise ValueError("mvhd has an empty payload")
     ver = p[hs]
     if ver == 0:
         if he - hs < 20:
@@ -349,9 +351,50 @@ def _decode_mp4(p: bytes) -> dict:
         raise ValueError(f"mvhd version {ver} invalid")
     if timescale == 0:
         raise ValueError("mvhd timescale is zero")
-    ts_, te = _mp4_child(p, moov, b"trak")
+    # pick the VIDEO trak (mdia/hdlr handler_type 'vide'), not blindly
+    # the first one — a real multi-track file often leads with audio,
+    # whose tkhd has 0x0 dims and whose stsz counts audio samples (r10
+    # ADVICE). Fall back to the first trak with nonzero tkhd dims, then
+    # to the first trak at all (single-track files with odd hdlr).
+    traks = [(s_, e_) for t, s_, e_ in moov if t == b"trak"]
+    if not traks:
+        raise ValueError("MP4 missing b'trak' box")
+
+    def _trak_hdlr(ts0: int, te0: int) -> bytes:
+        try:
+            boxes = _mp4_boxes(p, ts0, te0)
+            m0, m1 = _mp4_child(p, boxes, b"mdia")
+            h0, h1 = _mp4_child(p, _mp4_boxes(p, m0, m1), b"hdlr")
+        except ValueError:
+            return b""
+        # hdlr: version/flags(4) + pre_defined(4) + handler_type(4)
+        return p[h0 + 8 : h0 + 12] if h1 - h0 >= 12 else b""
+
+    def _trak_dims(ts0: int, te0: int) -> tuple[int, int] | None:
+        try:
+            k0, k1 = _mp4_child(p, _mp4_boxes(p, ts0, te0), b"tkhd")
+        except ValueError:
+            return None
+        if k0 >= k1:
+            return None
+        v = p[k0]
+        off = 76 if v == 0 else 88
+        if v not in (0, 1) or k1 - k0 < off + 8:
+            return None
+        return struct.unpack_from(">II", p, k0 + off)
+
+    chosen = next(
+        (t for t in traks if _trak_hdlr(*t) == b"vide"),
+        None,
+    ) or next(
+        (t for t in traks if (_trak_dims(*t) or (0, 0)) > (0, 0)),
+        None,
+    ) or traks[0]
+    ts_, te = chosen
     trak = _mp4_boxes(p, ts_, te)
     ks, ke = _mp4_child(p, trak, b"tkhd")
+    if ks >= ke:
+        raise ValueError("tkhd has an empty payload")
     kver = p[ks]
     dim_off = 76 if kver == 0 else 88
     if kver not in (0, 1) or ke - ks < dim_off + 8:
@@ -423,7 +466,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             for p in payloads:
                 try:
                     decoded.append(decode_header(p))
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError, IndexError):
                     decoded.append({"format": "unsupported"})
             col = lambda k: [d.get(k) for d in decoded]  # noqa: E731
             yield pd.DataFrame(
@@ -504,8 +547,9 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
     header with LEN/NLEN, then filter-0 scanlines) and a correct
     adler32 computed IN SQL as the position-weighted byte sums mod
     65521, so stdlib ``zlib.decompress`` verifies and inflates it —
-    GIF89a (real logical screen descriptor + trailer; pixel LZW stays
-    the refused arm), and JPEG (SOI + a real APP0/JFIF segment + SOF0
+    a palette arm (color type 3) carrying a real 256-entry PLTE chunk
+    the indices select from, GIF89a with a REAL LZW literal stream
+    over a 256-entry global palette, and JPEG (SOI + a real APP0/JFIF segment + SOF0
     with true BE dims + EOI — the APP0 forces the decoder's marker
     WALK, not a fixed offset). Chunk CRCs are zeroed: the adler32
     authenticates the pixel stream and neither decode side checks
@@ -615,9 +659,12 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
            f"ELSE {mp4_tree} END)")
     png_w = "(1 + doc_id % 9)"
     png_h = "(1 + doc_id % 6)"
-    # color type cycles grey / truecolor / truecolor+alpha
-    png_ct = "(CASE doc_id % 3 WHEN 0 THEN '00' WHEN 1 THEN '02' ELSE '06' END)"
-    png_ch = "(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)"
+    # color type cycles grey / truecolor / truecolor+alpha / PALETTE
+    # (r10 verdict #6: PLTE is a 256x3 lookup after the same
+    # inflate+unfilter — the last closable refusal that needs no codec)
+    png_ct = ("(CASE doc_id % 4 WHEN 0 THEN '00' WHEN 1 THEN '02' "
+              "WHEN 2 THEN '06' ELSE '03' END)")
+    png_ch = "(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 1 END)"
     png_rowb = f"({png_w} * {png_ch})"          # pixel bytes per scanline
     png_raw = f"({png_h} * (1 + {png_rowb}))"   # + 1 filter byte per row
     png_pix = f"({png_h} * {png_rowb})"         # pixel bytes total
@@ -643,12 +690,25 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
         f"{listsum_fn.format(n=png_pix, expr=f'({png_b}) * ({png_raw} - {png_i})')}"
         f") % 65521)"
     )
+    png_byte_hex = lambda b: f"lpad(lower(hex({b})), 2, '0')"  # noqa: E731
+    png_pal = (
+        f"{join_fn}({transform_fn}({range_fn.format(n=256)}, k -> concat("
+        f"{png_byte_hex('k')}, {png_byte_hex('(3 * k) % 256')}, "
+        f"{png_byte_hex('(11 * k) % 256')})), '')"
+    )
+    # 780-byte PLTE chunk (len 0x300 + 'PLTE' + 768 palette bytes +
+    # zeroed CRC), palette arm only — between IHDR and IDAT per spec
+    png_plte = (
+        f"(CASE WHEN doc_id % 4 = 3 THEN concat('00000300', "
+        f"lower(hex('PLTE')), {png_pal}, '00000000') ELSE '' END)"
+    )
     png = f"""concat(
       '89504e470d0a1a0a',
       '0000000d', lower(hex('IHDR')),
       {_be_hex(png_w, 4, div)}, {_be_hex(png_h, 4, div)},
       '08', {png_ct}, '000000',
       '00000000',
+      {png_plte},
       {_be_hex(f'11 + {png_raw}', 4, div)}, lower(hex('IDAT')),
       '7801',
       '01', {_le_hex(png_raw, 2, div)}, {_le_hex(f'65535 - {png_raw}', 2, div)},
@@ -920,6 +980,11 @@ def _pixel_stats_gif(p: bytes) -> tuple[int, int, int, int]:
     a stats screen reads frame one, same as ``sample_frames``'s honest
     scope."""
     _decode_gif(p)  # validates magic + screen descriptor length
+    if len(p) < 11:
+        # _decode_gif only needs the 10 dims bytes; the packed
+        # screen-descriptor byte is one past that (r10 ADVICE: a
+        # 10-byte payload must yield ValueError, not IndexError)
+        raise ValueError("GIF screen descriptor truncated")
     packed = p[10]
     gct = None
     i = 13
@@ -953,6 +1018,8 @@ def _pixel_stats_gif(p: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("GIF frame has no color table")
             if fw <= 0 or fh <= 0:
                 raise ValueError(f"GIF frame has empty dimensions {fw}x{fh}")
+            if i >= len(p):
+                raise ValueError("GIF image data truncated before LZW code size")
             mcs = p[i]
             i += 1
             data = bytearray()
@@ -1055,10 +1122,17 @@ def _pixel_stats_png(p: bytes) -> tuple[int, int, int, int]:
     deflate encoding, stored or compressed; adler32 verified by zlib),
     filter reversal, then exact integer channel sums. Greyscale counts
     into all three channels (a brightness screen treats grey as
-    R=G=B); alpha is ignored. Palette (PLTE indirection), 16-bit
-    samples and Adam7 interlacing stay honestly refused."""
+    R=G=B); alpha is ignored. Palette images (color type 3, r11) go
+    through the same inflate+unfilter and then a PLTE table lookup —
+    out-of-range indices and malformed PLTE sizes are ValueError.
+    16-bit samples and Adam7 interlacing stay honestly refused."""
     hdr = _decode_png(p)  # validates signature-adjacent IHDR + color type
     w, h = hdr["width"], hdr["height"]
+    if len(p) < 29:
+        # _decode_png only guarantees the 26 dims+depth bytes; the
+        # interlace byte sits at offset 28 (r10 ADVICE: truncation must
+        # yield ValueError, not IndexError)
+        raise ValueError("PNG IHDR truncated before interlace byte")
     bit_depth = p[24]
     color_type = p[25]
     interlace = p[28]
@@ -1066,13 +1140,12 @@ def _pixel_stats_png(p: bytes) -> tuple[int, int, int, int]:
         raise NotImplementedError(f"{bit_depth}-bit PNG samples out of scope")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG out of scope")
-    if color_type == 3:
-        raise NotImplementedError("palette PNG (PLTE indirection) out of scope")
     if w <= 0 or h <= 0:
         raise ValueError(f"PNG has non-positive dimensions {w}x{h}")
+    chunks = _png_chunks(p)
     ch = _PNG_CHANNELS[color_type]
     idat = b"".join(
-        p[off : off + size] for ctype, off, size in _png_chunks(p)
+        p[off : off + size] for ctype, off, size in chunks
         if ctype == b"IDAT"
     )
     if not idat:
@@ -1082,6 +1155,27 @@ def _pixel_stats_png(p: bytes) -> tuple[int, int, int, int]:
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     px = _png_unfilter(raw, h, w * ch, ch)
+    if color_type == 3:  # palette: each byte indexes the PLTE table
+        plte = next(
+            (p[off : off + size] for ctype, off, size in chunks
+             if ctype == b"PLTE"),
+            None,
+        )
+        if plte is None:
+            raise ValueError("palette PNG has no PLTE chunk")
+        if not plte or len(plte) % 3 or len(plte) > 768:
+            raise ValueError(f"PLTE size {len(plte)} is not a valid palette")
+        n_pal = len(plte) // 3
+        sum_r = sum_g = sum_b = 0
+        for v in px:
+            if v >= n_pal:
+                raise ValueError(
+                    f"PNG pixel index {v} outside {n_pal}-color palette"
+                )
+            sum_r += plte[3 * v]
+            sum_g += plte[3 * v + 1]
+            sum_b += plte[3 * v + 2]
+        return (w * h, sum_r, sum_g, sum_b)
     if color_type in (0, 4):  # grey / grey+alpha: grey -> R = G = B
         s = sum(px[0::ch])
         return (w * h, s, s, s)
@@ -1096,7 +1190,8 @@ def _pixel_stats_png(p: bytes) -> tuple[int, int, int, int]:
 def pixel_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL pixel decode for 24bpp BMP, netpbm P3/P6,
     non-interlaced 8-bit PNG (zlib inflate + the five scanline filters,
-    pure stdlib) and GIF first frames (a genuine variable-width LZW
+    pure stdlib; greyscale, truecolor, alpha AND palette via the PLTE
+    lookup) and GIF first frames (a genuine variable-width LZW
     decode — pure Python, ~50 lines): per-payload exact integer channel
     sums — the brightness/color-cast screen a vision-data pipeline runs
     before training. JPEG (DCT entropy coding) comes back with NULL
@@ -1113,7 +1208,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                 stats = None
                 try:
                     fmt = decode_header(payload)["format"]
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError, IndexError):
                     fmt = "unsupported"
                 try:
                     if payload[:2] == b"BM":
@@ -1124,7 +1219,8 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                         stats = _pixel_stats_png(payload)
                     elif payload[:6] in (b"GIF87a", b"GIF89a"):
                         stats = _pixel_stats_gif(payload)
-                except (NotImplementedError, ValueError, KeyError, struct.error):
+                except (NotImplementedError, ValueError, KeyError, struct.error,
+                        IndexError):
                     stats = None
                 ids.append(mid)
                 fmts.append(fmt)
@@ -1191,13 +1287,13 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 stats = None
                 try:
                     fmt = decode_header(payload)["format"]
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError, IndexError):
                     fmt = "unsupported"
                 if payload[:4] == b"RIFF":
                     try:
                         stats = _audio_stats_wav(payload)
                     except (NotImplementedError, ValueError, KeyError,
-                            struct.error):
+                            struct.error, IndexError):
                         stats = None
                 ids.append(mid)
                 fmts.append(fmt)

@@ -203,6 +203,17 @@ def test_gif_honest_refusals():
     # pixel count mismatch: frame claims more pixels than the stream has
     with pytest.raises(ValueError):
         _pixel_stats_gif(_gif(4, 3, idx[:-2], palette))
+    # r10 ADVICE: a 10-byte magic+dims payload passes _decode_gif's
+    # header check but has no packed byte — must be ValueError, never
+    # IndexError (which would fail the whole Spark task)
+    with pytest.raises(ValueError):
+        _pixel_stats_gif(b"GIF89a" + struct.pack("<HH", 3, 2))
+    # truncated right before the LZW min-code-size byte
+    with pytest.raises(ValueError):
+        _pixel_stats_gif(
+            b"GIF89a" + struct.pack("<HH", 4, 3) + bytes([0, 0, 0])
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + b"\x00"
+        )
 
 
 def test_gif_lzw_decoder_rejects_unseen_code():

@@ -115,6 +115,54 @@ def test_mp4_refusals():
         _decode_mp4(zero_ts)
 
 
+def _trak(w, h, n_frames, handler, timescale=1000, duration=1000):
+    stsz = _box(b"stsz", struct.pack(">BxxxII", 0, 1, n_frames))
+    mdhd = _box(b"mdhd", struct.pack(">BxxxIIIIHH", 0, 0, 0,
+                                     timescale, duration, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">BxxxI4s", 0, 0, handler)
+                + bytes(12) + b"\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _box(b"stbl", stsz)))
+    return _box(b"trak", _tkhd(w, h) + mdia)
+
+
+def test_mp4_multitrack_picks_the_vide_trak():
+    """r10 ADVICE: an audio-first multi-track file must NOT report the
+    audio stsz count as the video frame count — the walk has to select
+    the trak whose mdia/hdlr handler_type is 'vide'."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200))
+    audio = _trak(0, 0, 9999, b"soun")
+    video = _trak(1280, 720, 42, b"vide")
+    p = ftyp + _box(b"moov", _mvhd(1000, 5000) + audio + video)
+    d = _decode_mp4(p)
+    assert (d["width"], d["height"], d["n_samples"]) == (1280, 720, 42)
+
+    # no vide trak anywhere: fall back to the first trak WITH dims
+    other = _trak(640, 480, 7, b"text")
+    p2 = ftyp + _box(b"moov", _mvhd(1000, 5000) + audio + other)
+    d2 = _decode_mp4(p2)
+    assert (d2["width"], d2["height"], d2["n_samples"]) == (640, 480, 7)
+
+    # single audio trak: first-trak fallback still decodes (0x0 dims)
+    p3 = ftyp + _box(b"moov", _mvhd(1000, 5000) + audio)
+    d3 = _decode_mp4(p3)
+    assert (d3["width"], d3["height"], d3["n_samples"]) == (0, 0, 9999)
+
+
+def test_mp4_empty_box_payloads_raise_valueerror():
+    """r10 ADVICE: an mvhd/tkhd box with an EMPTY payload at the end of
+    the buffer must raise ValueError, not IndexError (which would fail
+    the whole Spark task instead of yielding the unsupported row)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200))
+    p = ftyp + _box(b"moov", _box(b"mvhd", b""))
+    with pytest.raises(ValueError):
+        _decode_mp4(p)
+    p2 = ftyp + _box(
+        b"moov", _mvhd(1000, 5000) + _box(b"trak", _box(b"tkhd", b""))
+    )
+    with pytest.raises(ValueError):
+        _decode_mp4(p2)
+
+
 def test_frame_count_real_for_mp4_fake_otherwise():
     import hashlib
 

@@ -39,9 +39,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
 
-def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8):
-    """Model encoder: px is a flat list of h*w*ch sample bytes; filters
-    is one filter type per row, applied FORWARD per the spec."""
+def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
+                palette=None):
+    """Model encoder: px is a flat list of h*w*ch sample bytes (palette
+    INDICES for ct=3); filters is one filter type per row, applied
+    FORWARD per the spec. ``palette`` is a list of (r,g,b) tuples
+    emitted as a PLTE chunk."""
     ch = _CT_CH[ct]
     rowb = w * ch
     raw = bytearray()
@@ -66,9 +69,14 @@ def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8):
                 f = v - _paeth(a, b, c)
             raw.append(f & 0xFF)
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
+    plte = (
+        _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        if palette is not None else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -134,7 +142,8 @@ def test_png_honest_refusals():
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=1))
     with pytest.raises(NotImplementedError):  # 16-bit samples
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=16))
-    with pytest.raises((NotImplementedError, ValueError)):  # palette
+    # palette with NO PLTE chunk at all is malformed
+    with pytest.raises(ValueError):
         _pixel_stats_png(_encode_png(4, 3, 3, px[: 4 * 3], [0, 1, 2]))
 
     # corrupted deflate byte -> ValueError (zlib adler/stream check),
@@ -148,6 +157,11 @@ def test_png_honest_refusals():
     no_idat = good[:33] + good[-12:]
     with pytest.raises(ValueError):
         _pixel_stats_png(no_idat)
+
+    # r10 ADVICE: a 28-byte payload passes _decode_png's len>=26 header
+    # check but has no interlace byte — ValueError, never IndexError
+    with pytest.raises(ValueError):
+        _pixel_stats_png(good[:28])
 
     # header still decodes fine for all of these (dims need no codec)
     assert decode_header(good)["width"] == 4
@@ -212,11 +226,66 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
     media = synthetic_media(_docs(spark, sf_dir).limit(140))
     png = media.filter("media_id % 7 = 4").select("payload").collect()
     assert png
+    saw_palette = False
     for row in png:
         p = bytes(row.payload)
-        size = struct.unpack_from(">I", p, 33)[0]
-        assert p[37:41] == b"IDAT"
-        raw = zlib.decompress(p[41 : 41 + size])  # raises if adler wrong
+        # palette rows (r11) carry a 780-byte PLTE chunk before IDAT
+        base = 33
+        if p[37:41] == b"PLTE":
+            assert struct.unpack_from(">I", p, 33)[0] == 768
+            base = 33 + 780
+            saw_palette = True
+        size = struct.unpack_from(">I", p, base)[0]
+        assert p[base + 4 : base + 8] == b"IDAT"
+        # raises if adler wrong
+        raw = zlib.decompress(p[base + 8 : base + 8 + size])
         assert raw[0] == 0  # filter-0 scanlines
+    assert saw_palette  # the %4 cycle must actually produce the arm
     out = pixel_stats(media).filter("format = 'png'").collect()
     assert out and all(r.n_px is not None for r in out)
+
+
+def test_png_palette_decodes_through_plte_lookup():
+    """r10 verdict #6: palette PNG is the same inflate+unfilter plus a
+    256x3 table lookup — decode it for real, against the model's own
+    palette arithmetic, across ALL filter types."""
+    rng = random.Random(42)
+    w, h = 7, 5
+    palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(16)]
+    idx = [rng.randrange(16) for _ in range(w * h)]
+    for filters in ([0] * h, [1, 2, 3, 4, 0], [4] * h):
+        p = _encode_png(w, h, 3, idx, filters, palette=palette)
+        n_px, sr, sg, sb = _pixel_stats_png(p)
+        assert n_px == w * h
+        assert sr == sum(palette[v][0] for v in idx)
+        assert sg == sum(palette[v][1] for v in idx)
+        assert sb == sum(palette[v][2] for v in idx)
+    # header decode agrees: palette = 1 channel (the index plane)
+    assert decode_header(p)["n_channels"] == 1
+
+
+def test_png_palette_refusals():
+    """Out-of-range indices and malformed PLTE sizes must be
+    ValueError (wrong data), never a silent wrong sum."""
+    palette = [(10, 20, 30), (40, 50, 60)]
+    idx = [0, 1, 1, 0, 1, 0]
+    good = _encode_png(3, 2, 3, idx, [0, 2], palette=palette)
+    assert _pixel_stats_png(good) == (
+        6, 10 * 3 + 40 * 3, 20 * 3 + 50 * 3, 30 * 3 + 60 * 3
+    )
+    # index 2 with a 2-entry palette
+    bad_idx = _encode_png(3, 2, 3, [0, 1, 2, 0, 1, 0], [0, 0],
+                          palette=palette)
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bad_idx)
+    # PLTE not a multiple of 3
+    raw = bytearray(good)
+    # rebuild with a truncated palette chunk: 4 data bytes
+    broken = (
+        good[:33]
+        + _chunk(b"PLTE", b"\x01\x02\x03\x04")
+        + good[33 + 12 + 6:]
+    )
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bytes(broken))

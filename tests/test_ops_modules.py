@@ -1580,33 +1580,38 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round10_priority():
+def test_driver_rotation_first_50_are_round11_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-10 artifact covers the right set —
-    the queries whose output/expression changed this round lead (gated
-    the round they change), then ALL 21 rows whose latest driver gate
-    is r04 (max staleness back under four rounds, the r9 verdict's
-    item #2), then the r05 block in name order fills the remaining
-    slots."""
+    pin the rotation so the round-11 artifact covers the right set —
+    the queries whose output changed this round lead (gated the round
+    they change), then ALL 22 rows whose latest driver gate is r05
+    (the staleness promise from the r10 rotation comment), then the
+    r06 block in name order fills the remaining slots."""
     import json
 
     import __spark_entry__ as entry_mod
-    from aardappel_spark.registry import ORACLES, _R10_ADDITIONS, _R10_PRIORITY
+    from aardappel_spark.registry import (
+        ORACLES,
+        _R11_ADDITIONS,
+        _R11_PRIORITY,
+        _rotation,
+    )
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R10_PRIORITY
-    # this round's re-gates must lead
-    assert _R10_PRIORITY[: len(_R10_ADDITIONS)] == _R10_ADDITIONS
-    assert _R10_PRIORITY[0] == "multimodal_decode"
-    # every r04-stale row (computed from the committed artifacts) must
+    assert list(q)[:50] == _R11_PRIORITY
+    # this round's re-gates must lead; pin against the rotation source
+    # (not a literal) so the pin cannot go stale when names shift
+    assert _R11_PRIORITY[: len(_R11_ADDITIONS)] == _R11_ADDITIONS
+    assert _R11_PRIORITY[0] == _rotation.R11_ADDITION_NAMES[0]
+    # every r05-stale row (computed from the committed artifacts) must
     # be inside this round's gate — the staleness promise, enforced
     latest = {}
-    for r in range(1, 10):
+    for r in range(1, 11):
         with open(f"CORRECTNESS_r{r:02d}.json") as fh:
             for k in json.load(fh):
                 latest[k] = max(latest.get(k, 0), r)
-    r04 = {k for k, v in latest.items() if v == 4}
-    assert r04 <= set(_R10_PRIORITY), sorted(r04 - set(_R10_PRIORITY))
+    r05 = {k for k, v in latest.items() if v == 5}
+    assert r05 <= set(_R11_PRIORITY), sorted(r05 - set(_R11_PRIORITY))
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
@@ -3474,8 +3479,25 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
         arm = r.media_id % 7
         seen.add(arm)
         if arm == 3:
-            with pytest.raises(NotImplementedError):
-                decode_header(p)
+            if (r.media_id // 7) % 5 == 0:
+                # the truncated-ftyp stub arm: the real ISO-BMFF box
+                # walk classifies it as MALFORMED (no moov box) ->
+                # ValueError per decode_header's contract (ValueError =
+                # malformed bytes, NotImplementedError = valid
+                # container needing a codec)
+                with pytest.raises(ValueError):
+                    decode_header(p)
+                continue
+            # real minimal ISO-BMFF tree: frame count / dims / duration
+            # must come back from the actual box bytes
+            d = decode_header(p)
+            ts = {0: 600, 1: 1000, 2: 90000}[r.media_id % 3]
+            dur = ts * (3 + r.media_id % 57) + r.media_id % 97
+            assert d["format"] == "mp4"
+            assert d["width"] == 16 * (1 + r.media_id % 20)
+            assert d["height"] == 16 * (1 + r.media_id % 12)
+            assert d["n_samples"] == 1 + r.media_id % 240
+            assert d["duration_ms"] == dur * 1000 // ts
             continue
         d = decode_header(p)
         if arm == 0:
@@ -3502,8 +3524,10 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             assert d["format"] == "png"
             assert d["width"] == 1 + r.media_id % 9
             assert d["height"] == 1 + r.media_id % 6
-            ch = {0: 1, 1: 3, 2: 4}[r.media_id % 3]
+            ch = {0: 1, 1: 3, 2: 4, 3: 1}[r.media_id % 4]
             assert d["n_channels"] == ch
+            if r.media_id % 4 == 3:  # palette arm carries a PLTE chunk
+                assert b"PLTE" in p
             # independent struct re-read: IHDR must be the first chunk
             assert p[12:16] == b"IHDR"
             assert struct.unpack_from(">I", p, 16)[0] == d["width"]
