@@ -17,6 +17,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.errors import AnalysisException
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -768,7 +769,11 @@ def incremental_dedup_batch(
         )
         try:
             store = spark.read.parquet(store_path).select("fp")
-        except Exception:
+        except AnalysisException:
+            # first batch: the store does not exist yet. ONLY the
+            # missing-path case may mean "empty corpus" — a corrupt
+            # store file or transient FS error must propagate, not
+            # silently forget all history (r10 ADVICE)
             store = spark.createDataFrame([], "fp string")
         fresh = batch.join(
             store, batch["_fp"] == store["fp"], "left_anti"
@@ -821,19 +826,30 @@ def incremental_setsim_batch(
     compose): ``postings/`` holds each historical doc's PREFIX postings
     (tok, id, n, rn) — only the prefix, which is what the lemma needs
     from the archived side — and ``sets/`` holds (id, toks, n) for the
-    verify join. Replays are idempotent: arriving ids already present
-    in ``sets/`` are anti-joined away before anything else, so a
-    re-delivered batch emits nothing and appends nothing. At 100 TB
+    verify join. Each batch writes its rows as an OVERWRITE of its own
+    ``batch=<id>`` hive subdirectory, so store writes are idempotent
+    under replay — a crash between the two writes can never leave
+    permanently duplicated postings rows (r10 ADVICE). Re-delivered
+    docs (any batch id) are anti-joined away against ``sets/`` before
+    anything else, and a fully-replayed batch skips the store writes
+    entirely. The sink fires BEFORE the stores grow, so pair delivery
+    is AT-LEAST-ONCE per batch_id: a crash between the sink call and
+    the store writes re-emits that batch's pairs on replay — dedupe
+    downstream by batch_id (the standard foreachBatch contract);
+    ordering the writes the other way would LOSE pairs on the
+    mirror-image crash, which is worse for a dedup screen. At 100 TB
     both stores can be bucketed (postings by tok, sets by id) so the
     candidate and verify joins co-locate; per batch the shuffled data
     is the micro-batch's own postings plus matched store postings, not
     the corpus.
 
     Emits to ``sink(df, batch_id)`` the same shape as the batch kernel:
-    (id_a, id_b, n_a, n_b, n_inter, verified) with id_a < id_b —
-    verified pairs are exactly the batch kernel's verified pairs over
-    the union corpus (parity-pinned in tests; candidate sets differ
-    between token orders, detections cannot).
+    (id_a, id_b, n_a, n_b, n_inter, verified) with id_a < id_b,
+    each pair emitted when its second member arrives (at-least-once
+    under crash-replay, see above) — verified pairs are exactly the
+    batch kernel's verified pairs over the union corpus (parity-pinned
+    in tests; candidate sets differ between token orders, detections
+    cannot).
     """
     from pyspark.sql import functions as F
 
@@ -846,14 +862,19 @@ def incremental_setsim_batch(
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col])
         try:
-            old_sets = spark.read.parquet(sets_path)
-        except Exception:
+            old_sets = spark.read.parquet(sets_path).select("id", "toks", "n")
+        except AnalysisException:
+            # missing path = first batch; anything else propagates
+            # (r10 ADVICE: swallowing a real read error here would
+            # re-admit historical docs and silently drop detections)
             old_sets = spark.createDataFrame(
                 [], "id long, toks array<string>, n long"
             )
         try:
-            old_post = spark.read.parquet(post_path)
-        except Exception:
+            old_post = spark.read.parquet(post_path).select(
+                "tok", "id", "n", "rn"
+            )
+        except AnalysisException:
             old_post = spark.createDataFrame(
                 [], "tok string, id long, n long, rn long"
             )
@@ -891,7 +912,8 @@ def incremental_setsim_batch(
         ).localCheckpoint()
         all_post = old_post.unionByName(new_post)
         # per-batch degenerate-regime guard: join output bound
-        n_corpus = old_sets.count() + ranked.count()
+        n_new = ranked.count()
+        n_corpus = old_sets.count() + n_new
         bound = (
             guard_max_candidates
             if guard_max_candidates and guard_max_candidates > 0
@@ -973,8 +995,23 @@ def incremental_setsim_batch(
         )
         if sink is not None:
             sink(out, batch_id)
-        new_post.write.mode("append").parquet(post_path)
-        new_sets.write.mode("append").parquet(sets_path)
+        # IDEMPOTENT store writes (r10 ADVICE): each batch OVERWRITES
+        # its own hive-partition subdirectory, so a crash between the
+        # two writes can never leave permanently duplicated postings —
+        # the replay overwrites the same batch=N paths. The sink runs
+        # FIRST, so delivery is at-least-once per batch_id (losing
+        # pairs would be worse for a dedup screen than re-emitting
+        # them; dedupe downstream by batch_id, the standard
+        # foreachBatch contract). A fully-replayed batch is empty
+        # after the sets/ anti-join — skip the writes then, or the
+        # overwrite would wipe the batch's already-committed rows.
+        if n_new > 0:
+            new_post.write.mode("overwrite").parquet(
+                f"{post_path}/batch={batch_id}"
+            )
+            new_sets.write.mode("overwrite").parquet(
+                f"{sets_path}/batch={batch_id}"
+            )
 
     return fn
 

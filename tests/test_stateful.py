@@ -1851,6 +1851,107 @@ def test_incremental_setsim_matches_batch_kernel_and_model(spark, tmp_path):
     assert spark.read.parquet(f"{store}/postings").count() == n_post
 
 
+def test_incremental_setsim_crash_replay_never_duplicates_postings(
+    spark, tmp_path
+):
+    """r10 ADVICE: a crash between the postings write and the sets
+    write used to leave permanently duplicated postings rows (append
+    mode). With per-batch overwrite subdirectories the replay must
+    rebuild the SAME store state — postings count identical to a clean
+    run — and re-emit the batch's pairs (at-least-once per batch_id,
+    never lost)."""
+    import shutil
+
+    from aardappel_spark.stateful import incremental_setsim_batch
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "pack my box with five dozen brown liquor jugs"),
+        (4, "pack my box with five dozen brown liquor jugs"),
+    ]
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def mk(store):
+        emitted = []
+        fn = incremental_setsim_batch(
+            store, tau_num=1, tau_den=2, shingle=2,
+            sink=lambda df, bid: emitted.extend(
+                (bid, r.id_a, r.id_b) for r in df.filter("verified").collect()
+            ),
+        )
+        return fn, emitted
+
+    # clean run: the ground truth store shape
+    clean = str(tmp_path / "clean")
+    fn, emitted = mk(clean)
+    fn(batch, 0)
+    clean_post = spark.read.parquet(f"{clean}/postings")
+    clean_n = clean_post.count()
+    clean_pairs = sorted(emitted)
+    assert clean_pairs  # the fixture plants near-dups
+
+    # exact replay of a COMPLETED batch: nothing emitted, store intact
+    fn(batch, 0)
+    assert sorted(emitted) == clean_pairs
+    assert spark.read.parquet(f"{clean}/postings").count() == clean_n
+
+    # crash window A: postings written, sets write never happened
+    crashed = str(tmp_path / "crashed")
+    fn2, emitted2 = mk(crashed)
+    fn2(batch, 0)
+    shutil.rmtree(f"{crashed}/sets")  # simulate the crash
+    fn2(batch, 0)  # replay
+    assert spark.read.parquet(f"{crashed}/postings").count() == clean_n
+    assert spark.read.parquet(f"{crashed}/sets").count() == 4
+    # pairs re-emitted once per replayed batch_id — at-least-once,
+    # dedupable downstream by batch_id; never silently lost
+    assert sorted(set(emitted2)) == clean_pairs
+
+    # crash window B: sink fired, NO store write landed
+    crashed2 = str(tmp_path / "crashed2")
+    fn3, emitted3 = mk(crashed2)
+    fn3(batch, 0)
+    shutil.rmtree(f"{crashed2}/sets")
+    shutil.rmtree(f"{crashed2}/postings")
+    fn3(batch, 0)
+    assert spark.read.parquet(f"{crashed2}/postings").count() == clean_n
+    assert sorted(set(emitted3)) == clean_pairs
+
+
+def test_incremental_stores_propagate_real_read_errors(spark, tmp_path):
+    """r10 ADVICE: only a MISSING store path may mean 'empty corpus';
+    a corrupt store file must propagate, not silently forget all
+    history and re-admit duplicates."""
+    import pytest as _pytest
+
+    from aardappel_spark.stateful import (
+        incremental_dedup_batch,
+        incremental_setsim_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/sets/batch=0", exist_ok=True)
+    with open(f"{store}/sets/batch=0/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file at all, corrupt footer")
+    fn = incremental_setsim_batch(store, sink=lambda df, bid: None)
+    with _pytest.raises(Exception) as ei:
+        fn(docs, 1)
+    assert "AnalysisException" not in type(ei.value).__name__
+
+    store2 = str(tmp_path / "fps")
+    os.makedirs(store2, exist_ok=True)
+    with open(f"{store2}/part-00000.parquet", "wb") as f:
+        f.write(b"garbage bytes")
+    fn2 = incremental_dedup_batch(store2, sink=lambda df, bid: None)
+    with _pytest.raises(Exception) as ei2:
+        fn2(docs, 1)
+    assert "AnalysisException" not in type(ei2.value).__name__
+
+
 def test_incremental_setsim_guard_refuses_degenerate_batch(spark, tmp_path):
     """The per-batch candidate-mass guard must refuse a token space
     with no rare tail, same contract as the batch kernel."""
