@@ -458,12 +458,16 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     24bpp BMP (proper stride handling), plain-PPM P3 (ASCII values)
     and PNG arms is read in the Arrow-batched kernel and folded into
     exact integer channel sums — the brightness/color-cast screen of a
-    vision-data pipeline. The PNG arm is the r10 addition: the payload
-    carries a genuine zlib IDAT stream (stored-deflate, correct
-    adler32) that the kernel INFLATES with stdlib zlib and unfilters,
-    while the DuckDB oracle re-reads the same raw scanline bytes by
-    hex-slice arithmetic (sound because the stored stub is filter-0;
-    the kernel handles all five filters, pytest-fuzzed). The GIF arm
+    vision-data pipeline. The PNG arm carries a genuine zlib IDAT
+    stream (stored-deflate, correct adler32) that the kernel INFLATES
+    with stdlib zlib and unfilters, while the DuckDB oracle re-reads
+    the same raw scanline bytes by hex-slice arithmetic (sound because
+    the stored stub is filter-0; the kernel handles all five filters,
+    pytest-fuzzed). The PALETTE arm (r11, color type 3) adds a real
+    256-entry PLTE chunk: the kernel looks each decoded index up in
+    the payload's own table, the oracle replays the same lookup as a
+    nested hex slice — indices and palette bytes both read from the
+    container, never re-derived. The GIF arm
     carries a REAL LZW stream (one CLEAR + 9-bit literal codes + EOI
     over a 256-entry palette): the kernel runs the full variable-width
     LZW decode, the oracle unpacks the same 9-bit codes and palette
@@ -517,17 +521,31 @@ def _multimodal_pixel_stats_oracle() -> str:
         "list_aggregate(list_transform(range(0, w * h), p -> "
         f"CAST(vals[3 * p + {c}] AS BIGINT)), 'sum')"
     )
-    # PNG: the synthetic layout is sig(8) + IHDR(25) + IDAT header(8) +
-    # zlib hdr(2) + stored-block hdr(5) = 48 bytes before the raw
-    # scanline stream (the Spark side still walks chunks and INFLATES —
-    # fixed offsets are sound here only because the stored-deflate stub
-    # layout is deterministic). Pixel p's channel-c sample sits at raw
-    # offset (p//w)*(1+w*ch) + 1 + (p%w)*ch + c (filter byte per row);
-    # the cg/cb columns collapse grey to R=G=B like the kernel.
+    # PNG: the synthetic layout is sig(8) + IHDR(25) + [780-byte PLTE,
+    # palette arm only] + IDAT header(8) + zlib hdr(2) + stored-block
+    # hdr(5) = 48 (+780) bytes before the raw scanline stream (the
+    # Spark side still walks chunks and INFLATES — fixed offsets are
+    # sound here only because the stored-deflate stub layout is
+    # deterministic). Pixel p's channel-c sample sits at raw offset
+    # (p//w)*(1+w*ch) + 1 + (p%w)*ch + c (filter byte per row); the
+    # cg/cb columns collapse grey to R=G=B like the kernel. `pofs` is
+    # the hex shift for the palette arm's PLTE chunk (2 * 780).
     png_sum = lambda c: (  # noqa: E731  c: a 0-based channel expr
         "list_aggregate(list_transform(range(0, w * h), p -> "
-        "CAST('0x' || substring(hx, 97 + 2 * ((p // w) * (1 + w * ch) "
+        "CAST('0x' || substring(hx, 97 + pofs + 2 * ((p // w) * (1 + w * ch) "
         f"+ 1 + (p % w) * ch + {c}), 2) AS BIGINT)), 'sum')"
+    )
+    # palette arm: pixel p's byte is its palette INDEX (ch = 1); the
+    # channel value is the payload's own PLTE entry — PLTE data starts
+    # at 1-based byte 42, so entry v channel c sits at hex position
+    # 83 + 2 * (3v + c). The Spark kernel walks chunks and does the
+    # same table lookup after the real inflate+unfilter.
+    png_idx = ("CAST('0x' || substring(hx, 1657 + 2 * ((p // w) * (1 + w) "
+               "+ 1 + (p % w)), 2) AS BIGINT)")
+    png_pal_sum = lambda c: (  # noqa: E731  c: palette channel 0/1/2
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        f"CAST('0x' || substring(hx, 83 + 2 * (3 * ({png_idx}) + {c}), 2)"
+        " AS BIGINT)), 'sum')"
     )
     # GIF: REAL replay of the 9-bit LZW literal stream from the payload
     # bytes — pixel p's palette index is code p+1 of the stream (code 0
@@ -591,9 +609,12 @@ png AS (
           + 256 * {byte('19')} + {byte('20')}) AS w,
          (16777216 * {byte('21')} + 65536 * {byte('22')}
           + 256 * {byte('23')} + {byte('24')}) AS h,
-         CASE {byte('26')} WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS ch,
+         {byte('26')} AS ct,
+         CASE {byte('26')} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+              ELSE 4 END AS ch,
          CASE WHEN {byte('26')} = 0 THEN 0 ELSE 1 END AS cg,
          CASE WHEN {byte('26')} = 0 THEN 0 ELSE 2 END AS cb,
+         CASE WHEN {byte('26')} = 3 THEN 1560 ELSE 0 END AS pofs,
          hx
   FROM hxb WHERE substring(hx, 1, 16) = '89504e470d0a1a0a'
 ),
@@ -602,7 +623,13 @@ png_stats AS (
          CAST({png_sum('0')} AS BIGINT) AS sum_r,
          CAST({png_sum('cg')} AS BIGINT) AS sum_g,
          CAST({png_sum('cb')} AS BIGINT) AS sum_b
-  FROM png
+  FROM png WHERE ct <> 3
+  UNION ALL
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({png_pal_sum(0)} AS BIGINT) AS sum_r,
+         CAST({png_pal_sum(1)} AS BIGINT) AS sum_g,
+         CAST({png_pal_sum(2)} AS BIGINT) AS sum_b
+  FROM png WHERE ct = 3
 ),
 gif AS (
   SELECT media_id, 'gif' AS format,
