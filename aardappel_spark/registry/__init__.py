@@ -32,32 +32,42 @@ for _m in _MODULES:
 del _m, _k, _v
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation (round 10).
+# Driver-coverage rotation (round 11).
 #
-# union(CORRECTNESS_r01..r09) covers all 258 queries with zero red latest
-# rows (r9 judge-verified). Round-10 slots go to: the queries whose
-# OUTPUT or expression changed this round (the PNG arm's real IDAT, the
-# BIGINT aspect keys) plus new round-10 queries, then the 21 rows whose
-# latest driver gate is r04 (the judge's #2 item: max staleness back to
-# <=4 rounds), then the r05 block in name order. r05 rows that do not
-# fit lead the r11 stale block; full-registry parity is additionally
-# checked every round by tools/check_oracle.py at sf0.001/0.01/0.1
-# (CHECK_ORACLE_r10*.json).
+# union(CORRECTNESS_r01..r10) covers all 259 pre-r11 queries with zero
+# red latest rows (r10 judge-verified). Round-11 slots go to: the
+# queries whose OUTPUT changed this round (the PNG palette arm) plus
+# new round-11 queries (the streaming setsim twin's replay slot), then
+# ALL 22 rows whose latest driver gate is r05 (the r10 verdict's item
+# #4: the promised r05 tail leads), then the r06 block in name order.
+# r06 rows that do not fit lead the r12 stale block; full-registry
+# parity is additionally checked every round by tools/check_oracle.py
+# at sf0.001/0.01/0.1 (CHECK_ORACLE_r11*.json).
+_R11_ADDITIONS: list[str] = [
+    k
+    for k in _rotation.R11_ADDITION_NAMES
+    if k in _dicts.QUERIES
+]
+
+_R11_PRIORITY: list[str] = list(
+    dict.fromkeys(_R11_ADDITIONS + _rotation._R11_STALE)
+)[:50]
+
+assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
+assert set(_R11_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R11_PRIORITY) - set(_dicts.QUERIES)
+)
+
+# kept importable for the r10 rotation regression test
 _R10_ADDITIONS: list[str] = [
     k
     for k in _rotation.R10_ADDITION_NAMES
     if k in _dicts.QUERIES
 ]
-
 _R10_PRIORITY: list[str] = list(
     dict.fromkeys(_R10_ADDITIONS + _rotation._R10_STALE)
 )[:50]
 
-assert len(_R10_PRIORITY) == 50 and len(set(_R10_PRIORITY)) == 50
-assert set(_R10_PRIORITY) <= set(_dicts.QUERIES), sorted(
-    set(_R10_PRIORITY) - set(_dicts.QUERIES)
-)
-
-_rotated = _R10_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R10_PRIORITY)]
+_rotated = _R11_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R11_PRIORITY)]
 QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
 ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

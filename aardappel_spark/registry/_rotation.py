@@ -318,3 +318,55 @@ _R10_STALE: list[str] = [
     "quality_lr_train", "semantic_dedup", "text_bigram_nll",
     "vocab_postings",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation inputs (consumed by __init__).
+#
+# R11_ADDITION_NAMES: queries whose OUTPUT materially changed in round
+# 11 — the PNG arm of the synthetic payload cycle gained a PALETTE
+# color type (doc_id % 4 == 3: real 256-entry PLTE chunk + indexed
+# scanlines; n_bytes/n_channels and the pixel sums change) — plus the
+# new round-11 queries (the streaming setsim twin's oracle-gated
+# replay slot). _R11_STALE: the full r05 tail (the 22 rows the r10
+# rotation comment promised would lead this block, judge-verified
+# green in the r9 3-scale sweeps) followed by the r06 block in name
+# order; additions take slots first, stale rows fill to 50. The r06
+# rows that do not fit lead the r12 stale block.
+R11_ADDITION_NAMES: list[str] = [
+    # new in round 11: driver-gated replay of the incremental PPJoin
+    # twin (stateful.incremental_setsim_batch) vs a from-scratch
+    # DuckDB recomputation of the verified near-dup pairs
+    "dedup_setsim_stream",
+    # OUTPUT changed in round 11 (palette arm in the PNG payload
+    # cycle: PLTE chunk + indexed scanlines; pixel sums now go
+    # through the real table lookup on both engines)
+    "multimodal_decode", "multimodal_pixel_stats",
+]
+
+_R11_STALE: list[str] = [
+    # latest gate r05 (all 22 of them — max staleness back under 6)
+    "events_anomaly", "events_cusum", "events_ewma",
+    "events_hdr_quantiles", "events_json_stats", "events_mad_outliers",
+    "events_paths", "events_psi_drift", "events_running_sum",
+    "events_sliding", "events_theta_union", "events_user_hll_daily",
+    "events_user_hll_estimate", "events_znorm", "langid_eval",
+    "orders_window_topn", "quality_calibration", "quality_lr_score",
+    "quality_lr_train", "semantic_dedup", "text_bigram_nll",
+    "vocab_postings",
+    # latest gate r06, name order; the tail that does not fit leads r12
+    "ann_cosine", "ann_lsh", "ann_probe_autoselect", "ann_probe_curve",
+    "ann_recall_pq", "ann_recall_sq8", "basket_pairs", "cdc_apply",
+    "cdc_compact", "cdc_keyfilter", "cdc_parse_stats", "cdc_quorum",
+    "corpus_jackknife_ci", "corpus_js_drift", "corpus_ks_drift",
+    "corpus_signal_corr", "corpus_tokenizer_fertility", "dedup_exact",
+    "dedup_minhash", "dedup_simhash64", "doc_gopher_rules",
+    "doc_token_entropy", "emb_centroid_shift", "emb_dim_stats",
+    "emb_knn_classify", "emb_sim_histogram", "emb_sq8_distortion",
+    "events_ab_test", "events_activity_bitmap", "events_gap_fill",
+    "events_markov", "events_seasonal_forecast", "events_seasonality",
+    "events_watermark_lateness", "graph_pagerank", "multimodal_frames",
+    "orders_backlog", "orders_rfm", "retrieval_hybrid_rrf",
+    "text_heldout_nll", "tpch_q1", "tpch_q18", "tpch_q6",
+    "vocab_bpe_merges",
+]

@@ -1489,3 +1489,109 @@ FROM stats WHERE u > 0 GROUP BY err_bucket
 
 
 ORACLES["dedup_minhash_bbit"] = _bbit_oracle()
+
+
+def q_dedup_setsim_stream(spark, sf_dir):
+    """The STREAMING prefix-filter set-similarity twin, driver-gated
+    (r10 verdict #5, the cdc_apply recipe): replay the documents table
+    as a deterministic 3-batch feed (doc_id % 3) through
+    ``stateful.incremental_setsim_batch`` — fixed md5 token order,
+    write-once prefix postings, per-batch candidate-mass guard,
+    idempotent per-batch store writes — and fold the VERIFIED pairs
+    every batch emitted into one summary row. The twin's parity claim
+    is that pairs emitted incrementally (each when its second member
+    arrives) are exactly the batch kernel's verified pairs over the
+    union corpus; the DuckDB oracle recomputes those pairs from
+    scratch with the df-ordered prefix filter (any shared total order
+    is exact), so the claim crosses the hash as a cross-engine fact.
+    The emitted frames are localCheckpointed by the twin, so the
+    temporary state store is deleted before returning."""
+    import shutil
+    import tempfile
+
+    from ..stateful import incremental_setsim_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="setsim_stream_")
+    outs = []
+    try:
+        fn = incremental_setsim_batch(
+            store, tau_num=4, tau_den=5, shingle=4,
+            sink=lambda df, bid: outs.append(df),
+        )
+        for i in range(3):
+            fn(docs.filter(F.col("doc_id") % 3 == i), i)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    emitted = outs[0]
+    for o in outs[1:]:
+        emitted = emitted.unionByName(o)
+    verified = emitted.filter("verified")
+    return verified.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("n_inter"), F.lit(0)).cast("bigint")
+        .alias("sum_inter"),
+        F.coalesce(F.max("n_inter"), F.lit(0)).cast("bigint")
+        .alias("max_inter"),
+        F.coalesce(F.sum(F.col("n_a") + F.col("n_b")), F.lit(0))
+        .cast("bigint").alias("sum_sizes"),
+    )
+
+
+QUERIES["dedup_setsim_stream"] = q_dedup_setsim_stream
+
+# the oracle recomputes the verified near-dup pairs from scratch over
+# the whole corpus (df-ordered prefix; the twin's md5 order detects the
+# same pairs — that is the parity theorem the slot gates)
+ORACLES["dedup_setsim_stream"] = """
+WITH words AS (
+  SELECT doc_id AS _id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT _id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+         ))) AS tok
+  FROM words
+  WHERE len(l) >= 4
+),
+dfreq AS (SELECT tok, count(*) AS _df FROM tok GROUP BY tok),
+ranked AS (
+  SELECT t._id, t.tok,
+         row_number() OVER (PARTITION BY t._id ORDER BY d._df, t.tok) AS _rn,
+         count(*) OVER (PARTITION BY t._id) AS _n
+  FROM tok t JOIN dfreq d USING (tok)
+),
+prefix AS MATERIALIZED (
+  SELECT _id, tok, _rn, _n FROM ranked
+  WHERE _rn <= _n - (4 * _n + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a._id < b._id
+    AND 5 * LEAST(a._n, b._n) >= 4 * GREATEST(a._n, b._n)
+    AND 9 * (1 + LEAST(a._n - a._rn, b._n - b._rn)) >= 4 * (a._n + b._n)
+),
+sets AS MATERIALIZED (SELECT _id, count(*) AS _n FROM tok GROUP BY _id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta._id = c.id_a
+  JOIN tok tb ON tb._id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+),
+ver AS (
+  SELECT inter.id_a, inter.id_b, n_inter, sa._n AS n_a, sb._n AS n_b
+  FROM inter
+  JOIN sets sa ON sa._id = inter.id_a
+  JOIN sets sb ON sb._id = inter.id_b
+  WHERE 5 * n_inter >= 4 * (sa._n + sb._n - n_inter)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(sum(n_inter), 0) AS BIGINT) AS sum_inter,
+       CAST(COALESCE(max(n_inter), 0) AS BIGINT) AS max_inter,
+       CAST(COALESCE(sum(n_a + n_b), 0) AS BIGINT) AS sum_sizes
+FROM ver
+"""

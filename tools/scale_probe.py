@@ -170,6 +170,14 @@ PROBE_QUERIES = [
     "dedup_minhash_bbit", "text_langid_margin", "orders_benford",
     # k-anonymity census: two hash-aggs over customer
     "customer_kanon",
+    # round 10: real ISO-BMFF box walk (one mapInPandas pass,
+    # O(payload bytes) per row, no join)
+    "multimodal_video_frames",
+    # round 11: the streaming setsim twin's replay slot — 3 micro-
+    # batches through incremental_setsim_batch including its parquet
+    # state stores, so the probe measures store growth + the per-batch
+    # candidate join, not just a stateless plan
+    "dedup_setsim_stream",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
