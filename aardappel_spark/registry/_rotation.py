@@ -342,6 +342,15 @@ R11_ADDITION_NAMES: list[str] = [
     # cycle: PLTE chunk + indexed scanlines; pixel sums now go
     # through the real table lookup on both engines)
     "multimodal_decode", "multimodal_pixel_stats",
+    # PLAN changed in round 11 (the graph family now iterates over the
+    # shared persisted kNN edge frame instead of re-deriving the
+    # banded matmul + top-5 window per consumer/round — outputs
+    # identical, re-gate the round the plan changed, the
+    # events_wau_hll precedent; this closed the r10 graph bench drift)
+    "graph_communities", "graph_triangles", "graph_pagerank",
+    "graph_clustering_coeff", "graph_assortativity",
+    "graph_degree_hist", "graph_kcore", "emb_hubness",
+    "emb_knn_classify",
 ]
 
 _R11_STALE: list[str] = [

@@ -79,6 +79,7 @@ __all__ = [
     '_lr_weights',
     '_minhash_pairs_cached',
     '_clusters_cached',
+    '_knn_edges_cached',
     '_CLUSTERS_CACHE',
     '_minhash_sig_cached',
     '_SIG12_PAIRS_CACHE',
@@ -331,6 +332,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sibling sessions on one context, whose JVM blocks are shared anyway.
 _MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_KNN_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cache_key(spark, sf_dir) -> tuple[str, str]:
@@ -357,6 +359,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
         _SIG12_PAIRS_CACHE,
         _PAIRS_CACHE,
         _CLUSTERS_CACHE,
+        _KNN_EDGES_CACHE,
         _SIMHASH64_CACHE,
         _SIMHASH_PAIRS_CACHE,
         _GRAMS4_CACHE,
@@ -526,6 +529,27 @@ def _clusters_cached(spark, sf_dir):
             _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
         ).persist()
     return _CLUSTERS_CACHE[key]
+
+
+def _knn_edges_cached(spark, sf_dir):
+    """Shared kNN similarity graph (k=5 over the banded-LSH candidate
+    buckets): every graph-family consumer — PageRank, triangles, LPA
+    communities, clustering coefficient, assortativity, degree census,
+    k-core, hubness, kNN classification — iterates or aggregates over
+    the SAME edge frame. A real pipeline materializes the graph once
+    before the iterative analytics; without this barrier each LPA /
+    PageRank / peel ROUND re-derived the bucket matmul + top-5 window
+    from scratch (~2.2 s per evaluation at sf0.1 — measured as the r10
+    graph-family bench drift: 3 LPA rounds paid the build 3x). Same
+    memoize-and-persist contract as _clusters_cached; the edge frame is
+    k * n_vectors rows (24 bytes each), trivially memory-resident at
+    any corpus size that fits the embedding table."""
+    from .ann import q_emb_knn_graph
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _KNN_EDGES_CACHE:
+        _KNN_EDGES_CACHE[key] = q_emb_knn_graph(spark, sf_dir).persist()
+    return _KNN_EDGES_CACHE[key]
 
 
 # one deterministic k-means assignment (the IVF build) feeds

@@ -429,7 +429,7 @@ def q_emb_knn_classify(spark, sf_dir):
     recall dials."""
     from pyspark.sql.window import Window
 
-    knn = q_emb_knn_graph(spark, sf_dir)
+    knn = _knn_edges_cached(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label"
     )
@@ -1557,7 +1557,7 @@ def q_emb_hubness(spark, sf_dir):
     (antihub) row computed as corpus total minus distinct neighbors, two
     1-row aggregates instead of a left join. Everything crosses the
     hash as BIGINT."""
-    knn = q_emb_knn_graph(spark, sf_dir)
+    knn = _knn_edges_cached(spark, sf_dir)
     # barrier: the histogram AND the antihub count both consume the
     # in-degree frame; without it the banded top-k window runs twice
     ind = (

@@ -36,7 +36,6 @@ from ..ops.text import (
 
 from ._dicts import QUERIES, ORACLES
 from ._shared import *  # noqa: F401,F403
-from .ann import q_emb_knn_graph
 
 
 
@@ -57,7 +56,7 @@ def q_graph_pagerank(spark, sf_dir):
     from ..ops.graph import pagerank_fixed_point
 
     edges = (
-        q_emb_knn_graph(spark, sf_dir)
+        _knn_edges_cached(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor").alias("dst"))
         .localCheckpoint(eager=False)
     )
@@ -99,7 +98,7 @@ def q_graph_triangles(spark, sf_dir):
     as integer ppm."""
     from ..ops.graph import triangle_stats
 
-    knn = q_emb_knn_graph(spark, sf_dir).select(
+    knn = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
     )
     return triangle_stats(knn)
@@ -120,7 +119,7 @@ def q_graph_communities(spark, sf_dir):
     LPA (mesoscale communities)."""
     from ..ops.graph import label_propagation
 
-    knn = q_emb_knn_graph(spark, sf_dir).select(
+    knn = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
     )
     lab = label_propagation(knn, iters=3)
@@ -188,7 +187,7 @@ def q_graph_clustering_coeff(spark, sf_dir):
     occupancy-constant band-bits dial."""
     from ..ops.graph import local_clustering_census
 
-    knn = q_emb_knn_graph(spark, sf_dir).select(
+    knn = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
     )
     return local_clustering_census(knn, buckets=10)
@@ -251,7 +250,7 @@ def q_graph_assortativity(spark, sf_dir):
     ~1e10 stubs where Spark would wrap and DuckDB would raise. Both
     engines fold the identical expression over identical integers, so
     the rounded double is engine-exact."""
-    knn = q_emb_knn_graph(spark, sf_dir)
+    knn = _knn_edges_cached(spark, sf_dir)
     # barriers: the edge list feeds the degree union twice plus the
     # stats join, and degrees join the edges twice — both frames are
     # O(edges)/O(nodes) small; without them the banded top-k window
@@ -357,7 +356,7 @@ def q_graph_degree_hist(spark, sf_dir):
     then two integer hash-aggs: degree per node, nodes per degree.
     Linear in edges — and covered by the decomposed dialed probe like
     every other consumer of the shared graph."""
-    knn = q_emb_knn_graph(spark, sf_dir)
+    knn = _knn_edges_cached(spark, sf_dir)
     # barrier: the degree union consumes the edge list twice; without
     # it the banded top-k window subtree re-executes per leg (the same
     # checkpoint graph_assortativity carries)
@@ -417,7 +416,7 @@ def q_graph_kcore(spark, sf_dir):
     contract. Output: (round, n_nodes, n_edges) for rounds 0..3."""
     from ..ops.graph import kcore_census
 
-    knn = q_emb_knn_graph(spark, sf_dir).select(
+    knn = _knn_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
     )
     return kcore_census(knn, k=6, rounds=3)

@@ -130,6 +130,11 @@ def main() -> None:
         # LSH pairs), shared by dedup_clusters / survivors /
         # survivor_quality / cc_stats / split_leakage / corpus_health
         "neardup_clusters": lambda: registry._clusters_cached(spark, sf_dir),
+        # shared kNN edge frame (banded matmul + top-5 window), consumed
+        # by the whole graph family — materialized ONCE like a real
+        # pipeline would before iterating (r10 graph bench drift: LPA
+        # re-derived the build per round)
+        "knn_edges": lambda: registry._knn_edges_cached(spark, sf_dir),
         # 12-permutation signature + its aligned-2-band pooled pairs,
         # shared by dedup_lsh_band_sweep and dedup_minhash_bbit
         "minhash_sig12": lambda: registry._sig12_cached(spark, sf_dir),

@@ -4014,7 +4014,7 @@ def test_every_knn_graph_consumer_has_probe_kernel():
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        if "q_emb_knn_graph" in src:
+        if "q_emb_knn_graph" in src or "_knn_edges_cached" in src:
             consumers.add(name)
     missing = consumers - set(GRAPH_CONSUMERS)
     assert not missing, (
