@@ -76,6 +76,28 @@ def compact_line(
     return json.dumps(base, separators=(",", ":"))  # unreachable in practice
 
 
+def _machine_stamp() -> dict:
+    """CPU model / core count / memory of the VM this run executed on."""
+    stamp: dict = {"cpus": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    stamp["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal"):
+                    stamp["mem_total_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return stamp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -207,6 +229,12 @@ def main() -> None:
             "loadavg_start": [round(x, 2) for x in loadavg_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "started_utc": started_utc,
+            # machine identity: round VMs differ, and r10's graph/dq
+            # "regressions" on byte-identical code+data adjudicated as
+            # cross-round machine drift (NOTES_r11) — future drift
+            # calls need the hardware stamp to tell a slower machine
+            # from a slower plan
+            "machine": _machine_stamp(),
         },
         "notes": {
             "warmup": (
@@ -222,6 +250,22 @@ def main() -> None:
             "dedup_clusters": (
                 "iterative connected-components loop: 2-4 join+agg "
                 "rounds until the labels converge"
+            ),
+            "dedup_setsim_stream": (
+                "streaming-twin REPLAY: three sequential micro-batches "
+                "through incremental_setsim_batch including its parquet "
+                "state stores (~3.3s/batch warm at sf0.1 vs 4.5s for "
+                "the one-shot batch kernel) — the serial passes and "
+                "state I/O are the thing being gated, not overhead"
+            ),
+            "dq_constraints_drift": (
+                "r10/r11 adjudication: 1.12s (r9 record) vs ~1.6-2.4s "
+                "now, on byte-identical code (git diff r9..HEAD empty "
+                "for ops/dq.py and the query) and seed-42 identical "
+                "data; decomposition on the idle r11 VM measured the "
+                "lineitem cond-agg scan at 0.60s and the big-big "
+                "left-anti join at 0.73s — plan sound, the delta is "
+                "cross-round machine drift (see provenance.machine)"
             ),
             "variance": (
                 "best-of-2 per query (same protocol as the scale "
