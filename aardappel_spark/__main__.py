@@ -55,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", required=True, help="reference-shaped YAML/JSON config")
     p.add_argument(
         "--table-metas",
-        required=True,
-        help="JSON sidecar: dst_table -> {primary_key, columns, schema}",
+        default=None,
+        help=(
+            "JSON sidecar: dst_table -> {primary_key, columns, schema} "
+            "(required for CDC replication; unused with --setsim-dedup)"
+        ),
     )
     p.add_argument(
         "--source-dir",
@@ -94,6 +97,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="max seconds to wait for the instance lock (default: forever)",
     )
     p.add_argument(
+        "--setsim-dedup",
+        action="store_true",
+        help=(
+            "streaming near-dup dedup mode instead of CDC replication: "
+            "read a (doc_id, text) JSONL stream from --source-dir, run "
+            "each micro-batch through the incremental prefix-filter "
+            "set-similarity twin (stateful.incremental_setsim_batch) "
+            "against the full historical corpus, and append every "
+            "emitted pair frame to WORK_DIR/setsim_pairs/batch=<id> "
+            "(at-least-once per batch id — dedupe downstream by batch)"
+        ),
+    )
+    p.add_argument(
+        "--setsim-tau",
+        default="4/5",
+        help="Jaccard threshold as NUM/DEN (default 4/5)",
+    )
+    p.add_argument(
+        "--setsim-shingle",
+        type=int,
+        default=4,
+        help="word-shingle width for the token sets (default 4)",
+    )
+    p.add_argument(
         "--compact-and-exit",
         action="store_true",
         help=(
@@ -109,7 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = EngineConfig.load(args.config)
-    metas = load_table_metas(args.table_metas)
+    if not args.setsim_dedup and not args.table_metas:
+        print("--table-metas is required for CDC replication", file=sys.stderr)
+        return 2
+    metas = load_table_metas(args.table_metas) if args.table_metas else {}
     source_dir = args.source_dir or cfg.src_connection_string
     if not source_dir:
         print("no source: give --source-dir or set src_connection_string", file=sys.stderr)
@@ -140,6 +170,58 @@ def main(argv: list[str] | None = None) -> int:
 
     from .sources import read_file_stream
     from .streaming import ReplicationEngine
+
+    if args.setsim_dedup:
+        # streaming dedup mode (r10 verdict #8): the incremental
+        # prefix-filter set-similarity twin, end-to-end drivable. The
+        # instance lock above still applies — the twin's state store
+        # is single-writer by design.
+        from .stateful import incremental_setsim_batch
+
+        try:
+            num, den = (int(x) for x in args.setsim_tau.split("/", 1))
+        except ValueError:
+            print(f"bad --setsim-tau {args.setsim_tau!r}: want NUM/DEN",
+                  file=sys.stderr)
+            return 2
+        if not (0 < num <= den):
+            print(f"bad --setsim-tau {args.setsim_tau!r}: want 0 < NUM <= DEN",
+                  file=sys.stderr)
+            return 2
+        store = os.path.join(work_dir, "setsim_store")
+        pairs_dir = os.path.join(work_dir, "setsim_pairs")
+
+        def emit(df, batch_id):
+            # per-batch overwrite: idempotent under foreachBatch replay,
+            # same contract as the twin's own state stores
+            df.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch={batch_id}"
+            )
+
+        fn = incremental_setsim_batch(
+            store,
+            tau_num=num,
+            tau_den=den,
+            shingle=args.setsim_shingle,
+            sink=emit,
+        )
+        try:
+            source = spark.readStream.schema("doc_id long, text string").json(
+                source_dir
+            )
+            writer = source.writeStream.foreachBatch(fn).option(
+                "checkpointLocation", ckpt
+            )
+            if args.available_now:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
+            else:
+                q = writer.start()
+                q.awaitTermination()
+            return 0
+        finally:
+            if locker is not None:
+                locker.release()
 
     try:
         engine = ReplicationEngine.from_config(
