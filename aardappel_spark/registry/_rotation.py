@@ -351,6 +351,13 @@ R11_ADDITION_NAMES: list[str] = [
     "graph_clustering_coeff", "graph_assortativity",
     "graph_degree_hist", "graph_kcore", "emb_hubness",
     "emb_knn_classify",
+    # PLAN changed in round 11, same precedent: the five payload-
+    # decoding queries now read one shared persisted media frame
+    # (in production the media table is a stored table; re-assembling
+    # payloads in SQL per query charged fixture construction to the
+    # decode numbers)
+    "multimodal_audio_stats", "multimodal_video_frames",
+    "multimodal_aspect_buckets",
 ]
 
 _R11_STALE: list[str] = [

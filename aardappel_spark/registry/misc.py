@@ -258,7 +258,7 @@ def q_multimodal_decode(spark, sf_dir):
     fact about the payload bytes, not a replayed fake."""
     from ..ops.multimodal import extract_features, synthetic_media
 
-    media = synthetic_media(_docs(spark, sf_dir))
+    media = _media_cached(spark, sf_dir)
     f = extract_features(media)
     return f.select(
         "media_id",
@@ -413,7 +413,7 @@ def q_multimodal_aspect_buckets(spark, sf_dir):
         synthetic_media,
     )
 
-    media = synthetic_media(_docs(spark, sf_dir))
+    media = _media_cached(spark, sf_dir)
     f = extract_features(media).filter(
         F.col("width").isNotNull()
         & F.col("height").isNotNull()
@@ -478,7 +478,7 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     ops.multimodal.pixel_stats."""
     from ..ops.multimodal import pixel_stats, synthetic_media
 
-    media = synthetic_media(_docs(spark, sf_dir))
+    media = _media_cached(spark, sf_dir)
     return pixel_stats(media).filter(F.col("n_px").isNotNull()).select(
         "media_id", "format", "n_px", "sum_r", "sum_g", "sum_b"
     )
@@ -665,7 +665,7 @@ def q_multimodal_audio_stats(spark, sf_dir):
     sample bytes; see ops.multimodal.audio_stats."""
     from ..ops.multimodal import audio_stats, synthetic_media
 
-    media = synthetic_media(_docs(spark, sf_dir))
+    media = _media_cached(spark, sf_dir)
     return audio_stats(media).filter(F.col("n_vals").isNotNull()).select(
         "media_id", "format", "n_vals", "sum_abs", "sum_sq", "max_abs"
     )
@@ -745,7 +745,7 @@ def q_multimodal_video_frames(spark, sf_dir):
     replays the sampling policy in closed form."""
     from ..ops.multimodal import extract_features, sample_frames, synthetic_media
 
-    media = synthetic_media(_docs(spark, sf_dir))
+    media = _media_cached(spark, sf_dir)
     feats = extract_features(media).filter(F.col("format") == "mp4").select(
         "media_id", F.col("n_samples").cast("bigint").alias("n_frames")
     )

@@ -152,6 +152,9 @@ def main() -> None:
         # LSH pairs), shared by dedup_clusters / survivors /
         # survivor_quality / cc_stats / split_leakage / corpus_health
         "neardup_clusters": lambda: registry._clusters_cached(spark, sf_dir),
+        # shared synthetic-media payload frame (the stored media TABLE
+        # in production), consumed by the five payload-decoding queries
+        "media_payloads": lambda: registry._media_cached(spark, sf_dir),
         # shared kNN edge frame (banded matmul + top-5 window), consumed
         # by the whole graph family — materialized ONCE like a real
         # pipeline would before iterating (r10 graph bench drift: LPA
