@@ -37,12 +37,15 @@ del _m, _k, _v
 # union(CORRECTNESS_r01..r10) covers all 259 pre-r11 queries with zero
 # red latest rows (r10 judge-verified). Round-11 slots go to: the
 # queries whose OUTPUT changed this round (the PNG palette arm) plus
-# new round-11 queries (the streaming setsim twin's replay slot), then
-# ALL 22 rows whose latest driver gate is r05 (the r10 verdict's item
-# #4: the promised r05 tail leads), then the r06 block in name order.
-# r06 rows that do not fit lead the r12 stale block; full-registry
-# parity is additionally checked every round by tools/check_oracle.py
-# at sf0.001/0.01/0.1 (CHECK_ORACLE_r11*.json).
+# new round-11 queries (the streaming setsim twin's replay slot) plus
+# the PLAN-changed re-gates (the graph family now iterates over one
+# shared persisted kNN edge frame; the payload-decoding queries read
+# one shared persisted media frame), then ALL 22 rows whose latest
+# driver gate is r05 (the r10 verdict's item #4: the promised r05
+# tail leads), then the r06 block in name order. r06 rows that do not
+# fit lead the r12 stale block; full-registry parity is additionally
+# checked every round by tools/check_oracle.py at sf0.001/0.01/0.1
+# (CHECK_ORACLE_r11*.json).
 _R11_ADDITIONS: list[str] = [
     k
     for k in _rotation.R11_ADDITION_NAMES

@@ -338,6 +338,10 @@ R11_ADDITION_NAMES: list[str] = [
     # twin (stateful.incremental_setsim_batch) vs a from-scratch
     # DuckDB recomputation of the verified near-dup pairs
     "dedup_setsim_stream",
+    # new in round 11, batch 2: the same replay recipe for the exact-
+    # dedup twin (stateful.incremental_dedup_batch) vs the oracle's
+    # arrival-order survivor recomputation
+    "dedup_incremental_stream",
     # OUTPUT changed in round 11 (palette arm in the PNG payload
     # cycle: PLTE chunk + indexed scanlines; pixel sums now go
     # through the real table lookup on both engines)

@@ -1595,3 +1595,69 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(COALESCE(sum(n_a + n_b), 0) AS BIGINT) AS sum_sizes
 FROM ver
 """
+
+
+def q_dedup_incremental_stream(spark, sf_dir):
+    """The STREAMING exact-dedup twin, driver-gated (the
+    dedup_setsim_stream recipe): replay the documents table as a
+    deterministic 3-batch feed (doc_id % 3) through
+    ``stateful.incremental_dedup_batch`` — md5 fingerprints, persistent
+    fp store, anti-join against the full historical corpus, first id
+    wins within a batch — and report each batch's survivors as
+    (batch, n_kept, sum_ids, n_chars). The oracle recomputes the
+    survivor set from scratch: a doc survives iff it is the
+    (batch, doc_id)-minimal document of its fingerprint over the whole
+    feed, which is exactly the twin's arrival-order semantics. The
+    emitted frames are localCheckpointed by the twin, so the temporary
+    fingerprint store is deleted before returning."""
+    import shutil
+    import tempfile
+
+    from ..stateful import incremental_dedup_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="dedup_stream_")
+    outs = []
+    try:
+        fn = incremental_dedup_batch(
+            store,
+            sink=lambda df, bid: outs.append(
+                df.withColumn("batch", F.lit(bid).cast("bigint"))
+            ),
+        )
+        for i in range(3):
+            fn(docs.filter(F.col("doc_id") % 3 == i), i)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    survivors = outs[0]
+    for o in outs[1:]:
+        survivors = survivors.unionByName(o)
+    return survivors.groupBy("batch").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+
+
+QUERIES["dedup_incremental_stream"] = q_dedup_incremental_stream
+
+# survivor = the (batch, doc_id)-minimal doc of its md5 fingerprint over
+# the whole feed; batches are doc_id % 3 in order, first id wins within
+# a batch — the twin's arrival-order semantics recomputed from scratch
+ORACLES["dedup_incremental_stream"] = """
+WITH fp AS (
+  SELECT doc_id, text, doc_id % 3 AS batch, md5(text) AS f
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, text, batch,
+         row_number() OVER (PARTITION BY f ORDER BY batch, doc_id) AS rn
+  FROM fp
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+GROUP BY batch
+"""

@@ -173,11 +173,11 @@ PROBE_QUERIES = [
     # round 10: real ISO-BMFF box walk (one mapInPandas pass,
     # O(payload bytes) per row, no join)
     "multimodal_video_frames",
-    # round 11: the streaming setsim twin's replay slot — 3 micro-
-    # batches through incremental_setsim_batch including its parquet
-    # state stores, so the probe measures store growth + the per-batch
-    # candidate join, not just a stateless plan
-    "dedup_setsim_stream",
+    # round 11: the streaming twins' replay slots — 3 micro-batches
+    # through incremental_setsim_batch / incremental_dedup_batch
+    # including their parquet state stores, so the probe measures
+    # store growth + the per-batch joins, not just a stateless plan
+    "dedup_setsim_stream", "dedup_incremental_stream",
 ]
 
 # the r4 probe's three worst linear constants (9.3x / 7.2x / 5.6x at
