@@ -28,6 +28,7 @@ import os
 import signal
 import sys
 import time
+import uuid
 
 from .casting import TableMeta
 from .config import EngineConfig
@@ -104,9 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
             "read a (doc_id, text) JSONL stream from --source-dir, run "
             "each micro-batch through the incremental prefix-filter "
             "set-similarity twin (stateful.incremental_setsim_batch) "
-            "against the full historical corpus, and append every "
-            "emitted pair frame to WORK_DIR/setsim_pairs/batch=<id> "
-            "(at-least-once per batch id — dedupe downstream by batch)"
+            "against the full historical corpus, and write every "
+            "emitted pair frame to WORK_DIR/setsim_pairs/"
+            "run=<run>/batch=<id> (at-least-once across runs — "
+            "dedupe downstream by pair)"
         ),
     )
     p.add_argument(
@@ -155,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
 
     # -- single-writer lock (W7): standby loop at 5 s like the reference
     locker = None
+    renewer = None
+    # on_lost runs from the renewal thread, possibly before the query
+    # handle exists — hand it the query through a mutable cell
+    lock_lost: dict = {"flag": False, "query": None}
     if cfg.multiple_instances_mode:
         from .locker import Locker, LockStorage
 
@@ -167,6 +173,23 @@ def main(argv: list[str] | None = None) -> int:
                 return 3
             print("standby: lock held elsewhere, re-checking", file=sys.stderr)
             time.sleep(LOCK_CHECK_INTERVAL)
+
+        def _on_lock_lost():
+            # the lock was stolen (or storage broke): we can no longer
+            # prove single-writer ownership — stop writing immediately
+            lock_lost["flag"] = True
+            print("instance lock LOST: stopping the stream", file=sys.stderr)
+            q = lock_lost["query"]
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+
+        # half-TTL renewal (locker_thread.go): without it any run
+        # longer than one TTL silently loses the lock to a standby and
+        # two writers share the state stores (r11 ADVICE)
+        renewer = locker.start_renewal(on_lost=_on_lock_lost)
 
     from .sources import read_file_stream
     from .streaming import ReplicationEngine
@@ -190,12 +213,20 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         store = os.path.join(work_dir, "setsim_store")
         pairs_dir = os.path.join(work_dir, "setsim_pairs")
+        run_id = uuid.uuid4().hex[:12]
 
         def emit(df, batch_id):
-            # per-batch overwrite: idempotent under foreachBatch replay,
-            # same contract as the twin's own state stores
+            # keyed by run id + batch id (r11 ADVICE): a restart with a
+            # fresh checkpoint restarts batch ids at 0, and without the
+            # run key its batch=0 overwrite would wipe the prior run's
+            # committed pairs. Within a run the per-batch overwrite is
+            # idempotent under foreachBatch retry; across runs delivery
+            # is at-least-once — dedupe downstream by (id_a, id_b).
+            # A fully-replayed batch never reaches this sink at all
+            # (incremental_setsim_batch returns early), so an empty
+            # replay frame can't wipe a committed batch either.
             df.write.mode("overwrite").parquet(
-                f"{pairs_dir}/batch={batch_id}"
+                f"{pairs_dir}/run={run_id}/batch={batch_id}"
             )
 
         fn = incremental_setsim_batch(
@@ -214,12 +245,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.available_now:
                 q = writer.trigger(availableNow=True).start()
-                q.awaitTermination()
             else:
                 q = writer.start()
-                q.awaitTermination()
+            lock_lost["query"] = q
+            q.awaitTermination()
+            if lock_lost["flag"]:
+                print("stopped: instance lock lost mid-run", file=sys.stderr)
+                return 4
             return 0
         finally:
+            if renewer is not None:
+                renewer.stop()
             if locker is not None:
                 locker.release()
 
@@ -294,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
             source = read_file_stream(spark, source_dir)
 
         q = engine.run_stream(source, ckpt, available_now=args.available_now)
+        lock_lost["query"] = q
 
         stopping = {"flag": False}
 
@@ -333,8 +370,13 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        if lock_lost["flag"]:
+            print("stopped: instance lock lost mid-run", file=sys.stderr)
+            return 4
         return 0
     finally:
+        if renewer is not None:
+            renewer.stop()
         if locker is not None:
             locker.release()
 

@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import socket
+import threading
 import time
 import uuid
 
@@ -148,6 +149,18 @@ class Locker:
             self.owner, {"lock_owner": "", "lock_deadline": 0}
         )
 
+    def start_renewal(self, on_lost=None) -> "LockRenewer":
+        """Start the half-TTL renewal thread (locker_thread.go:12-116
+        renews before expiry for exactly this reason): without renewal
+        any holder running longer than one TTL silently loses the lock
+        to a standby and the 'single-writer' guarantee becomes two
+        concurrent writers (r11 ADVICE). ``on_lost`` fires once, from
+        the renewal thread, if a renew fails — the holder must stop
+        writing (e.g. stop its streaming query)."""
+        renewer = LockRenewer(self, on_lost=on_lost)
+        renewer.start()
+        return renewer
+
     def wait_acquire(self, check_interval: float = 5.0, timeout: float | None = None) -> bool:
         """Standby loop: poll until acquired (5 s default interval,
         defaultLockCheckInterval main.go:38)."""
@@ -158,3 +171,47 @@ class Locker:
             if deadline is not None and time.time() >= deadline:
                 return False
             time.sleep(check_interval)
+
+
+class LockRenewer:
+    """Daemon thread renewing a held Locker at half-TTL.
+
+    Mirrors the reference's locker thread: renew strictly before the
+    deadline so a live holder never expires (locker_thread.go:12-116);
+    a failed renew means the lock was stolen (or storage broke) — the
+    thread fires ``on_lost`` once and exits, and ``lost`` flips True so
+    pollers can check. ``stop()`` is idempotent and joins the thread."""
+
+    def __init__(self, locker: Locker, on_lost=None):
+        self.locker = locker
+        self.on_lost = on_lost
+        self.lost = False
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="aardappel-lock-renewer", daemon=True
+        )
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def _run(self) -> None:
+        interval = self.locker.ttl / 2.0
+        while not self._stop.wait(interval):
+            ok = False
+            try:
+                ok = self.locker.renew()
+            except OSError:
+                ok = False  # storage hiccup = can't prove ownership
+            if not ok and not self._stop.is_set():
+                self.lost = True
+                if self.on_lost is not None:
+                    try:
+                        self.on_lost()
+                    except Exception:
+                        pass  # on_lost must never kill the thread exit
+                return
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=self.locker.ttl)

@@ -387,7 +387,14 @@ def _decode_mp4(p: bytes) -> dict:
         (t for t in traks if _trak_hdlr(*t) == b"vide"),
         None,
     ) or next(
-        (t for t in traks if (_trak_dims(*t) or (0, 0)) > (0, 0)),
+        # BOTH dims must be positive: tuple ordering would rank a
+        # degenerate (0, h) track as "has dimensions" and shadow a
+        # later genuine video track (r11 ADVICE)
+        (
+            t
+            for t in traks
+            if (d := _trak_dims(*t)) is not None and d[0] > 0 and d[1] > 0
+        ),
         None,
     ) or traks[0]
     ts_, te = chosen

@@ -30,6 +30,51 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _read_store_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a parquet state store, treating ONLY 'no committed data'
+    as 'first batch / empty corpus': a missing path (PATH_NOT_FOUND)
+    or a directory with no parquet footers (UNABLE_TO_INFER_SCHEMA —
+    e.g. a pre-created store dir, or an orphaned ``_temporary`` from a
+    write that crashed before commit; by the store protocol every
+    committed batch leaves at least one footer, so no-footers really
+    is no-history). Every OTHER error re-raises — corrupt footers
+    (SparkException), a half-migrated mixed store layout
+    (CONFLICTING_PARTITION_COLUMN_NAMES, a SparkRuntimeException in
+    Spark 4), any other AnalysisException: swallowing one would
+    silently forget all history, re-admit duplicates, and drop
+    detections (r10+r11 ADVICE; the r10 narrowing from bare ``except``
+    was still too broad)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            cond is None
+            and (
+                "[PATH_NOT_FOUND]" in str(e)
+                or "[UNABLE_TO_INFER_SCHEMA]" in str(e)
+            )
+        ):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def _read_store_buckets(spark, path: str, schema: str, buckets) -> DataFrame:
+    """Bucket-pruned state-store read: the filter on the hive
+    partition column ``bucket`` is applied to the bare scan, before
+    any projection, so Spark partition-discovers ``batch=<id>/
+    bucket=<b>`` and prunes the listing to matching bucket
+    directories — the scan (and everything shuffled downstream)
+    covers the matching buckets, not the whole store (r11 verdict #4;
+    a plan test asserts ``inputFiles()`` stays inside the requested
+    buckets). An empty bucket list reads nothing."""
+    from pyspark.sql import functions as F
+
+    df = _read_store_or_empty(spark, path, schema)
+    bks = sorted(set(buckets))
+    return df.filter(F.col("bucket").isin(bks) if bks else F.lit(False))
+
+
 LWW_OUTPUT_SCHEMA = StructType(
     [
         StructField("key", StringType(), False),
@@ -767,14 +812,11 @@ def incremental_dedup_batch(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            store = spark.read.parquet(store_path).select("fp")
-        except AnalysisException:
-            # first batch: the store does not exist yet. ONLY the
-            # missing-path case may mean "empty corpus" — a corrupt
-            # store file or transient FS error must propagate, not
-            # silently forget all history (r10 ADVICE)
-            store = spark.createDataFrame([], "fp string")
+        # missing path = first batch; any other read error propagates
+        # (r10/r11 ADVICE: silently forgetting history re-admits dups)
+        store = _read_store_or_empty(spark, store_path, "fp string").select(
+            "fp"
+        )
         fresh = batch.join(
             store, batch["_fp"] == store["fp"], "left_anti"
         ).localCheckpoint()  # pin survivors BEFORE the store grows
@@ -796,6 +838,7 @@ def incremental_setsim_batch(
     text_col: str = "text",
     sink=None,
     guard_max_candidates: int | None = None,
+    n_buckets: int = 16,
 ):
     """foreachBatch factory for STREAMING prefix-filter set-similarity
     dedup — the incremental twin of ``ops.dedup.setsim_prefix_pairs``
@@ -831,17 +874,30 @@ def incremental_setsim_batch(
     under replay — a crash between the two writes can never leave
     permanently duplicated postings rows (r10 ADVICE). Re-delivered
     docs (any batch id) are anti-joined away against ``sets/`` before
-    anything else, and a fully-replayed batch skips the store writes
-    entirely. The sink fires BEFORE the stores grow, so pair delivery
-    is AT-LEAST-ONCE per batch_id: a crash between the sink call and
-    the store writes re-emits that batch's pairs on replay — dedupe
-    downstream by batch_id (the standard foreachBatch contract);
-    ordering the writes the other way would LOSE pairs on the
-    mirror-image crash, which is worse for a dedup screen. At 100 TB
-    both stores can be bucketed (postings by tok, sets by id) so the
-    candidate and verify joins co-locate; per batch the shuffled data
-    is the micro-batch's own postings plus matched store postings, not
-    the corpus.
+    anything else, and a FULLY-replayed (or tokenless) batch returns
+    early — neither the sink nor the store writes run, so a replayed
+    batch can never hand the sink an empty frame that an
+    overwrite-by-batch sink would use to wipe the batch's committed
+    output (r11 ADVICE). The sink fires BEFORE the stores grow, so
+    pair delivery is AT-LEAST-ONCE per batch_id: a crash between the
+    sink call and the store writes re-emits that batch's pairs on
+    replay — dedupe downstream by batch_id (the standard foreachBatch
+    contract); ordering the writes the other way would LOSE pairs on
+    the mirror-image crash, which is worse for a dedup screen.
+
+    BUCKETED store layout (r11 verdict #4 — store format v2,
+    incompatible with pre-r12 flat stores, which fail fast on the
+    missing ``bucket`` partition column rather than being silently
+    misread): both stores are hive-partitioned
+    ``batch=<id>/bucket=<b>`` with ``n_buckets`` buckets — postings by
+    ``pmod(xxhash64(tok), n_buckets)``, sets by
+    ``pmod(xxhash64(id), n_buckets)``. The candidate join reads ONLY
+    the postings buckets the micro-batch's own prefix tokens hash to,
+    and the replay anti-join reads ONLY the sets buckets the batch's
+    doc ids hash to (partition pruning at the scan — asserted by a
+    plan test), so per batch the scanned+shuffled history is the
+    matching buckets, not the corpus; at 100 TB the shared bucket
+    function also co-locates candidate and verify joins.
 
     Emits to ``sink(df, batch_id)`` the same shape as the batch kernel:
     (id_a, id_b, n_a, n_b, n_inter, verified) with id_a < id_b,
@@ -861,26 +917,34 @@ def incremental_setsim_batch(
 
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col])
-        try:
-            old_sets = spark.read.parquet(sets_path).select("id", "toks", "n")
-        except AnalysisException:
-            # missing path = first batch; anything else propagates
-            # (r10 ADVICE: swallowing a real read error here would
-            # re-admit historical docs and silently drop detections)
-            old_sets = spark.createDataFrame(
-                [], "id long, toks array<string>, n long"
+        # missing path = first batch; anything else propagates
+        # (r10/r11 ADVICE: swallowing a real read error here would
+        # re-admit historical docs and silently drop detections)
+        old_sets_full = _read_store_or_empty(
+            spark, sets_path,
+            "id long, toks array<string>, n long, bucket int",
+        )
+        old_sets = old_sets_full.select("id", "toks", "n")
+        # replay idempotence: a re-delivered doc is already corpus.
+        # The anti-join reads ONLY the sets buckets this batch's doc
+        # ids hash to — a replayed id is always in its own bucket, so
+        # the prune is exact and the scan skips the rest of history.
+        id_bks = [
+            r.bucket
+            for r in batch.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+                .cast("int")
+                .alias("bucket")
             )
-        try:
-            old_post = spark.read.parquet(post_path).select(
-                "tok", "id", "n", "rn"
-            )
-        except AnalysisException:
-            old_post = spark.createDataFrame(
-                [], "tok string, id long, n long, rn long"
-            )
-        # replay idempotence: a re-delivered doc is already corpus
+            .distinct()
+            .collect()
+        ]
+        replay_sets = _read_store_buckets(
+            spark, sets_path,
+            "id long, toks array<string>, n long, bucket int", id_bks,
+        )
         batch = batch.join(
-            old_sets.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            replay_sets.select(F.col("id").alias(id_col)), id_col, "left_anti"
         )
         # fixed-universal-order sorted token frame: struct(md5, tok)
         # sorts by hash then token, the twin's canonical order
@@ -909,10 +973,33 @@ def incremental_setsim_batch(
             "n",
             (F.col("_pos") + 1).cast("bigint").alias("rn"),
             F.col("_s.tok").alias("tok"),
+            F.pmod(F.xxhash64(F.col("_s.tok")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
         ).localCheckpoint()
-        all_post = old_post.unionByName(new_post)
-        # per-batch degenerate-regime guard: join output bound
         n_new = ranked.count()
+        if n_new == 0:
+            # fully-replayed (or tokenless) batch: everything it could
+            # contribute is already committed. Do NOT call the sink —
+            # an overwrite-by-batch sink handed an empty frame here
+            # would wipe the batch's committed output (r11 ADVICE) —
+            # and do not touch the stores.
+            return
+        # candidate join reads ONLY the postings buckets this batch's
+        # prefix tokens hash to: a shared token lands in the same
+        # bucket on both sides, so the prune is exact and the scan
+        # (hence the shuffle) covers matching buckets, not the corpus
+        tok_bks = [
+            r.bucket for r in new_post.select("bucket").distinct().collect()
+        ]
+        old_post = _read_store_buckets(
+            spark, post_path,
+            "tok string, id long, n long, rn long, bucket int", tok_bks,
+        ).select("tok", "id", "n", "rn")
+        all_post = old_post.unionByName(
+            new_post.select("tok", "id", "n", "rn")
+        )
+        # per-batch degenerate-regime guard: join output bound
         n_corpus = old_sets.count() + n_new
         bound = (
             guard_max_candidates
@@ -962,8 +1049,11 @@ def incremental_setsim_batch(
             F.col("_id").alias("id"),
             F.expr("transform(_st, s -> s.tok)").alias("toks"),
             F.col("_n").alias("n"),
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
         ).localCheckpoint()
-        sets = old_sets.unionByName(new_sets)
+        sets = old_sets.unionByName(new_sets.select("id", "toks", "n"))
         out = (
             cand.join(
                 sets.select(
@@ -1002,16 +1092,17 @@ def incremental_setsim_batch(
         # FIRST, so delivery is at-least-once per batch_id (losing
         # pairs would be worse for a dedup screen than re-emitting
         # them; dedupe downstream by batch_id, the standard
-        # foreachBatch contract). A fully-replayed batch is empty
-        # after the sets/ anti-join — skip the writes then, or the
-        # overwrite would wipe the batch's already-committed rows.
-        if n_new > 0:
-            new_post.write.mode("overwrite").parquet(
-                f"{post_path}/batch={batch_id}"
-            )
-            new_sets.write.mode("overwrite").parquet(
-                f"{sets_path}/batch={batch_id}"
-            )
+        # foreachBatch contract). A fully-replayed batch returned
+        # early above, BEFORE the sink — so a replay can neither wipe
+        # these store rows nor hand an overwrite-by-batch sink an
+        # empty frame (r11 ADVICE). Bucket subdirs under each batch
+        # make the next batches' candidate/anti-join scans prunable.
+        new_post.write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{post_path}/batch={batch_id}"
+        )
+        new_sets.write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{sets_path}/batch={batch_id}"
+        )
 
     return fn
 

@@ -469,6 +469,15 @@ def test_cli_setsim_dedup_mode_end_to_end(spark, tmp_path):
     }
     new_pairs = got2 - emitted
     assert new_pairs and all(6 in p for p in new_pairs)
+    # r11 ADVICE (high): run 2 restarted batch ids at 0 (fresh
+    # checkpoint) — without run-keyed output its batch=0 write would
+    # have WIPED run 1's committed pairs. They must all survive.
+    assert emitted <= got2, got2
+    runs = [
+        d for d in os.listdir(os.path.join(work, "setsim_pairs"))
+        if d.startswith("run=")
+    ]
+    assert len(runs) == 2, runs
 
 
 def test_cli_setsim_rejects_bad_tau_and_missing_metas(tmp_path, capsys):

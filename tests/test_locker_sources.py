@@ -276,3 +276,88 @@ def test_ts_unit_guard_handles_directory_datasets(spark, tmp_path):
         [(nanos_2024, 1), (nanos_2024 + 5000, 2)], "ts long, event_id long"
     ).repartition(2).write.parquet(str(good / "events.parquet"))
     assert load_events_ns(spark, str(good)).count() == 2
+
+
+def test_lock_renewal_thread_keeps_lock_beyond_ttl(tmp_path):
+    """r11 ADVICE (medium): without a renewal thread any holder
+    running longer than one TTL silently loses the lock to a standby —
+    two concurrent writers. The half-TTL renewer (locker_thread.go)
+    must keep the lock held indefinitely, and stopping it must let the
+    lock expire normally."""
+    path = str(tmp_path / "lock.json")
+    a = Locker(LockStorage(path), ttl_seconds=0.6)
+    assert a.try_acquire()
+    renewer = a.start_renewal()
+    b = Locker(LockStorage(path), ttl_seconds=0.6)
+    deadline = time.time() + 1.8  # 3x TTL: unrenewed, b would win
+    while time.time() < deadline:
+        assert not b.try_acquire(), "renewed lock was stolen"
+        time.sleep(0.15)
+    assert not renewer.lost
+    renewer.stop()
+    time.sleep(1.0)  # > TTL after the last renewal
+    assert b.try_acquire()
+
+
+def test_lock_renewal_fires_on_lost_and_stops_writing(tmp_path):
+    """A failed renew means the lock was stolen: the renewer must fire
+    on_lost exactly once, flip .lost, and exit — the holder's callback
+    is what stops the stream."""
+    path = str(tmp_path / "lock.json")
+    a = Locker(LockStorage(path), ttl_seconds=0.4)
+    assert a.try_acquire()
+    events = []
+    renewer = a.start_renewal(on_lost=lambda: events.append("lost"))
+    # simulate a steal: another owner overwrites the lock row directly
+    with open(path, "w") as f:
+        json.dump(
+            {"lock_owner": "lock_intruder", "lock_deadline": time.time() + 99},
+            f,
+        )
+    deadline = time.time() + 3.0
+    while not renewer.lost and time.time() < deadline:
+        time.sleep(0.05)
+    assert renewer.lost and events == ["lost"]
+    time.sleep(0.5)  # the thread exited; on_lost never fires again
+    assert events == ["lost"]
+    renewer.stop()  # idempotent after self-exit
+
+
+def test_scale_probe_flush_merges_never_clobbers(tmp_path, monkeypatch):
+    """r11 verdict #6: a SCALE_PROBE_ONLY subset run (or an aborted
+    full run) flushing partial results must MERGE into the committed
+    artifact — committed rows, and committed keys within a re-probed
+    row, provably survive."""
+    import tools.scale_probe as sp
+
+    art = tmp_path / "SCALE_PROBE.json"
+    committed = {
+        "n": 10,
+        "queries": {
+            "tpch_q1": {"t_x1_sec": 1.0, "t_x10_sec": 9.0, "ratio": 9.0,
+                        "t_x100_dialed_sec": 80.0},
+            "cdc_apply": {"t_x1_sec": 0.5, "t_x10_sec": 4.0},
+        },
+    }
+    art.write_text(json.dumps(committed))
+
+    def fake_path(*parts):
+        return str(art)
+
+    monkeypatch.setattr(
+        sp.os.path, "join",
+        lambda *p: str(art) if p and p[-1] == "SCALE_PROBE.json"
+        else os.path.join(*p),
+    )
+    # subset run: re-probes ONLY tpch_q1's x10 legs, nothing else
+    sp._flush_results(
+        {"n": 10, "queries": {"tpch_q1": {"t_x1_sec": 1.1,
+                                          "t_x10_sec": 9.5, "ratio": 8.6}}}
+    )
+    merged = json.loads(art.read_text())
+    # the un-probed committed row survives untouched
+    assert merged["queries"]["cdc_apply"] == committed["queries"]["cdc_apply"]
+    # the re-probed row keeps its committed dialed leg and takes the
+    # fresh x10 measurements
+    q1 = merged["queries"]["tpch_q1"]
+    assert q1["t_x100_dialed_sec"] == 80.0 and q1["t_x10_sec"] == 9.5

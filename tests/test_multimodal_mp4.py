@@ -147,6 +147,14 @@ def test_mp4_multitrack_picks_the_vide_trak():
     d3 = _decode_mp4(p3)
     assert (d3["width"], d3["height"], d3["n_samples"]) == (0, 0, 9999)
 
+    # r11 ADVICE: a degenerate (0, h) track must NOT shadow a later
+    # genuine track — tuple ordering ranked (0, 240) > (0, 0)
+    degenerate = _trak(0, 240, 5, b"text")
+    real = _trak(320, 200, 11, b"text")
+    p4 = ftyp + _box(b"moov", _mvhd(1000, 5000) + degenerate + real)
+    d4 = _decode_mp4(p4)
+    assert (d4["width"], d4["height"], d4["n_samples"]) == (320, 200, 11)
+
 
 def test_mp4_empty_box_payloads_raise_valueerror():
     """r10 ADVICE: an mvhd/tkhd box with an EMPTY payload at the end of

@@ -1965,3 +1965,142 @@ def test_incremental_setsim_guard_refuses_degenerate_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="degenerate token space"):
         fn(df, 0)
+
+
+def test_incremental_setsim_fully_replayed_batch_never_reaches_sink(
+    spark, tmp_path
+):
+    """r11 ADVICE (high): a replay of a COMMITTED batch must not call
+    the sink AT ALL — an overwrite-by-batch sink handed an empty frame
+    (under the original batch id, or under a restarted id after a
+    fresh checkpoint) would wipe the batch's committed output — and
+    must leave the stores untouched."""
+    from aardappel_spark.stateful import incremental_setsim_batch
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "pack my box with five dozen brown liquor jugs"),
+        (4, "pack my box with five dozen brown liquor jugs"),
+    ]
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    calls = []
+    fn = incremental_setsim_batch(
+        store, tau_num=1, tau_den=2, shingle=2,
+        sink=lambda df, bid: calls.append((bid, df.count())),
+    )
+    fn(batch, 0)
+    assert calls and calls[0][0] == 0 and calls[0][1] > 0
+    post_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{store}/postings") for f in fs
+    )
+
+    # replay under the SAME id (foreachBatch retry) and under a NEW id
+    # (fresh-checkpoint restart): the sink must not fire again, and the
+    # store must not gain batch directories
+    n_calls = len(calls)
+    fn(batch, 0)
+    fn(batch, 7)
+    assert len(calls) == n_calls
+    assert sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{store}/postings") for f in fs
+    ) == post_files
+    assert not os.path.exists(f"{store}/postings/batch=7")
+
+    # an EMPTY source batch is also a no-op, not an empty sink call
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    fn(empty, 8)
+    assert len(calls) == n_calls
+
+
+def test_setsim_store_bucketed_and_candidate_scan_prunes(spark, tmp_path):
+    """r11 verdict #4: both state stores are hive-partitioned
+    batch=<id>/bucket=<b> (postings by xxhash64(tok), sets by
+    xxhash64(id)), and the bucket-pruned read the candidate/anti-joins
+    use actually scans ONLY matching bucket directories — asserted on
+    input_file_name(), the runtime truth of what the scan read."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.stateful import (
+        _read_store_buckets,
+        incremental_setsim_batch,
+    )
+
+    docs = [
+        (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h")
+        for i in range(48)
+    ]
+    store = str(tmp_path / "store")
+    fn = incremental_setsim_batch(
+        store, tau_num=4, tau_den=5, shingle=1, sink=lambda df, bid: None
+    )
+    fn(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+
+    post = f"{store}/postings"
+    bucket_dirs = sorted(os.listdir(f"{post}/batch=0"))
+    bucket_dirs = [d for d in bucket_dirs if d.startswith("bucket=")]
+    assert len(bucket_dirs) >= 2, bucket_dirs  # diverse tokens spread out
+    sets_dirs = [
+        d for d in os.listdir(f"{store}/sets/batch=0")
+        if d.startswith("bucket=")
+    ]
+    assert len(sets_dirs) >= 2, sets_dirs
+
+    schema = "tok string, id long, n long, rn long, bucket int"
+    want = int(bucket_dirs[0].split("=")[1])
+    pruned = _read_store_buckets(spark, post, schema, [want])
+    read_files = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and all(f"/bucket={want}/" in f for f in read_files)
+    full_files = {
+        r[0]
+        for r in spark.read.parquet(post)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert len(full_files) > len(read_files)
+    # pruned frame's rows really are the requested bucket only
+    assert {
+        r.bucket for r in pruned.select("bucket").distinct().collect()
+    } == {want}
+    # empty bucket list = read nothing (first-batch shape)
+    assert _read_store_buckets(spark, post, schema, []).count() == 0
+
+
+def test_read_store_or_empty_only_swallows_no_committed_data(
+    spark, tmp_path
+):
+    """r11 ADVICE (medium): only 'no committed data' may mean 'first
+    batch / empty corpus' — a missing path, or a dir with no parquet
+    footers (pre-created store dir / orphaned _temporary: by the store
+    protocol every committed batch leaves a footer). A half-migrated
+    MIXED store layout (flat batch dirs alongside bucketed ones) must
+    re-raise instead of silently forgetting all history."""
+    from aardappel_spark.stateful import _read_store_or_empty
+
+    missing = str(tmp_path / "never_written")
+    df = _read_store_or_empty(spark, missing, "fp string")
+    assert df.count() == 0 and df.columns == ["fp"]
+
+    # pre-created empty dir (tempfile.mkdtemp pattern) = empty corpus
+    pre_created = str(tmp_path / "pre_created")
+    os.makedirs(pre_created)
+    assert _read_store_or_empty(spark, pre_created, "fp string").count() == 0
+
+    # orphaned _temporary from a crashed uncommitted write = empty too
+    orphaned = str(tmp_path / "orphaned")
+    os.makedirs(f"{orphaned}/batch=0/_temporary/0")
+    assert _read_store_or_empty(spark, orphaned, "fp string").count() == 0
+
+    # legacy flat batch dirs MIXED with bucketed ones: partition
+    # discovery conflict — must propagate (re-admitting history's
+    # duplicates would be silent wrongness)
+    mixed = str(tmp_path / "mixed")
+    spark.range(3).write.parquet(f"{mixed}/batch=0/bucket=1")
+    spark.range(3).write.parquet(f"{mixed}/batch=1")
+    with pytest.raises(Exception, match="CONFLICTING_PARTITION"):
+        _read_store_or_empty(spark, mixed, "fp string").count()

@@ -813,17 +813,36 @@ def main() -> None:
 
 
 def _flush_results(results: dict) -> None:
-    """Write the artifact atomically NOW — called at section boundaries
-    so a crash in any later section loses at most that section, never
-    the whole run (the r9 first run measured everything and then died
-    writing nothing: the dump only lived at the end of main)."""
+    """MERGE-write the artifact atomically NOW — called at section
+    boundaries so a crash in any later section loses at most that
+    section, never the whole run (the r9 first run measured everything
+    and then died writing nothing: the dump only lived at the end of
+    main). The write MERGES this run's per-query rows over the
+    committed artifact's rows instead of replacing the file wholesale:
+    an aborted or SCALE_PROBE_ONLY subset run can update only the rows
+    it actually probed and provably cannot lose committed rows (r11
+    verdict #6 — an aborted subset run once clobbered the 100-row
+    artifact down to its subset; restored from git in 6a08bbb)."""
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
     )
+    merged = dict(results)
+    try:
+        with open(path) as fh:
+            committed = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        committed = {}
+    if isinstance(committed.get("queries"), dict):
+        qs = {k: dict(v) for k, v in committed["queries"].items()}
+        for name, row in results.get("queries", {}).items():
+            # per-ROW merge too: a subset run that re-measures only the
+            # x10 legs must not drop the committed row's dialed-x100 legs
+            qs.setdefault(name, {}).update(row)
+        merged["queries"] = qs
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(merged, fh, indent=1)
         fh.write("\n")
     os.replace(tmp, path)
 
