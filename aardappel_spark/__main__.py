@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help=(
             "JSON sidecar: dst_table -> {primary_key, columns, schema} "
-            "(required for CDC replication; unused with --setsim-dedup)"
+            "(required for CDC replication; unused with --setsim-dedup "
+            "and --dedup-exact)"
         ),
     )
     p.add_argument(
@@ -123,6 +124,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="word-shingle width for the token sets (default 4)",
     )
     p.add_argument(
+        "--dedup-exact",
+        action="store_true",
+        help=(
+            "streaming EXACT-dedup mode instead of CDC replication: "
+            "read a (doc_id, text) JSONL stream from --source-dir, drop "
+            "every document whose md5 fingerprint already exists in the "
+            "persistent store (stateful.incremental_dedup_batch), and "
+            "write each batch's surviving documents to "
+            "WORK_DIR/dedup_survivors/run=<run>/batch=<id> "
+            "(at-least-once across runs — dedupe downstream by doc_id)"
+        ),
+    )
+    p.add_argument(
         "--compact-and-exit",
         action="store_true",
         help=(
@@ -138,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = EngineConfig.load(args.config)
-    if not args.setsim_dedup and not args.table_metas:
+    if not (args.setsim_dedup or args.dedup_exact) and not args.table_metas:
         print("--table-metas is required for CDC replication", file=sys.stderr)
         return 2
     metas = load_table_metas(args.table_metas) if args.table_metas else {}
@@ -194,6 +208,67 @@ def main(argv: list[str] | None = None) -> int:
     from .sources import read_file_stream
     from .streaming import ReplicationEngine
 
+    def run_doc_stream(fn) -> int:
+        # shared plumbing for the document-stream dedup modes: a
+        # (doc_id, text) JSONL stream through a foreachBatch kernel,
+        # stopping on lock loss (exit 4)
+        try:
+            source = spark.readStream.schema("doc_id long, text string").json(
+                source_dir
+            )
+            writer = source.writeStream.foreachBatch(fn).option(
+                "checkpointLocation", ckpt
+            )
+            if args.available_now:
+                q = writer.trigger(availableNow=True).start()
+            else:
+                q = writer.start()
+            lock_lost["query"] = q
+            q.awaitTermination()
+            if lock_lost["flag"]:
+                print("stopped: instance lock lost mid-run", file=sys.stderr)
+                return 4
+            return 0
+        finally:
+            if renewer is not None:
+                renewer.stop()
+            if locker is not None:
+                locker.release()
+
+    if args.setsim_dedup and args.dedup_exact:
+        print("--setsim-dedup and --dedup-exact are mutually exclusive",
+              file=sys.stderr)
+        return 2
+
+    if args.dedup_exact:
+        # streaming exact-dedup mode (r11 verdict #7): the incremental
+        # fingerprint twin, end-to-end drivable, sharing the setsim
+        # plumbing. The instance lock + renewal above keep the
+        # fingerprint store single-writer.
+        from .stateful import incremental_dedup_batch
+
+        store = os.path.join(work_dir, "dedup_store")
+        surv_dir = os.path.join(work_dir, "dedup_survivors")
+        run_id = uuid.uuid4().hex[:12]
+
+        def emit_survivors(df, batch_id):
+            # run-keyed like the setsim sink. Unlike the setsim twin,
+            # incremental_dedup_batch DOES call the sink with an empty
+            # frame on a full replay (an all-duplicates batch is a
+            # legitimate empty emit) — so additionally skip the
+            # overwrite when the frame is empty AND the batch directory
+            # already exists: a foreachBatch retry after the store
+            # append must not wipe the attempt's committed survivors
+            # (the r11 ADVICE pattern).
+            target = f"{surv_dir}/run={run_id}/batch={batch_id}"
+            if df.isEmpty() and os.path.exists(target):
+                return
+            df.write.mode("overwrite").parquet(target)
+
+        return run_doc_stream(
+            incremental_dedup_batch(store, sink=emit_survivors)
+        )
+
     if args.setsim_dedup:
         # streaming dedup mode (r10 verdict #8): the incremental
         # prefix-filter set-similarity twin, end-to-end drivable. The
@@ -229,35 +304,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"{pairs_dir}/run={run_id}/batch={batch_id}"
             )
 
-        fn = incremental_setsim_batch(
-            store,
-            tau_num=num,
-            tau_den=den,
-            shingle=args.setsim_shingle,
-            sink=emit,
+        return run_doc_stream(
+            incremental_setsim_batch(
+                store,
+                tau_num=num,
+                tau_den=den,
+                shingle=args.setsim_shingle,
+                sink=emit,
+            )
         )
-        try:
-            source = spark.readStream.schema("doc_id long, text string").json(
-                source_dir
-            )
-            writer = source.writeStream.foreachBatch(fn).option(
-                "checkpointLocation", ckpt
-            )
-            if args.available_now:
-                q = writer.trigger(availableNow=True).start()
-            else:
-                q = writer.start()
-            lock_lost["query"] = q
-            q.awaitTermination()
-            if lock_lost["flag"]:
-                print("stopped: instance lock lost mid-run", file=sys.stderr)
-                return 4
-            return 0
-        finally:
-            if renewer is not None:
-                renewer.stop()
-            if locker is not None:
-                locker.release()
 
     try:
         engine = ReplicationEngine.from_config(

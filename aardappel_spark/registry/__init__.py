@@ -32,34 +32,42 @@ for _m in _MODULES:
 del _m, _k, _v
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation (round 11).
+# Driver-coverage rotation (round 12).
 #
-# union(CORRECTNESS_r01..r10) covers all 259 pre-r11 queries with zero
-# red latest rows (r10 judge-verified). Round-11 slots go to: the
-# queries whose OUTPUT changed this round (the PNG palette arm) plus
-# new round-11 queries (the streaming setsim twin's replay slot) plus
-# the PLAN-changed re-gates (the graph family now iterates over one
-# shared persisted kNN edge frame; the payload-decoding queries read
-# one shared persisted media frame), then ALL 22 rows whose latest
-# driver gate is r05 (the r10 verdict's item #4: the promised r05
-# tail leads), then the r06 block in name order. r06 rows that do not
-# fit lead the r12 stale block; full-registry parity is additionally
+# union(CORRECTNESS_r01..r11) covers all 261 queries with zero red
+# latest rows (r11 judge-verified). Round-12 slots go to: the queries
+# whose OUTPUT changed this round (the 16-bit grey PNG sub-arm) plus
+# the PLAN-changed re-gates (the streaming twins' state stores are now
+# bucketed and their scans pruned), then ALL 30 rows whose latest
+# driver gate is r06 (the r11 verdict's item #1: the promised r06
+# block leads), then the r07 block in name order. r07 rows that do not
+# fit lead the r13 stale block; full-registry parity is additionally
 # checked every round by tools/check_oracle.py at sf0.001/0.01/0.1
-# (CHECK_ORACLE_r11*.json).
+# (CHECK_ORACLE_r12*.json).
+_R12_ADDITIONS: list[str] = [
+    k
+    for k in _rotation.R12_ADDITION_NAMES
+    if k in _dicts.QUERIES
+]
+
+_R12_PRIORITY: list[str] = list(
+    dict.fromkeys(_R12_ADDITIONS + _rotation._R12_STALE)
+)[:50]
+
+assert len(_R12_PRIORITY) == 50 and len(set(_R12_PRIORITY)) == 50
+assert set(_R12_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R12_PRIORITY) - set(_dicts.QUERIES)
+)
+
+# kept importable for the r11 rotation regression test
 _R11_ADDITIONS: list[str] = [
     k
     for k in _rotation.R11_ADDITION_NAMES
     if k in _dicts.QUERIES
 ]
-
 _R11_PRIORITY: list[str] = list(
     dict.fromkeys(_R11_ADDITIONS + _rotation._R11_STALE)
 )[:50]
-
-assert len(_R11_PRIORITY) == 50 and len(set(_R11_PRIORITY)) == 50
-assert set(_R11_PRIORITY) <= set(_dicts.QUERIES), sorted(
-    set(_R11_PRIORITY) - set(_dicts.QUERIES)
-)
 
 # kept importable for the r10 rotation regression test
 _R10_ADDITIONS: list[str] = [
@@ -71,6 +79,6 @@ _R10_PRIORITY: list[str] = list(
     dict.fromkeys(_R10_ADDITIONS + _rotation._R10_STALE)
 )[:50]
 
-_rotated = _R11_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R11_PRIORITY)]
+_rotated = _R12_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R12_PRIORITY)]
 QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
 ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

@@ -390,3 +390,56 @@ _R11_STALE: list[str] = [
     "text_heldout_nll", "tpch_q1", "tpch_q18", "tpch_q6",
     "vocab_bpe_merges",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation inputs (consumed by __init__).
+#
+# R12_ADDITION_NAMES: queries whose OUTPUT or PLAN materially changed in
+# round 12. _R12_STALE: ALL 30 rows whose latest driver gate is r06 (the
+# r11 rotation comment's promise — judge-enumerated in the r11 verdict),
+# then the r07 block in name order; additions take slots first, stale
+# rows fill to 50. The r07 rows that do not fit lead the r13 stale block.
+R12_ADDITION_NAMES: list[str] = [
+    # OUTPUT changed in round 12: the PNG arm of the synthetic payload
+    # cycle gained a 16-BIT grey sub-arm (doc_id % 8 == 4: depth 0x10,
+    # big-endian sample pairs; n_bytes and the pixel sums change)
+    "multimodal_decode", "multimodal_pixel_stats",
+    # PLAN changed in round 12 (the events_wau_hll precedent: re-gate
+    # the round the plan changes): the streaming twins' parquet state
+    # stores are now hive-bucketed batch=<id>/bucket=<b> and the
+    # candidate/replay anti-joins read only matching buckets; a
+    # fully-replayed batch returns before the sink
+    "dedup_setsim_stream", "dedup_incremental_stream",
+]
+
+_R12_STALE: list[str] = [
+    # latest gate r06 (all 30 of them — the r11 verdict's item #1)
+    "corpus_jackknife_ci", "corpus_js_drift", "corpus_ks_drift",
+    "corpus_signal_corr", "corpus_tokenizer_fertility", "dedup_exact",
+    "dedup_minhash", "dedup_simhash64", "doc_gopher_rules",
+    "doc_token_entropy", "emb_centroid_shift", "emb_dim_stats",
+    "emb_sim_histogram", "emb_sq8_distortion", "events_ab_test",
+    "events_activity_bitmap", "events_gap_fill", "events_markov",
+    "events_seasonal_forecast", "events_seasonality",
+    "events_watermark_lateness", "multimodal_frames", "orders_backlog",
+    "orders_rfm", "retrieval_hybrid_rrf", "text_heldout_nll",
+    "tpch_q1", "tpch_q18", "tpch_q6", "vocab_bpe_merges",
+    # latest gate r07, name order; the tail that does not fit leads r13
+    "ann_ivf", "ann_ivfpq", "ann_recall_ivfpq", "cdc_apply_orders",
+    "cdc_compact_merge", "cdc_out_of_order", "cdc_problem_actions",
+    "cdc_stale_filter", "chunk_packing", "corpus_gini",
+    "corpus_mixture", "corpus_vocab_overlap",
+    "customer_cohort_retention", "customer_pareto", "decontamination",
+    "dedup_jaccard", "doc_chunk_dupmass", "doc_hapax_ratio",
+    "doc_simhash_bit_balance", "dq_constraints", "emb_band_occupancy",
+    "emb_ivf_balance", "emb_silhouette", "events_attribution",
+    "events_autocorr", "events_burst_rate", "events_interarrival",
+    "events_moving_avg", "events_new_vs_returning", "events_profile",
+    "events_profile_approx", "events_stickiness", "layout_hilbert_skip",
+    "layout_zorder_skip", "orders_month_revenue",
+    "orders_reorder_window", "orders_repeat_latency",
+    "pack_efficiency_curve", "pq_code_balance", "sessions_concurrency",
+    "shipping_latency", "split_leakage", "text_kn_nll",
+    "text_readability", "vocab_pmi",
+]

@@ -467,7 +467,10 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     256-entry PLTE chunk: the kernel looks each decoded index up in
     the payload's own table, the oracle replays the same lookup as a
     nested hex slice — indices and palette bytes both read from the
-    container, never re-derived. The GIF arm
+    container, never re-derived. The 16-BIT grey arm (r12, every other
+    grey image) sums big-endian sample PAIRS at full precision on both
+    engines — the kernel after the real inflate+unfilter, the oracle
+    as 256*hi + lo over the same two hex slices. The GIF arm
     carries a REAL LZW stream (one CLEAR + 9-bit literal codes + EOI
     over a 256-entry palette): the kernel runs the full variable-width
     LZW decode, the oracle unpacks the same 9-bit codes and palette
@@ -526,14 +529,23 @@ def _multimodal_pixel_stats_oracle() -> str:
     # hdr(5) = 48 (+780) bytes before the raw scanline stream (the
     # Spark side still walks chunks and INFLATES — fixed offsets are
     # sound here only because the stored-deflate stub layout is
-    # deterministic). Pixel p's channel-c sample sits at raw offset
-    # (p//w)*(1+w*ch) + 1 + (p%w)*ch + c (filter byte per row); the
-    # cg/cb columns collapse grey to R=G=B like the kernel. `pofs` is
-    # the hex shift for the palette arm's PLTE chunk (2 * 780).
+    # deterministic). Pixel p's channel-c sample starts at raw offset
+    # (p//w)*(1+w*ch*sb) + 1 + ((p%w)*ch + c)*sb (filter byte per row;
+    # sb = bytes per sample, 2 on the r12 16-bit grey arm whose value
+    # is the big-endian pair 256*hi + lo); the cg/cb columns collapse
+    # grey to R=G=B like the kernel. `pofs` is the hex shift for the
+    # palette arm's PLTE chunk (2 * 780).
+    png_o = lambda c: (  # noqa: E731  c: a 0-based channel expr
+        f"((p // w) * (1 + w * ch * sb) + 1 + ((p % w) * ch + {c}) * sb)"
+    )
+    png_byte_at = lambda o: (  # noqa: E731  o: raw-stream byte offset
+        f"CAST('0x' || substring(hx, 97 + pofs + 2 * ({o}), 2) AS BIGINT)"
+    )
     png_sum = lambda c: (  # noqa: E731  c: a 0-based channel expr
         "list_aggregate(list_transform(range(0, w * h), p -> "
-        "CAST('0x' || substring(hx, 97 + pofs + 2 * ((p // w) * (1 + w * ch) "
-        f"+ 1 + (p % w) * ch + {c}), 2) AS BIGINT)), 'sum')"
+        f"CAST(CASE WHEN sb = 2 THEN 256 * {png_byte_at(png_o(c))} "
+        f"+ {png_byte_at(f'{png_o(c)} + 1')} "
+        f"ELSE {png_byte_at(png_o(c))} END AS BIGINT)), 'sum')"
     )
     # palette arm: pixel p's byte is its palette INDEX (ch = 1); the
     # channel value is the payload's own PLTE entry — PLTE data starts
@@ -615,6 +627,7 @@ png AS (
          CASE WHEN {byte('26')} = 0 THEN 0 ELSE 1 END AS cg,
          CASE WHEN {byte('26')} = 0 THEN 0 ELSE 2 END AS cb,
          CASE WHEN {byte('26')} = 3 THEN 1560 ELSE 0 END AS pofs,
+         CASE WHEN {byte('25')} = 16 THEN 2 ELSE 1 END AS sb,
          hx
   FROM hxb WHERE substring(hx, 1, 16) = '89504e470d0a1a0a'
 ),

@@ -496,3 +496,63 @@ def test_cli_setsim_rejects_bad_tau_and_missing_metas(tmp_path, capsys):
         "--config", cfg, "--source-dir", src, "--setsim-dedup",
         "--setsim-tau", "3/2", "--available-now",
     ]) == 2
+
+
+def test_cli_dedup_exact_mode_end_to_end(spark, tmp_path):
+    """--dedup-exact (r11 verdict #7): the incremental exact-dedup twin
+    drivable from the CLI, sharing the --setsim-dedup plumbing — a
+    JSONL doc stream in, per-batch survivor parquet out, duplicates
+    dropped against the persistent fingerprint store. A second drain
+    over the same files plus new docs (one a dup of run 1) must emit
+    only the genuinely-new doc, and run 1's survivors must survive the
+    fresh-checkpoint restart (run-keyed output)."""
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),          # exact dup of 1 -> dropped
+        (3, "delta epsilon zeta"),
+        (4, "delta epsilon zeta"),        # exact dup of 3 -> dropped
+        (5, "eta theta iota"),
+    ]
+    src = os.path.join(tmp_path, "docs")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for i, text in docs:
+            f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    cfg = _write_config(tmp_path, src)
+    work = os.path.join(tmp_path, "work")
+
+    rc = main([
+        "--config", cfg,
+        "--source-dir", src,
+        "--work-dir", work,
+        "--dedup-exact",
+        "--available-now",
+    ])
+    assert rc == 0
+    surv = spark.read.parquet(os.path.join(work, "dedup_survivors"))
+    got1 = {r.doc_id for r in surv.collect()}
+    assert got1 == {1, 3, 5}
+
+    # run 2: same files + one dup of run 1 + one new doc, FRESH ckpt
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 6, "text": "alpha beta gamma"}) + "\n")
+        f.write(json.dumps({"doc_id": 7, "text": "kappa lambda mu"}) + "\n")
+    rc2 = main([
+        "--config", cfg,
+        "--source-dir", src,
+        "--work-dir", work,
+        "--dedup-exact",
+        "--available-now",
+        "--checkpoint", os.path.join(tmp_path, "ckpt2"),
+    ])
+    assert rc2 == 0
+    surv2 = spark.read.parquet(os.path.join(work, "dedup_survivors"))
+    got2 = {r.doc_id for r in surv2.collect()}
+    # run 1's survivors intact (run-keyed: batch id restart can't wipe
+    # them) + only the genuinely-new doc from run 2
+    assert got2 == {1, 3, 5, 7}
+    # both modes at once is a usage error
+    assert main([
+        "--config", cfg, "--source-dir", src, "--work-dir", work,
+        "--dedup-exact", "--setsim-dedup", "--available-now",
+    ]) == 2

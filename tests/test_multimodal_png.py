@@ -41,22 +41,32 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
                 palette=None):
-    """Model encoder: px is a flat list of h*w*ch sample bytes (palette
-    INDICES for ct=3); filters is one filter type per row, applied
-    FORWARD per the spec. ``palette`` is a list of (r,g,b) tuples
-    emitted as a PLTE chunk."""
+    """Model encoder: px is a flat list of h*w*ch sample VALUES
+    (palette INDICES for ct=3; 0..65535 for bit_depth=16, emitted as
+    big-endian pairs); filters is one filter type per row, applied
+    FORWARD per the spec — byte-wise whatever the depth, with
+    bpp = channels * bytes-per-sample. ``palette`` is a list of
+    (r,g,b) tuples emitted as a PLTE chunk."""
     ch = _CT_CH[ct]
-    rowb = w * ch
+    sb = 2 if bit_depth == 16 else 1
+    if sb == 2:
+        pb = []
+        for v in px:
+            pb += [v >> 8, v & 0xFF]
+    else:
+        pb = list(px)
+    bpp = ch * sb
+    rowb = w * ch * sb
     raw = bytearray()
     for r, ftype in enumerate(filters):
         base = r * rowb
         prev = base - rowb
         raw.append(ftype)
         for x in range(rowb):
-            v = px[base + x]
-            a = px[base + x - ch] if x >= ch else 0
-            b = px[prev + x] if r > 0 else 0
-            c = px[prev + x - ch] if (r > 0 and x >= ch) else 0
+            v = pb[base + x]
+            a = pb[base + x - bpp] if x >= bpp else 0
+            b = pb[prev + x] if r > 0 else 0
+            c = pb[prev + x - bpp] if (r > 0 and x >= bpp) else 0
             if ftype == 0:
                 f = v
             elif ftype == 1:
@@ -140,8 +150,8 @@ def test_png_honest_refusals():
 
     with pytest.raises(NotImplementedError):  # Adam7
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=1))
-    with pytest.raises(NotImplementedError):  # 16-bit samples
-        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=16))
+    with pytest.raises(NotImplementedError):  # packed sub-byte samples
+        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=4))
     # palette with NO PLTE chunk at all is malformed
     with pytest.raises(ValueError):
         _pixel_stats_png(_encode_png(4, 3, 3, px[: 4 * 3], [0, 1, 2]))
@@ -289,3 +299,45 @@ def test_png_palette_refusals():
     )
     with pytest.raises(ValueError):
         _pixel_stats_png(bytes(broken))
+
+
+@pytest.mark.parametrize("ct", [0, 2, 4, 6])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png16_each_filter_type_round_trips(ct, ftype):
+    """r11 verdict #7: 16-bit samples are pure arithmetic after the
+    byte-wise inflate+unfilter — every filter type over every color
+    type, full-precision sums vs the forward model."""
+    rng = random.Random(16000 + 100 * ct + ftype)
+    w, h = 5, 4
+    px = [rng.randrange(65536) for _ in range(w * h * _CT_CH[ct])]
+    p = _encode_png(w, h, ct, px, [ftype] * h, bit_depth=16)
+    assert _pixel_stats_png(p) == _expected(w, h, ct, px)
+
+
+def test_png16_mixed_filters_randomized_round_trip():
+    """100 random 16-bit images with per-row random filters: the
+    byte-wise unfilter must reconstruct across the 2-byte sample
+    boundary (bpp = 2 * channels, not channels)."""
+    rng = random.Random(20260817)
+    for _ in range(100):
+        ct = rng.choice([0, 2, 4, 6])
+        w, h = rng.randrange(1, 9), rng.randrange(1, 9)
+        px = [rng.randrange(65536) for _ in range(w * h * _CT_CH[ct])]
+        filters = [rng.randrange(5) for _ in range(h)]
+        p = _encode_png(w, h, ct, px, filters, bit_depth=16)
+        assert _pixel_stats_png(p) == _expected(w, h, ct, px), (
+            w, h, ct, filters,
+        )
+
+
+def test_png16_palette_is_illegal():
+    """Spec 11.2.2: palette images allow depths 1/2/4/8 only — a
+    16-bit color-type-3 header is malformed (ValueError), never a
+    silent misread of 2-byte indices."""
+    rng = random.Random(11)
+    px = [rng.randrange(256) for _ in range(4 * 3)]
+    pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+    with pytest.raises(ValueError):
+        _pixel_stats_png(
+            _encode_png(4, 3, 3, px, [0, 1, 2], bit_depth=16, palette=pal)
+        )

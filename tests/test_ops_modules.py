@@ -1580,38 +1580,38 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round11_priority():
+def test_driver_rotation_first_50_are_round12_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-11 artifact covers the right set —
-    the queries whose output changed this round lead (gated the round
-    they change), then ALL 22 rows whose latest driver gate is r05
-    (the staleness promise from the r10 rotation comment), then the
-    r06 block in name order fills the remaining slots."""
+    pin the rotation so the round-12 artifact covers the right set —
+    the queries whose output/plan changed this round lead (gated the
+    round they change), then ALL 30 rows whose latest driver gate is
+    r06 (the staleness promise from the r11 rotation comment), then
+    the r07 block in name order fills the remaining slots."""
     import json
 
     import __spark_entry__ as entry_mod
     from aardappel_spark.registry import (
         ORACLES,
-        _R11_ADDITIONS,
-        _R11_PRIORITY,
+        _R12_ADDITIONS,
+        _R12_PRIORITY,
         _rotation,
     )
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R11_PRIORITY
+    assert list(q)[:50] == _R12_PRIORITY
     # this round's re-gates must lead; pin against the rotation source
     # (not a literal) so the pin cannot go stale when names shift
-    assert _R11_PRIORITY[: len(_R11_ADDITIONS)] == _R11_ADDITIONS
-    assert _R11_PRIORITY[0] == _rotation.R11_ADDITION_NAMES[0]
-    # every r05-stale row (computed from the committed artifacts) must
+    assert _R12_PRIORITY[: len(_R12_ADDITIONS)] == _R12_ADDITIONS
+    assert _R12_PRIORITY[0] == _rotation.R12_ADDITION_NAMES[0]
+    # every r06-stale row (computed from the committed artifacts) must
     # be inside this round's gate — the staleness promise, enforced
     latest = {}
-    for r in range(1, 11):
+    for r in range(1, 12):
         with open(f"CORRECTNESS_r{r:02d}.json") as fh:
             for k in json.load(fh):
                 latest[k] = max(latest.get(k, 0), r)
-    r05 = {k for k, v in latest.items() if v == 5}
-    assert r05 <= set(_R11_PRIORITY), sorted(r05 - set(_R11_PRIORITY))
+    r06 = {k for k, v in latest.items() if v == 6}
+    assert r06 <= set(_R12_PRIORITY), sorted(r06 - set(_R12_PRIORITY))
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
@@ -3528,6 +3528,8 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             assert d["n_channels"] == ch
             if r.media_id % 4 == 3:  # palette arm carries a PLTE chunk
                 assert b"PLTE" in p
+            # r12: every other grey image is 16-bit (depth byte 0x10)
+            assert p[24] == (16 if r.media_id % 8 == 4 else 8)
             # independent struct re-read: IHDR must be the first chunk
             assert p[12:16] == b"IHDR"
             assert struct.unpack_from(">I", p, 16)[0] == d["width"]
