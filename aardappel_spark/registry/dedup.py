@@ -1523,6 +1523,13 @@ def q_dedup_setsim_stream(spark, sf_dir):
             fn(docs.filter(F.col("doc_id") % 3 == i), i)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+    if not outs:
+        # empty corpus: every batch returns before the sink (the r12
+        # replay guard) — fold over an empty frame of the sink shape
+        outs.append(spark.createDataFrame(
+            [], "id_a long, id_b long, n_a long, n_b long, "
+                "n_inter long, verified boolean",
+        ))
     emitted = outs[0]
     for o in outs[1:]:
         emitted = emitted.unionByName(o)
