@@ -1096,13 +1096,17 @@ def incremental_setsim_batch(
         # early above, BEFORE the sink — so a replay can neither wipe
         # these store rows nor hand an overwrite-by-batch sink an
         # empty frame (r11 ADVICE). Bucket subdirs under each batch
-        # make the next batches' candidate/anti-join scans prunable.
-        new_post.write.partitionBy("bucket").mode("overwrite").parquet(
-            f"{post_path}/batch={batch_id}"
-        )
-        new_sets.write.partitionBy("bucket").mode("overwrite").parquet(
-            f"{sets_path}/batch={batch_id}"
-        )
+        # make the next batches' candidate/anti-join scans prunable;
+        # the repartition on the bucket key collapses the write to ONE
+        # file per (batch, bucket) — partitionBy alone fans out to
+        # (task partitions x buckets) tiny files, which doubled the
+        # whole replay's wall-clock at the x1 probe scale.
+        new_post.repartition(n_buckets, "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(f"{post_path}/batch={batch_id}")
+        new_sets.repartition(n_buckets, "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(f"{sets_path}/batch={batch_id}")
 
     return fn
 

@@ -296,9 +296,18 @@ def main() -> None:
             "dedup_setsim_stream": (
                 "streaming-twin REPLAY: three sequential micro-batches "
                 "through incremental_setsim_batch including its parquet "
-                "state stores (~3.3s/batch warm at sf0.1 vs 4.5s for "
+                "state stores (~4.2s/batch warm at sf0.1 vs 4.5s for "
                 "the one-shot batch kernel) — the serial passes and "
-                "state I/O are the thing being gated, not overhead"
+                "state I/O are the thing being gated, not overhead. "
+                "r12: the stores are now bucketed (r11 verdict #4) — "
+                "per batch that adds two bucket-list jobs, two "
+                "bucket-keyed repartition writes and partition "
+                "discovery, ~+0.9s/batch of FIXED cost at sf0.1 where "
+                "the whole store fits in one partition anyway; the "
+                "pruned candidate/anti-join scans are what survive at "
+                "100 TB, where the store no longer fits and the prune "
+                "is the difference between scanning matching buckets "
+                "and the corpus"
             ),
             "drift_adjudication_r12": (
                 "events_profile_approx 1.08->1.57 and emb_neardup_lsh "
