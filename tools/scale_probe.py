@@ -612,6 +612,19 @@ def main() -> None:
     # refuses).
     from aardappel_spark.ops.dedup import setsim_prefix_pairs
 
+    if only and not X100_QUERIES and not (
+        {"dedup_setsim_sharedvocab", "dedup_setsim_sharedvocab_dialed"}
+        & set(only.split(","))
+    ):
+        # subset run that names neither a sharedvocab leg nor a dialed
+        # x100 query: skip the remaining sections INCLUDING the
+        # shared_docs replica build (~minutes); the merge-write keeps
+        # the committed rows
+        _flush_results(results)
+        print(json.dumps(results))
+        shutil.rmtree(root, ignore_errors=True)
+        return
+
     d_shared = f"{root}/shared_docs_x{n}"
     base_docs = spark.read.parquet(f"{BASE}/documents.parquet")
     parts = []
