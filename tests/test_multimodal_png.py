@@ -39,26 +39,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
 
-def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
-                palette=None):
-    """Model encoder: px is a flat list of h*w*ch sample VALUES
-    (palette INDICES for ct=3; 0..65535 for bit_depth=16, emitted as
-    big-endian pairs); filters is one filter type per row, applied
-    FORWARD per the spec — byte-wise whatever the depth, with
-    bpp = channels * bytes-per-sample. ``palette`` is a list of
-    (r,g,b) tuples emitted as a PLTE chunk."""
-    ch = _CT_CH[ct]
-    sb = 2 if bit_depth == 16 else 1
-    if sb == 2:
-        pb = []
-        for v in px:
-            pb += [v >> 8, v & 0xFF]
-    else:
-        pb = list(px)
-    bpp = ch * sb
-    rowb = w * ch * sb
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_rows(pb, hk, rowb, bpp, filters):
+    """Apply the FORWARD filters (spec 9.2) to one (sub-)image: pb is
+    hk*rowb pixel bytes, one filter type per row; returns the raw
+    scanline stream (filter byte + filtered row, per row)."""
     raw = bytearray()
-    for r, ftype in enumerate(filters):
+    for r in range(hk):
+        ftype = filters[r]
         base = r * rowb
         prev = base - rowb
         raw.append(ftype)
@@ -78,6 +71,50 @@ def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
             else:
                 f = v - _paeth(a, b, c)
             raw.append(f & 0xFF)
+    return raw
+
+
+def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
+                palette=None):
+    """Model encoder: px is a flat row-major list of h*w*ch sample
+    VALUES (palette INDICES for ct=3; 0..65535 for bit_depth=16,
+    emitted as big-endian pairs); filters is one filter type per
+    TRANSMITTED row — image rows when plain, pass rows in Adam7 order
+    when interlace=1 — applied FORWARD per the spec, byte-wise
+    whatever the depth, with bpp = channels * bytes-per-sample.
+    ``palette`` is a list of (r,g,b) tuples emitted as a PLTE chunk."""
+    ch = _CT_CH[ct]
+    sb = 2 if bit_depth == 16 else 1
+
+    def to_bytes(samples):
+        if sb == 1:
+            return list(samples)
+        out = []
+        for v in samples:
+            out += [v >> 8, v & 0xFF]
+        return out
+
+    raw = bytearray()
+    if interlace == 1:
+        fi = 0
+        for x0, y0, dx, dy in _ADAM7:
+            cols = list(range(x0, w, dx))
+            rows = list(range(y0, h, dy))
+            if not cols or not rows:
+                continue  # empty pass transmits nothing
+            sub = []
+            for y in rows:
+                for x in cols:
+                    sub += px[(y * w + x) * ch : (y * w + x) * ch + ch]
+            rowb = len(cols) * ch * sb
+            raw += _filter_rows(
+                to_bytes(sub), len(rows), rowb, ch * sb,
+                filters[fi : fi + len(rows)],
+            )
+            fi += len(rows)
+        assert fi == len(filters), "one filter per transmitted pass row"
+    else:
+        raw = _filter_rows(to_bytes(px), h, w * ch * sb, ch * sb, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
     plte = (
         _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
@@ -89,6 +126,16 @@ def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
         + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
+    )
+
+
+def _adam7_nrows(w, h):
+    """Transmitted scanline count of an Adam7 image (empty passes
+    transmit nothing)."""
+    return sum(
+        len(range(y0, h, dy))
+        for x0, y0, dx, dy in _ADAM7
+        if len(range(x0, w, dx)) and len(range(y0, h, dy))
     )
 
 
@@ -148,8 +195,8 @@ def test_png_honest_refusals():
     good = _encode_png(4, 3, 2, px, [0, 1, 2])
     assert _pixel_stats_png(good) == _expected(4, 3, 2, px)
 
-    with pytest.raises(NotImplementedError):  # Adam7
-        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=1))
+    with pytest.raises(ValueError):  # invalid interlace method byte
+        _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=2))
     with pytest.raises(NotImplementedError):  # packed sub-byte samples
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=4))
     # palette with NO PLTE chunk at all is malformed
@@ -341,3 +388,69 @@ def test_png16_palette_is_illegal():
         _pixel_stats_png(
             _encode_png(4, 3, 3, px, [0, 1, 2], bit_depth=16, palette=pal)
         )
+
+
+@pytest.mark.parametrize("ct", [0, 2, 4, 6])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_adam7_each_filter_type_round_trips(ct, ftype):
+    """r12: Adam7 is seven independently filtered sub-images (spec
+    8.2); channel sums are placement-invariant, so the deinterlaced
+    kernel must reproduce the plain image's sums for every filter type
+    over every color type."""
+    rng = random.Random(7000 + 100 * ct + ftype)
+    w, h = 9, 8  # all seven passes non-empty
+    px = [rng.randrange(256) for _ in range(w * h * _CT_CH[ct])]
+    n_rows = _adam7_nrows(w, h)
+    p = _encode_png(w, h, ct, px, [ftype] * n_rows, interlace=1)
+    assert _pixel_stats_png(p) == _expected(w, h, ct, px)
+
+
+def test_png_adam7_randomized_sizes_filters_and_depths():
+    """150 random Adam7 images across sizes (incl. ones with EMPTY
+    passes), color types, 8/16-bit depths, per-pass-row random
+    filters — vs the forward model. Small sizes exercise the
+    empty-pass skip (a 1x1 image transmits only pass 1)."""
+    rng = random.Random(20260818)
+    for _ in range(150):
+        ct = rng.choice([0, 2, 4, 6])
+        depth = rng.choice([8, 8, 16])
+        w, h = rng.randrange(1, 11), rng.randrange(1, 11)
+        top = 65536 if depth == 16 else 256
+        px = [rng.randrange(top) for _ in range(w * h * _CT_CH[ct])]
+        n_rows = _adam7_nrows(w, h)
+        filters = [rng.randrange(5) for _ in range(n_rows)]
+        p = _encode_png(w, h, ct, px, filters, interlace=1, bit_depth=depth)
+        assert _pixel_stats_png(p) == _expected(w, h, ct, px), (
+            w, h, ct, depth, filters,
+        )
+
+
+def test_png_adam7_palette_goes_through_plte():
+    """Interlaced palette images: indices deinterlace exactly like
+    samples, then the same PLTE lookup applies."""
+    rng = random.Random(31)
+    w, h = 7, 5
+    pal = [(i, (5 * i) % 256, (13 * i) % 256) for i in range(256)]
+    px = [rng.randrange(256) for _ in range(w * h)]
+    n_rows = _adam7_nrows(w, h)
+    filters = [rng.randrange(5) for _ in range(n_rows)]
+    p = _encode_png(w, h, 3, px, filters, interlace=1, palette=pal)
+    n_px, sr, sg, sb_ = _pixel_stats_png(p)
+    assert n_px == w * h
+    assert sr == sum(pal[v][0] for v in px)
+    assert sg == sum(pal[v][1] for v in px)
+    assert sb_ == sum(pal[v][2] for v in px)
+
+
+def test_png_adam7_wrong_stream_length_raises():
+    """A stream laid out NON-interlaced but labeled Adam7 (or any
+    truncation) must raise, never mis-slice passes."""
+    rng = random.Random(17)
+    px = [rng.randrange(256) for _ in range(4 * 3 * 3)]
+    plain = _encode_png(4, 3, 2, px, [0, 1, 2])  # interlace byte 0
+    mislabeled = bytearray(plain)
+    mislabeled[28] = 1  # claim Adam7 over the plain layout
+    # fix nothing else: the raw stream length no longer matches the
+    # seven-pass layout
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bytes(mislabeled))
