@@ -77,22 +77,36 @@ def _filter_rows(pb, hk, rowb, bpp, filters):
 def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
                 palette=None):
     """Model encoder: px is a flat row-major list of h*w*ch sample
-    VALUES (palette INDICES for ct=3; 0..65535 for bit_depth=16,
-    emitted as big-endian pairs); filters is one filter type per
-    TRANSMITTED row — image rows when plain, pass rows in Adam7 order
-    when interlace=1 — applied FORWARD per the spec, byte-wise
-    whatever the depth, with bpp = channels * bytes-per-sample.
-    ``palette`` is a list of (r,g,b) tuples emitted as a PLTE chunk."""
+    VALUES (palette INDICES for ct=3; 0..2^depth-1 at any legal bit
+    depth — 16-bit emits big-endian pairs, 1/2/4-bit packs MSB-first
+    with row padding); filters is one filter type per TRANSMITTED row
+    — image rows when plain, pass rows in Adam7 order when
+    interlace=1 — applied FORWARD per the spec, byte-wise whatever the
+    depth, with bpp = max(1, channels * depth // 8). ``palette`` is a
+    list of (r,g,b) tuples emitted as a PLTE chunk."""
     ch = _CT_CH[ct]
-    sb = 2 if bit_depth == 16 else 1
+    bpp = max(1, ch * bit_depth // 8)
 
-    def to_bytes(samples):
-        if sb == 1:
-            return list(samples)
+    def pack_image(samples, hk, wk):
+        """row-major sample values -> packed bytes + row byte width"""
+        if bit_depth == 8:
+            return list(samples), wk * ch
+        if bit_depth == 16:
+            out = []
+            for v in samples:
+                out += [v >> 8, v & 0xFF]
+            return out, wk * ch * 2
+        per = 8 // bit_depth
+        rowb = (wk * ch * bit_depth + 7) // 8
+        n = wk * ch
         out = []
-        for v in samples:
-            out += [v >> 8, v & 0xFF]
-        return out
+        for r in range(hk):
+            row = [0] * rowb
+            for j in range(n):
+                v = samples[r * n + j] & ((1 << bit_depth) - 1)
+                row[j // per] |= v << (8 - bit_depth * (j % per + 1))
+            out += row
+        return out, rowb
 
     raw = bytearray()
     if interlace == 1:
@@ -106,15 +120,15 @@ def _encode_png(w, h, ct, px, filters, interlace=0, bit_depth=8,
             for y in rows:
                 for x in cols:
                     sub += px[(y * w + x) * ch : (y * w + x) * ch + ch]
-            rowb = len(cols) * ch * sb
+            pb, rowb = pack_image(sub, len(rows), len(cols))
             raw += _filter_rows(
-                to_bytes(sub), len(rows), rowb, ch * sb,
-                filters[fi : fi + len(rows)],
+                pb, len(rows), rowb, bpp, filters[fi : fi + len(rows)],
             )
             fi += len(rows)
         assert fi == len(filters), "one filter per transmitted pass row"
     else:
-        raw = _filter_rows(to_bytes(px), h, w * ch * sb, ch * sb, filters)
+        pb, rowb = pack_image(px, h, w)
+        raw = _filter_rows(pb, h, rowb, bpp, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
     plte = (
         _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
@@ -197,7 +211,7 @@ def test_png_honest_refusals():
 
     with pytest.raises(ValueError):  # invalid interlace method byte
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], interlace=2))
-    with pytest.raises(NotImplementedError):  # packed sub-byte samples
+    with pytest.raises(ValueError):  # 4-bit truecolor is ILLEGAL (11.2.2)
         _pixel_stats_png(_encode_png(4, 3, 2, px, [0, 1, 2], bit_depth=4))
     # palette with NO PLTE chunk at all is malformed
     with pytest.raises(ValueError):
@@ -454,3 +468,81 @@ def test_png_adam7_wrong_stream_length_raises():
     # seven-pass layout
     with pytest.raises(ValueError):
         _pixel_stats_png(bytes(mislabeled))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_subbyte_grey_each_filter_round_trips(depth, ftype):
+    """r12: 1/2/4-bit grey — MSB-first packed samples, byte-wise
+    filters with bpp=1, row-aware unpack (padding bits excluded)."""
+    rng = random.Random(400 + 10 * depth + ftype)
+    w, h = 5, 4  # 5px rows at depths 1/2/4 all leave padding bits
+    px = [rng.randrange(1 << depth) for _ in range(w * h)]
+    p = _encode_png(w, h, 0, px, [ftype] * h, bit_depth=depth)
+    assert _pixel_stats_png(p) == _expected(w, h, 0, px)
+
+
+def test_png_subbyte_randomized_grey_palette_plain_and_adam7():
+    """150 random sub-byte images: grey and palette color types,
+    depths 1/2/4, plain AND Adam7, per-row random filters — vs the
+    forward model (palette sums via the planted PLTE)."""
+    rng = random.Random(20260819)
+    pal = [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+    for _ in range(150):
+        depth = rng.choice([1, 2, 4])
+        ct = rng.choice([0, 3])
+        interlace = rng.choice([0, 1])
+        w, h = rng.randrange(1, 11), rng.randrange(1, 11)
+        px = [rng.randrange(1 << depth) for _ in range(w * h)]
+        n_rows = _adam7_nrows(w, h) if interlace else h
+        filters = [rng.randrange(5) for _ in range(n_rows)]
+        p = _encode_png(
+            w, h, ct, px, filters, interlace=interlace, bit_depth=depth,
+            palette=(pal if ct == 3 else None),
+        )
+        got = _pixel_stats_png(p)
+        if ct == 0:
+            assert got == _expected(w, h, 0, px), (w, h, depth, interlace)
+        else:
+            assert got == (
+                w * h,
+                sum(pal[v][0] for v in px),
+                sum(pal[v][1] for v in px),
+                sum(pal[v][2] for v in px),
+            ), (w, h, depth, interlace)
+
+
+def test_png_subbyte_padding_bits_never_count():
+    """Nonzero garbage in the row-padding bits must not reach the
+    sums: rebuild a filter-0 stream with all padding bits forced to 1
+    and assert identical sums."""
+    rng = random.Random(5)
+    w, h, depth = 5, 3, 2  # 5 samples x 2 bits = 10 bits -> 6 pad bits
+    px = [rng.randrange(4) for _ in range(w * h)]
+    p = _encode_png(w, h, 0, px, [0] * h, bit_depth=depth)
+    size = struct.unpack_from(">I", p, 33)[0]
+    raw = bytearray(zlib.decompress(p[41 : 41 + size]))
+    rowb = (w * depth + 7) // 8
+    for r in range(h):  # last byte of each row: set the 6 padding bits
+        raw[r * (1 + rowb) + rowb] |= 0b00111111
+    body = zlib.compress(bytes(raw))
+    rebuilt = p[:33] + _chunk(b"IDAT", body) + p[41 + size + 4 :]
+    assert _pixel_stats_png(rebuilt) == _expected(w, h, 0, px)
+
+
+def test_png_illegal_depth_combos_raise():
+    """Spec 11.2.2 legality table: every illegal (depth, color type)
+    pair is ValueError — never a silent misread — and depth 3 is
+    invalid outright."""
+    rng = random.Random(6)
+    for depth, ct in [(1, 2), (2, 4), (4, 6), (16, 3), (1, 6), (2, 2)]:
+        px = [rng.randrange(2) for _ in range(4 * 3 * _CT_CH[ct])]
+        pal = [(i, i, i) for i in range(16)] if ct == 3 else None
+        with pytest.raises(ValueError):
+            _pixel_stats_png(_encode_png(
+                4, 3, ct, px, [0, 0, 0], bit_depth=depth, palette=pal,
+            ))
+    bad = bytearray(_encode_png(4, 3, 0, [1] * 12, [0, 0, 0]))
+    bad[24] = 3  # depth byte 3: not a PNG depth at all
+    with pytest.raises(ValueError):
+        _pixel_stats_png(bytes(bad))
