@@ -977,7 +977,15 @@ def incremental_setsim_batch(
             .cast("int")
             .alias("bucket"),
         ).localCheckpoint()
-        n_new = ranked.count()
+        # ONE job serves both the batch size (every surviving doc has
+        # >= 1 prefix token, so distinct ids over the postings equal
+        # the ranked doc count) and the prefix-token bucket list for
+        # the pruned candidate read below
+        agg = new_post.agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("bucket").alias("bks"),
+        ).first()
+        n_new = agg["n"]
         if n_new == 0:
             # fully-replayed (or tokenless) batch: everything it could
             # contribute is already committed. Do NOT call the sink —
@@ -989,9 +997,7 @@ def incremental_setsim_batch(
         # prefix tokens hash to: a shared token lands in the same
         # bucket on both sides, so the prune is exact and the scan
         # (hence the shuffle) covers matching buckets, not the corpus
-        tok_bks = [
-            r.bucket for r in new_post.select("bucket").distinct().collect()
-        ]
+        tok_bks = list(agg["bks"])
         old_post = _read_store_buckets(
             spark, post_path,
             "tok string, id long, n long, rn long, bucket int", tok_bks,
