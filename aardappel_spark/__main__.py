@@ -152,6 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = EngineConfig.load(args.config)
+    if args.setsim_dedup and args.dedup_exact:
+        # validate the flag combination BEFORE the lock-acquisition
+        # block below (r12 ADVICE): failing after acquisition returned
+        # without releasing, blocking a standby until TTL expiry
+        print("--setsim-dedup and --dedup-exact are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if not (args.setsim_dedup or args.dedup_exact) and not args.table_metas:
         print("--table-metas is required for CDC replication", file=sys.stderr)
         return 2
@@ -224,6 +231,15 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 q = writer.start()
             lock_lost["query"] = q
+            if lock_lost["flag"]:
+                # the renewal thread may have fired on_lost while the
+                # query handle was still None (a renew at ttl/2 can
+                # fail during slow stream startup) — nothing stopped
+                # the stream then, so stop it now (r12 ADVICE)
+                try:
+                    q.stop()
+                except Exception:
+                    pass
             q.awaitTermination()
             if lock_lost["flag"]:
                 print("stopped: instance lock lost mid-run", file=sys.stderr)
@@ -234,11 +250,6 @@ def main(argv: list[str] | None = None) -> int:
                 renewer.stop()
             if locker is not None:
                 locker.release()
-
-    if args.setsim_dedup and args.dedup_exact:
-        print("--setsim-dedup and --dedup-exact are mutually exclusive",
-              file=sys.stderr)
-        return 2
 
     if args.dedup_exact:
         # streaming exact-dedup mode (r11 verdict #7): the incremental
@@ -386,6 +397,13 @@ def main(argv: list[str] | None = None) -> int:
 
         q = engine.run_stream(source, ckpt, available_now=args.available_now)
         lock_lost["query"] = q
+        if lock_lost["flag"]:
+            # on_lost may have fired while the handle was None during
+            # stream startup — close the window (r12 ADVICE)
+            try:
+                q.stop()
+            except Exception:
+                pass
 
         stopping = {"flag": False}
 

@@ -66,7 +66,9 @@ def _read_store_buckets(spark, path: str, schema: str, buckets) -> DataFrame:
     bucket=<b>`` and prunes the listing to matching bucket
     directories — the scan (and everything shuffled downstream)
     covers the matching buckets, not the whole store (r11 verdict #4;
-    a plan test asserts ``inputFiles()`` stays inside the requested
+    a plan test asserts ``input_file_name()`` — the runtime truth of
+    what the scan read; ``inputFiles()`` would be the WRONG assertion,
+    it ignores partition pruning — stays inside the requested
     buckets). An empty bucket list reads nothing."""
     from pyspark.sql import functions as F
 
@@ -783,22 +785,36 @@ def incremental_dedup_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     sink=None,
+    n_buckets: int = 16,
 ):
     """foreachBatch factory for streaming ingest dedup against the FULL
     historical corpus: each micro-batch md5-fingerprints its documents,
     drops rows whose fingerprint exists in the persistent store (or
-    earlier in the same batch — first id wins), appends the survivors'
+    earlier in the same batch — first id wins), commits the survivors'
     fingerprints, and hands survivors to ``sink``.
 
     The store is a parquet table of 32-byte fingerprints — the
     batch-side ``dedup_incremental`` anti-join shape, made continuous.
-    Replays are idempotent: a re-appended fingerprint is a duplicate row
-    in the store, which changes nothing about anti-join semantics, so
-    at-least-once delivery composes to exactly-once OUTPUT as long as
-    the sink itself is idempotent per batch id (the standard
-    foreachBatch contract). At scale the anti-join shuffles 32-byte
-    keys only, and the store can be bucketed by fingerprint so the join
-    co-locates.
+    Store format v2 (r12 verdict #3): hive-partitioned
+    ``batch=<id>/bucket=<b>`` with ``pmod(xxhash64(fp), n_buckets)``,
+    the setsim-store recipe. The anti-join reads ONLY the fp buckets
+    this batch's fingerprints hash to — a duplicate fp lands in the
+    same bucket on both sides, so the prune is exact and the scan
+    (hence the shuffle) covers matching buckets, not the corpus; the
+    shared bucket function also co-locates the join at scale. A legacy
+    flat (unbucketed) store fails fast on the missing ``bucket``
+    column rather than being silently misread.
+
+    Replays are idempotent: each batch OVERWRITES its own
+    ``batch=<id>`` subdirectory, and the write is SKIPPED for an empty
+    survivor frame — a fully-replayed batch (every fp already in the
+    store, including its own committed ``batch=<id>`` rows) must not
+    overwrite its committed fingerprints with nothing (the r11 setsim
+    wipe pattern). The sink still fires on an empty frame: an
+    all-duplicates batch is a legitimate empty emit, and the CLI sink
+    guards the overwrite-vs-exists case itself. The sink runs BEFORE
+    the store grows, so delivery is at-least-once per batch_id (the
+    standard foreachBatch contract — dedupe downstream by batch id).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -811,20 +827,36 @@ def incremental_dedup_batch(
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .withColumn(
+                "_bk",
+                F.pmod(F.xxhash64(F.col("_fp")), F.lit(n_buckets)).cast(
+                    "int"
+                ),
+            )
+            .localCheckpoint()  # one fingerprint pass feeds the bucket
+            # list, the anti-join, and the store write
         )
+        # anti-join reads ONLY the buckets this batch's fps hash to;
         # missing path = first batch; any other read error propagates
         # (r10/r11 ADVICE: silently forgetting history re-admits dups)
-        store = _read_store_or_empty(spark, store_path, "fp string").select(
-            "fp"
-        )
+        fp_bks = [r._bk for r in batch.select("_bk").distinct().collect()]
+        store = _read_store_buckets(
+            spark, store_path, "fp string, bucket int", fp_bks
+        ).select("fp")
         fresh = batch.join(
             store, batch["_fp"] == store["fp"], "left_anti"
         ).localCheckpoint()  # pin survivors BEFORE the store grows
         if sink is not None:
-            sink(fresh.drop("_fp"), batch_id)
-        fresh.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
-            store_path
-        )
+            sink(fresh.drop("_fp", "_bk"), batch_id)
+        if not fresh.isEmpty():
+            # overwrite-by-batch (idempotent under replay); repartition
+            # on the bucket key first — partitionBy alone fans out to
+            # (task partitions x buckets) tiny files (r12 measured 2x)
+            fresh.select(
+                F.col("_fp").alias("fp"), F.col("_bk").alias("bucket")
+            ).repartition(n_buckets, "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
     return fn
 
@@ -861,15 +893,21 @@ def incremental_setsim_batch(
     sum_t df_batch(t) * df_all(t) over prefix postings — the join's
     output bound — and the batch is refused with the same
     dial-to-turn message when it exceeds ``guard_max_candidates``
-    (default ``max(1_000_000, 200 * corpus_docs)``).
+    (default ``max(1_000_000, 200 * corpus_docs)``). The corpus size
+    feeding that default comes from a tiny ``counts/`` sidecar (one
+    row per committed batch), NOT from counting the sets store — at
+    scale the full-store file listing alone would dominate a
+    micro-batch (r12 verdict #2). A store whose sidecar is missing
+    (e.g. half-deleted) under-counts the corpus, which only TIGHTENS
+    the default bound — refusal, never wrongness.
 
-    State is two parquet stores under ``store_dir`` (the
-    ``incremental_dedup_batch`` pattern — the store, not the streaming
-    checkpoint, carries the corpus memory, so restarts and reprocessing
-    compose): ``postings/`` holds each historical doc's PREFIX postings
-    (tok, id, n, rn) — only the prefix, which is what the lemma needs
-    from the archived side — and ``sets/`` holds (id, toks, n) for the
-    verify join. Each batch writes its rows as an OVERWRITE of its own
+    State is two parquet stores plus a one-row-per-batch ``counts/``
+    sidecar under ``store_dir`` (the ``incremental_dedup_batch``
+    pattern — the store, not the streaming checkpoint, carries the
+    corpus memory, so restarts and reprocessing compose): ``postings/``
+    holds each historical doc's PREFIX postings (tok, id, n, rn) —
+    only the prefix, which is what the lemma needs from the archived
+    side — and ``sets/`` holds (id, toks, n) for the verify join. Each batch writes its rows as an OVERWRITE of its own
     ``batch=<id>`` hive subdirectory, so store writes are idempotent
     under replay — a crash between the two writes can never leave
     permanently duplicated postings rows (r10 ADVICE). Re-delivered
@@ -891,13 +929,17 @@ def incremental_setsim_batch(
     misread): both stores are hive-partitioned
     ``batch=<id>/bucket=<b>`` with ``n_buckets`` buckets — postings by
     ``pmod(xxhash64(tok), n_buckets)``, sets by
-    ``pmod(xxhash64(id), n_buckets)``. The candidate join reads ONLY
-    the postings buckets the micro-batch's own prefix tokens hash to,
-    and the replay anti-join reads ONLY the sets buckets the batch's
-    doc ids hash to (partition pruning at the scan — asserted by a
-    plan test), so per batch the scanned+shuffled history is the
-    matching buckets, not the corpus; at 100 TB the shared bucket
-    function also co-locates candidate and verify joins.
+    ``pmod(xxhash64(id), n_buckets)``. ALL THREE historical reads are
+    bucket-pruned (r12 verdict #1 closed the verify join): the
+    candidate join reads ONLY the postings buckets the micro-batch's
+    own prefix tokens hash to, the replay anti-join ONLY the sets
+    buckets the batch's doc ids hash to, and the verify join ONLY the
+    sets buckets the candidate pairs' ids hash to (partition pruning
+    at the scan — asserted by plan tests on ``input_file_name()``;
+    there is NO unpruned read of either store anywhere in the batch,
+    pinned by a recorder test). Per batch the scanned+shuffled history
+    is the matching buckets, not the corpus; at 100 TB the shared
+    bucket function also co-locates candidate and verify joins.
 
     Emits to ``sink(df, batch_id)`` the same shape as the batch kernel:
     (id_a, id_b, n_a, n_b, n_inter, verified) with id_a < id_b,
@@ -911,20 +953,14 @@ def incremental_setsim_batch(
 
     post_path = f"{store_dir}/postings"
     sets_path = f"{store_dir}/sets"
+    counts_path = f"{store_dir}/counts"
+    sets_schema = "id long, toks array<string>, n long, bucket int"
 
     def fn(batch_df, batch_id):
         from .ops.dedup import distinct_shingle_sets
 
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col])
-        # missing path = first batch; anything else propagates
-        # (r10/r11 ADVICE: swallowing a real read error here would
-        # re-admit historical docs and silently drop detections)
-        old_sets_full = _read_store_or_empty(
-            spark, sets_path,
-            "id long, toks array<string>, n long, bucket int",
-        )
-        old_sets = old_sets_full.select("id", "toks", "n")
         # replay idempotence: a re-delivered doc is already corpus.
         # The anti-join reads ONLY the sets buckets this batch's doc
         # ids hash to — a replayed id is always in its own bucket, so
@@ -939,9 +975,11 @@ def incremental_setsim_batch(
             .distinct()
             .collect()
         ]
+        # missing path = first batch; anything else propagates
+        # (r10/r11 ADVICE: swallowing a real read error here would
+        # re-admit historical docs and silently drop detections)
         replay_sets = _read_store_buckets(
-            spark, sets_path,
-            "id long, toks array<string>, n long, bucket int", id_bks,
+            spark, sets_path, sets_schema, id_bks,
         )
         batch = batch.join(
             replay_sets.select(F.col("id").alias(id_col)), id_col, "left_anti"
@@ -1005,8 +1043,21 @@ def incremental_setsim_batch(
         all_post = old_post.unionByName(
             new_post.select("tok", "id", "n", "rn")
         )
-        # per-batch degenerate-regime guard: join output bound
-        n_corpus = old_sets.count() + n_new
+        # per-batch degenerate-regime guard: join output bound. The
+        # corpus size comes from the tiny counts sidecar (one row per
+        # committed batch, no token arrays), NOT from counting the
+        # sets store — at scale listing the full store's files every
+        # batch would dominate the trigger (r12 verdict #2). Exclude
+        # this batch's own row: a crashed prior attempt may have
+        # committed it before the sets write, and those docs are
+        # already in n_new.
+        n_prior = (
+            _read_store_or_empty(spark, counts_path, "n long, bid long")
+            .filter(F.col("bid") != batch_id)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+            .first()["n"]
+        )
+        n_corpus = n_prior + n_new
         bound = (
             guard_max_candidates
             if guard_max_candidates and guard_max_candidates > 0
@@ -1050,6 +1101,9 @@ def incremental_setsim_batch(
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             )
             .distinct()
+            .localCheckpoint()  # pin: feeds the verify join AND the
+            # bucket list for its pruned sets read (output bounded by
+            # the guard above, so the materialization is small)
         )
         new_sets = ranked.select(
             F.col("_id").alias("id"),
@@ -1059,7 +1113,31 @@ def incremental_setsim_batch(
             .cast("int")
             .alias("bucket"),
         ).localCheckpoint()
-        sets = old_sets.unionByName(new_sets.select("id", "toks", "n"))
+        # verify join reads ONLY the sets buckets the candidate pairs'
+        # ids hash to (r12 verdict #1) — an id's row lives in its own
+        # bucket, so the prune is exact; new docs were anti-joined
+        # against the store above, so the union below is disjoint and
+        # the pruned read's extra same-bucket rows are dropped by the
+        # equi-joins. Previously this union scanned the FULL sets
+        # store (token arrays included) twice per batch — the one
+        # unpruned history scan left after r12's bucketing.
+        cand_bks = [
+            r.bucket
+            for r in cand.select(
+                F.explode(F.array("id_a", "id_b")).alias("id")
+            )
+            .select(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets))
+                .cast("int")
+                .alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        old_cand_sets = _read_store_buckets(
+            spark, sets_path, sets_schema, cand_bks,
+        ).select("id", "toks", "n")
+        sets = old_cand_sets.unionByName(new_sets.select("id", "toks", "n"))
         out = (
             cand.join(
                 sets.select(
@@ -1107,6 +1185,17 @@ def incremental_setsim_batch(
         # file per (batch, bucket) — partitionBy alone fans out to
         # (task partitions x buckets) tiny files, which doubled the
         # whole replay's wall-clock at the x1 probe scale.
+        # Counts sidecar FIRST: the early return above fires only when
+        # every doc is in the SETS store, which is written last — so
+        # any replay that reaches this point recomputes and overwrites
+        # all three batch=<id> dirs, and a batch whose sets write
+        # committed always has its counts row committed too (the guard
+        # can only under-count after a crash, never double-count).
+        spark.createDataFrame(
+            [(int(n_new), int(batch_id))], "n long, bid long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{counts_path}/batch={batch_id}"
+        )
         new_post.repartition(n_buckets, "bucket").write.partitionBy(
             "bucket"
         ).mode("overwrite").parquet(f"{post_path}/batch={batch_id}")

@@ -556,3 +556,80 @@ def test_cli_dedup_exact_mode_end_to_end(spark, tmp_path):
         "--config", cfg, "--source-dir", src, "--work-dir", work,
         "--dedup-exact", "--setsim-dedup", "--available-now",
     ]) == 2
+
+
+def test_cli_lock_lost_before_query_handle_still_stops(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (medium): if the renewal thread fires on_lost while
+    the query handle is still None (a renew at ttl/2 can fail during
+    slow stream startup), nothing stopped the stream back then — the
+    CLI must re-check the lost flag right after assigning the handle
+    and stop the query itself, or a continuous run keeps writing the
+    state stores forever without provable single-writer ownership."""
+    import threading
+
+    from aardappel_spark import locker as locker_mod
+
+    class _InstantLossRenewer:
+        lost = True
+
+        def stop(self):
+            pass
+
+    def start_renewal(self, on_lost=None):
+        # simulate the race: the renewal fails BEFORE main assigns
+        # lock_lost["query"] — on_lost fires against a None handle
+        if on_lost is not None:
+            on_lost()
+        return _InstantLossRenewer()
+
+    monkeypatch.setattr(locker_mod.Locker, "start_renewal", start_renewal)
+
+    docs = os.path.join(tmp_path, "docs")
+    os.makedirs(docs, exist_ok=True)
+    with open(os.path.join(docs, "b1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+    cfg = _write_config(tmp_path, docs, multi_instance=True)
+
+    # CONTINUOUS mode (no --available-now): without the re-check the
+    # stream never stops and awaitTermination blocks forever
+    result = {}
+
+    def run():
+        result["rc"] = main([
+            "--config", cfg,
+            "--source-dir", docs,
+            "--work-dir", os.path.join(tmp_path, "work"),
+            "--dedup-exact",
+        ])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(120)
+    assert not t.is_alive(), "stream was never stopped after lock loss"
+    assert result["rc"] == 4
+
+
+def test_cli_mode_conflict_checked_before_lock_acquisition(tmp_path):
+    """r12 ADVICE (low): the --setsim-dedup/--dedup-exact conflict is a
+    usage error that must be rejected BEFORE the instance lock is
+    acquired — the old post-acquisition `return 2` left the lock held,
+    blocking a standby until TTL expiry."""
+    from aardappel_spark.locker import Locker, LockStorage
+
+    docs = os.path.join(tmp_path, "docs")
+    os.makedirs(docs, exist_ok=True)
+    cfg = _write_config(tmp_path, docs, multi_instance=True)
+    work = os.path.join(tmp_path, "work")
+    rc = main([
+        "--config", cfg, "--source-dir", docs, "--work-dir", work,
+        "--dedup-exact", "--setsim-dedup", "--available-now",
+    ])
+    assert rc == 2
+    # the lock was never taken: a standby acquires instantly
+    other = Locker(
+        LockStorage(os.path.join(work, "lock.json")), ttl_seconds=60
+    )
+    assert other.try_acquire()
+    other.release()

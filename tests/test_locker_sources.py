@@ -333,6 +333,7 @@ def test_scale_probe_flush_merges_never_clobbers(tmp_path, monkeypatch):
     art = tmp_path / "SCALE_PROBE.json"
     committed = {
         "n": 10,
+        "x_big": 100,
         "queries": {
             "tpch_q1": {"t_x1_sec": 1.0, "t_x10_sec": 9.0, "ratio": 9.0,
                         "t_x100_dialed_sec": 80.0},
@@ -361,3 +362,7 @@ def test_scale_probe_flush_merges_never_clobbers(tmp_path, monkeypatch):
     # fresh x10 measurements
     q1 = merged["queries"]["tpch_q1"]
     assert q1["t_x100_dialed_sec"] == 80.0 and q1["t_x10_sec"] == 9.5
+    # committed TOP-LEVEL keys this run didn't produce survive too —
+    # "x_big" from a prior full run must not be dropped by a subset
+    # run (r12 ADVICE: same clobber class as the query rows)
+    assert merged["x_big"] == 100 and merged["n"] == 10

@@ -840,12 +840,16 @@ def _flush_results(results: dict) -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
     )
-    merged = dict(results)
     try:
         with open(path) as fh:
             committed = json.load(fh)
     except (FileNotFoundError, json.JSONDecodeError):
         committed = {}
+    # start from the COMMITTED dict and overlay this run's keys: any
+    # committed top-level key this run didn't produce (e.g. "x_big"
+    # from a prior full run) survives a subset/aborted run too — the
+    # same clobber class as the query rows (r12 ADVICE)
+    merged = {**committed, **results}
     if isinstance(committed.get("queries"), dict):
         qs = {k: dict(v) for k, v in committed["queries"].items()}
         for name, row in results.get("queries", {}).items():
