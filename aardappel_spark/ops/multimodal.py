@@ -556,7 +556,11 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
     65521, so stdlib ``zlib.decompress`` verifies and inflates it —
     a palette arm (color type 3) carrying a real 256-entry PLTE chunk
     the indices select from, a 16-BIT grey arm (every other grey image:
-    depth 0x10, big-endian sample pairs), GIF89a with a REAL LZW literal stream
+    depth 0x10, big-endian sample pairs), a 4-BIT packed grey arm (the
+    remaining grey images: depth 0x04, two MSB-first samples per byte,
+    rows padded to a byte boundary — hex chars ARE nibbles, so the
+    oracle reads samples as single hex characters and the adler32
+    closed form stays byte-based), GIF89a with a REAL LZW literal stream
     over a 256-entry global palette, and JPEG (SOI + a real APP0/JFIF segment + SOF0
     with true BE dims + EOI — the APP0 forces the decoder's marker
     WALK, not a fixed offset). Chunk CRCs are zeroed: the adler32
@@ -676,8 +680,18 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
               "WHEN 2 THEN '06' ELSE '03' END)")
     png_ch = "(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 1 END)"
     png_sb = "(CASE WHEN doc_id % 8 = 4 THEN 2 ELSE 1 END)"  # bytes/sample
-    png_depth = "(CASE WHEN doc_id % 8 = 4 THEN '10' ELSE '08' END)"
-    png_rowb = f"({png_w} * {png_ch} * {png_sb})"  # pixel bytes per scanline
+    # every other grey image is 16-bit (doc_id % 8 = 4); the REMAINING
+    # grey images (doc_id % 8 = 0) are 4-BIT packed (r13): hex chars
+    # ARE nibbles, so the oracle sums single hex characters at nibble
+    # offsets and the adler32 closed form stays byte-based unchanged
+    png_depth = ("(CASE doc_id % 8 WHEN 4 THEN '10' WHEN 0 THEN '04' "
+                 "ELSE '08' END)")
+    # pixel bytes per scanline: 4-bit grey rows pack two samples per
+    # byte, MSB-first, padded to a byte boundary (odd widths carry a
+    # real nonzero padding nibble from the md5 stream — both decoders
+    # must ignore it)
+    png_rowb = (f"(CASE WHEN doc_id % 8 = 0 THEN ({png_w} + 1) {div} 2 "
+                f"ELSE {png_w} * {png_ch} * {png_sb} END)")
     png_raw = f"({png_h} * (1 + {png_rowb}))"   # + 1 filter byte per row
     png_pix = f"({png_h} * {png_rowb})"         # pixel bytes total
     # deterministic pixel bytes; max 9w * 4ch * 6h = 216 bytes = 432 hex

@@ -470,7 +470,13 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     container, never re-derived. The 16-BIT grey arm (r12, every other
     grey image) sums big-endian sample PAIRS at full precision on both
     engines — the kernel after the real inflate+unfilter, the oracle
-    as 256*hi + lo over the same two hex slices. The GIF arm
+    as 256*hi + lo over the same two hex slices. The 4-BIT packed grey
+    arm (r13, the remaining grey images) packs two MSB-first samples
+    per byte with rows padded to a byte boundary: the kernel runs its
+    row-aware sub-byte unpack after the same inflate+unfilter, the
+    oracle reads each sample as a SINGLE hex character at its nibble
+    offset (hex chars are nibbles), and an odd-width row's real
+    nonzero padding nibble is never indexed by either side. The GIF arm
     carries a REAL LZW stream (one CLEAR + 9-bit literal codes + EOI
     over a 256-entry palette): the kernel runs the full variable-width
     LZW decode, the oracle unpacks the same 9-bit codes and palette
@@ -536,7 +542,7 @@ def _multimodal_pixel_stats_oracle() -> str:
     # grey to R=G=B like the kernel. `pofs` is the hex shift for the
     # palette arm's PLTE chunk (2 * 780).
     png_o = lambda c: (  # noqa: E731  c: a 0-based channel expr
-        f"((p // w) * (1 + w * ch * sb) + 1 + ((p % w) * ch + {c}) * sb)"
+        f"((p // w) * (1 + rb) + 1 + ((p % w) * ch + {c}) * sb)"
     )
     png_byte_at = lambda o: (  # noqa: E731  o: raw-stream byte offset
         f"CAST('0x' || substring(hx, 97 + pofs + 2 * ({o}), 2) AS BIGINT)"
@@ -546,6 +552,15 @@ def _multimodal_pixel_stats_oracle() -> str:
         f"CAST(CASE WHEN sb = 2 THEN 256 * {png_byte_at(png_o(c))} "
         f"+ {png_byte_at(f'{png_o(c)} + 1')} "
         f"ELSE {png_byte_at(png_o(c))} END AS BIGINT)), 'sum')"
+    )
+    # 4-BIT grey arm (r13): hex chars ARE nibbles — sample x of row r
+    # is the single hex character at nibble offset 2*(row data start
+    # + x//2) + x%2 (MSB-first: even x = high nibble = first char);
+    # the trailing padding nibble of an odd-width row is never indexed
+    png_nib_sum = (
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        "CAST('0x' || substring(hx, 97 + 2 * ((p // w) * (1 + rb) + 1 "
+        "+ ((p % w) // 2)) + ((p % w) % 2), 1) AS BIGINT)), 'sum')"
     )
     # palette arm: pixel p's byte is its palette INDEX (ch = 1); the
     # channel value is the payload's own PLTE entry — PLTE data starts
@@ -628,6 +643,16 @@ png AS (
          CASE WHEN {byte('26')} = 0 THEN 0 ELSE 2 END AS cb,
          CASE WHEN {byte('26')} = 3 THEN 1560 ELSE 0 END AS pofs,
          CASE WHEN {byte('25')} = 16 THEN 2 ELSE 1 END AS sb,
+         {byte('25')} AS dp,
+         CASE WHEN {byte('25')} = 4
+              THEN ((16777216 * {byte('17')} + 65536 * {byte('18')}
+                     + 256 * {byte('19')} + {byte('20')}) + 1) // 2
+              ELSE (16777216 * {byte('17')} + 65536 * {byte('18')}
+                    + 256 * {byte('19')} + {byte('20')})
+                   * (CASE {byte('26')} WHEN 0 THEN 1 WHEN 2 THEN 3
+                           WHEN 3 THEN 1 ELSE 4 END)
+                   * (CASE WHEN {byte('25')} = 16 THEN 2 ELSE 1 END)
+              END AS rb,
          hx
   FROM hxb WHERE substring(hx, 1, 16) = '89504e470d0a1a0a'
 ),
@@ -636,13 +661,19 @@ png_stats AS (
          CAST({png_sum('0')} AS BIGINT) AS sum_r,
          CAST({png_sum('cg')} AS BIGINT) AS sum_g,
          CAST({png_sum('cb')} AS BIGINT) AS sum_b
-  FROM png WHERE ct <> 3
+  FROM png WHERE ct <> 3 AND dp <> 4
   UNION ALL
   SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
          CAST({png_pal_sum(0)} AS BIGINT) AS sum_r,
          CAST({png_pal_sum(1)} AS BIGINT) AS sum_g,
          CAST({png_pal_sum(2)} AS BIGINT) AS sum_b
   FROM png WHERE ct = 3
+  UNION ALL
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({png_nib_sum} AS BIGINT) AS sum_r,
+         CAST({png_nib_sum} AS BIGINT) AS sum_g,
+         CAST({png_nib_sum} AS BIGINT) AS sum_b
+  FROM png WHERE dp = 4
 ),
 gif AS (
   SELECT media_id, 'gif' AS format,

@@ -298,6 +298,7 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
     png = media.filter("media_id % 7 = 4").select("payload").collect()
     assert png
     saw_palette = False
+    saw_4bit = False
     for row in png:
         p = bytes(row.payload)
         # palette rows (r11) carry a 780-byte PLTE chunk before IDAT
@@ -311,7 +312,24 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
         # raises if adler wrong
         raw = zlib.decompress(p[base + 8 : base + 8 + size])
         assert raw[0] == 0  # filter-0 scanlines
+        # r13: the 4-bit packed grey arm — re-derive the channel sum
+        # from the raw nibbles (MSB-first, row padding excluded) and
+        # pin the kernel against it
+        if p[24] == 4:
+            w = struct.unpack_from(">I", p, 16)[0]
+            h = struct.unpack_from(">I", p, 20)[0]
+            rowb = (w + 1) // 2
+            want = 0
+            for r_ in range(h):
+                data = raw[r_ * (1 + rowb) + 1 : (r_ + 1) * (1 + rowb)]
+                for x in range(w):
+                    b = data[x // 2]
+                    want += (b >> 4) if x % 2 == 0 else (b & 0x0F)
+            n_px, sr, sg, sb = _pixel_stats_png(p)
+            assert (n_px, sr, sg, sb) == (w * h, want, want, want), (w, h)
+            saw_4bit = True
     assert saw_palette  # the %4 cycle must actually produce the arm
+    assert saw_4bit  # the %8 cycle must actually produce the 4-bit arm
     out = pixel_stats(media).filter("format = 'png'").collect()
     assert out and all(r.n_px is not None for r in out)
 
