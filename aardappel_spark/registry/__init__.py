@@ -32,32 +32,43 @@ for _m in _MODULES:
 del _m, _k, _v
 
 # ---------------------------------------------------------------------------
-# Driver-coverage rotation (round 12).
+# Driver-coverage rotation (round 13).
 #
-# union(CORRECTNESS_r01..r11) covers all 261 queries with zero red
-# latest rows (r11 judge-verified). Round-12 slots go to: the queries
-# whose OUTPUT changed this round (the 16-bit grey PNG sub-arm) plus
-# the PLAN-changed re-gates (the streaming twins' state stores are now
-# bucketed and their scans pruned), then ALL 30 rows whose latest
-# driver gate is r06 (the r11 verdict's item #1: the promised r06
-# block leads), then the r07 block in name order. r07 rows that do not
-# fit lead the r13 stale block; full-registry parity is additionally
-# checked every round by tools/check_oracle.py at sf0.001/0.01/0.1
-# (CHECK_ORACLE_r12*.json).
+# union(CORRECTNESS_r01..r12) covers all 261 queries with zero red
+# latest rows (r12 judge-verified). Round-13 slots go to: the queries
+# whose OUTPUT changed this round (the 4-bit packed grey PNG sub-arm)
+# plus the PLAN-changed re-gates (the setsim verify join and the
+# exact-dedup anti-join are now bucket-pruned; the guard reads a
+# counts sidecar), then ALL 29 rows whose latest driver gate is r07
+# (the r12 rotation comment's promise: the r07 tail leads), then the
+# r08 block in name order. r08 rows that do not fit lead the r14
+# stale block; full-registry parity is additionally checked every
+# round by tools/check_oracle.py at sf0.001/0.01/0.1
+# (CHECK_ORACLE_r13*.json).
+_R13_ADDITIONS: list[str] = [
+    k
+    for k in _rotation.R13_ADDITION_NAMES
+    if k in _dicts.QUERIES
+]
+
+_R13_PRIORITY: list[str] = list(
+    dict.fromkeys(_R13_ADDITIONS + _rotation._R13_STALE)
+)[:50]
+
+assert len(_R13_PRIORITY) == 50 and len(set(_R13_PRIORITY)) == 50
+assert set(_R13_PRIORITY) <= set(_dicts.QUERIES), sorted(
+    set(_R13_PRIORITY) - set(_dicts.QUERIES)
+)
+
+# kept importable for the r12 rotation regression test
 _R12_ADDITIONS: list[str] = [
     k
     for k in _rotation.R12_ADDITION_NAMES
     if k in _dicts.QUERIES
 ]
-
 _R12_PRIORITY: list[str] = list(
     dict.fromkeys(_R12_ADDITIONS + _rotation._R12_STALE)
 )[:50]
-
-assert len(_R12_PRIORITY) == 50 and len(set(_R12_PRIORITY)) == 50
-assert set(_R12_PRIORITY) <= set(_dicts.QUERIES), sorted(
-    set(_R12_PRIORITY) - set(_dicts.QUERIES)
-)
 
 # kept importable for the r11 rotation regression test
 _R11_ADDITIONS: list[str] = [
@@ -79,6 +90,6 @@ _R10_PRIORITY: list[str] = list(
     dict.fromkeys(_R10_ADDITIONS + _rotation._R10_STALE)
 )[:50]
 
-_rotated = _R12_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R12_PRIORITY)]
+_rotated = _R13_PRIORITY + [k for k in _dicts.QUERIES if k not in set(_R13_PRIORITY)]
 QUERIES = {k: _dicts.QUERIES[k] for k in _rotated}
 ORACLES = {k: _dicts.ORACLES[k] for k in _rotated}

@@ -443,3 +443,58 @@ _R12_STALE: list[str] = [
     "shipping_latency", "split_leakage", "text_kn_nll",
     "text_readability", "vocab_pmi",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-13 rotation inputs (consumed by __init__).
+#
+# R13_ADDITION_NAMES: queries whose OUTPUT or PLAN materially changed in
+# round 13. _R13_STALE: ALL 29 rows whose latest driver gate is r07 (the
+# r12 rotation comment's promise — the tail of the r07 block), then the
+# r08 block in name order; additions take slots first, stale rows fill
+# to 50. The r08 rows that do not fit lead the r14 stale block.
+R13_ADDITION_NAMES: list[str] = [
+    # OUTPUT changed in round 13: the PNG arm of the synthetic payload
+    # cycle gained a 4-BIT packed grey sub-arm (doc_id % 8 == 0: depth
+    # 0x04, two MSB-first samples per byte, rows byte-padded; n_bytes
+    # and the pixel sums change)
+    "multimodal_decode", "multimodal_pixel_stats",
+    # PLAN changed in round 13 (the events_wau_hll precedent): the
+    # setsim twin's VERIFY join now reads the sets store bucket-pruned
+    # by the candidate ids (no unpruned history read remains), the
+    # degenerate-regime guard reads a one-row-per-batch counts sidecar
+    # instead of counting the sets store, and the exact-dedup twin's
+    # fingerprint store is bucketed batch=<id>/bucket=<b> with a
+    # pruned anti-join
+    "dedup_setsim_stream", "dedup_incremental_stream",
+]
+
+_R13_STALE: list[str] = [
+    # latest gate r07 (all 29 of them — the r12 comment's promise)
+    "doc_chunk_dupmass", "doc_hapax_ratio", "doc_simhash_bit_balance",
+    "dq_constraints", "emb_band_occupancy", "emb_ivf_balance",
+    "emb_silhouette", "events_attribution", "events_autocorr",
+    "events_burst_rate", "events_interarrival", "events_moving_avg",
+    "events_new_vs_returning", "events_profile", "events_profile_approx",
+    "events_stickiness", "layout_hilbert_skip", "layout_zorder_skip",
+    "orders_month_revenue", "orders_reorder_window",
+    "orders_repeat_latency", "pack_efficiency_curve", "pq_code_balance",
+    "sessions_concurrency", "shipping_latency", "split_leakage",
+    "text_kn_nll", "text_readability", "vocab_pmi",
+    # latest gate r08, name order; the tail that does not fit leads r14
+    "ann_range_search", "cdc_schema_drift", "cdc_tx_stats",
+    "cdc_version_diff", "cdc_view_topk", "chunk_sliding",
+    "corpus_budget_allocation", "corpus_ngram_coverage",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_chunks", "doc_domain_stats",
+    "doc_fingerprint", "doc_pii_scrub", "doc_quality", "doc_repetition",
+    "doc_rolling_fp", "doc_sample", "doc_score", "doc_split_counts",
+    "doc_url_canonical", "doc_winnowing", "emb_grid_cells",
+    "emb_neardup", "emb_neardup_lsh", "events_cube", "events_heatmap",
+    "events_key_skew", "events_pair_window", "events_quantiles",
+    "events_rolling_percentile", "events_sessions", "events_tumbling",
+    "events_user_entropy", "events_user_setops", "events_wau_hll",
+    "multimodal_features", "orders_mix_shift", "supplier_hhi",
+    "text_bpe_tokens", "text_code_detect", "text_langid",
+    "text_top_terms",
+]

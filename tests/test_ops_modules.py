@@ -1580,38 +1580,38 @@ def test_bench_compact_line_fits_tail_window():
     assert len(parsed_small["queries"]) == 10 and "other_n" not in parsed_small
 
 
-def test_driver_rotation_first_50_are_round12_priority():
+def test_driver_rotation_first_50_are_round13_priority():
     """The harness gates correctness on the first 50 queries() entries;
-    pin the rotation so the round-12 artifact covers the right set —
+    pin the rotation so the round-13 artifact covers the right set —
     the queries whose output/plan changed this round lead (gated the
-    round they change), then ALL 30 rows whose latest driver gate is
-    r06 (the staleness promise from the r11 rotation comment), then
-    the r07 block in name order fills the remaining slots."""
+    round they change), then ALL 29 rows whose latest driver gate is
+    r07 (the staleness promise from the r12 rotation comment), then
+    the r08 block in name order fills the remaining slots."""
     import json
 
     import __spark_entry__ as entry_mod
     from aardappel_spark.registry import (
         ORACLES,
-        _R12_ADDITIONS,
-        _R12_PRIORITY,
+        _R13_ADDITIONS,
+        _R13_PRIORITY,
         _rotation,
     )
 
     q = entry_mod.queries()
-    assert list(q)[:50] == _R12_PRIORITY
+    assert list(q)[:50] == _R13_PRIORITY
     # this round's re-gates must lead; pin against the rotation source
     # (not a literal) so the pin cannot go stale when names shift
-    assert _R12_PRIORITY[: len(_R12_ADDITIONS)] == _R12_ADDITIONS
-    assert _R12_PRIORITY[0] == _rotation.R12_ADDITION_NAMES[0]
-    # every r06-stale row (computed from the committed artifacts) must
+    assert _R13_PRIORITY[: len(_R13_ADDITIONS)] == _R13_ADDITIONS
+    assert _R13_PRIORITY[0] == _rotation.R13_ADDITION_NAMES[0]
+    # every r07-stale row (computed from the committed artifacts) must
     # be inside this round's gate — the staleness promise, enforced
     latest = {}
-    for r in range(1, 12):
+    for r in range(1, 13):
         with open(f"CORRECTNESS_r{r:02d}.json") as fh:
             for k in json.load(fh):
                 latest[k] = max(latest.get(k, 0), r)
-    r06 = {k for k, v in latest.items() if v == 6}
-    assert r06 <= set(_R12_PRIORITY), sorted(r06 - set(_R12_PRIORITY))
+    r07 = {k for k, v in latest.items() if v == 7}
+    assert r07 <= set(_R13_PRIORITY), sorted(r07 - set(_R13_PRIORITY))
     assert list(entry_mod.oracle_sql()) == list(q)
     assert set(ORACLES) == set(q)
 
