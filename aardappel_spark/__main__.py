@@ -143,7 +143,10 @@ def build_parser() -> argparse.ArgumentParser:
             "maintenance mode: acquire the instance lock (compaction must "
             "never race a live writer), rewrite every destination table to "
             "one parquet file per bucket (VersionedTable.compact_files), "
-            "print before/after file counts, and exit"
+            "print before/after file counts, and exit. Combined with "
+            "--setsim-dedup or --dedup-exact it instead compacts that "
+            "mode's streaming state store (per-batch dirs -> one file "
+            "per bucket under batch=-1)"
         ),
     )
     return p
@@ -244,6 +247,35 @@ def main(argv: list[str] | None = None) -> int:
             if lock_lost["flag"]:
                 print("stopped: instance lock lost mid-run", file=sys.stderr)
                 return 4
+            return 0
+        finally:
+            if renewer is not None:
+                renewer.stop()
+            if locker is not None:
+                locker.release()
+
+    if args.compact_and_exit and (args.setsim_dedup or args.dedup_exact):
+        # maintenance path for the streaming dedup state stores: the
+        # per-batch layout keeps writes idempotent but accumulates one
+        # directory per micro-batch — partition discovery grows with
+        # batch count. Compact to one file per bucket under batch=-1
+        # (never a live foreachBatch id), under the instance lock.
+        try:
+            if args.dedup_exact:
+                from .stateful import compact_dedup_store
+
+                b, a = compact_dedup_store(
+                    spark, os.path.join(work_dir, "dedup_store")
+                )
+                print(f"compacted dedup_store: files {b} -> {a}")
+            else:
+                from .stateful import compact_setsim_store
+
+                rep = compact_setsim_store(
+                    spark, os.path.join(work_dir, "setsim_store")
+                )
+                for part, (b, a) in rep.items():
+                    print(f"compacted setsim_store/{part}: files {b} -> {a}")
             return 0
         finally:
             if renewer is not None:

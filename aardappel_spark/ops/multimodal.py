@@ -556,7 +556,12 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
     65521, so stdlib ``zlib.decompress`` verifies and inflates it —
     a palette arm (color type 3) carrying a real 256-entry PLTE chunk
     the indices select from, a 16-BIT grey arm (every other grey image:
-    depth 0x10, big-endian sample pairs), a 4-BIT packed grey arm (the
+    depth 0x10, big-endian sample pairs) of which every other image is
+    ADAM7 INTERLACED (doc_id % 16 == 12: the seven-pass layout of spec
+    8.2 with filter-0 pass rows — the data bytes are the same running
+    md5 slice, so sample sums are placement-invariant and the oracle
+    only re-maps adler32 byte positions through the pass structure),
+    a 4-BIT packed grey arm (the
     remaining grey images: depth 0x04, two MSB-first samples per byte,
     rows padded to a byte boundary — hex chars ARE nibbles, so the
     oracle reads samples as single hex characters and the adler32
@@ -744,6 +749,88 @@ def payload_hex_sql(div: str, transform_fn: str, range_fn: str,
       '00000000',
       '00000000', lower(hex('IEND')), 'ae426082'
     )"""
+    # ---- Adam7 INTERLACED sub-arm (r13): every other 16-bit grey
+    # image (doc_id % 16 == 12) is interlaced. Spec 8.2: each of the
+    # seven passes is an independently filtered sub-image; with
+    # filter-0 rows the DATA bytes are the same running md5 slice laid
+    # into pass structure (each pixel transmitted exactly once), so
+    # the sample sums are placement-invariant — only the filter-byte
+    # count (hence stream length and the adler32 byte positions)
+    # changes. Pass k has wk = ceil((w - x0)/dx), hk = ceil((h - y0)/
+    # dy) and transmits nothing when either is 0 (a 7x1 image sends
+    # only the y0 = 0 passes).
+    _A7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    a7_w = [f"(({png_w} - {x0} + {dx - 1}) {div} {dx})"
+            for x0, _, dx, _ in _A7]
+    a7_h = [f"(({png_h} - {y0} + {dy - 1}) {div} {dy})"
+            for _, y0, _, dy in _A7]
+    # per-pass DATA bytes (2/sample, 0 when the pass is empty) and
+    # STREAM bytes (one filter byte per transmitted row); cumulative
+    a7_dt = [f"(2 * {wk} * {hk})" for wk, hk in zip(a7_w, a7_h)]
+    a7_st = [
+        f"(CASE WHEN {wk} > 0 AND {hk} > 0 "
+        f"THEN {hk} * (1 + 2 * {wk}) ELSE 0 END)"
+        for wk, hk in zip(a7_w, a7_h)
+    ]
+    a7_do = ["0"]
+    a7_so = ["0"]
+    for _k in range(1, 7):
+        a7_do.append(f"({a7_do[_k - 1]} + {a7_dt[_k - 1]})")
+        a7_so.append(f"({a7_so[_k - 1]} + {a7_st[_k - 1]})")
+    pngi_raw = "(" + " + ".join(a7_st) + ")"
+    pngi_scan = "concat(" + ", ".join(
+        f"(CASE WHEN {wk} > 0 AND {hk} > 0 THEN "
+        f"{join_fn}({transform_fn}({range_fn.format(n=hk)}, r -> "
+        f"concat('00', substring({png_pixhex}, "
+        f"1 + 2 * ({dok} + 2 * {wk} * r), 4 * {wk}))), '') "
+        f"ELSE '' END)"
+        for wk, hk, dok in zip(a7_w, a7_h, a7_do)
+    ) + ")"
+
+    def _a7_idx(m: str) -> str:
+        # raw-stream index of 0-based data byte ``m``: locate its pass
+        # by the cumulative data offsets, then row/col within the pass
+        # (one filter byte per pass row). Empty passes have zero-width
+        # data ranges, so their branches are never taken and the
+        # division by 2*wk is never evaluated (CASE is lazy).
+        cases = []
+        for k in range(7):
+            wk, dok, sok = a7_w[k], a7_do[k], a7_so[k]
+            body = (f"({sok} + (({m} - {dok}) {div} (2 * {wk}))"
+                    f" * (1 + 2 * {wk})"
+                    f" + 1 + (({m} - {dok}) % (2 * {wk})))")
+            if k < 6:
+                cases.append(f"WHEN {m} < {a7_do[k + 1]} THEN {body}")
+            else:
+                cases.append(f"ELSE {body}")
+        return "(CASE " + " ".join(cases) + " END)"
+
+    # s1 is position-free (same data bytes) — reuse png_s1; s2 weights
+    # each data byte by (n - i) with i its INTERLACED stream index
+    pngi_s2 = (
+        f"(({pngi_raw} + "
+        + listsum_fn.format(
+            n=png_pix,
+            expr=f"({png_b}) * ({pngi_raw} - {_a7_idx('k')})",
+        )
+        + ") % 65521)"
+    )
+    pngi = f"""concat(
+      '89504e470d0a1a0a',
+      '0000000d', lower(hex('IHDR')),
+      {_be_hex(png_w, 4, div)}, {_be_hex(png_h, 4, div)},
+      '10', '00', '0000', '01',
+      '00000000',
+      {_be_hex(f'11 + {pngi_raw}', 4, div)}, lower(hex('IDAT')),
+      '7801',
+      '01', {_le_hex(pngi_raw, 2, div)}, {_le_hex(f'65535 - {pngi_raw}', 2, div)},
+      {pngi_scan},
+      {_be_hex(pngi_s2, 2, div)}, {_be_hex(png_s1, 2, div)},
+      '00000000',
+      '00000000', lower(hex('IEND')), 'ae426082'
+    )"""
+    png = f"(CASE WHEN doc_id % 16 = 12 THEN {pngi} ELSE {png} END)"
     # GIF89a with a REAL LZW image stream: a 256-entry global palette
     # (entry v = (v, 2v % 256, 7v % 256), read back from the payload by
     # both decode sides, never re-derived), then the "uncompressed GIF"

@@ -470,8 +470,15 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     container, never re-derived. The 16-BIT grey arm (r12, every other
     grey image) sums big-endian sample PAIRS at full precision on both
     engines — the kernel after the real inflate+unfilter, the oracle
-    as 256*hi + lo over the same two hex slices. The 4-BIT packed grey
-    arm (r13, the remaining grey images) packs two MSB-first samples
+    as 256*hi + lo over the same two hex slices; every other 16-bit
+    image is ADAM7 INTERLACED (r13): each pixel is transmitted exactly
+    once across the seven passes, so sample p still occupies data
+    bytes (2p, 2p+1) of the same stream — the kernel runs its real
+    seven-pass deinterlace, the oracle re-maps each byte's position
+    through the pass structure (pass dims from (w, h), one filter
+    byte per transmitted row, empty passes transmit nothing). The
+    4-BIT packed grey arm (r13, the remaining grey images) packs two
+    MSB-first samples
     per byte with rows padded to a byte boundary: the kernel runs its
     row-aware sub-byte unpack after the same inflate+unfilter, the
     oracle reads each sample as a SINGLE hex character at its nibble
@@ -562,6 +569,49 @@ def _multimodal_pixel_stats_oracle() -> str:
         "CAST('0x' || substring(hx, 97 + 2 * ((p // w) * (1 + rb) + 1 "
         "+ ((p % w) // 2)) + ((p % w) % 2), 1) AS BIGINT)), 'sum')"
     )
+    # ADAM7 interlaced 16-bit grey arm (r13): each pixel is transmitted
+    # exactly once, so sample p occupies DATA bytes (2p, 2p+1) of the
+    # same running stream — placement invariance; only the byte's RAW
+    # position must be re-mapped through the seven-pass structure
+    # (one filter byte per transmitted pass row, empty passes transmit
+    # nothing). Pass dims from (w, h) per spec 8.2.
+    _A7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    a7w = [f"((w - {x0} + {dx - 1}) // {dx})" for x0, _, dx, _ in _A7]
+    a7h = [f"((h - {y0} + {dy - 1}) // {dy})" for _, y0, _, dy in _A7]
+    a7dt = [f"(2 * {wk} * {hk})" for wk, hk in zip(a7w, a7h)]
+    a7st = [
+        f"(CASE WHEN {wk} > 0 AND {hk} > 0 "
+        f"THEN {hk} * (1 + 2 * {wk}) ELSE 0 END)"
+        for wk, hk in zip(a7w, a7h)
+    ]
+    a7do = ["0"]
+    a7so = ["0"]
+    for _k in range(1, 7):
+        a7do.append(f"({a7do[_k - 1]} + {a7dt[_k - 1]})")
+        a7so.append(f"({a7so[_k - 1]} + {a7st[_k - 1]})")
+
+    def a7_idx(m: str) -> str:
+        cases = []
+        for k in range(7):
+            wk, dok, sok = a7w[k], a7do[k], a7so[k]
+            body = (f"({sok} + (({m} - {dok}) // (2 * {wk}))"
+                    f" * (1 + 2 * {wk})"
+                    f" + 1 + (({m} - {dok}) % (2 * {wk})))")
+            if k < 6:
+                cases.append(f"WHEN {m} < {a7do[k + 1]} THEN {body}")
+            else:
+                cases.append(f"ELSE {body}")
+        return "(CASE " + " ".join(cases) + " END)"
+
+    a7_byte = lambda o: (  # noqa: E731  o: raw-stream byte offset
+        f"CAST('0x' || substring(hx, 97 + 2 * ({o}), 2) AS BIGINT)"
+    )
+    png_a7_sum = (
+        "list_aggregate(list_transform(range(0, w * h), p -> "
+        f"CAST(256 * {a7_byte(a7_idx('(2 * p)'))} "
+        f"+ {a7_byte(a7_idx('(2 * p + 1)'))} AS BIGINT)), 'sum')"
+    )
     # palette arm: pixel p's byte is its palette INDEX (ch = 1); the
     # channel value is the payload's own PLTE entry — PLTE data starts
     # at 1-based byte 42, so entry v channel c sits at hex position
@@ -644,6 +694,7 @@ png AS (
          CASE WHEN {byte('26')} = 3 THEN 1560 ELSE 0 END AS pofs,
          CASE WHEN {byte('25')} = 16 THEN 2 ELSE 1 END AS sb,
          {byte('25')} AS dp,
+         {byte('29')} AS il,
          CASE WHEN {byte('25')} = 4
               THEN ((16777216 * {byte('17')} + 65536 * {byte('18')}
                      + 256 * {byte('19')} + {byte('20')}) + 1) // 2
@@ -661,7 +712,7 @@ png_stats AS (
          CAST({png_sum('0')} AS BIGINT) AS sum_r,
          CAST({png_sum('cg')} AS BIGINT) AS sum_g,
          CAST({png_sum('cb')} AS BIGINT) AS sum_b
-  FROM png WHERE ct <> 3 AND dp <> 4
+  FROM png WHERE ct <> 3 AND dp <> 4 AND il = 0
   UNION ALL
   SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
          CAST({png_pal_sum(0)} AS BIGINT) AS sum_r,
@@ -674,6 +725,12 @@ png_stats AS (
          CAST({png_nib_sum} AS BIGINT) AS sum_g,
          CAST({png_nib_sum} AS BIGINT) AS sum_b
   FROM png WHERE dp = 4
+  UNION ALL
+  SELECT media_id, format, CAST(w * h AS BIGINT) AS n_px,
+         CAST({png_a7_sum} AS BIGINT) AS sum_r,
+         CAST({png_a7_sum} AS BIGINT) AS sum_g,
+         CAST({png_a7_sum} AS BIGINT) AS sum_b
+  FROM png WHERE il = 1
 ),
 gif AS (
   SELECT media_id, 'gif' AS format,

@@ -77,6 +77,119 @@ def _read_store_buckets(spark, path: str, schema: str, buckets) -> DataFrame:
     return df.filter(F.col("bucket").isin(bks) if bks else F.lit(False))
 
 
+def _recover_compaction(path: str) -> None:
+    """Roll a crashed ``_compact_bucketed_store`` forward or back:
+    a leftover ``.old`` beside a live store means the compaction
+    completed (drop the backup); a ``.old`` with NO live store means
+    the crash hit between the two renames (restore the backup — the
+    corpus must never silently read as empty, the r10/r11 ADVICE
+    class); a ``.compacting`` dir is an uncommitted rewrite (drop)."""
+    import os
+    import shutil
+
+    old, tmp = path + ".old", path + ".compacting"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_bucketed_store(
+    spark, path: str, schema: str, n_buckets: int = 16
+) -> tuple[int, int]:
+    """Compact a ``batch=<id>/bucket=<b>`` streaming state store to a
+    single ``batch=-1`` dir with ONE file per bucket. The per-batch
+    layout keeps writes idempotent, but an unbounded run accumulates
+    one directory per micro-batch and partition discovery (file
+    listing) grows with batch count — at 100 TB the listing, not the
+    data, becomes the per-trigger cost. Compaction rewrites the store
+    content-identically: readers filter on ``bucket`` only, the
+    replay anti-join is content-based, and ``batch=-1`` can never
+    collide with a foreachBatch id (ids are >= 0, so even a
+    fresh-checkpoint restart's batch 0 overwrite cannot wipe the
+    compacted corpus). MUST run under the instance lock with no live
+    writer (the ``--compact-and-exit`` contract). Crash-safe via
+    write-to-``.compacting`` + two renames; ``_recover_compaction``
+    rolls any crash window forward or back. Returns (files_before,
+    files_after)."""
+    import os
+    import shutil
+
+    _recover_compaction(path)
+    df = _read_store_or_empty(spark, path, schema)
+    if df.isEmpty():
+        return (0, 0)
+
+    def _nfiles(p):
+        return sum(
+            1
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = _nfiles(path)
+    cols = [c.split()[0] for c in schema.split(",")]
+    tmp = path + ".compacting"
+    df.select(*cols).repartition(n_buckets, "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(f"{tmp}/batch=-1")
+    os.rename(path, path + ".old")
+    os.rename(tmp, path)
+    shutil.rmtree(path + ".old")
+    return (before, _nfiles(path))
+
+
+def compact_setsim_store(spark, store_dir: str, n_buckets: int = 16) -> dict:
+    """Compact all three sub-stores of ``incremental_setsim_batch``
+    (postings, sets, and the counts sidecar — the sidecar folds to a
+    single total row under ``bid=-1``, which the guard's
+    ``bid != batch_id`` filter always keeps). Content-identical to the
+    un-compacted store for every reader; run under the instance lock."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = {
+        "postings": _compact_bucketed_store(
+            spark, f"{store_dir}/postings",
+            "tok string, id long, n long, rn long, bucket int", n_buckets,
+        ),
+        "sets": _compact_bucketed_store(
+            spark, f"{store_dir}/sets",
+            "id long, toks array<string>, n long, bucket int", n_buckets,
+        ),
+    }
+    counts_path = f"{store_dir}/counts"
+    _recover_compaction(counts_path)
+    counts = _read_store_or_empty(spark, counts_path, "n long, bid long")
+    if not counts.isEmpty():
+        total = counts.agg(F.sum("n").alias("n")).first()["n"]
+        tmp = counts_path + ".compacting"
+        spark.createDataFrame(
+            [(int(total), -1)], "n long, bid long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch=-1")
+        os.rename(counts_path, counts_path + ".old")
+        os.rename(tmp, counts_path)
+        shutil.rmtree(counts_path + ".old")
+        out["counts"] = (1, 1)
+    else:
+        out["counts"] = (0, 0)
+    return out
+
+
+def compact_dedup_store(spark, store_path: str, n_buckets: int = 16):
+    """Compact the ``incremental_dedup_batch`` fingerprint store to one
+    file per bucket (same contract as ``compact_setsim_store``)."""
+    return _compact_bucketed_store(
+        spark, store_path, "fp string, bucket int", n_buckets
+    )
+
+
 LWW_OUTPUT_SCHEMA = StructType(
     [
         StructField("key", StringType(), False),
@@ -819,6 +932,11 @@ def incremental_dedup_batch(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # a compaction that crashed mid-swap must be rolled forward/back
+    # BEFORE the first read, or the store could read as 'first batch'
+    # and silently forget the corpus (the r10/r11 ADVICE class)
+    _recover_compaction(store_path)
+
     def fn(batch_df, batch_id):
         spark = batch_df.sparkSession
         batch = batch_df.withColumn("_fp", F.md5(F.col(text_col)))
@@ -907,7 +1025,8 @@ def incremental_setsim_batch(
     corpus memory, so restarts and reprocessing compose): ``postings/``
     holds each historical doc's PREFIX postings (tok, id, n, rn) —
     only the prefix, which is what the lemma needs from the archived
-    side — and ``sets/`` holds (id, toks, n) for the verify join. Each batch writes its rows as an OVERWRITE of its own
+    side — and ``sets/`` holds (id, toks, n) for the verify join.
+    Each batch writes its rows as an OVERWRITE of its own
     ``batch=<id>`` hive subdirectory, so store writes are idempotent
     under replay — a crash between the two writes can never leave
     permanently duplicated postings rows (r10 ADVICE). Re-delivered
@@ -955,6 +1074,10 @@ def incremental_setsim_batch(
     sets_path = f"{store_dir}/sets"
     counts_path = f"{store_dir}/counts"
     sets_schema = "id long, toks array<string>, n long, bucket int"
+    # roll a crashed compaction forward/back before the first read —
+    # a mid-swap crash must never read as an empty corpus
+    for _p in (post_path, sets_path, counts_path):
+        _recover_compaction(_p)
 
     def fn(batch_df, batch_id):
         from .ops.dedup import distinct_shingle_sets

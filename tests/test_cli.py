@@ -633,3 +633,56 @@ def test_cli_mode_conflict_checked_before_lock_acquisition(tmp_path):
     )
     assert other.try_acquire()
     other.release()
+
+
+def test_cli_compact_dedup_state_store(spark, tmp_path, capsys):
+    """r13: --compact-and-exit combined with --dedup-exact compacts the
+    streaming fingerprint store (per-batch dirs -> one file per bucket
+    under batch=-1) under the instance lock, and the compacted store
+    still drops duplicates on the next run."""
+    docs = [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "alpha")]
+    src = os.path.join(tmp_path, "docs")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for i, text in docs:
+            f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    cfg = _write_config(tmp_path, src, multi_instance=True)
+    work = os.path.join(tmp_path, "work")
+
+    assert main([
+        "--config", cfg, "--source-dir", src, "--work-dir", work,
+        "--dedup-exact", "--available-now",
+    ]) == 0
+    store = os.path.join(work, "dedup_store")
+    assert any(d.startswith("batch=") and d != "batch=-1"
+               for d in os.listdir(store))
+
+    assert main([
+        "--config", cfg, "--source-dir", src, "--work-dir", work,
+        "--dedup-exact", "--compact-and-exit",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "compacted dedup_store" in out
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == [
+        "batch=-1"
+    ]
+    # the lock was released by the maintenance path
+    from aardappel_spark.locker import Locker, LockStorage
+
+    other = Locker(
+        LockStorage(os.path.join(work, "lock.json")), ttl_seconds=60
+    )
+    assert other.try_acquire()
+    other.release()
+
+    # compacted corpus still drops duplicates on the next run
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 5, "text": "beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 6, "text": "delta"}) + "\n")
+    assert main([
+        "--config", cfg, "--source-dir", src, "--work-dir", work,
+        "--dedup-exact", "--available-now",
+        "--checkpoint", os.path.join(tmp_path, "ckpt2"),
+    ]) == 0
+    surv = spark.read.parquet(os.path.join(work, "dedup_survivors"))
+    assert {r.doc_id for r in surv.collect()} == {1, 2, 3, 6}

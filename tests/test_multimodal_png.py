@@ -299,6 +299,7 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
     assert png
     saw_palette = False
     saw_4bit = False
+    saw_interlaced = False
     for row in png:
         p = bytes(row.payload)
         # palette rows (r11) carry a 780-byte PLTE chunk before IDAT
@@ -312,6 +313,36 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
         # raises if adler wrong
         raw = zlib.decompress(p[base + 8 : base + 8 + size])
         assert raw[0] == 0  # filter-0 scanlines
+        # r13: the Adam7-interlaced 16-bit grey arm — each pixel is
+        # transmitted once, so the sample sum equals the sum over
+        # consecutive big-endian DATA-byte pairs (filter bytes
+        # stripped per pass row); pin the kernel's real deinterlace
+        # against that placement-invariant model
+        if p[28] == 1:
+            assert p[24] == 16 and p[25] == 0  # 16-bit grey only
+            w = struct.unpack_from(">I", p, 16)[0]
+            h = struct.unpack_from(">I", p, 20)[0]
+            data = bytearray()
+            pos = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                wk = (w - x0 + dx - 1) // dx
+                hk = (h - y0 + dy - 1) // dy
+                if wk <= 0 or hk <= 0:
+                    continue
+                for _ in range(hk):
+                    assert raw[pos] == 0  # filter-0 pass rows
+                    data += raw[pos + 1 : pos + 1 + 2 * wk]
+                    pos += 1 + 2 * wk
+            assert pos == len(raw) and len(data) == 2 * w * h
+            want = sum(
+                256 * data[2 * i] + data[2 * i + 1] for i in range(w * h)
+            )
+            n_px, sr, sg, sb = _pixel_stats_png(p)
+            assert (n_px, sr, sg, sb) == (w * h, want, want, want), (w, h)
+            saw_interlaced = True
         # r13: the 4-bit packed grey arm — re-derive the channel sum
         # from the raw nibbles (MSB-first, row padding excluded) and
         # pin the kernel against it
@@ -330,6 +361,7 @@ def test_synthetic_png_arm_inflates_and_sums(spark, sf_dir):
             saw_4bit = True
     assert saw_palette  # the %4 cycle must actually produce the arm
     assert saw_4bit  # the %8 cycle must actually produce the 4-bit arm
+    assert saw_interlaced  # the %16 cycle must produce the Adam7 arm
     out = pixel_stats(media).filter("format = 'png'").collect()
     assert out and all(r.n_px is not None for r in out)
 

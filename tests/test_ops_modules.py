@@ -3529,12 +3529,14 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             if r.media_id % 4 == 3:  # palette arm carries a PLTE chunk
                 assert b"PLTE" in p
             # r12: every other grey image is 16-bit (depth byte 0x10);
-            # r13: the remaining grey images are 4-bit packed (0x04)
+            # r13: the remaining grey images are 4-bit packed (0x04),
+            # and every other 16-bit image is Adam7 interlaced
             assert p[24] == (
                 16 if r.media_id % 8 == 4
                 else 4 if r.media_id % 8 == 0
                 else 8
             )
+            assert p[28] == (1 if r.media_id % 16 == 12 else 0)
             # independent struct re-read: IHDR must be the first chunk
             assert p[12:16] == b"IHDR"
             assert struct.unpack_from(">I", p, 16)[0] == d["width"]

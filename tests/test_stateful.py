@@ -2275,3 +2275,140 @@ def test_dedup_fp_store_bucketed_prunes_and_replay_never_wipes(
     fn_legacy = incremental_dedup_batch(legacy, sink=lambda df, bid: None)
     with pytest.raises(Exception):
         fn_legacy(b1, 0)
+
+
+def test_setsim_store_compaction_is_content_identical(spark, tmp_path):
+    """r13: state-store compaction bounds partition-discovery cost (one
+    dir per micro-batch otherwise grows without bound). Compacting to
+    batch=-1 must be CONTENT-identical for every reader: a post-
+    compaction batch emits exactly the pairs it would have over the
+    uncompacted store, a replayed old batch id stays a no-op (the
+    anti-join is content-based, and batch=-1 can never collide with a
+    foreachBatch id), and the guard's corpus count is preserved."""
+    import shutil
+
+    from aardappel_spark.stateful import (
+        compact_setsim_store,
+        incremental_setsim_batch,
+    )
+
+    def batch(i):
+        lo = 20 * i
+        rows = [(lo, "a b c d")] if i == 2 else []
+        rows += [
+            (lo + j, f"w{lo + j}a w{lo + j}b w{lo + j}c w{lo + j}d")
+            for j in range(1, 15)
+        ]
+        if i == 0:
+            rows.append((19, "a b c e"))  # near-dup partner for batch 2
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store_a = str(tmp_path / "a")
+    outs_a = []
+    fn_a = incremental_setsim_batch(
+        store_a, tau_num=1, tau_den=2, shingle=1,
+        sink=lambda df, bid: outs_a.append((bid, {
+            (r.id_a, r.id_b) for r in df.collect() if r.verified
+        })),
+    )
+    fn_a(batch(0), 0)
+    fn_a(batch(1), 1)
+
+    store_b = str(tmp_path / "b")
+    shutil.copytree(store_a, store_b)
+
+    rep = compact_setsim_store(spark, store_a)
+    for part in ("postings", "sets"):
+        b, a = rep[part]
+        assert a <= b and a > 0, rep
+        dirs = [
+            d for d in os.listdir(f"{store_a}/{part}")
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=-1"], dirs
+    # counts folded to one bid=-1 row with the same total
+    counts = spark.read.parquet(f"{store_a}/counts").collect()
+    assert len(counts) == 1 and counts[0].bid == -1
+    assert counts[0].n == 29  # 15 + 14 committed docs
+
+    # the same third batch over compacted vs uncompacted stores
+    outs_b = []
+    fn_b = incremental_setsim_batch(
+        store_b, tau_num=1, tau_den=2, shingle=1,
+        sink=lambda df, bid: outs_b.append((bid, {
+            (r.id_a, r.id_b) for r in df.collect() if r.verified
+        })),
+    )
+    fn_a(batch(2), 2)
+    fn_b(batch(2), 2)
+    assert outs_a[-1] == outs_b[-1]
+    assert (19, 40) in outs_a[-1][1]  # cross-batch pair found post-compact
+
+    # a replayed old batch id is still a no-op after compaction
+    n = len(outs_a)
+    fn_a(batch(0), 0)
+    assert len(outs_a) == n
+    assert not os.path.exists(f"{store_a}/postings/batch=0")
+
+
+def test_dedup_store_compaction_and_crash_recovery(spark, tmp_path):
+    """r13: fp-store compaction is content-identical (duplicates still
+    drop afterwards), and a compaction crash in ANY window must never
+    make the corpus read as empty — _recover_compaction rolls the
+    mid-swap window back and drops stale artifacts."""
+    import shutil
+
+    from aardappel_spark.stateful import (
+        _recover_compaction,
+        compact_dedup_store,
+        incremental_dedup_batch,
+    )
+
+    store = str(tmp_path / "fps")
+    emitted = []
+    fn = incremental_dedup_batch(
+        store, sink=lambda df, bid: emitted.append([r.doc_id for r in df.collect()])
+    )
+    fn(spark.createDataFrame(
+        [(i, f"text {i}") for i in range(24)], "doc_id long, text string"
+    ), 0)
+    fn(spark.createDataFrame(
+        [(100, "text 3"), (101, "new one")], "doc_id long, text string"
+    ), 1)
+    assert emitted[-1] == [101]
+
+    b, a = compact_dedup_store(spark, store)
+    assert a <= b and a > 0
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == [
+        "batch=-1"
+    ]
+    # duplicates of both pre-compaction batches still drop
+    fn(spark.createDataFrame(
+        [(200, "text 7"), (201, "new one"), (202, "really new")],
+        "doc_id long, text string",
+    ), 2)
+    assert emitted[-1] == [202]
+
+    # crash window 1: store renamed away, .old present -> restore
+    shutil.rmtree(f"{store}.old", ignore_errors=True)
+    os.rename(store, f"{store}.old")
+    _recover_compaction(store)
+    assert os.path.exists(store) and not os.path.exists(f"{store}.old")
+    # crash window 2: completed swap, backup left -> backup dropped
+    shutil.copytree(store, f"{store}.old")
+    os.makedirs(f"{store}.compacting/batch=-1", exist_ok=True)
+    _recover_compaction(store)
+    assert os.path.exists(store)
+    assert not os.path.exists(f"{store}.old")
+    assert not os.path.exists(f"{store}.compacting")
+    # the recovered store still dedups (factory recovery path)
+    fn2 = incremental_dedup_batch(
+        store, sink=lambda df, bid: emitted.append([r.doc_id for r in df.collect()])
+    )
+    fn2(spark.createDataFrame(
+        [(300, "text 5")], "doc_id long, text string"
+    ), 0)
+    assert emitted[-1] == []
+
+    # compacting an empty/missing store is a no-op
+    assert compact_dedup_store(spark, str(tmp_path / "nope")) == (0, 0)
