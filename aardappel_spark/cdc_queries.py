@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .apply import apply_batch
 from .casting import TableMeta
 from .compact import compact_changes
+from .localrel import empty_df
 from .parse import parse_messages, split_events, split_heartbeats
 from .quorum import latest_heartbeats, out_of_order_events
 from .types import pos, pos_lit
@@ -209,7 +210,7 @@ def q_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-batch path.
     """
     ev = split_events(parsed_messages(spark, sf_dir))
-    dst0 = spark.createDataFrame([], "user_id bigint, value double, props string")
+    dst0 = empty_df(spark, "user_id bigint, value double, props string")
     d1 = apply_batch(dst0, ev, STATE_META)
     return d1.select(
         "user_id", F.round("value", 2).alias("value"), F.col("props")
@@ -283,7 +284,7 @@ def q_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = split_events(
         parse_messages(wire, table_id_col=None).localCheckpoint(eager=False)
     )
-    dst0 = spark.createDataFrame([], "o_custkey bigint, totalprice double, orderdate timestamp")
+    dst0 = empty_df(spark, "o_custkey bigint, totalprice double, orderdate timestamp")
     out = apply_batch(dst0, ev, ORDERS_META)
     return out.select(
         "o_custkey", F.round("totalprice", 2).alias("totalprice"), F.col("orderdate")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .localrel import local_df
+
 FMT_RAW = 1
 
 
@@ -102,7 +104,8 @@ def store_blocked_keys(
     n_batches = 0
     for i in range(0, len(keys), batch_size):
         chunk = keys[i : i + batch_size]
-        df = spark.createDataFrame(
+        df = local_df(
+            spark,
             [(instance_id, bytearray(k)) for k in chunk],
             "instance_id string, key binary",
         )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import empty_df, local_df
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -140,7 +142,7 @@ def cosine_neardup_pairs_blas(
     n = src.count()
     schema = "id_a bigint, id_b bigint, sim double"
     if n == 0:
-        return spark.createDataFrame([], schema)
+        return empty_df(spark, schema)
     n_blocks = max(1, math.ceil(n / block_rows))
     if n_blocks > 1:
         # The loop re-reads src once per block for the block collect and
@@ -183,7 +185,7 @@ def cosine_neardup_pairs_blas(
 
     parts = [df for df in (one_block(b) for b in range(n_blocks)) if df is not None]
     if not parts:
-        return spark.createDataFrame([], schema)
+        return empty_df(spark, schema)
     return reduce(DataFrame.union, parts)
 
 
@@ -1143,7 +1145,7 @@ def ivf_probe_curve(
         .first()
     )
     if qrow is None:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
 
     assigned, C = prebuilt if prebuilt is not None else ivf_build(
         vectors, n_centroids=n_centroids, refine_iters=refine_iters,
@@ -1173,8 +1175,8 @@ def ivf_probe_curve(
                          vec_col=vec_col)
         .select(F.col(id_col).alias("_id"), F.lit(1).alias("_bf"))
     )
-    probes_df = spark.createDataFrame(
-        [(int(p),) for p in probe_counts], "n_probe int"
+    probes_df = local_df(
+        spark, [(int(p),) for p in probe_counts], "n_probe int"
     )
     # barrier: the candidate counts and the per-P top-k both consume the
     # scored frame; one scoring pass over the corpus, not two

@@ -16,6 +16,7 @@ from ..ops.dedup import (
     simhash,
     verify_pairs_jaccard,
 )
+from ..localrel import empty_df, local_df
 from ..sources import load_events_ns
 from ..ops.similarity import (
     brute_force_topk,
@@ -346,7 +347,7 @@ def q_emb_mmr_diverse(spark, sf_dir):
     out_schema = "step int, vec_id bigint, score double, relevance double"
     qrow = emb.filter(F.col("vec_id") == 0).head(1)
     if not qrow:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0].v])
     base = (
         emb.filter(F.col("vec_id") != 0)
@@ -386,7 +387,7 @@ def q_emb_mmr_diverse(spark, sf_dir):
             (step + 1, r.vec_id, round(r.score, 6), round(r.rel, 6))
         )
     base.unpersist()
-    return spark.createDataFrame(out_rows, out_schema)
+    return local_df(spark, out_rows, out_schema)
 
 
 def q_emb_knn_graph(spark, sf_dir):
@@ -1111,11 +1112,12 @@ def q_emb_centroid_shift(spark, sf_dir):
     # so the shift always describes the index it claims to describe
     C0 = ivf_seed_matrix(emb, IVF_N_CENTROIDS)
     if C0.size == 0:  # empty corpus: no clusters, no shifts
-        return spark.createDataFrame(
-            [], "cid int, n_members bigint, shift_l2 double"
+        return empty_df(
+            spark, "cid int, n_members bigint, shift_l2 double"
         )
     shifts = np.sqrt(((C1 - C0) ** 2).sum(axis=1))
-    shift_df = spark.createDataFrame(
+    shift_df = local_df(
+        spark,
         [(i, round(float(s), 4)) for i, s in enumerate(shifts)],
         "cid int, shift_l2 double",
     )
@@ -1473,7 +1475,8 @@ def q_emb_silhouette(spark, sf_dir):
     mean silhouette for a fat cluster is the 'n_centroids too small'
     signal the SemDeDup/IVF dial reads."""
     assigned, C = _ivf_build_cached(spark, sf_dir)
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
         "cid int, c array<double>",
     )

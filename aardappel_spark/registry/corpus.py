@@ -37,6 +37,7 @@ from ..ops.text import (
 from ._dicts import QUERIES, ORACLES
 from ._shared import *  # noqa: F401,F403
 from .ann import q_ann_cosine
+from ..localrel import local_df
 
 
 
@@ -314,8 +315,8 @@ def q_quality_lr_train(spark, sf_dir):
     weights round to 6 decimals so the engines' different summation
     orders (both valid IEEE) cannot flip the comparison."""
     w = _lr_weights(spark, sf_dir)
-    return spark.createDataFrame(
-        [tuple(w)], "w0 double, w1 double, w2 double, w3 double"
+    return local_df(
+        spark, [tuple(w)], "w0 double, w1 double, w2 double, w3 double"
     )
 
 
@@ -388,9 +389,10 @@ def q_corpus_dsir(spark, sf_dir):
     Language Models via Importance Resampling'): hash unigrams into 64
     buckets, estimate target (lang='en') and raw token distributions
     with add-one smoothing, and score each document by the mean
-    log-ratio of its tokens' buckets. Both distributions are two tiny
-    64-row aggregates broadcast into the per-token scoring pass — the
-    corpus never shuffles on anything wider than doc_id."""
+    log-ratio of its tokens' buckets. Both distributions come out of
+    ONE tiny 64-row conditional aggregate broadcast into the per-token
+    scoring pass — two corpus passes total, and the corpus never
+    shuffles on anything wider than doc_id."""
     from ..ops.text import tokens_col
 
     docs = _docs(spark, sf_dir)
@@ -403,22 +405,28 @@ def q_corpus_dsir(spark, sf_dir):
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens_col("text")).alias("token")
     ).withColumn("b", bucket)
-    raw = toks.groupBy("b").agg(F.count("*").alias("c_raw"))
-    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("c_tgt")
-    )
-    n_raw = toks.count()
-    n_tgt = toks.filter(F.col("lang") == "en").count()
-    dist = (
-        raw.join(tgt, "b", "left")
-        .fillna(0, ["c_tgt"])
-        .select(
-            "b",
-            (
-                F.log((F.col("c_tgt") + 1) / F.lit(float(n_tgt + 64)))
-                - F.log((F.col("c_raw") + 1) / F.lit(float(n_raw + 64)))
-            ).alias("logratio"),
-        )
+    # ONE tokenize+aggregate pass yields both distributions and (by
+    # summing the 64 collected rows driver-side) both token totals —
+    # the previous shape ran FIVE full tokenize passes over the corpus
+    # (raw agg, tgt agg, two bare counts, scoring pass; guide §1.2/§2.3:
+    # remove passes, aggregate before shuffling). The conditional sum
+    # equals the old filter+left-join+fillna(0) exactly: a bucket with
+    # no 'en' tokens sums to 0, and every bucket present in raw is
+    # present in the groupBy. The log-ratio stays a SPARK expression
+    # with the same literals, so every double is bit-identical.
+    agged = toks.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_tgt"),
+    ).localCheckpoint(eager=False)
+    rows = agged.collect()
+    n_raw = sum(r.c_raw for r in rows)
+    n_tgt = sum(r.c_tgt for r in rows)
+    dist = agged.select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1) / F.lit(float(n_tgt + 64)))
+            - F.log((F.col("c_raw") + 1) / F.lit(float(n_raw + 64)))
+        ).alias("logratio"),
     )
     return (
         toks.join(F.broadcast(dist), "b")

@@ -36,6 +36,7 @@ from ..ops.text import (
 
 from ._dicts import QUERIES, ORACLES
 from ._shared import *  # noqa: F401,F403
+from ..localrel import empty_df, local_df
 
 
 
@@ -302,8 +303,8 @@ def q_semantic_dedup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if emb.head(1) == []:  # ivf_build seeds from data; empty corpus -> no rows
-        return spark.createDataFrame(
-            [], "vec_id bigint, cid int, dup_of bigint, kept boolean"
+        return empty_df(
+            spark, "vec_id bigint, cid int, dup_of bigint, kept boolean"
         )
     assigned = _ivf_assigned_cached(spark, sf_dir)
     a = assigned.select(
@@ -381,8 +382,8 @@ def q_dedup_threshold_curve(spark, sf_dir):
     pairs; zero-surviving thresholds still report as 0 rows via the
     left join, so the curve always has 5 points. Jaccard here is exact
     small-integer division — bit-identical across engines."""
-    thr = spark.createDataFrame(
-        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    thr = local_df(
+        spark, [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
     # barrier: the pair verification (set math over LSH candidates) runs
     # ONCE; both aggregations below re-read the materialized pairs
@@ -1526,9 +1527,9 @@ def q_dedup_setsim_stream(spark, sf_dir):
     if not outs:
         # empty corpus: every batch returns before the sink (the r12
         # replay guard) — fold over an empty frame of the sink shape
-        outs.append(spark.createDataFrame(
-            [], "id_a long, id_b long, n_a long, n_b long, "
-                "n_inter long, verified boolean",
+        outs.append(empty_df(
+            spark, "id_a long, id_b long, n_a long, n_b long, "
+                   "n_inter long, verified boolean",
         ))
     emitted = outs[0]
     for o in outs[1:]:

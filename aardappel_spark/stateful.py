@@ -18,6 +18,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.errors import AnalysisException
+
+from .localrel import empty_df, local_df
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -55,7 +57,10 @@ def _read_store_or_empty(spark, path: str, schema: str) -> DataFrame:
                 or "[UNABLE_TO_INFER_SCHEMA]" in str(e)
             )
         ):
-            return spark.createDataFrame([], schema)
+            # JVM-native zero-row frame: the pickled-RDD empty frame
+            # cost a Python-worker round-trip on every first-batch
+            # evaluation (localrel module docstring has the numbers)
+            return empty_df(spark, schema)
         raise
 
 
@@ -170,8 +175,8 @@ def compact_setsim_store(spark, store_dir: str, n_buckets: int = 16) -> dict:
     if not counts.isEmpty():
         total = counts.agg(F.sum("n").alias("n")).first()["n"]
         tmp = counts_path + ".compacting"
-        spark.createDataFrame(
-            [(int(total), -1)], "n long, bid long"
+        local_df(
+            spark, [(int(total), -1)], "n long, bid long"
         ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch=-1")
         os.rename(counts_path, counts_path + ".old")
         os.rename(tmp, counts_path)
@@ -951,8 +956,11 @@ def incremental_dedup_batch(
                     "int"
                 ),
             )
-            .localCheckpoint()  # one fingerprint pass feeds the bucket
-            # list, the anti-join, and the store write
+            # one fingerprint pass feeds the bucket list, the
+            # anti-join, and the store write. eager=False: the bucket
+            # collect below is the first consumer and materializes the
+            # blocks — an eager checkpoint spent an extra job per batch
+            .localCheckpoint(eager=False)
         )
         # anti-join reads ONLY the buckets this batch's fps hash to;
         # missing path = first batch; any other read error propagates
@@ -1120,7 +1128,12 @@ def incremental_setsim_batch(
             )
             .withColumn("_n", F.size("_st").cast("bigint"))
             .filter(F.col("_n") >= 1)
-            .localCheckpoint()  # one tokenize; feeds postings+sets+verify
+            # one tokenize; feeds postings+sets+verify. eager=False:
+            # the first consumer (the n_new/bucket aggregate below)
+            # materializes the blocks — an eager checkpoint here spent
+            # a whole extra job on the same pass (guide §1.2: remove
+            # passes before tuning anything else)
+            .localCheckpoint(eager=False)
         )
         new_post = ranked.selectExpr(
             "_id AS id",
@@ -1137,7 +1150,12 @@ def incremental_setsim_batch(
             F.pmod(F.xxhash64(F.col("_s.tok")), F.lit(n_buckets))
             .cast("int")
             .alias("bucket"),
-        ).localCheckpoint()
+        )
+        # new_post is NOT checkpointed: it is a cheap slice+posexplode
+        # projection of the pinned `ranked` blocks, and its own eager
+        # checkpoint was one more full job per micro-batch; consumers
+        # (aggregate, guard, candidate join, store write) recompute the
+        # projection from the checkpointed tokenize, never from source
         # ONE job serves both the batch size (every surviving doc has
         # >= 1 prefix token, so distinct ids over the postings equal
         # the ranked doc count) and the prefix-token bucket list for
@@ -1224,9 +1242,12 @@ def incremental_setsim_batch(
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             )
             .distinct()
-            .localCheckpoint()  # pin: feeds the verify join AND the
-            # bucket list for its pruned sets read (output bounded by
-            # the guard above, so the materialization is small)
+            # pin: feeds the verify join AND the bucket list for its
+            # pruned sets read (output bounded by the guard above, so
+            # the materialization is small). eager=False: the bucket-
+            # list collect below is the first consumer and materializes
+            # the blocks — no separate checkpoint job
+            .localCheckpoint(eager=False)
         )
         new_sets = ranked.select(
             F.col("_id").alias("id"),
@@ -1235,7 +1256,10 @@ def incremental_setsim_batch(
             F.pmod(F.xxhash64(F.col("_id")), F.lit(n_buckets))
             .cast("int")
             .alias("bucket"),
-        ).localCheckpoint()
+        )
+        # new_sets is a row-local transform of the pinned `ranked`
+        # blocks (same reasoning as new_post: no checkpoint job; the
+        # verify union and the store write recompute the projection)
         # verify join reads ONLY the sets buckets the candidate pairs'
         # ids hash to (r12 verdict #1) — an id's row lives in its own
         # bucket, so the prune is exact; new docs were anti-joined
@@ -1314,8 +1338,11 @@ def incremental_setsim_batch(
         # all three batch=<id> dirs, and a batch whose sets write
         # committed always has its counts row committed too (the guard
         # can only under-count after a crash, never double-count).
-        spark.createDataFrame(
-            [(int(n_new), int(batch_id))], "n long, bid long"
+        # Arrow-local one-row frame: the pickled-RDD frame made this
+        # write alone ~6 s/batch on the bench VM (guide §4 — the
+        # Python boundary), ~0.5 s Arrow-local
+        local_df(
+            spark, [(int(n_new), int(batch_id))], "n long, bid long"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{counts_path}/batch={batch_id}"
         )

@@ -37,6 +37,7 @@ from .casting import TableMeta, typed_mutations
 from .compact import compact_changes
 from .cmdqueue import parse_commands, resolve_problem_actions
 from .keyfilter import filter_blocked_keys
+from .localrel import empty_df, local_df
 from .metrics import MetricsRegistry
 from .parse import parse_messages, split_events, split_heartbeats, split_problems
 from .quorum import cut_below_quorum, get_quorum
@@ -195,12 +196,12 @@ class VersionedTable:
         files never reach the scan."""
         v = self.current_version()
         if v == 0:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         dirs = self._bucket_dirs(v)
         want = None if buckets is None else set(buckets)
         sel = [p for k, p in sorted(dirs.items()) if want is None or k in want]
         if not sel:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         return self.spark.read.schema(self.schema).parquet(*sel)
 
     def current(self) -> DataFrame:
@@ -230,7 +231,7 @@ class VersionedTable:
         snapshot; the retention window (current + previous) is the
         vacuum dial."""
         if v == 0:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         if v not in self.versions():
             raise ValueError(
                 f"version {v} is not retained at {self.path} "
@@ -246,7 +247,7 @@ class VersionedTable:
         }
         sel = [p for _, p in sorted(dirs.items())]
         if not sel:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         return self.spark.read.schema(self.schema).parquet(*sel)
 
     def commit(
@@ -559,8 +560,8 @@ class ReplicationEngine:
             rows = [
                 (t, p, o) for (t, p), o in self.off_state.items()
             ]
-            guard = self.spark.createDataFrame(
-                rows, "table_id int, partition int, _consumed long"
+            guard = local_df(
+                self.spark, rows, "table_id int, partition int, _consumed long"
             )
             if not has_table:
                 guard = guard.drop("table_id")
