@@ -75,6 +75,7 @@ __all__ = [
     '_ivf_build_cached',
     '_ivf_cte_renamed',
     '_lr_features',
+    '_lr_feats_cached',
     '_lr_train',
     '_lr_weights',
     '_minhash_pairs_cached',
@@ -357,6 +358,7 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
             _LR_WEIGHTS_CACHE.pop(key)
             evicted += 1
     for cache in (
+        _LR_FEATS_CACHE,
         _MINHASH_SIG_CACHE,
         _SIG12_PAIRS_CACHE,
         _PAIRS_CACHE,
@@ -639,6 +641,21 @@ _LR_LR = 1.0  # learning rate
 _LR_ITERS = 3
 
 
+# the (n_docs x 6) feature frame is read by the training loop AND by
+# every scoring consumer (quality_lr_score, quality_calibration) —
+# memoize-and-persist like the other shared frames so each query's
+# timed plan starts from the materialized training set instead of
+# re-running the tokenize/explode per consumer
+_LR_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lr_feats_cached(spark, sf_dir):
+    key = _cache_key(spark, sf_dir)
+    if key not in _LR_FEATS_CACHE:
+        _LR_FEATS_CACHE[key] = _lr_features(_docs(spark, sf_dir)).persist()
+    return _LR_FEATS_CACHE[key]
+
+
 def _lr_features(docs):
     """Shared feature projection for the quality classifier: bias +
     scaled token count + stopword ratio + scaled avg token length."""
@@ -672,12 +689,12 @@ def _lr_weights(spark, sf_dir) -> list[float]:
 
 
 def _lr_train(spark, sf_dir) -> list[float]:
-    docs = _docs(spark, sf_dir)
-    # persist the (n_docs x 6) feature frame: every GD iteration reads
-    # it, and re-deriving it would re-run the tokenize/explode per pass
-    # (measured 9.5s -> ~3s for the 3-iteration train at sf0.01). This
-    # is the canonical cached-training-set shape at any corpus size.
-    feats = _lr_features(docs).persist()
+    # the SESSION-shared persisted feature frame: every GD iteration
+    # reads it, and re-deriving it would re-run the tokenize/explode
+    # per pass (measured 9.5s -> ~3s for the 3-iteration train at
+    # sf0.01). This is the canonical cached-training-set shape at any
+    # corpus size; the scoring consumers read the same materialization.
+    feats = _lr_feats_cached(spark, sf_dir)
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(_LR_ITERS):
         z = (
@@ -697,7 +714,6 @@ def _lr_train(spark, sf_dir) -> list[float]:
         if row["g0"] is None:  # empty corpus: gradient is zero
             break
         w = [w[k] - _LR_LR * row[f"g{k}"] for k in range(4)]
-    feats.unpersist()
     return [round(v, 6) for v in w]
 
 

@@ -327,7 +327,7 @@ def q_quality_lr_score(spark, sf_dir):
     quality-filtering pipeline runs before a corpus cut. One pass, pure
     column math."""
     w = _lr_weights(spark, sf_dir)
-    feats = _lr_features(_docs(spark, sf_dir))
+    feats = _lr_feats_cached(spark, sf_dir)
     z = (
         F.col("x0") * w[0]
         + F.col("x1") * w[1]
