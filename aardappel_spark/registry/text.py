@@ -2249,20 +2249,11 @@ def q_text_shingle_saturation(spark, sf_dir):
     tagged = wdf.select(
         F.explode(F.concat(*arrays)).alias("t")
     ).select(F.col("t.w").alias("w"), F.col("t.sh").alias("sh"))
-    # two-level aggregate instead of count_distinct: the single-agg
-    # form planned as an Expand (every posting row shuffled twice,
-    # once per aggregate family); aggregating by (w, sh) first lets
-    # the map side pre-collapse duplicate shingles, so the exchange
-    # ships distinct (w, shingle, count) triples and the second agg is
-    # 5 groups (guide §2.3 "aggregate before you shuffle"). Same exact
-    # integers: sum of per-shingle counts = posting count, group count
-    # = distinct count.
-    per_sh = tagged.groupBy("w", "sh").agg(F.count("*").alias("_c"))
     return (
-        per_sh.groupBy("w")
+        tagged.groupBy("w")
         .agg(
-            F.sum("_c").cast("bigint").alias("n_postings"),
-            F.count("*").cast("bigint").alias("n_distinct"),
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("sh").cast("bigint").alias("n_distinct"),
         )
         .selectExpr(
             "w",
