@@ -891,7 +891,12 @@ def q_dedup_method_agreement(spark, sf_dir):
         .select("doc_a", "doc_b")
         .withColumn("_sh", F.lit(1))
     )
-    allp = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    # barrier: the full-outer candidate union feeds BOTH the verify
+    # stage's pair list and the agreement join below; without it the
+    # union of the two cached pair frames is evaluated twice per run
+    allp = mh.join(sh, ["doc_a", "doc_b"], "full_outer").localCheckpoint(
+        eager=False
+    )
     jac = verify_pairs_jaccard(docs, allp.select("doc_a", "doc_b"))
     joined = allp.join(jac, ["doc_a", "doc_b"], "left")
     agreement = (
