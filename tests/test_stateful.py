@@ -2111,9 +2111,10 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
     performs is bucket-pruned — including the VERIFY join's sets read,
     which used to union the full store (token arrays) into every
     micro-batch — and the degenerate-regime guard reads the one-row-
-    per-batch counts sidecar instead of counting the full sets store.
-    Pinned by recording every store read the batch kernel issues: the
-    only non-pruned read allowed is the counts sidecar."""
+    per-batch counts sidecar (driver-side Arrow, no Spark job at all)
+    instead of counting the full sets store. Pinned by recording every
+    store read the batch kernel issues: zero non-pruned Spark reads,
+    and exactly one driver-side sidecar read per batch."""
     from pyspark.sql import functions as F
 
     import aardappel_spark.stateful as st
@@ -2121,6 +2122,7 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
     calls = []
     real_buckets = st._read_store_buckets
     real_or_empty = st._read_store_or_empty
+    real_counts = st._read_counts_total
     inside = {"buckets": False}
 
     def rec_buckets(spark_, path, schema, bks):
@@ -2136,8 +2138,13 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
             calls.append(("full", path, None))
         return real_or_empty(spark_, path, schema)
 
+    def rec_counts(path, exclude_bid):
+        calls.append(("sidecar", path, None))
+        return real_counts(path, exclude_bid)
+
     monkeypatch.setattr(st, "_read_store_buckets", rec_buckets)
     monkeypatch.setattr(st, "_read_store_or_empty", rec_or_empty)
+    monkeypatch.setattr(st, "_read_counts_total", rec_counts)
 
     store = str(tmp_path / "store")
     outs = []
@@ -2164,10 +2171,13 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
     pairs = {(r.id_a, r.id_b) for o in outs for r in o if r.verified}
     assert (1, 101) in pairs
 
-    # every sets/postings read was bucket-pruned; the ONLY full read
-    # is the counts sidecar (guard input — one row per batch)
+    # every sets/postings read was bucket-pruned; NO full Spark read
+    # of any store happens at all — the guard's corpus count comes
+    # from the driver-side Arrow read of the counts sidecar
     full_paths = [p for kind, p, _ in calls if kind == "full"]
-    assert full_paths == [f"{store}/counts"], calls
+    assert full_paths == [], calls
+    sidecar_paths = [p for kind, p, _ in calls if kind == "sidecar"]
+    assert sidecar_paths == [f"{store}/counts"], calls
     pruned = [(p, bks) for kind, p, bks in calls if kind == "pruned"]
     sets_reads = [bks for p, bks in pruned if p == f"{store}/sets"]
     post_reads = [bks for p, bks in pruned if p == f"{store}/postings"]
@@ -2191,6 +2201,34 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
     }
     n_sets = spark.read.parquet(f"{store}/sets").count()
     assert counts == {0: 19, 1: 9} and sum(counts.values()) == n_sets
+
+
+def test_read_counts_total_driver_side(spark, tmp_path):
+    """_read_counts_total matches the Spark aggregate it replaced:
+    sums n over every committed sidecar row except the excluded batch
+    id, missing dir = 0 (first batch), and it reads the same files a
+    Spark read of the store would."""
+    from aardappel_spark.localrel import local_df
+    from aardappel_spark.stateful import _read_counts_total
+
+    path = str(tmp_path / "counts")
+    assert _read_counts_total(path, 0) == 0  # missing = first batch
+    for n, bid in ((19, 0), (9, 1), (7, 2)):
+        local_df(spark, [(n, bid)], "n long, bid long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/batch={bid}")
+    # exclude the current batch's own (crashed prior attempt) row
+    assert _read_counts_total(path, 2) == 28
+    assert _read_counts_total(path, 99) == 35
+    # agrees with the Spark read of the identical store
+    got = (
+        spark.read.parquet(path)
+        .filter("bid != 2")
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    assert got == 28
 
 
 def test_dedup_fp_store_bucketed_prunes_and_replay_never_wipes(
