@@ -591,6 +591,38 @@ def distinct_shingle_sets(
     return wdf.select("_id", F.array_distinct(toks).alias("_toks"))
 
 
+def ranked_token_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 1,
+) -> DataFrame:
+    """(_id, _st, _n): each doc's token set as an array of
+    ``struct(_df, tok)`` sorted ascending by global document frequency
+    (then token) — the tau-INDEPENDENT tokenize + df-census + rank
+    stage both prefix-filter kernels start from. Factored out so
+    consumers that run several prefix kernels over the same corpus
+    (the registry runs the Jaccard and the containment audits
+    back-to-back) can build and persist it once instead of paying the
+    tokenize + two wide shuffles per kernel (guide §2.4: two
+    operations keyed the same way share one build). The per-doc RANKS
+    (array position), the PREFIX (array slice), the verify SETS
+    (transform to tok) and the df census (struct field) all project
+    out of this one frame."""
+    tok = (
+        distinct_shingle_sets(docs, id_col, text_col, shingle)
+        .select("_id", F.explode("_toks").alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
+    return (
+        tok.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
+        .withColumn("_n", F.size("_st").cast("bigint"))
+    )
+
+
 def setsim_prefix_pairs(
     docs: DataFrame,
     tau_num: int = 4,
@@ -599,6 +631,7 @@ def setsim_prefix_pairs(
     text_col: str = "text",
     shingle: int = 1,
     guard_max_candidates: int | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (Chaudhuri,
     Ganti & Kaushik ICDE 2006) PLUS PPJoin's length and positional
@@ -646,28 +679,15 @@ def setsim_prefix_pairs(
     one equi-join on prefix tokens with both filters applied in-join,
     one verify join carrying the two bounded token arrays.
     """
-    # barrier: the posting frame feeds the df census, the rank join and
-    # the verify sets — tokenize ONCE, never re-scan the corpus per
-    # consumer (scan_audit-enforced)
-    tok = (
-        distinct_shingle_sets(docs, id_col, text_col, shingle)
-        .select("_id", F.explode("_toks").alias("tok"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
-    # one groupBy(_id) produces the df-ascending sorted token array —
-    # the per-doc RANKS (array position), the PREFIX (array slice) and
-    # the verify SETS all project out of this single aggregation; the
-    # window-rank + separate collect_set plan spent two extra wide
-    # shuffles on the same information. struct(_df, tok) sorts by df
-    # then token, exactly the (df, tok) window order.
-    ranked = (
-        tok.join(dfreq, "tok")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
-        .withColumn("_n", F.size("_st").cast("bigint"))
-        .localCheckpoint(eager=False)
-    )
+    # barrier: the ranked frame feeds the prefix, the guard and the
+    # verify sets — tokenize ONCE, never re-scan the corpus per
+    # consumer (scan_audit-enforced). A caller-provided (persisted)
+    # frame skips the build entirely: the tokenize + df census + rank
+    # are tau-independent, so back-to-back kernels share one build.
+    if ranked is None:
+        ranked = ranked_token_frame(
+            docs, id_col, text_col, shingle
+        ).localCheckpoint(eager=False)
     # prefix length p = n - ceil(tau*n) + 1; ceil(num*n/den) via integer
     # div so both engines agree at every n (no double round-trip)
     prefix = ranked.selectExpr(
@@ -775,6 +795,7 @@ def containment_prefix_pairs(
     text_col: str = "text",
     shingle: int = 1,
     guard_max_candidates: int | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT self-join via prefix filtering — the asymmetric
     companion to ``setsim_prefix_pairs``: find every ordered pair
@@ -811,20 +832,16 @@ def containment_prefix_pairs(
     verify join on bounded arrays — same shuffle budget as the Jaccard
     kernel with an asymmetric candidate join.
     """
-    tok = (
-        distinct_shingle_sets(docs, id_col, text_col, shingle)
-        .select("_id", F.explode("_toks").alias("tok"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
-    ranked = (
-        tok.join(dfreq, "tok")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
-        .withColumn("_n", F.size("_st").cast("bigint"))
-        .localCheckpoint(eager=False)
-    )
-    # A-side prefix: p = n - alpha + 1, alpha = ceil(tau*n) (integer div)
+    # barrier: one tau-independent tokenize + df census + rank, shared
+    # with the Jaccard kernel (scan_audit-enforced); a caller-provided
+    # persisted frame skips the build (guide §2.4)
+    if ranked is None:
+        ranked = ranked_token_frame(
+            docs, id_col, text_col, shingle
+        ).localCheckpoint(eager=False)
+    # A-side prefix: p = n - alpha + 1, alpha = ceil(tau*n) (integer
+    # div). Keeps each prefix token's _df (already inside the sorted
+    # struct), which the guard below reads for free.
     prefix = ranked.selectExpr(
         "_id",
         "_n",
@@ -839,19 +856,20 @@ def containment_prefix_pairs(
         "_n",
         (F.col("_pos") + 1).cast("bigint").alias("_rn"),
         F.col("_s.tok").alias("tok"),
+        F.col("_s._df").alias("_df"),
     )
     if guard_max_candidates is None or guard_max_candidates <= 0:
         bound = max(1_000_000, 200 * docs.count())
     else:
         bound = guard_max_candidates
-    # asymmetric candidate bound: prefix postings x full postings per token
-    mass_row = (
-        prefix.groupBy("tok")
-        .agg(F.count("*").alias("pc"))
-        .join(dfreq, "tok")
-        .selectExpr("coalesce(sum(pc * _df), 0) AS mass")
-        .collect()
-    )
+    # asymmetric candidate bound: prefix postings x full postings per
+    # token, i.e. sum_t pc_t * df_t — and since every prefix-posting
+    # row of token t carries df_t in its struct, that is just
+    # sum(_df) over prefix rows: one aggregate, no df-census join
+    # (the old form re-aggregated the full posting stream per run)
+    mass_row = prefix.selectExpr(
+        "coalesce(sum(_df), 0) AS mass"
+    ).collect()
     mass = mass_row[0]["mass"] if mass_row else 0
     if mass > bound:
         raise ValueError(
@@ -860,9 +878,11 @@ def containment_prefix_pairs(
             f"(> {bound}). Increase `shingle` or raise tau; the "
             f"all-pairs regime is refused by design."
         )
-    full_b = tok.join(
-        ranked.select(F.col("_id"), F.col("_n").alias("n_b")), "_id"
-    ).select(F.col("_id").alias("id_b"), F.col("n_b"), "tok")
+    full_b = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("n_b"),
+        F.explode(F.expr("transform(_st, s -> s.tok)")).alias("tok"),
+    )
     cand = (
         prefix.alias("a")
         .join(full_b, "tok")

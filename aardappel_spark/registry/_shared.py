@@ -43,6 +43,7 @@ __all__ = [
     '_CUTOFF',
     '_GOPHER_STOPS',
     '_GRAMS4_CACHE',
+    '_PREFIX_RANKED4_CACHE',
     '_HILBERT_LEVELS',
     '_IVF_ASG_CTE',
     '_IVF_ASSIGN_CACHE',
@@ -68,6 +69,7 @@ __all__ = [
     '_emb_banded_cte',
     '_emb_sig_cte',
     '_grams4_cached',
+    '_prefix_ranked4_cached',
     '_hilbert_ctes',
     '_hilbert_level',
     '_hyperplane_values_sql',
@@ -424,6 +426,25 @@ def _sig12_pairs_cached(spark, sf_dir):
             sig=_sig12_cached(spark, sf_dir),
         ).persist()
     return _SIG12_PAIRS_CACHE[key]
+
+
+_PREFIX_RANKED4_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _prefix_ranked4_cached(spark, sf_dir):
+    """Shared df-ranked word-4-gram token frame
+    (ops.dedup.ranked_token_frame, shingle=4) — the tau-independent
+    tokenize + df census + rank BOTH prefix-filter audits
+    (dedup_setsim_prefix, dedup_containment_prefix) start from; built
+    and persisted once per session like the minhash/simhash frames."""
+    from ..ops.dedup import ranked_token_frame
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _PREFIX_RANKED4_CACHE:
+        _PREFIX_RANKED4_CACHE[key] = ranked_token_frame(
+            _docs(spark, sf_dir), shingle=4
+        ).persist()
+    return _PREFIX_RANKED4_CACHE[key]
 
 
 _GRAMS4_CACHE: dict[tuple[str, str], DataFrame] = {}

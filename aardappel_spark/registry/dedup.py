@@ -1074,7 +1074,8 @@ def q_dedup_setsim_prefix(spark, sf_dir):
     from ..ops.dedup import setsim_prefix_pairs
 
     pairs = setsim_prefix_pairs(
-        _docs(spark, sf_dir), tau_num=4, tau_den=5, shingle=4
+        _docs(spark, sf_dir), tau_num=4, tau_den=5, shingle=4,
+        ranked=_prefix_ranked4_cached(spark, sf_dir),
     )
     return pairs.agg(
         F.count("*").cast("bigint").alias("n_candidates"),
@@ -1156,7 +1157,8 @@ def q_dedup_containment_prefix(spark, sf_dir):
     from ..ops.dedup import containment_prefix_pairs
 
     pairs = containment_prefix_pairs(
-        _docs(spark, sf_dir), tau_num=9, tau_den=10, shingle=4
+        _docs(spark, sf_dir), tau_num=9, tau_den=10, shingle=4,
+        ranked=_prefix_ranked4_cached(spark, sf_dir),
     )
     return pairs.agg(
         F.count("*").cast("bigint").alias("n_candidates"),

@@ -176,6 +176,11 @@ def main() -> None:
         "minhash_pairs": lambda: registry._minhash_pairs_cached(spark, sf_dir),
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
         "grams4": lambda: registry._grams4_cached(spark, sf_dir),
+        # tau-independent ranked 4-gram token frame, shared by the two
+        # prefix-filter audits (setsim + containment)
+        "prefix_ranked4": lambda: registry._prefix_ranked4_cached(
+            spark, sf_dir
+        ),
         "banded_sig": lambda: registry._banded_sig_cached(spark, sf_dir),
         # IVF index build (assigned + centroids), shared by ann_ivf,
         # ann_probe_curve, emb_centroid_shift, semantic_dedup

@@ -33,6 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOW = {
     # compositions of independent per-corpus signals (one pass each)
     "doc_score", "corpus_funnel", "corpus_health",
+    # r13 profiling rewrite: one two-level aggregate per column, each
+    # scan pruned to EXACTLY that one column (plan-verified: 6 scans,
+    # 6 distinct single-column ReadSchemas). Summed bytes read ~= one
+    # full-width scan, and the rewrite removed the 13x Expand exchange
+    # that shipped every row through the shuffle (guide §2.3)
+    "events_profile",
     # genuine self-joins on the fact table (SMJ partitioning reused)
     "tpch_q21",
     # consumers of the shared persisted frames: before materialization
