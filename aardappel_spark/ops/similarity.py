@@ -189,16 +189,19 @@ def cosine_neardup_pairs_blas(
     return reduce(DataFrame.union, parts)
 
 
-def cosine_neardup_lsh(
+def cosine_lsh_scored_pairs(
     vectors: DataFrame,
-    threshold: float,
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale tier: candidate pairs share an LSH bucket (equi-join on the
-    hyperplane signature — no cross join), then exact cosine filters.
-    Recall < 1 by design (controlled by ``bits``)."""
+    """Every LSH-bucket candidate pair with its exact UNROUNDED cosine:
+    the bucket self-join + scoring stage of ``cosine_neardup_lsh``,
+    factored out so consumers that differ only in what they do with
+    the score (the gated 0.45 near-dup cut, the calibration histogram)
+    can share ONE persisted build instead of re-running the join per
+    query (guide §2.4). Rounding/thresholding stay in the consumers so
+    their outputs are bit-identical to the unshared form."""
     probe = vectors.select(vec_col).first()
     if probe is None:  # empty corpus -> empty pair set, same schema
         return vectors.select(
@@ -219,9 +222,26 @@ def cosine_neardup_lsh(
     b = v.select("_sig", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
     sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return pairs.withColumn("sim", sim).select("id_a", "id_b", "sim")
+
+
+def cosine_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """Scale tier: candidate pairs share an LSH bucket (equi-join on the
+    hyperplane signature — no cross join), then exact cosine filters.
+    Recall < 1 by design (controlled by ``bits``). Pass ``scored`` (a
+    materialized ``cosine_lsh_scored_pairs`` frame) to skip the join
+    build; the threshold applies to the unrounded score either way."""
+    if scored is None:
+        scored = cosine_lsh_scored_pairs(vectors, bits, id_col, vec_col)
     return (
-        pairs.withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
+        scored.filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 3).alias("sim"))
     )
 

@@ -70,6 +70,8 @@ __all__ = [
     '_emb_sig_cte',
     '_grams4_cached',
     '_prefix_ranked4_cached',
+    '_lsh_scored4_cached',
+    '_LSH_SCORED4_CACHE',
     '_hilbert_ctes',
     '_hilbert_level',
     '_hyperplane_values_sql',
@@ -426,6 +428,25 @@ def _sig12_pairs_cached(spark, sf_dir):
             sig=_sig12_cached(spark, sf_dir),
         ).persist()
     return _SIG12_PAIRS_CACHE[key]
+
+
+_LSH_SCORED4_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_scored4_cached(spark, sf_dir):
+    """Shared bits=4 LSH-bucket pair frame with exact unrounded cosine
+    (ops.similarity.cosine_lsh_scored_pairs) — the bucket self-join +
+    scoring both emb_neardup_lsh (0.45 cut) and emb_sim_histogram
+    (calibration bins) read; built and persisted once per session."""
+    from ..ops.similarity import cosine_lsh_scored_pairs
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _LSH_SCORED4_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _LSH_SCORED4_CACHE[key] = cosine_lsh_scored_pairs(
+            emb, bits=4
+        ).persist()
+    return _LSH_SCORED4_CACHE[key]
 
 
 _PREFIX_RANKED4_CACHE: dict[tuple[str, str], DataFrame] = {}

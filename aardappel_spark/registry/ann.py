@@ -210,7 +210,10 @@ def q_emb_neardup_lsh(spark, sf_dir):
     # recall < 1 by design, but the bucket assignment is deterministic —
     # the oracle replicates the hyperplane signs and hash-gates the result
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_neardup_lsh(emb, threshold=0.45, bits=4)
+    return cosine_neardup_lsh(
+        emb, threshold=0.45, bits=4,
+        scored=_lsh_scored4_cached(spark, sf_dir),
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1184,7 +1187,10 @@ def q_emb_sim_histogram(spark, sf_dir):
     from ..ops.similarity import cosine_neardup_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_neardup_lsh(emb, threshold=-1.0, bits=4)
+    pairs = cosine_neardup_lsh(
+        emb, threshold=-1.0, bits=4,
+        scored=_lsh_scored4_cached(spark, sf_dir),
+    )
     b = F.floor(F.col("sim") * 20).cast("bigint")
     return pairs.groupBy(b.alias("bin")).agg(
         F.count("*").cast("bigint").alias("n_pairs")

@@ -181,6 +181,9 @@ def main() -> None:
         "prefix_ranked4": lambda: registry._prefix_ranked4_cached(
             spark, sf_dir
         ),
+        # bits=4 LSH bucket pairs with exact cosine, shared by
+        # emb_neardup_lsh (0.45 cut) and emb_sim_histogram (bins)
+        "lsh_scored4": lambda: registry._lsh_scored4_cached(spark, sf_dir),
         "banded_sig": lambda: registry._banded_sig_cached(spark, sf_dir),
         # IVF index build (assigned + centroids), shared by ann_ivf,
         # ann_probe_curve, emb_centroid_shift, semantic_dedup
