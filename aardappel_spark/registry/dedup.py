@@ -299,7 +299,7 @@ def q_semantic_dedup(spark, sf_dir):
     shrinks quadratically as clusters narrow). Oracle replays the
     identical k-means build via _IVF_ASG_CTE and the same raw-vector
     cosine, so cluster ids, dup links, and verdicts all hash-match."""
-    from ..ops.similarity import cosine
+    from ..ops.similarity import _dot, _norm
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if emb.head(1) == []:  # ivf_build seeds from data; empty corpus -> no rows
@@ -307,20 +307,30 @@ def q_semantic_dedup(spark, sf_dir):
             spark, "vec_id bigint, cid int, dup_of bigint, kept boolean"
         )
     assigned = _ivf_assigned_cached(spark, sf_dir)
+    # norms are per-VECTOR, so compute them on the two join projections
+    # (2 aggregates per row) instead of inside the pair filter (2 per
+    # PAIR — the mean cluster size more work). cosine(va, vb) ==
+    # _dot/( _norm(va)*_norm(vb) ) evaluates the identical float
+    # expression on the identical values, so the 0.4 cut is unchanged.
     a = assigned.select(
         F.col("_c").alias("cid"),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("va"),
+        _norm(F.col("_v")).alias("na"),
     )
     b = assigned.select(
         F.col("_c").alias("cid"),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("vb"),
+        _norm(F.col("_v")).alias("nb"),
     )
     dup = (
         a.join(b, "cid")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 0.4
+        )
         .groupBy("id_a")
         .agg(F.min("id_b").alias("dup_of"))
         .withColumnRenamed("id_a", "vec_id")
