@@ -110,7 +110,11 @@ def dq_check(
             .cast("bigint")
             .alias(f"__u{j}")
         )
-    one = df.agg(*aggs).localCheckpoint()
+    # eager=False: the 1-row fused frame materializes inside the
+    # report's own action instead of spending a dedicated job per
+    # table up front (3 tables = 3 extra jobs); all consumers reuse
+    # the same checkpoint blocks either way
+    one = df.agg(*aggs).localCheckpoint(eager=False)
 
     out: list[DataFrame] = []
     stacked = [
@@ -139,10 +143,25 @@ def dq_check(
             *[F.col(rc).alias(lc) for lc, rc in zip(c.cols, ref_cols)]
         ).dropDuplicates(list(c.cols))
         if c.broadcast:
+            # dimension ref: broadcast anti-join streams the fact scan
+            # with no shuffle — pre-aggregating would ADD one
             ref = F.broadcast(ref)
-        missing = df.join(ref, on=list(c.cols), how="left_anti").agg(
-            F.count("*").cast("bigint").alias("violations")
-        )
+            missing = df.join(ref, on=list(c.cols), how="left_anti").agg(
+                F.count("*").cast("bigint").alias("violations")
+            )
+        else:
+            # fact-fact arm: collapse the probe side to (key, count)
+            # BEFORE the shuffle (guide §2.3 — aggregate before you
+            # shuffle); violations = sum of per-key row counts whose
+            # key has no match, identical to counting the rows
+            keyed = df.groupBy(*[F.col(k) for k in c.cols]).agg(
+                F.count("*").alias("__n")
+            )
+            missing = keyed.join(ref, on=list(c.cols), how="left_anti").agg(
+                F.coalesce(F.sum("__n"), F.lit(0))
+                .cast("bigint")
+                .alias("violations")
+            )
         out.append(
             one.select(F.col("__total").alias("total"))
             .crossJoin(missing)

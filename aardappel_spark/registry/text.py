@@ -1341,9 +1341,16 @@ def q_text_heldout_nll(spark, sf_dir):
         .when(t < F.lit(3865470566), F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    d = docs.select(
-        "doc_id", lab.alias("_split"), tokens_col("text").alias("_t")
-    ).filter(F.col("_split").isin("train", "val"))
+    # barrier: the tokenized split frame feeds BOTH the bigram
+    # occurrence build and the train-vocab distinct count below —
+    # without it the corpus is tokenized twice per run
+    d = (
+        docs.select(
+            "doc_id", lab.alias("_split"), tokens_col("text").alias("_t")
+        )
+        .filter(F.col("_split").isin("train", "val"))
+        .localCheckpoint(eager=False)
+    )
     n = F.size("_t")
     bigrams = F.when(
         n >= 2,
