@@ -42,7 +42,10 @@ def pagerank_fixed_point(
     r = nodes.select("vec_id", F.lit(PR_SCALE // n_nodes).alias("r"))
     base = ((100 - d_pct) * PR_SCALE) // (100 * n_nodes)
     for _ in range(iters):
-        r = r.localCheckpoint()  # truncate lineage: each pass reads N rows
+        # lazy: the dangling-mass first() below is the pass's own
+        # driver sync and materializes the blocks — an eager
+        # checkpoint spent a second job per iteration on the same rows
+        r = r.localCheckpoint(eager=False)  # truncate lineage: each pass reads N rows
         dang = (
             r.join(outdeg.withColumnRenamed("src", "vec_id"), "vec_id", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)))
@@ -85,7 +88,9 @@ def _oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst"):
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the degree aggregate is the first consumer and
+        # materializes the blocks (no dedicated checkpoint job)
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -104,7 +109,7 @@ def _oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst"):
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return und, deg, o
 
 
@@ -199,14 +204,17 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     bidir = (
         und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lab = bidir.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
     w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
     for _ in range(iters):
-        lab = lab.localCheckpoint()
+        # lazy: rounds chain as stages inside the final action's job
+        # instead of one eager checkpoint job per round; each round
+        # still reads the previous round's pinned blocks, not history
+        lab = lab.localCheckpoint(eager=False)
         votes = (
             bidir.join(lab.withColumnRenamed("node", "nbr"), "nbr")
             .groupBy("node", "label")
@@ -307,7 +315,7 @@ def local_clustering_census(
     """
     und, deg, o = _oriented_edges(edges, src, dst)
     # deg is read twice here (filter + census) — pin it like o/und
-    deg = deg.localCheckpoint()
+    deg = deg.localCheckpoint(eager=False)
     e1, e2 = o.alias("e1"), o.alias("e2")
     # the apex rides the wedge (unlike triangle_stats, which only needs
     # the closing count) so the semi-joined survivors are full triangles
