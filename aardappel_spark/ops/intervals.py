@@ -71,7 +71,7 @@ def interval_concurrency(
     iv = intervals.select(
         F.col(start_col).cast("long").alias("__s"),
         F.col(end_col).cast("long").alias("__e"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # starts <= k*b  <=>  ceil(start/b) <= k   (non-negative epochs)
     sc = (

@@ -1200,7 +1200,7 @@ def ivf_probe_curve(
     )
     # barrier: the candidate counts and the per-P top-k both consume the
     # scored frame; one scoring pass over the corpus, not two
-    ex = scored.localCheckpoint().join(
+    ex = scored.localCheckpoint(eager=False).join(
         F.broadcast(probes_df), F.col("_r") <= F.col("n_probe")
     )
 

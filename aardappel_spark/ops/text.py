@@ -300,7 +300,9 @@ def bm25_topk(
     # checkpoint the small aggregates so their two consumers don't each
     # re-run the corpus tokenize (dl feeds the scorer AND the stats;
     # tf feeds the scorer AND the df count): 2 corpus passes, not 4
-    dl = t.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint()
+    dl = t.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=False
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -308,7 +310,7 @@ def bm25_topk(
     tf = (
         qt.groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (

@@ -1572,7 +1572,7 @@ def q_emb_hubness(spark, sf_dir):
     ind = (
         knn.groupBy(F.col("neighbor"))
         .agg(F.count("*").alias("in_deg_raw"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hist = ind.groupBy(F.col("in_deg_raw").cast("bigint").alias("in_deg")).agg(
         F.count("*").cast("bigint").alias("n_vecs")

@@ -262,14 +262,14 @@ def q_graph_assortativity(spark, sf_dir):
             F.greatest("vec_id", "neighbor").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ed = (
         und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
@@ -367,7 +367,7 @@ def q_graph_degree_hist(spark, sf_dir):
             F.greatest("vec_id", "neighbor").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -489,14 +489,14 @@ def _und_deg(edges):
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return und, deg
 

@@ -398,7 +398,7 @@ def q_orders_reorder_window(spark, sf_dir):
     m = (
         j.groupBy("base_ok")
         .agg(F.count("*").alias("n_follow"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hist = m.groupBy("n_follow").agg(F.count("*").cast("bigint").alias("n_orders"))
     tot = o.agg(F.count("*").alias("t"))

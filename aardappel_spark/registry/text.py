@@ -1175,7 +1175,7 @@ def q_doc_token_entropy(spark, sf_dir):
         )
         # barrier: the scored rows AND the empty-doc anti-join both
         # consume this; without it the corpus token explode runs twice
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ent = (
         F.log("n_tokens") - F.col("_clogc") / F.col("n_tokens")
