@@ -1106,8 +1106,11 @@ def q_corpus_js_drift(spark, sf_dir):
         .agg(F.count("*").alias("c"))
         # barrier: five consumers (sources, grid join, totals, both pair
         # sides) re-derived the corpus explode 8x without it — the
-        # (sources x 64)-row result materializes once, eagerly, so every
-        # consumer plans against the tiny RDD scan (plan-guarded)
+        # (sources x 64)-row result materializes once, EAGERLY, so every
+        # consumer plans against the tiny RDD scan (plan-guarded).
+        # eager is load-bearing here: with eager=False the unmaterialized
+        # blocks sit under broadcast/nested-loop consumers that recompute
+        # the corpus explode per reference (measured 1.3s -> 52s)
         .localCheckpoint()
     )
     # densify: every (source, bucket) cell exists so smoothing is uniform
@@ -1424,7 +1427,7 @@ def q_corpus_ks_drift(spark, sf_dir):
     counts = (
         docs.groupBy("source", F.col("n_chars").alias("x"))
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()  # five consumers; one corpus scan
+        .localCheckpoint(eager=False)  # five consumers; one corpus scan
     )
     tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
     # dense domain: every source needs an ECDF value at every length in
@@ -1713,7 +1716,7 @@ def q_corpus_vocab_overlap(spark, sf_dir):
         docs.select("source", F.explode(tokens_col("text")).alias("token"))
         .distinct()
         # barrier: vocabulary sizes AND the pair fan-out both consume it
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = st.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (

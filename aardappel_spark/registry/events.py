@@ -378,6 +378,9 @@ def q_events_funnel(spark, sf_dir):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("mic").alias("t1"))
+        # eager is load-bearing: this frame feeds a broadcast join side;
+        # lazy blocks under broadcast builds recompute per reference
+        # (the corpus_js_drift failure mode, measured here too)
         .localCheckpoint()
     )
     c = (
@@ -835,6 +838,7 @@ def q_events_psi_drift(spark, sf_dir):
     bounds = (
         ev.agg(F.min("mic").alias("mn"), F.max("mic").alias("mx"))
         .withColumn("mid", F.expr("mn + (mx - mn) DIV 2"))
+        # eager: broadcast consumer (see events_funnel note)
         .localCheckpoint()
     )
     halves = ev.crossJoin(F.broadcast(bounds)).select(
@@ -2658,7 +2662,9 @@ def q_events_autocorr(spark, sf_dir):
     )
     # barrier: the min/max grid seed AND the left join both consume the
     # tiny per-day frame; without it events scans twice
-    per_day = ev.groupBy("d").agg(F.count("*").alias("c")).localCheckpoint()
+    per_day = ev.groupBy("d").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     grid = (
         per_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
         .select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
@@ -2790,6 +2796,8 @@ def q_events_stickiness(spark, sf_dir):
         "user_id", F.expr("(ts div 1000) div 86400000000").alias("d")
     )
     # barrier: DAU and the MAU fan-out both consume the user-day frame
+    # eager: the MAU fan-out consumes this through a broadcast-side
+    # build (see events_funnel note)
     ud = ev.distinct().localCheckpoint()
     dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
     mau = (

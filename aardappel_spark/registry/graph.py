@@ -559,7 +559,7 @@ def _consumer_hubness(spark, emb, edges):
     ind = (
         edges.groupBy(F.col("dst"))
         .agg(F.count("*").alias("in_deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hist = ind.groupBy("in_deg").agg(F.count("*").alias("n_vecs"))
     nz = ind.agg(F.count("*").alias("nz"))
