@@ -363,9 +363,16 @@ def boilerplate_stats(
         F.col(id_col), F.explode(shingles_col(text_col, k=ngram_words)).alias("gram")
     ).select(F.col(id_col), gh.alias("gh"))
     # single (doc, gh) aggregation feeds BOTH the df count and the
-    # per-doc totals: identical subplans let ReuseExchange run the
-    # explode + md5 pass once instead of once per consumer
-    occ = g.groupBy(id_col, "gh").agg(F.count("*").alias("occ"))
+    # per-doc totals. ReuseExchange does NOT merge the two consumers
+    # (the df-count side re-keys on gh, so its exchange differs and the
+    # whole explode + md5 subtree planned twice — two full document
+    # scans in the r13 before-plan); a lazy localCheckpoint pins the
+    # (doc, gh, occ) blocks so both consumers read one materialization.
+    occ = (
+        g.groupBy(id_col, "gh")
+        .agg(F.count("*").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
     docs_per_gram = occ.groupBy("gh").agg(F.count("*").alias("gdf"))
     common = docs_per_gram.filter(F.col("gdf") >= min_docs).select(
         "gh", F.lit(1).alias("_common")
