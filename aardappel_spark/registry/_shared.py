@@ -69,6 +69,9 @@ __all__ = [
     '_emb_banded_cte',
     '_emb_sig_cte',
     '_grams4_cached',
+    '_GRAMS4_CENSUS_CACHE',
+    '_gh60',
+    '_grams4_census_cached',
     '_prefix_ranked4_cached',
     '_lsh_scored4_cached',
     '_LSH_SCORED4_CACHE',
@@ -372,6 +375,9 @@ def clear_query_caches(spark: SparkSession | None = None) -> int:
         _SIMHASH64_CACHE,
         _SIMHASH_PAIRS_CACHE,
         _GRAMS4_CACHE,
+        _GRAMS4_CENSUS_CACHE,
+        _LSH_SCORED4_CACHE,
+        _PREFIX_RANKED4_CACHE,
         _BANDED_SIG_CACHE,
         _IVF_ASSIGN_CACHE,
         _PQ_CODES_CACHE,
@@ -487,6 +493,38 @@ def _grams4_cached(spark, sf_dir):
             .persist()
         )
     return _GRAMS4_CACHE[key]
+
+
+# one gram-keyed document-frequency census over the shared 4-gram
+# explode — the dominant shuffle of BOTH dedup_span (nd >= 2 cut) and
+# doc_dup_coverage (dup flag); built and persisted once per session
+_GRAMS4_CENSUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _gh60(col: str = "gram"):
+    """60-bit md5 gram key (first 15 hex chars, exact in a long) — the
+    8-byte shuffle key the gram-census family hashes grams to BEFORE
+    any shuffle; the oracles hash identically."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+
+
+def _grams4_census_cached(spark, sf_dir):
+    """Shared (gh, nd) census: per 60-bit gram hash, the number of
+    DISTINCT documents containing it. dedup_span and doc_dup_coverage
+    each ran this exact count-distinct over the full gram stream — the
+    heaviest shuffle either query plans — so it is built and persisted
+    once like the other shared frames (the gram stream itself stays a
+    cheap row-local projection of the persisted _grams4_cached blocks)."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _GRAMS4_CENSUS_CACHE:
+        _GRAMS4_CENSUS_CACHE[key] = (
+            _grams4_cached(spark, sf_dir)
+            .select(_gh60().alias("gh"), "doc_id")
+            .groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .persist()
+        )
+    return _GRAMS4_CENSUS_CACHE[key]
 
 
 # one vectorized signature build (mapInPandas matmul) feeds the top-k,

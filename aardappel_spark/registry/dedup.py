@@ -266,13 +266,13 @@ def q_dedup_span(spark, sf_dir):
     from pyspark.sql.window import Window
 
     g4 = _grams4_cached(spark, sf_dir)
-    gh = (
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
-        .cast("decimal(20,0)")
-        .cast("long")
-    )
-    g = g4.select("doc_id", "pos", gh.alias("gh"))
-    df = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    # _gh60 casts conv's digit string straight to long; the old form
+    # went through decimal(20,0) first — identical values (15 hex chars
+    # max out at 2^60-1, exact in a long either way)
+    g = g4.select("doc_id", "pos", _gh60().alias("gh"))
+    # shared (gh, nd) census — doc_dup_coverage runs the identical
+    # count-distinct, so the corpus-wide shuffle happens once per session
+    df = _grams4_census_cached(spark, sf_dir)
     dup = g.join(df.filter(F.col("nd") >= 2), "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dup.withColumn("island", F.col("pos") - F.row_number().over(w))

@@ -97,10 +97,11 @@ def q_doc_dup_coverage(spark, sf_dir):
     explode; the gram->doc-frequency agg shuffles gram keys once."""
     # grams hash to 60-bit keys BEFORE the doc-frequency shuffle (the
     # dedup_span discipline): 8-byte shuffle keys instead of raw 4-gram
-    # strings; the oracle hashes identically
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
-    g = _grams4_cached(spark, sf_dir).select("doc_id", gh.alias("gh"))
-    dfg = g.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd"))
+    # strings; the oracle hashes identically. The (gh, nd) census is the
+    # shared _grams4_census_cached frame — dedup_span runs the identical
+    # count-distinct, so the corpus-wide shuffle happens once per session
+    g = _grams4_cached(spark, sf_dir).select("doc_id", _gh60().alias("gh"))
+    dfg = _grams4_census_cached(spark, sf_dir)
     marked = g.join(dfg, "gh").select(
         "doc_id", (F.col("nd") >= 2).cast("long").alias("dup")
     )

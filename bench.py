@@ -176,6 +176,11 @@ def main() -> None:
         "minhash_pairs": lambda: registry._minhash_pairs_cached(spark, sf_dir),
         "simhash64": lambda: registry._simhash64_cached(spark, sf_dir),
         "grams4": lambda: registry._grams4_cached(spark, sf_dir),
+        # (gh, nd) gram document-frequency census over grams4, shared by
+        # dedup_span (nd >= 2 cut) and doc_dup_coverage (dup flag)
+        "grams4_census": lambda: registry._grams4_census_cached(
+            spark, sf_dir
+        ),
         # tau-independent ranked 4-gram token frame, shared by the two
         # prefix-filter audits (setsim + containment)
         "prefix_ranked4": lambda: registry._prefix_ranked4_cached(

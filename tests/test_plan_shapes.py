@@ -743,6 +743,29 @@ def test_profile_is_per_column_two_level(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_span_and_dup_coverage_share_gram_census(spark):
+    """dedup_span and doc_dup_coverage (r13): the gram document-
+    frequency census is the shared _grams4_census_cached frame — each
+    query used to run its own count-distinct over the full gram stream
+    (the heaviest shuffle either plans). Pin: after the census frame is
+    materialized, BOTH queries read [gh, nd] from an InMemoryTableScan
+    and neither plans its own distinct-doc aggregate (no partial_count
+    over doc_id anywhere in either plan)."""
+    import re
+
+    registry._grams4_census_cached(spark, SF_DIR).count()
+    for qname in ("dedup_span", "doc_dup_coverage"):
+        plan = _plan(spark, qname)
+        assert re.search(r"InMemoryTableScan \[gh#\d+L?, nd#\d+L?\]", plan), (
+            qname,
+            plan,
+        )
+        # (the census's own count-distinct still PRINTS under the
+        # InMemoryRelation subtree — text, not re-execution; the
+        # InMemoryTableScan above is what executes)
+        assert "CartesianProduct" not in plan, qname
+
+
 def test_attribution_is_one_window_carry(spark):
     """events_attribution: the last-touch carry is a per-user window
     (one shuffle on user_id + sort within partitions), not a self-join
