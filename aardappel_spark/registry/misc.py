@@ -495,7 +495,18 @@ def q_multimodal_pixel_stats(spark, sf_dir):
     from ..ops.multimodal import pixel_stats, synthetic_media
 
     media = _media_cached(spark, sf_dir)
-    return pixel_stats(media).filter(F.col("n_px").isNotNull()).select(
+    # kind pre-filter BEFORE the Python boundary (guide §4.1): the
+    # n_px-isNotNull cut keeps only rows whose pixel decode succeeded,
+    # and pixel decode exists only for the BMP/PPM/PNG/GIF arms —
+    # kind and payload arm are both CASE doc_id % 7 in synthetic_media,
+    # so every surviving row has kind='image' and audio/video payloads
+    # can only ever produce the dropped NULL rows. Filtering them out
+    # JVM-side ships 5/7 of the payload bytes to the Arrow workers
+    # instead of 7/7 (oracle-equal at all three scales; the filter is
+    # pinned below the MapInPandas node by a plan test).
+    return pixel_stats(media.filter(F.col("kind") == "image")).filter(
+        F.col("n_px").isNotNull()
+    ).select(
         "media_id", "format", "n_px", "sum_r", "sum_g", "sum_b"
     )
 
@@ -767,7 +778,16 @@ def q_multimodal_audio_stats(spark, sf_dir):
     from ..ops.multimodal import audio_stats, synthetic_media
 
     media = _media_cached(spark, sf_dir)
-    return audio_stats(media).filter(F.col("n_vals").isNotNull()).select(
+    # kind pre-filter BEFORE the Python boundary (guide §4.1): n_vals
+    # is non-NULL only for RIFF/WAV payloads, which synthetic_media
+    # emits exactly on the kind='audio' arm (both are CASE doc_id % 7),
+    # so image/video rows can only ever be dropped by the existing
+    # filter — cutting them JVM-side ships 1/7 of the payload bytes to
+    # the Arrow workers instead of 7/7 (oracle-equal at all three
+    # scales; pinned below MapInPandas by a plan test).
+    return audio_stats(media.filter(F.col("kind") == "audio")).filter(
+        F.col("n_vals").isNotNull()
+    ).select(
         "media_id", "format", "n_vals", "sum_abs", "sum_sq", "max_abs"
     )
 
@@ -847,7 +867,18 @@ def q_multimodal_video_frames(spark, sf_dir):
     from ..ops.multimodal import extract_features, sample_frames, synthetic_media
 
     media = _media_cached(spark, sf_dir)
-    feats = extract_features(media).filter(F.col("format") == "mp4").select(
+    # kind pre-filter BEFORE the Python boundary (guide §4.1), the same
+    # cut sample_frames below already applies: format='mp4' can only
+    # come from an ISO-BMFF payload, which synthetic_media emits
+    # exactly on the kind='video' arm (kind and payload arm are both
+    # CASE doc_id % 7; no other arm's magic bytes can parse as mp4) —
+    # so decoding the image/audio rows here only ever produced rows
+    # the format filter dropped. 1/7 of the payload bytes now cross
+    # the Arrow boundary (oracle-equal at all three scales; pinned
+    # below MapInPandas by a plan test).
+    feats = extract_features(
+        media.filter(F.col("kind") == "video")
+    ).filter(F.col("format") == "mp4").select(
         "media_id", F.col("n_samples").cast("bigint").alias("n_frames")
     )
     fr = sample_frames(media, every_n=10)

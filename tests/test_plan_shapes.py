@@ -1229,3 +1229,29 @@ def test_scan_audit_allowlist_entries_exist(spark):
     assert set(sa.ALLOW) <= set(registry.QUERIES), sorted(
         set(sa.ALLOW) - set(registry.QUERIES)
     )
+
+
+@pytest.mark.parametrize(
+    "qname, kind, n_python_nodes",
+    [
+        ("multimodal_pixel_stats", "image", 1),
+        ("multimodal_audio_stats", "audio", 1),
+        ("multimodal_video_frames", "video", 2),
+    ],
+)
+def test_media_kind_filter_below_python_boundary(spark, qname, kind, n_python_nodes):
+    """The kind-gated media queries must filter the media frame
+    JVM-side BEFORE the Arrow/Python boundary (guide §4.1): each
+    MapInPandas node sits above a kind filter, so payload bytes of the
+    other kinds never cross into the Python workers. The filter also
+    shows up as an InMemoryTableScan pushdown, hence >= 2 mentions per
+    Python node. Output equivalence is the synthetic_media arm
+    correlation (kind and payload arm are both CASE doc_id % 7) and is
+    separately oracle-gated at three scales."""
+    plan = _plan(spark, qname)
+    assert plan.count("MapInPandas") == n_python_nodes, plan
+    needle = f"= {kind})"
+    assert plan.count(needle) >= 2 * n_python_nodes, (
+        f"{qname}: kind filter not planned below every Python node"
+    )
+    assert plan.index("MapInPandas") < plan.index(needle), plan
