@@ -1329,7 +1329,20 @@ def incremental_setsim_batch(
         old_cand_sets = _read_store_buckets(
             spark, sets_path, sets_schema, cand_bks,
         ).select("id", "toks", "n")
-        sets = old_cand_sets.unionByName(new_sets.select("id", "toks", "n"))
+        # pin the pruned-store ∪ new-sets union ONCE per batch: the
+        # verify join consumes it on BOTH key legs (id_a and id_b),
+        # and without the pin each leg planned its own evaluation of
+        # the identical union — two pruned store scans + two broadcast
+        # builds per batch, and at scale (broadcast -> SortMergeJoin)
+        # the toks arrays would shuffle twice (r13 verdict #1; guide
+        # §2.4/§5). eager=False: the first broadcast build inside the
+        # verify job materializes the blocks, the second leg reads
+        # them — no separate checkpoint job. The union is bounded by
+        # the guard above (candidate ids' buckets + the batch).
+        sets = (
+            old_cand_sets.unionByName(new_sets.select("id", "toks", "n"))
+            .localCheckpoint(eager=False)
+        )
         out = (
             cand.join(
                 sets.select(

@@ -2203,6 +2203,59 @@ def test_setsim_batch_never_scans_full_history(spark, tmp_path, monkeypatch):
     assert counts == {0: 19, 1: 9} and sum(counts.values()) == n_sets
 
 
+def test_setsim_verify_join_evaluates_sets_union_once(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict #2: the verify join consumes the pruned-store ∪
+    new-sets union on BOTH key legs (id_a, id_b); without the per-batch
+    pin each leg planned its OWN evaluation of the identical union —
+    two pruned sets FileScans + two derivations per batch, and at scale
+    two shuffles of the toks arrays. Pinned: the captured per-batch
+    verify plan reads the union as checkpointed RDD blocks on both legs
+    (Scan ExistingRDD) with ZERO file scans and ZERO Union nodes — the
+    derivation runs once, when the blocks materialize."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    import aardappel_spark.stateful as st
+
+    plans = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, eager=True):
+        if eager and "verified" in self.columns:
+            plans.append(
+                self._sc._jvm.PythonSQLUtils.explainString(
+                    self._jdf.queryExecution(), "simple"
+                )
+            )
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", patched)
+
+    store = str(tmp_path / "store")
+    fn = st.incremental_setsim_batch(
+        store, tau_num=1, tau_den=2, shingle=1, sink=lambda df, bid: None
+    )
+    b0 = [(1, "a b c d")] + [
+        (i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(2, 20)
+    ]
+    fn(spark.createDataFrame(b0, "doc_id long, text string"), 0)
+    # batch 1 has history: the verify join reads store ∪ new sets
+    b1 = [(101, "a b c e")] + [
+        (i, f"z{i}a z{i}b z{i}c z{i}d") for i in range(102, 110)
+    ]
+    fn(spark.createDataFrame(b1, "doc_id long, text string"), 1)
+
+    assert len(plans) == 2
+    batch1_plan = plans[1]
+    # both verify legs read the pinned union's RDD blocks; no leg
+    # re-derives it (no file scan of sets/, no re-planned Union)
+    assert "FileScan" not in batch1_plan, batch1_plan
+    assert "Union" not in batch1_plan, batch1_plan
+    # cand + the two union legs
+    assert batch1_plan.count("Scan ExistingRDD") == 3, batch1_plan
+
+
 def test_read_counts_total_driver_side(spark, tmp_path):
     """_read_counts_total matches the Spark aggregate it replaced:
     sums n over every committed sidecar row except the excluded batch
