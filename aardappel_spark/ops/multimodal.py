@@ -1628,3 +1628,70 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, out_schema)
+
+
+def video_frame_summary(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Fused twin of ``extract_features(...).filter(format='mp4')``
+    joined against the per-media aggregate of ``sample_frames(...)``
+    (r13 verdict #6): ONE Arrow boundary crossing instead of two, and
+    the per-frame fan-out + groupBy shuffle + join collapse into a
+    closed-form per-payload computation. Equivalence to the two-node
+    pipeline, term by term:
+
+    - a row exists iff ``decode_header`` yields format='mp4' (same
+      try/except set as ``extract_features``) AND the every-``n``
+      sampler emits >= 1 frame (the inner join dropped medias whose
+      ``sample_frames`` fan-out was empty, i.e. n_samples == 0);
+    - ``n_frames`` is the decoded stsz sample count — identical to the
+      joined ``extract_features.n_samples``;
+    - for a payload that parses as mp4, ``_frame_count`` returns the
+      SAME stsz count (both call ``_decode_mp4``), so
+      ``n_sampled = len(range(0, n, every_n))`` and
+      ``last_frame_no = ((n - 1) // every_n) * every_n`` equal the
+      count(*)/max(frame_no) aggregate over the sampled frames —
+      computed without materializing the frames or their md5 stub
+      bytes, which this query never read.
+
+    Only (media_id, payload) cross the boundary (guide §4.1)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_frames", LongType(), True),
+            StructField("n_sampled", LongType(), False),
+            StructField("last_frame_no", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ns, last = [], [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                try:
+                    d = decode_header(payload)
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError):
+                    continue
+                if d.get("format") != "mp4":
+                    continue
+                n = d["n_samples"]
+                if n <= 0:
+                    continue
+                ids.append(mid)
+                nf.append(n)
+                ns.append((n + every_n - 1) // every_n)
+                last.append(((n - 1) // every_n) * every_n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": nf,
+                    "n_sampled": ns,
+                    "last_frame_no": last,
+                },
+                columns=["media_id", "n_frames", "n_sampled",
+                         "last_frame_no"],
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(run, out_schema)

@@ -864,31 +864,21 @@ def q_multimodal_video_frames(spark, sf_dir):
     sampler emitted, and the last sampled frame number. The DuckDB
     oracle re-reads the same sample-count bytes from the payload and
     replays the sampling policy in closed form."""
-    from ..ops.multimodal import extract_features, sample_frames, synthetic_media
+    from ..ops.multimodal import video_frame_summary
 
     media = _media_cached(spark, sf_dir)
-    # kind pre-filter BEFORE the Python boundary (guide §4.1), the same
-    # cut sample_frames below already applies: format='mp4' can only
-    # come from an ISO-BMFF payload, which synthetic_media emits
-    # exactly on the kind='video' arm (kind and payload arm are both
-    # CASE doc_id % 7; no other arm's magic bytes can parse as mp4) —
-    # so decoding the image/audio rows here only ever produced rows
-    # the format filter dropped. 1/7 of the payload bytes now cross
-    # the Arrow boundary (oracle-equal at all three scales; pinned
-    # below MapInPandas by a plan test).
-    feats = extract_features(
-        media.filter(F.col("kind") == "video")
-    ).filter(F.col("format") == "mp4").select(
-        "media_id", F.col("n_samples").cast("bigint").alias("n_frames")
-    )
-    fr = sample_frames(media, every_n=10)
-    agg = fr.groupBy("media_id").agg(
-        F.count("*").cast("bigint").alias("n_sampled"),
-        F.max("frame_no").cast("bigint").alias("last_frame_no"),
-    )
-    return feats.join(agg, "media_id").select(
-        "media_id", "n_frames", "n_sampled", "last_frame_no"
-    )
+    # kind pre-filter BEFORE the Python boundary (guide §4.1): format
+    # 'mp4' can only come from an ISO-BMFF payload, which
+    # synthetic_media emits exactly on the kind='video' arm (kind and
+    # payload arm are both CASE doc_id % 7; no other arm's magic bytes
+    # can parse as mp4) — so 1/7 of the payload bytes cross the Arrow
+    # boundary. r14 (r13 verdict #6): the former two Python nodes
+    # (extract_features + sample_frames) and the groupBy+join between
+    # them are fused into ONE MapInPandas computing the sampled-frame
+    # aggregate in closed form — see video_frame_summary's docstring
+    # for the term-by-term equivalence argument (oracle-equal at all
+    # three scales; single-Python-node shape pinned by a plan test).
+    return video_frame_summary(media, every_n=10)
 
 
 QUERIES["multimodal_video_frames"] = q_multimodal_video_frames

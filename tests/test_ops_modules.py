@@ -396,6 +396,43 @@ def test_multimodal_frame_sampling(spark):
     assert all(len(bytes(f.frame)) == 16 for f in frames)
 
 
+def test_video_frame_summary_matches_two_node_pipeline(spark, sf_dir):
+    """r14 fusion (r13 verdict #6): the single-MapInPandas
+    video_frame_summary must emit row-for-row what the two-node
+    extract_features + sample_frames/groupBy/join pipeline emitted,
+    over real synthetic_media payloads including the truncated-ftyp
+    refusal arm (dropped by both shapes)."""
+    from pyspark.sql import functions as F
+
+    from aardappel_spark.ops.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+        video_frame_summary,
+    )
+    from aardappel_spark.registry import _docs
+
+    media = synthetic_media(_docs(spark, sf_dir).limit(140))
+    fused = {
+        r.media_id: (r.n_frames, r.n_sampled, r.last_frame_no)
+        for r in video_frame_summary(media, every_n=10).collect()
+    }
+    feats = extract_features(
+        media.filter(F.col("kind") == "video")
+    ).filter(F.col("format") == "mp4").select(
+        "media_id", F.col("n_samples").cast("bigint").alias("n_frames")
+    )
+    agg = sample_frames(media, every_n=10).groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.max("frame_no").cast("bigint").alias("last_frame_no"),
+    )
+    legacy = {
+        r.media_id: (r.n_frames, r.n_sampled, r.last_frame_no)
+        for r in feats.join(agg, "media_id").collect()
+    }
+    assert fused and fused == legacy
+
+
 def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
     from aardappel_spark.ops.similarity import cosine_neardup_lsh, cosine_neardup_pairs
 
@@ -3555,6 +3592,42 @@ def test_synthetic_media_payloads_decode_to_formula_dims(spark, sf_dir):
             # APP0/JFIF really sits before the SOF (the walk is forced)
             assert p[2:4] == b"\xff\xe0" and p[6:10] == b"JFIF"
     assert seen == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_synthetic_media_kind_gates_decodability(spark, sf_dir):
+    """r13 ADVICE #2: the JVM-side kind pre-filters in the kind-gated
+    queries (pixel/audio/video) are output-equivalent ONLY because a
+    non-matching arm can never satisfy the downstream decode — pin that
+    invariant in-repo instead of only via the 3-scale oracle sweeps.
+    For a 70-doc sweep (10 per %7 arm): the decoded format class of
+    every payload must match its ``kind`` column exactly — no image/
+    video payload decodes as WAV (audio_stats would NULL it), no
+    image/audio payload parses as mp4, and no audio/video payload
+    decodes as any image format."""
+    from aardappel_spark.ops.multimodal import decode_header, synthetic_media
+    from aardappel_spark.registry import _docs
+
+    image_formats = {"bmp", "ppm", "png", "gif", "jpeg"}
+    rows = synthetic_media(_docs(spark, sf_dir).limit(70)).collect()
+    assert len(rows) == 70
+    kinds_seen = set()
+    for r in rows:
+        kinds_seen.add(r.kind)
+        try:
+            fmt = decode_header(bytes(r.payload))["format"]
+        except (NotImplementedError, ValueError):
+            # only the truncated-ftyp video stub may refuse — an
+            # unexpected refusal on another arm would silently shrink a
+            # kind-gated query's output
+            assert r.kind == "video", (r.media_id, r.kind)
+            continue
+        if r.kind == "audio":
+            assert fmt == "wav", (r.media_id, fmt)
+        elif r.kind == "video":
+            assert fmt == "mp4", (r.media_id, fmt)
+        else:
+            assert fmt in image_formats, (r.media_id, fmt)
+    assert kinds_seen == {"image", "audio", "video"}
 
 
 def test_doc_winnowing_matches_python_model(spark, sf_dir):

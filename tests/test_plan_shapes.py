@@ -1236,7 +1236,9 @@ def test_scan_audit_allowlist_entries_exist(spark):
     [
         ("multimodal_pixel_stats", "image", 1),
         ("multimodal_audio_stats", "audio", 1),
-        ("multimodal_video_frames", "video", 2),
+        # r14: extract_features + sample_frames fused into ONE
+        # MapInPandas (video_frame_summary, r13 verdict #6)
+        ("multimodal_video_frames", "video", 1),
     ],
 )
 def test_media_kind_filter_below_python_boundary(spark, qname, kind, n_python_nodes):
@@ -1247,11 +1249,23 @@ def test_media_kind_filter_below_python_boundary(spark, qname, kind, n_python_no
     shows up as an InMemoryTableScan pushdown, hence >= 2 mentions per
     Python node. Output equivalence is the synthetic_media arm
     correlation (kind and payload arm are both CASE doc_id % 7) and is
-    separately oracle-gated at three scales."""
+    separately oracle-gated at three scales (plus the in-repo arm
+    correlation unit test in test_ops_modules)."""
     plan = _plan(spark, qname)
     assert plan.count("MapInPandas") == n_python_nodes, plan
     needle = f"= {kind})"
     assert plan.count(needle) >= 2 * n_python_nodes, (
         f"{qname}: kind filter not planned below every Python node"
     )
-    assert plan.index("MapInPandas") < plan.index(needle), plan
+    # per-node ordering (r13 ADVICE): EVERY MapInPandas occurrence must
+    # have a kind filter planned below it (i.e. appearing after it in
+    # the top-down formatted text), not just the first
+    start = 0
+    while True:
+        pos = plan.find("MapInPandas", start)
+        if pos == -1:
+            break
+        assert plan.find(needle, pos) != -1, (
+            f"{qname}: MapInPandas at {pos} has no kind filter below it"
+        )
+        start = pos + 1
