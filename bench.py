@@ -240,6 +240,33 @@ def main() -> None:
     started_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+
+    # In-run ambient control (r13 verdict #4): re-time ONE pinned
+    # control query every CONTROL_EVERY queries and record the series
+    # in provenance. The r13 round was adjudicated FORENSICALLY (the
+    # same untouched control code path read 59.6 s in one run and
+    # 154.7 s in another on identical code); a control series taken
+    # DURING the run makes a degraded window machine-visible: a spike
+    # confined to some control samples marks exactly which queries ran
+    # inside it. The control runs are extra wall-clock OUTSIDE the
+    # recorded totals — `value` stays warmup + queries, per-query
+    # methodology (best-of-2, min) unchanged.
+    CONTROL_QUERY = "tpch_q1"
+    CONTROL_EVERY = 30
+    control_fn = QUERIES.get(CONTROL_QUERY)
+    control_series: list[dict] = []
+
+    def _control_sample(after_n: int) -> None:
+        if control_fn is None:
+            return
+        t0 = time.perf_counter()
+        control_fn(spark, sf_dir).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        control_series.append({"after_n_queries": after_n, "sec": dt})
+        print(f"# ambient control {CONTROL_QUERY}: {dt}s "
+              f"(after {after_n} queries)", file=sys.stderr)
+
+    _control_sample(0)
     for name, fn in QUERIES.items():
         best, worst, n = float("inf"), 0.0, 0
         for _ in range(2):
@@ -260,6 +287,13 @@ def main() -> None:
         # frames stay referenced and are never collected.
         gc.collect()
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        if len(timings) % CONTROL_EVERY == 0:
+            _control_sample(len(timings))
+
+    if not control_series or control_series[-1]["after_n_queries"] != len(
+        timings
+    ):
+        _control_sample(len(timings))
 
     total = round(sum(timings.values()) + sum(warmup.values()), 3)
     spread_max_q = max(spreads, key=spreads.get) if spreads else None
@@ -284,6 +318,15 @@ def main() -> None:
             "loadavg_start": [round(x, 2) for x in loadavg_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "started_utc": started_utc,
+            # in-run ambient control (r13 verdict #4): the pinned
+            # control query re-timed through the run; a flat series
+            # means a calm window, a spike marks which queries ran
+            # degraded. NOT included in value/queries.
+            "ambient_control": {
+                "query": CONTROL_QUERY,
+                "every_n_queries": CONTROL_EVERY,
+                "series": control_series,
+            },
             # machine identity: round VMs differ, and r10's graph/dq
             # "regressions" on byte-identical code+data adjudicated as
             # cross-round machine drift (NOTES_r11) — future drift
